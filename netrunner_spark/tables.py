@@ -1,0 +1,135 @@
+"""Snapshot-versioned table catalog — the Iceberg stand-in.
+
+The north_rule targets Iceberg tables (MERGE cache keyed by url_hash,
+per-round frontier/bloom/metrics checkpoints, snapshot-based resume).
+Iceberg jars are not available in this sandbox, so this module provides
+the same contract over plain parquet with atomic snapshot pointers:
+
+    <root>/<table>/snap-<version>/part-*.parquet
+    <root>/<table>/_latest            # text file: committed version
+
+Writes go to a new ``snap-N`` directory first; the ``_latest`` pointer
+is flipped last via atomic rename — a killed job never observes a
+half-written snapshot, which is exactly the resume guarantee we need
+(reference analog: per-URL RON cache files, crawler.rs:140-152 /
+urls.txt checkpoint, mod.rs:121-128). On a real cluster, swap this
+class for an Iceberg catalog; call sites only use read/write/merge.
+
+MERGE semantics (K2): new rows win over existing rows with the same
+key — replaces the reference's first-wins file dedup (mod.rs:177-208)
+with deterministic last-write-wins keyed upserts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LakeCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------- plumbing
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_latest")
+
+    def version(self, table: str) -> int | None:
+        """Committed snapshot version, or None if the table doesn't exist."""
+        try:
+            with open(self._pointer(table), encoding="utf-8") as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def exists(self, table: str) -> bool:
+        return self.version(table) is not None
+
+    def snapshot_path(self, table: str, version: int | None = None) -> str:
+        v = self.version(table) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {table!r} has no committed snapshot")
+        return os.path.join(self._tdir(table), f"snap-{v}")
+
+    def _commit(self, table: str, version: int) -> None:
+        tmp = self._pointer(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pointer(table))  # atomic on POSIX
+
+    # ------------------------------------------------------------------ API
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        return self.spark.read.parquet(self.snapshot_path(table, version))
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        bucket_hint: str | None = None,
+    ) -> int:
+        """Write a new snapshot; returns committed version.
+
+        ``bucket_hint``: column to hash-repartition on before writing —
+        the local-mode analog of Iceberg ``bucket(N, col)`` layout, so a
+        downstream key-equi join/merge reads co-located files (cache is
+        bucketed by host/url_hash per SURVEY.md §4 item 3).
+        """
+        cur = self.version(table)
+        new = 1 if cur is None else cur + 1
+        path = os.path.join(self._tdir(table), f"snap-{new}")
+        if bucket_hint is not None:
+            df = df.repartition(F.col(bucket_hint))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        self._commit(table, new)
+        return new
+
+    def merge(
+        self,
+        df: DataFrame,
+        table: str,
+        key: str | list[str],
+        bucket_hint: str | None = None,
+    ) -> int:
+        """MERGE INTO: upsert by key, new rows win (K2 semantics)."""
+        keys = [key] if isinstance(key, str) else list(key)
+        if self.exists(table):
+            old = self.read(table)
+            keep = old.join(df.select(*keys).dropDuplicates(keys), keys, "left_anti")
+            merged = keep.unionByName(df.dropDuplicates(keys))
+        else:
+            merged = df.dropDuplicates(keys)
+        return self.write(merged, table, bucket_hint=bucket_hint)
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self._tdir(table), ignore_errors=True)
+
+    def rollback(self, table: str, version: int) -> None:
+        """Point _latest at an earlier snapshot (resume-from-checkpoint)."""
+        if not os.path.isdir(os.path.join(self._tdir(table), f"snap-{version}")):
+            raise FileNotFoundError(f"{table} snap-{version} missing")
+        self._commit(table, version)
+
+    def vacuum(self, table: str, keep_last: int = 2) -> None:
+        """Drop snapshots older than the last ``keep_last`` (bounded disk)."""
+        cur = self.version(table)
+        if cur is None:
+            return
+        tdir = self._tdir(table)
+        for name in os.listdir(tdir):
+            if name.startswith("snap-"):
+                v = int(name.split("-", 1)[1])
+                if v <= cur - keep_last:
+                    shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
