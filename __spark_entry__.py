@@ -1,38 +1,488 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps SURVEY.md §2 operators (plus the training-data
+pipeline ops) onto the driver's testdata tables; every compared output
+uses EXACT arithmetic (int64 counts/cents/quantized hashes) so the
+DuckDB oracle hash-matches regardless of float summation order.
+
+Crawl-shaped operators are exercised on the `events` table reinterpreted
+as a frontier log: user_id → host, event_id → page, ts → enqueue time.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# A synthetic URL per event: the crawl-shaped queries run over this.
+def _event_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".test/"),
+            F.col("event_type"),
+            F.lit("/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+_EVENT_URL_SQL = (
+    "concat('https://host', CAST(user_id % 20 AS VARCHAR), '.test/', "
+    "event_type, '/', CAST(event_id AS VARCHAR))"
+)
+
+
+# --------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one frontier scheduling round over the event-frontier —
+    admission regex → dedup → politeness window-rank quota → batch
+    (reference crawl §3.1's rank step, W1/O3)."""
+    sf_dir = "/root/testdata/sf0.001"
+    urls = _event_urls(spark, sf_dir)
+    admitted = urls.filter(
+        F.col("url").rlike(r"^https://host\d+\.test/(view|click|purchase)/")
+    )
+    frontier = admitted.withColumn("url_hash", F.xxhash64("url")).dropDuplicates(
+        ["url_hash"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    batch = (
+        frontier.withColumn("rank_in_host", F.row_number().over(w))
+        .filter(F.col("rank_in_host") <= 5)
+        .select("event_id", "user_id", "url", "rank_in_host")
+    )
+    return batch.orderBy("user_id", "rank_in_host", "event_id")
 
 
+# ---------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from netrunner_spark.operators import textops, vectors
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def w1_politeness_quota(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("event_id", "user_id", "event_type", "rn")
+        )
+
+    def f2_admission_filter(spark, sf):
+        urls = _event_urls(spark, sf)
+        allow = r"^https://host\d+\.test/(view|click|purchase)/"
+        skip = r"^https://host1\.test/click/"
+        return urls.filter(F.col("url").rlike(allow) & ~F.col("url").rlike(skip)).select(
+            "event_id", "url"
+        )
+
+    def f7_seen_antijoin(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+            "c_custkey", "c_name"
+        )
+
+    def f8_frontier_dedup(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.select("user_id", "event_type").dropDuplicates()
+
+    def f9_canonical_dedup(spark, sf):
+        orders = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+        )
+
+    def j4_domain_memo_join(spark, sf):
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        nation = _t(spark, sf, "nation")
+        return (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "cents_total"
+                ),
+            )
+        )
+
+    def j5_prefix_coverage(spark, sf):
+        part = _t(spark, sf, "part")
+        prefixes = part.select(
+            F.split(F.col("p_name"), " ").getItem(0).alias("prefix")
+        ).dropDuplicates()
+        joined = part.join(
+            F.broadcast(prefixes), F.col("p_name").startswith(F.col("prefix"))
+        )
+        return joined.groupBy("prefix").agg(F.count(F.lit(1)).alias("n_hits"))
+
+    def a3_validation_tallies(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0)).alias("n_hi"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_sum"),
+        )
+
+    def o1_sorted_limit(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.orderBy("doc_id").limit(50).select("doc_id", "n_chars")
+
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                    "sum_base_cents"
+                ),
+                F.sum(
+                    F.round(
+                        F.round(F.col("l_extendedprice") * 100)
+                        * (100 - F.round(F.col("l_discount") * 100))
+                    ).cast("long")
+                ).alias("disc_price_e4"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    def q3_top_orders(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .filter(F.col("c_mktsegment") == "BUILDING")
+        )
+        rev = joined.groupBy("l_orderkey").agg(
+            F.sum(
+                F.round(
+                    F.round(F.col("l_extendedprice") * 100)
+                    * (100 - F.round(F.col("l_discount") * 100))
+                ).cast("long")
+            ).alias("revenue_e4")
+        )
+        return rev.orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey")).limit(10)
+
+    def dedup_exact(spark, sf):
+        return textops.dedup_exact(_t(spark, sf, "documents"))
+
+    def text_token_stats(spark, sf):
+        return textops.token_stats(_t(spark, sf, "documents"))
+
+    def text_quality(spark, sf):
+        return textops.quality_score(_t(spark, sf, "documents"))
+
+    def lang_id(spark, sf):
+        return textops.lang_id(_t(spark, sf, "documents"))
+
+    def doc_fingerprint(spark, sf):
+        return textops.fingerprint(_t(spark, sf, "documents"))
+
+    def jaccard_pairs(spark, sf):
+        return textops.jaccard_pairs(_t(spark, sf, "documents"), max_doc_id=150)
+
+    def minhash_lsh(spark, sf):
+        return textops.minhash_lsh_pairs(_t(spark, sf, "documents"), max_doc_id=150)
+
+    def simhash(spark, sf):
+        return textops.simhash(_t(spark, sf, "documents"), max_doc_id=150)
+
+    def ann_topk_int(spark, sf):
+        return vectors.brute_topk_int(_t(spark, sf, "embeddings"))
+
+    def ann_cosine_topk(spark, sf):
+        return vectors.cosine_topk(_t(spark, sf, "embeddings"))
+
+    def lsh_bucket_sizes(spark, sf):
+        b = vectors.srp_bucket(_t(spark, sf, "embeddings"))
+        return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+    return {
+        "w1_politeness_quota": w1_politeness_quota,
+        "f2_admission_filter": f2_admission_filter,
+        "f7_seen_antijoin": f7_seen_antijoin,
+        "f8_frontier_dedup": f8_frontier_dedup,
+        "f9_canonical_dedup": f9_canonical_dedup,
+        "j4_domain_memo_join": j4_domain_memo_join,
+        "j5_prefix_coverage": j5_prefix_coverage,
+        "a3_validation_tallies": a3_validation_tallies,
+        "o1_sorted_limit": o1_sorted_limit,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "dedup_exact": dedup_exact,
+        "text_token_stats": text_token_stats,
+        "text_quality": text_quality,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "jaccard_pairs": jaccard_pairs,
+        "minhash_lsh": minhash_lsh,
+        "simhash": simhash,
+        "ann_topk_int": ann_topk_int,
+        "ann_cosine_topk": ann_cosine_topk,
+        "lsh_bucket_sizes": lsh_bucket_sizes,
+    }
 
 
+# ----------------------------------------------------------------- oracles
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # notes: list_reduce has no init arg → prepend 0; generate_series as a
+    # lateral table function cannot take column bounds → constant bound +
+    # WHERE filter (documents are ≤ ~2000 chars).
+    grams_cte = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+), grams AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 2147483647) AS g
+  FROM (
+    SELECT doc_id, substr(text, i, 3) AS g
+    FROM base, generate_series(1, 4000) AS t(i)
+    WHERE i <= greatest(length(text) - 2, 1)
+  )
+  WHERE length(g) = 3
+)
+"""
+    return {
+        "w1_politeness_quota": """
+            SELECT event_id, user_id, event_type, rn FROM (
+              SELECT event_id, user_id, event_type,
+                     CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+              FROM events
+            ) WHERE rn <= 3
+        """,
+        "f2_admission_filter": f"""
+            SELECT event_id, {_EVENT_URL_SQL} AS url
+            FROM events
+            WHERE regexp_matches({_EVENT_URL_SQL}, '^https://host\\d+\\.test/(view|click|purchase)/')
+              AND NOT regexp_matches({_EVENT_URL_SQL}, '^https://host1\\.test/click/')
+        """,
+        "f7_seen_antijoin": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "f8_frontier_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "f9_canonical_dedup": """
+            SELECT o_custkey, first_orderkey FROM (
+              SELECT o_custkey, o_orderkey AS first_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "j4_domain_memo_join": """
+            SELECT n_name,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "j5_prefix_coverage": """
+            WITH prefixes AS (SELECT DISTINCT split_part(p_name, ' ', 1) AS prefix FROM part)
+            SELECT prefix, count(*) AS n_hits
+            FROM part JOIN prefixes ON starts_with(p_name, prefix)
+            GROUP BY prefix
+        """,
+        "a3_validation_tallies": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+            FROM events GROUP BY event_type
+        """,
+        "o1_sorted_limit": "SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 50",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(round(l_extendedprice * 100) * (100 - round(l_discount * 100))) AS BIGINT)) AS BIGINT) AS disc_price_e4,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(round(l_extendedprice * 100) * (100 - round(l_discount * 100))) AS BIGINT)) AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue_e4 DESC, l_orderkey
+            LIMIT 10
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_token_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars_actual,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT) AS n_alpha,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
+                   CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> t IN ('the','a','of','and','to','in','is'))) AS INT) AS n_stopwords
+            FROM documents
+        """,
+        "text_quality": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     length(text) AS n_chars_actual,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                     len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(floor(n_alpha * 10000.0 / greatest(n_chars_actual, 1)) AS BIGINT) AS alpha_bps,
+                   CAST(floor(n_stopwords * 10000.0 / greatest(n_tokens, 1)) AS BIGINT) AS stopword_bps,
+                   CASE WHEN n_tokens < 10 THEN 'too_short'
+                        WHEN n_tokens > 100000 THEN 'too_long'
+                        ELSE 'ok' END AS length_band
+            FROM s
+        """,
+        "lang_id": r"""
+            WITH toks AS (
+              SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS t FROM documents
+            ), hits AS (
+              SELECT doc_id, text,
+                     len(list_filter(t, x -> x IN ('the','of','and','a'))) AS hits_en,
+                     len(list_filter(t, x -> x IN ('der','die','das','und'))) AS hits_de,
+                     len(list_filter(t, x -> x IN ('el','la','los','que'))) AS hits_es,
+                     len(list_filter(t, x -> x IN ('le','les','des','et'))) AS hits_fr
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN greatest(hits_en, hits_de, hits_es, hits_fr) > 0
+                             AND hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+                        WHEN greatest(hits_en, hits_de, hits_es, hits_fr) > 0
+                             AND hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+                        WHEN greatest(hits_en, hits_de, hits_es, hits_fr) > 0
+                             AND hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+                        WHEN greatest(hits_en, hits_de, hits_es, hits_fr) > 0
+                             AND hits_fr = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'fr'
+                        ELSE 'und' END AS pred_lang
+            FROM hits
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+            FROM documents
+        """,
+        "jaccard_pairs": grams_cte
+        + """
+            , sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+            , common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_b, doc_a, n_common,
+                   sa.n_grams AS grams_a, sb.n_grams AS grams_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        """,
+        "minhash_lsh": grams_cte
+        + """
+            , sig AS (
+              SELECT doc_id, j,
+                     min(((j * 2 + 1) * 104729 % 2147483647 * g + j * 7919 + 1) % 2147483647) AS minhash
+              FROM grams, generate_series(0, 15) AS s(j)
+              GROUP BY doc_id, j
+            ), bands AS (
+              SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                     string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j) AS band_key
+              FROM sig GROUP BY doc_id, CAST(j // 4 AS INT)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "simhash": grams_cte
+        + """
+            , bitsum AS (
+              SELECT doc_id, b, sum(CASE WHEN (g >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM grams, generate_series(0, 15) AS t(b)
+              GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bitsum GROUP BY doc_id
+        """,
+        "ann_topk_int": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), pairs AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     list_reduce(list_transform(generate_series(1, len(a.qe)),
+                                 i -> a.qe[i] * b.qe[i]), (x, y) -> x + y) AS dot_q
+              FROM q a JOIN q b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+            )
+            SELECT query_id, neighbor_id, dot_q, rn AS rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS INT) AS rn
+              FROM pairs
+            ) WHERE rn <= 5
+        """,
+        "lsh_bucket_sizes": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), proj AS (
+              SELECT vec_id, b,
+                     list_reduce(list_transform(generate_series(1, len(qe)),
+                         i -> qe[i] * (((b * 1009) + (i - 1) * 9176 + 7) % 2003 - 1001)),
+                         (x, y) -> x + y) AS p
+              FROM q, generate_series(0, 7) AS t(b)
+            )
+            SELECT bucket, count(*) AS n_vecs FROM (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+              FROM proj GROUP BY vec_id
+            ) GROUP BY bucket
+        """,
+        # ann_cosine_topk: float scores → no SQL oracle (rows-only check);
+        # the exact-arithmetic twin ann_topk_int covers value correctness.
+    }

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness: frontier-drain throughput (the BASELINE.md target
+metric) + headline analytics queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "e2e_bench_total", "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "frontier": {"urls": N, "seconds": s, "urls_per_sec": r}}
+
+The frontier drain runs on a deterministic synthetic web (no network);
+its size scales with BENCH_HOSTS/BENCH_PAGES env vars. The scaling-
+efficiency experiment (N vs 4N cores) lives in bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_HOSTS = int(os.environ.get("BENCH_HOSTS", "1000"))
+PAGES = int(os.environ.get("BENCH_PAGES", "100"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "w1_politeness_quota",
+    "f7_seen_antijoin",
+    "j4_domain_memo_join",
+    "dedup_exact",
+    "text_token_stats",
+    "doc_fingerprint",
+    "minhash_lsh",
+    "ann_topk_int",
+]
+
+
+def bench_frontier_drain(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from netrunner_spark.plans.crawl import CrawlConfig, CrawlJob
+    from netrunner_spark.sources.fetcher import MockFetcher
+    from netrunner_spark.synth import gen_robots, gen_web
+    from netrunner_spark.tables import LakeCatalog
+    from netrunner_spark.urlnorm import url_hash_col
+
+    tmp = tempfile.mkdtemp(prefix="nr_bench_")
+    try:
+        web_path = os.path.join(tmp, "web")
+        gen_web(spark, N_HOSTS, PAGES).write.parquet(web_path)
+        web = spark.read.parquet(web_path)
+        robots = gen_robots(spark, N_HOSTS)
+        frontier0 = web.select(
+            "url", "host", url_hash_col("url").alias("url_hash")
+        )
+
+        cat = LakeCatalog(spark, os.path.join(tmp, "lake"))
+        # politeness window sized so crawl-delay hosts (budget = rs/2)
+        # drain in ~6 rounds — web-scale shape: many hosts, bounded depth
+        cfg = CrawlConfig(
+            rps=2.0,
+            round_seconds=PAGES / 3.0,
+            max_rounds=50,
+            n_bloom_shards=CPUS * 2,
+        )
+        job = CrawlJob(spark, cat, MockFetcher(web), robots, cfg)
+        job.init_frontier(frontier0)
+
+        t0 = time.time()
+        stats = job.run()
+        dt = time.time() - t0
+        n = cat.read_slices("cache").count()
+        return {
+            "urls": n,
+            "seconds": round(dt, 3),
+            "urls_per_sec": round(n / dt, 1),
+            "rounds": stats["rounds"],
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    from netrunner_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("netrunner_bench", master=f"local[{CPUS}]")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    t_start = time.time()
+    timings: dict[str, float] = {}
+
+    frontier = bench_frontier_drain(spark)
+    timings["frontier_drain"] = frontier["seconds"]
+
+    qs = entry_mod.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    total = round(time.time() - t_start, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "frontier": frontier,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

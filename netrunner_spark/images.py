@@ -1,0 +1,148 @@
+"""Image payload: decode / validate / PSNR / phash — batch-wise pandas
+UDFs over an opaque ``binary`` column (input_hint schema: image_id,
+bytes, w, h, fmt, caption, phash).
+
+The sandbox has no image libraries (no PIL), so the codecs here are
+deterministic from-scratch formats that exercise the REAL contract:
+
+  fmt='png'  → NRV1 container, lossless: header + raw RGB bytes.
+  fmt='jpeg' → NRQ1 container, lossy: 6-bit/channel quantization →
+               deterministic reconstruction error, PSNR ≈ 46 dB > 40 dB,
+               so the lossy-path invariant (PSNR ≥ 40) is genuinely
+               tested, not vacuously.
+
+Real PNG/JPEG decoding is gated behind an import-try of PIL and raises
+NotImplementedError otherwise — clearly-marked stub; the Spark-side
+plumbing (schema, batching, UDF signatures) is real and tested.
+
+All UDFs are Arrow-batched (never per-row Python in the plan).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_MAGIC_RAW = b"NRV1"
+_MAGIC_QNT = b"NRQ1"
+_QUANT_BITS = 6  # keep: PSNR ≈ 46 dB (step=4 ⇒ MSE≈1.33)
+
+
+# ------------------------------------------------------------------ codecs
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    """arr: (h, w, 3) uint8."""
+    h, w, _ = arr.shape
+    header = struct.pack("<II", w, h)
+    if fmt == "png":
+        return _MAGIC_RAW + header + arr.tobytes()
+    if fmt == "jpeg":
+        step = 1 << (8 - _QUANT_BITS)
+        q = (arr // step).astype(np.uint8)
+        return _MAGIC_QNT + header + q.tobytes()
+    raise NotImplementedError(f"unsupported synthetic format: {fmt}")
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """bytes → (h, w, 3) uint8. Raises on unknown container."""
+    magic, header = data[:4], data[4:12]
+    w, h = struct.unpack("<II", header)
+    body = np.frombuffer(data, dtype=np.uint8, offset=12)
+    if magic == _MAGIC_RAW:
+        return body.reshape(h, w, 3)
+    if magic == _MAGIC_QNT:
+        step = 1 << (8 - _QUANT_BITS)
+        # dequantize to bucket midpoint (deterministic reconstruction)
+        return (body.reshape(h, w, 3).astype(np.uint16) * step + step // 2).clip(
+            0, 255
+        ).astype(np.uint8)
+    try:  # pragma: no cover - real decoder path, not available in sandbox
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decoding requires PIL (unavailable in this sandbox); "
+            "synthetic NRV1/NRQ1 containers are supported"
+        ) from exc
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def phash64(arr: np.ndarray) -> int:
+    """Average-hash: gray → 8×8 block means → bits(pixel > mean) → i64.
+
+    From-scratch perceptual hash (role analog of any phash; the
+    reference has none — this is the image+caption extension from
+    BASELINE.json input_hint).
+    """
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    g = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (g > g.mean()).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+# ------------------------------------------------------------- pandas UDFs
+DECODE_CHECK_SCHEMA = T.StructType(
+    [
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("w_actual", T.IntegerType()),
+        T.StructField("h_actual", T.IntegerType()),
+        T.StructField("phash_actual", T.LongType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(DECODE_CHECK_SCHEMA)
+def decode_check_udf(blobs: pd.Series) -> pd.DataFrame:
+    rows = []
+    for blob in blobs:
+        try:
+            arr = decode_image(bytes(blob))
+            rows.append(
+                {
+                    "decode_ok": True,
+                    "w_actual": int(arr.shape[1]),
+                    "h_actual": int(arr.shape[0]),
+                    "phash_actual": phash64(arr),
+                    "mean_px": float(arr.mean()),
+                }
+            )
+        except Exception:
+            rows.append(
+                {
+                    "decode_ok": False,
+                    "w_actual": None,
+                    "h_actual": None,
+                    "phash_actual": None,
+                    "mean_px": None,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(T.DoubleType())
+def psnr_udf(blobs_a: pd.Series, blobs_b: pd.Series) -> pd.Series:
+    out = []
+    for a, b in zip(blobs_a, blobs_b):
+        try:
+            out.append(psnr(decode_image(bytes(a)), decode_image(bytes(b))))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="float64")

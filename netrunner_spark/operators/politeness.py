@@ -1,0 +1,146 @@
+"""Per-domain politeness + priority scheduling (W1/J6/O3) and robots
+allow/deny (S3) — the north_rule's "priority queue realized as
+window-ranked DataFrame batches".
+
+Reference semantics: keyed token bucket 2 req/s/domain awaited before
+each fetch (crawler.rs:21,80-88; quota mod.rs:133,150); robots parse via
+texting_robots (cache.rs:50-64). The reference drains serially; we
+schedule a whole ROUND at once: every host gets
+``budget = round_seconds × effective_rps`` slots, and the round batch is
+``row_number() over (partition by host order by priority, url_hash)
+<= budget``. Same politeness envelope, executed with full partition
+parallelism — this is the scalability headroom being measured.
+
+Crawl order is thereby pinned to the deterministic total order
+``(round, priority, url_hash)`` (SURVEY.md §2.7 O3): the reference's
+own order is HashSet-iteration (unspecified); its reproducible artifact
+is the sorted URL set, which we match by set-equality.
+
+Robots evaluation is pure relational: explode rules, longest-match wins,
+allow beats disallow on ties (Google REP §longest-match) — a join +
+window, zero Python in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_RPS = 2.0  # reference hard-codes 2 req/s/domain (mod.rs:133,150)
+
+
+def robots_match_expr(url_col, pattern_col):
+    """True iff robots path_pattern matches the URL's path.
+
+    Supports '*' wildcards and '$' end-anchor per REP. Compiled to ONE
+    regexp per row pair via regexp_like on a rewritten pattern — stays
+    JVM-side (no Python).
+    """
+    path = F.regexp_replace(url_col, r"^[a-z]+://[^/]+", "")
+    path = F.when(path == "", "/").otherwise(path)
+    # escape regex metachars except * and $; then * -> .*, trailing $ kept
+    esc = F.regexp_replace(pattern_col, r"([.^+?(){}\[\]\\|])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\$$", "$"))
+    return F.regexp_like(path, rx) | (pattern_col == "")
+
+
+def robots_allowed(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """frontier(url, host, ...) × robots(host, directive, path_pattern)
+    → frontier rows the crawler may fetch.
+
+    Longest matching pattern wins; allow wins ties; no matching rule ⇒
+    allowed. ``robots`` is per-host metadata (small relative to the
+    frontier) → broadcast join, no shuffle of the frontier.
+    """
+    rules = robots.select(
+        "host",
+        F.col("directive"),
+        F.col("path_pattern"),
+        F.length("path_pattern").alias("spec"),
+    )
+    joined = frontier.join(F.broadcast(rules), "host", "left")
+    matched = joined.withColumn(
+        "rule_hits",
+        F.when(
+            F.col("directive").isNotNull()
+            & robots_match_expr(F.col("url"), F.col("path_pattern")),
+            F.struct(
+                F.col("spec"),
+                # allow sorts after disallow at equal spec → max() prefers allow
+                (F.col("directive") == "allow").cast("int").alias("is_allow"),
+            ),
+        ),
+    )
+    verdict = (
+        matched.groupBy(*[c for c in frontier.columns])
+        .agg(F.max("rule_hits").alias("best"))
+        .withColumn(
+            "allowed",
+            F.col("best").isNull() | (F.col("best.is_allow") == 1),
+        )
+        .drop("best")
+    )
+    return verdict.filter(F.col("allowed")).drop("allowed")
+
+
+def host_budgets(robots: DataFrame, round_seconds: float, rps: float = DEFAULT_RPS) -> DataFrame:
+    """host → fetch slots this round. crawl_delay overrides the default
+    politeness rate when larger (slots = round_seconds / delay)."""
+    delays = robots.groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
+    return delays.select(
+        "host",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(round_seconds)
+                / F.greatest(F.coalesce(F.col("crawl_delay"), F.lit(0.0)), F.lit(1.0 / rps))
+            ),
+        )
+        .cast("int")
+        .alias("budget"),
+    )
+
+
+def rank_round(
+    frontier: DataFrame,
+    budgets: DataFrame | None = None,
+    default_budget: int = 20,
+) -> DataFrame:
+    """Pick this round's batch: window-rank within host by
+    (priority, url_hash), keep rank ≤ budget (W1).
+
+    Skew note: the window shuffles by host — a hot host with 10^8 queued
+    URLs would skew one partition. Mitigation at scale: pre-filter with a
+    cheap per-host ``count ≤ budget`` fast path is wrong (order matters),
+    so instead we rely on AQE skew splitting for the shuffle and the fact
+    that rank ≤ budget truncates output per host; budget ≪ queue depth
+    keeps the output balanced.
+    """
+    w = Window.partitionBy("host").orderBy(F.col("priority"), F.col("url_hash"))
+    ranked = frontier.withColumn("rank_in_host", F.row_number().over(w))
+    if budgets is not None:
+        ranked = ranked.join(F.broadcast(budgets), "host", "left").withColumn(
+            "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
+        )
+    else:
+        ranked = ranked.withColumn("budget", F.lit(default_budget))
+    return ranked.filter(F.col("rank_in_host") <= F.col("budget")).drop(
+        "rank_in_host", "budget"
+    )
+
+
+def with_priority(frontier: DataFrame) -> DataFrame:
+    """priority = depth + host-budget score (north_rule formula).
+
+    The host-budget score penalizes hosts with many queued URLs so small
+    hosts drain early: score = log10(host_queue_len)/10, computed with a
+    count window (no extra shuffle beyond the host partitioning the
+    round-rank needs anyway — Spark reuses the exchange).
+    """
+    w = Window.partitionBy("host")
+    return frontier.withColumn(
+        "priority",
+        F.col("depth").cast("double")
+        + F.log10(F.count(F.lit(1)).over(w).cast("double") + F.lit(1.0)) / F.lit(10.0),
+    )

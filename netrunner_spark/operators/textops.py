@@ -1,0 +1,270 @@
+"""Training-data text operators over a documents corpus — the 100 TB
+pipeline toolkit the engine adds beyond the reference (task spec):
+exact dedup, MinHash+LSH, SimHash, n-gram Jaccard, language-ID,
+quality scoring, token counting, document fingerprinting.
+
+Design rules for scale AND oracle-matching:
+  * everything is built-in pyspark.sql.functions (JVM, codegen) — the
+    higher-order array functions (transform/aggregate/filter) run
+    JVM-side; zero Python UDFs in any of these plans;
+  * hash arithmetic is EXACT int64 (polynomial rolling hashes,
+    (a·x+b) mod p permutations) so a DuckDB oracle reproduces values
+    bit-for-bit — no engine-specific hash functions in compared output;
+  * heavy self-joins (Jaccard) go through explode → equi-join → count
+    (shuffle on the gram key, partial aggregation applies) instead of
+    array intersections on a cross join — the difference between O(n²)
+    and O(pairs-with-shared-gram) at corpus scale.
+
+MOD is 2^31-1 so (acc·31 + code) stays < 2^36 ≪ int64 — no overflow in
+either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MOD = 2_147_483_647  # 2^31 - 1
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+# ------------------------------------------------------------------ scalars
+def char_fingerprint(col: str = "text"):
+    """Polynomial rolling hash over characters (X5-analog content
+    fingerprint): fold(acc*31 + codepoint) mod 2^31-1. Exact int64."""
+    return F.aggregate(
+        F.split(F.col(col), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(MOD),
+    )
+
+
+def gram_hash(gram_col):
+    """Hash one n-gram string with the same polynomial fold."""
+    return F.aggregate(
+        F.split(gram_col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(MOD),
+    )
+
+
+def exploded_grams(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """docs → (doc_id, pos, gram) — one row per n-gram occurrence."""
+    c = F.col(text_col)
+    return (
+        docs.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.length(c) - F.lit(n), F.lit(0))),
+                    lambda i: c.substr(i + F.lit(1), F.lit(n)),
+                )
+            ).alias("pos", "gram"),
+        )
+        .filter(F.length("gram") == n)
+    )
+
+
+# --------------------------------------------------------------- operators
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash (md5 — same in DuckDB)."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token/char counting + quality counters, all exact ints:
+    n_tokens (whitespace split), n_alpha, n_digit, n_stopwords."""
+    text = F.col("text")
+    toks = F.split(F.trim(text), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace(text, "[^0-9]", "")).alias("n_digit"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stopwords"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality heuristic in basis points (int: ratio×10000 floor) —
+    stopword presence, alpha ratio, length band."""
+    s = token_stats(docs)
+    return s.select(
+        "doc_id",
+        (F.col("n_alpha") * 10000 / F.greatest(F.col("n_chars_actual"), F.lit(1)))
+        .cast("long")
+        .alias("alpha_bps"),
+        (F.col("n_stopwords") * 10000 / F.greatest(F.col("n_tokens"), F.lit(1)))
+        .cast("long")
+        .alias("stopword_bps"),
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(F.col("n_tokens") > 100000, "too_long")
+        .otherwise("ok")
+        .alias("length_band"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language heuristic (deterministic, SQL-expressible):
+    argmax of per-language marker hits; CJK codepoints force zh;
+    nothing matched → und."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    markers = {
+        "en": ("the", "of", "and", "a"),
+        "de": ("der", "die", "das", "und"),
+        "es": ("el", "la", "los", "que"),
+        "fr": ("le", "les", "des", "et"),
+    }
+    cols = []
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                f"hits_{lang}"
+            )
+        )
+    scored = docs.select("doc_id", F.col("text"), *cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in markers])
+    pred = F.when(F.col("text").rlike(r"[一-鿿]"), "zh")
+    for lang in markers:  # first-wins tie order: en, de, es, fr
+        pred = pred.when((best > 0) & (F.col(f"hits_{lang}") == best), lang)
+    return scored.select("doc_id", pred.otherwise("und").alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): rolling-hash content fingerprint."""
+    return docs.select("doc_id", char_fingerprint().alias("fingerprint"))
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, max_doc_id: int | None = None
+) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs sharing ≥1 gram.
+
+    Relational formulation (explode → join on gram → count): scales by
+    shuffling gram keys (partial agg on (gram, doc) first) instead of
+    cross-joining documents. Output exact ints: n_common over distinct
+    grams + each side's distinct-gram count.
+    """
+    base = docs if max_doc_id is None else docs.filter(F.col("doc_id") < max_doc_id)
+    grams = exploded_grams(base, n).select("doc_id", "gram").dropDuplicates()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(b, "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_grams", "grams_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_grams", "grams_b"
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "n_common", "grams_a", "grams_b")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, n: int = 3, max_doc_id: int | None = None
+) -> DataFrame:
+    """MinHash signatures: h_j(g) = (a_j·g + b_j) mod p over distinct
+    gram hashes, j < k. → (doc_id, j, minhash). Exact int64 arithmetic
+    (g < 2^31, a_j < 2^31 ⇒ products < 2^62)."""
+    base = docs if max_doc_id is None else docs.filter(F.col("doc_id") < max_doc_id)
+    grams = (
+        exploded_grams(base, n)
+        .select("doc_id", gram_hash(F.col("gram")).alias("g"))
+        .dropDuplicates()
+    )
+    perms = F.sequence(F.lit(0), F.lit(k - 1))
+    expanded = grams.select(
+        "doc_id", "g", F.explode(perms).alias("j")
+    ).select(
+        "doc_id",
+        "j",
+        (
+            ((F.col("j") * 2 + 1) * 104729 % MOD * F.col("g") + F.col("j") * 7919 + 1)
+            % MOD
+        ).alias("h"),
+    )
+    return expanded.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """LSH banding: signature split into ``bands`` bands of k/bands rows;
+    docs sharing any full band are candidate near-dup pairs."""
+    sig = minhash_signatures(docs, k, n, max_doc_id)
+    r = k // bands
+    band_keys = (
+        sig.withColumn("band", (F.col("j") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, n: int = 3, max_doc_id: int | None = None) -> DataFrame:
+    """SimHash over gram hashes: bit b set iff Σ_grams (±1 by gram bit b)
+    > 0. → (doc_id, simhash) exact int64."""
+    base = docs if max_doc_id is None else docs.filter(F.col("doc_id") < max_doc_id)
+    grams = (
+        exploded_grams(base, n)
+        .select("doc_id", gram_hash(F.col("gram")).alias("g"))
+        .dropDuplicates()
+    )
+    expanded = grams.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"), "g"
+    ).select(
+        "doc_id",
+        "b",
+        F.when(F.expr("(g >> b) & 1") == 1, 1).otherwise(-1).alias("w"),
+    )
+    return (
+        expanded.groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )

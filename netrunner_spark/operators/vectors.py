@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (array<float>):
+brute-force top-k as the baseline, LSH-bucketed as the scale path.
+
+Exactness strategy: compared outputs use QUANTIZED integer dot products
+(elements → round(x·1000) as int64; products summed exactly) so results
+hash-match a DuckDB oracle regardless of float summation order. The
+float cosine variant is provided for real use (rows-only check).
+
+Scale notes: brute-force is a broadcast nested-loop of queries × corpus
+— correct choice when queries ≪ corpus (broadcast the queries, stream
+the corpus, no shuffle of the big side; top-k via window per query).
+The LSH variant buckets by sign-random-projection bits so candidate
+generation is an equi-join on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from netrunner_spark.operators.textops import MOD
+
+
+def _quantized(col, scale: int = 1000):
+    return F.transform(col, lambda x: F.round(x * scale).cast("long"))
+
+
+def brute_topk_int(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k by quantized dot product.
+
+    → (query_id, neighbor_id, dot_q) — rank by (dot_q desc, neighbor_id)
+    with deterministic ties; self-match excluded.
+    """
+    base = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    joined = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("q"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
+def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Float cosine top-k (the real-use baseline; rows-only oracle)."""
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    base = embeddings.select(
+        "vec_id", F.col("embedding").alias("v"), norm(F.col("embedding")).alias("nv")
+    )
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    joined = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("nq") * F.col("nv"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def srp_bucket(embeddings: DataFrame, bits: int = 8) -> DataFrame:
+    """Sign-random-projection bucket key (LSH for cosine).
+
+    Projection vectors are pseudo-random but EXACT: p[b][d] =
+    ((b·1009 + d·9176 + 7) mod 2003) - 1001, applied to quantized
+    embeddings — integer arithmetic, oracle-reproducible.
+    """
+    q = _quantized(F.col("embedding"))
+    dims = F.size(F.col("embedding"))
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                q,
+                F.sequence(F.lit(0), dims - 1),
+                lambda x, d: x * (((F.lit(b * 1009) + d * 9176 + 7) % 2003) - 1001),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(0)
+    return embeddings.select("vec_id", bucket.alias("bucket"))
+
+
+def lsh_candidates(embeddings: DataFrame, bits: int = 8) -> DataFrame:
+    """Candidate near-neighbor pairs sharing an SRP bucket (equi-join)."""
+    b = srp_bucket(embeddings, bits)
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            "bucket",
+        )
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, bits: int = 8, min_dot_q: int = 500_000
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by quantized dot
+    (embedding-cosine near-dup from the task spec: LSH candidates →
+    exact verify, never a full cross join)."""
+    cands = lsh_candidates(embeddings, bits)
+    base = embeddings.select("vec_id", _quantized(F.col("embedding")).alias("q"))
+    withv = (
+        cands.join(base.withColumnRenamed("vec_id", "vec_a"), "vec_a")
+        .withColumnRenamed("q", "qa")
+        .join(base.withColumnRenamed("vec_id", "vec_b"), "vec_b")
+        .withColumnRenamed("q", "qb")
+    )
+    return withv.select(
+        "vec_a",
+        "vec_b",
+        F.aggregate(
+            F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_q"),
+    ).filter(F.col("dot_q") >= min_dot_q)

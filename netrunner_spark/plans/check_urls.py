@@ -1,0 +1,96 @@
+"""check-urls: frontier discovery (reference §3.2, main.rs:116-136 →
+bootstrap.rs:51-167).
+
+seeds → (robots → sitemap BFS | CDX) → admission regex → coverage
+re-queue → sanitize/normalize → dedup → sorted URL set.
+
+Pure DataFrame ops + the normalize pandas UDF; discovery sources are
+table-backed in the sandbox (synthetic web). The output contract is the
+reference's: the SORTED DISTINCT URL set (its iteration order is
+HashSet-order and deliberately not reproduced — SURVEY.md §2.7 O3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netrunner_spark.lens import LensConfig
+from netrunner_spark.operators.admission import (
+    admission_filter,
+    dedup_frontier,
+    normalize_frontier,
+    sanitize,
+    seeds_to_frontier,
+)
+from netrunner_spark.operators.coverage import underseeded
+from netrunner_spark.sources.discovery import cdx_lookup, sitemap_bfs
+from netrunner_spark.urlnorm import host_udf
+
+
+def check_urls(
+    spark: SparkSession,
+    lens: LensConfig,
+    robots: DataFrame,
+    sitemaps: DataFrame,
+    cdx: DataFrame,
+) -> DataFrame:
+    """→ DataFrame[url, host, url_hash] — the discovered frontier, deduped.
+
+    Sorted writing is the sink's concern (K1: orderBy(url) at write).
+    """
+    seeds = spark.createDataFrame(lens.seeds(), "seed string, kind string")
+    seeded = seeds_to_frontier(seeds)
+
+    # Hosts eligible for discovery (non-exact seeds), bootstrap.rs:70-94
+    probe_hosts = (
+        seeded.filter(~F.col("skip_discovery"))
+        .withColumn("host", host_udf(F.col("url")))
+        .select("host")
+        .dropDuplicates()
+    )
+
+    # robots declare sitemap roots (S2/S3); hosts without go to CDX queue
+    host_sitemaps = (
+        robots.join(F.broadcast(probe_hosts), "host")
+        .select("host", F.explode_outer("sitemaps").alias("sitemap_url"))
+        .dropDuplicates()
+    )
+    roots = host_sitemaps.filter(F.col("sitemap_url").isNotNull()).select("sitemap_url")
+    no_sitemap_hosts = host_sitemaps.groupBy("host").agg(
+        F.max("sitemap_url").alias("any_map")
+    ).filter(F.col("any_map").isNull()).select("host")
+
+    sitemap_urls = sitemap_bfs(sitemaps, roots)
+
+    cdx_prefixes = no_sitemap_hosts.select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/")).alias("prefix")
+    )
+    cdx_urls = cdx_lookup(cdx, cdx_prefixes)
+
+    discovered = sitemap_urls.unionByName(cdx_urls)
+    admitted = admission_filter(discovered, lens)
+
+    frontier = seeded.select("url").unionByName(admitted.select("url"))
+    frontier = normalize_frontier(sanitize(frontier, lens))
+
+    # Coverage second pass (F14): prefix seeds with ≤1 hit → CDX
+    prefix_seeds = seeds.filter(F.col("kind") == "prefix").select(
+        F.col("seed").alias("prefix")
+    )
+    if not prefix_seeds.isEmpty():
+        retry_prefixes = underseeded(frontier, prefix_seeds)
+        second = admission_filter(cdx_lookup(cdx, retry_prefixes), lens)
+        frontier = frontier.unionByName(
+            normalize_frontier(sanitize(second.select("url"), lens))
+        )
+
+    return dedup_frontier(frontier).select("url", "host", "url_hash")
+
+
+def write_urls_txt(frontier: DataFrame, path: str) -> None:
+    """K1: sorted unique URL list (main.rs:120-133). coalesce(1) is the
+    checkpoint-artifact contract, not a scale path."""
+    frontier.select("url").dropDuplicates().orderBy("url").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)

