@@ -194,6 +194,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rev.orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey")).limit(10)
 
+    def f4_url_normalize(spark, sf):
+        # normalize restricted to SQL-expressible parts (F4: fragment
+        # strip + case-fold; the full RFC-3986 UDF is golden-tested)
+        ev = _t(spark, sf, "events")
+        raw = F.concat(
+            F.lit("HTTPS://Host"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".TEST/"),
+            F.col("event_id").cast("string"),
+            F.lit("#section"),
+        )
+        return ev.select(
+            "event_id", F.lower(F.split(raw, "#").getItem(0)).alias("norm_url")
+        )
+
+    def j1_frontier_union(spark, sf):
+        # union-distinct of two discovery sources (J1)
+        a = _event_urls(spark, sf).filter(F.col("event_type") == "view").select("url")
+        b = (
+            _event_urls(spark, sf)
+            .filter(F.col("value") > 200.0)
+            .select("url")
+        )
+        return a.unionByName(b).dropDuplicates()
+
+    def j2_missing_nations(spark, sf):
+        # expected − found (J2): nations with no customers
+        nation = _t(spark, sf, "nation")
+        cust = _t(spark, sf, "customer")
+        return nation.join(
+            cust, nation.n_nationkey == cust.c_nationkey, "left_anti"
+        ).select("n_nationkey", "n_name")
+
+    def a2_duplicate_count(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.agg(
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    def o2_resume_page(spark, sf):
+        # CDX-style page-2 slice under a pinned total order (O2)
+        ev = _t(spark, sf, "events")
+        w = Window.orderBy("event_id")
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+            .select("event_id", "event_type")
+        )
+
     def dedup_exact(spark, sf):
         return textops.dedup_exact(_t(spark, sf, "documents"))
 
@@ -238,6 +288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_prefix_coverage": j5_prefix_coverage,
         "a3_validation_tallies": a3_validation_tallies,
         "o1_sorted_limit": o1_sorted_limit,
+        "f4_url_normalize": f4_url_normalize,
+        "j1_frontier_union": j1_frontier_union,
+        "j2_missing_nations": j2_missing_nations,
+        "a2_duplicate_count": a2_duplicate_count,
+        "o2_resume_page": o2_resume_page,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "dedup_exact": dedup_exact,
@@ -325,6 +380,34 @@ WITH base AS (
             FROM events GROUP BY event_type
         """,
         "o1_sorted_limit": "SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 50",
+        "f4_url_normalize": f"""
+            SELECT event_id,
+                   lower(split_part(concat('HTTPS://Host', CAST(user_id % 20 AS VARCHAR),
+                         '.TEST/', CAST(event_id AS VARCHAR), '#section'), '#', 1)) AS norm_url
+            FROM events
+        """,
+        "j1_frontier_union": f"""
+            SELECT DISTINCT url FROM (
+              SELECT {_EVENT_URL_SQL} AS url FROM events WHERE event_type = 'view'
+              UNION
+              SELECT {_EVENT_URL_SQL} AS url FROM events WHERE value > 200.0
+            )
+        """,
+        "j2_missing_nations": """
+            SELECT n_nationkey, n_name FROM nation
+            WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+        """,
+        "a2_duplicate_count": """
+            SELECT count(*) - count(DISTINCT md5(text)) AS n_dupes,
+                   count(*) AS n_docs
+            FROM documents
+        """,
+        "o2_resume_page": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type, row_number() OVER (ORDER BY event_id) AS rn
+              FROM events
+            ) WHERE rn > 100 AND rn <= 200
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

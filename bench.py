@@ -49,7 +49,7 @@ def bench_frontier_drain(spark) -> dict:
 
     from netrunner_spark.plans.crawl import CrawlConfig, CrawlJob
     from netrunner_spark.sources.fetcher import MockFetcher
-    from netrunner_spark.synth import gen_robots, gen_web
+    from netrunner_spark.synth import gen_images, gen_robots, gen_web
     from netrunner_spark.tables import LakeCatalog
     from netrunner_spark.urlnorm import url_hash_col
 
@@ -59,6 +59,7 @@ def bench_frontier_drain(spark) -> dict:
         gen_web(spark, N_HOSTS, PAGES).write.parquet(web_path)
         web = spark.read.parquet(web_path)
         robots = gen_robots(spark, N_HOSTS)
+        images = gen_images(spark, N_HOSTS, PAGES)
         frontier0 = web.select(
             "url", "host", url_hash_col("url").alias("url_hash")
         )
@@ -75,8 +76,12 @@ def bench_frontier_drain(spark) -> dict:
         job = CrawlJob(spark, cat, MockFetcher(web), robots, cfg)
         job.init_frontier(frontier0)
 
+        # measured: the reference crawl's full scope (SURVEY.md §3.1) —
+        # round loop (fetch+cache) + archive stage (parse, canonical
+        # dedup, image decode/validate)
         t0 = time.time()
         stats = job.run()
+        archive = job.archive_stage(images)
         dt = time.time() - t0
         n = cat.read_slices("cache").count()
         return {
@@ -84,6 +89,7 @@ def bench_frontier_drain(spark) -> dict:
             "seconds": round(dt, 3),
             "urls_per_sec": round(n / dt, 1),
             "rounds": stats["rounds"],
+            "archive": archive,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Scaling-efficiency experiment (BASELINE.md §3 sandbox protocol):
+run the IDENTICAL frontier-drain job on the IDENTICAL input at two
+parallelism levels — local[N] and local[4N] — and report throughput at
+both plus efficiency = R(4N) / (4 × R(N)).
+
+One Spark master per process → each leg runs in its own process.
+Steps (resumable; each fits a command budget):
+
+  python bench_scaling.py gen          # materialize the input web once
+  python bench_scaling.py leg 8        # run at local[8]  → BENCH/leg_8.json
+  python bench_scaling.py leg 32       # run at local[32] → BENCH/leg_32.json
+  python bench_scaling.py report 8     # fold into BENCH/scaling.json
+  python bench_scaling.py all          # everything in sequence
+
+The measured job = the reference crawl's full scope (SURVEY.md §3.1):
+window-ranked politeness rounds (fetch + cache slice + bloom + frontier
+transition) then the archive stage (parse every 2xx page, canonical
+dedup, image decode/validate). Uniform politeness (no crawl-delay
+stragglers) keeps the workload compute-bound; crawl-delay semantics are
+covered by tests.
+
+Run with the machine otherwise idle — concurrent JVMs skew the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_DIR = os.path.join(REPO, "BENCH")
+WEB_PATH = os.environ.get("SCALE_WEB", "/tmp/nr_scale_input/web")
+N_HOSTS = int(os.environ.get("SCALE_HOSTS", "1500"))
+PAGES = int(os.environ.get("SCALE_PAGES", "120"))
+PARAGRAPHS = int(os.environ.get("SCALE_PARAGRAPHS", "16"))
+
+
+def gen() -> None:
+    sys.path.insert(0, REPO)
+    from netrunner_spark.session import get_spark
+    from netrunner_spark.synth import gen_web
+
+    spark = get_spark("scale_gen", master="local[32]")
+    gen_web(spark, N_HOSTS, PAGES, n_paragraphs=PARAGRAPHS).write.mode(
+        "overwrite"
+    ).parquet(WEB_PATH)
+    print(f"wrote {N_HOSTS * PAGES} pages to {WEB_PATH}")
+
+
+def leg(cores: int) -> dict:
+    import shutil
+    import tempfile
+    import time
+
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from netrunner_spark.plans.crawl import CrawlConfig, CrawlJob
+    from netrunner_spark.session import get_spark
+    from netrunner_spark.sources.fetcher import MockFetcher
+    from netrunner_spark.synth import gen_images, gen_robots
+    from netrunner_spark.tables import LakeCatalog
+    from netrunner_spark.urlnorm import url_hash_col
+
+    spark = get_spark(f"scale_{cores}", master=f"local[{cores}]")
+    web = spark.read.parquet(WEB_PATH)
+    robots = gen_robots(spark, N_HOSTS).withColumn(
+        "crawl_delay", F.lit(None).cast("double")
+    )
+    images = gen_images(spark, N_HOSTS, PAGES)
+    frontier0 = web.select("url", "host", url_hash_col("url").alias("url_hash"))
+    tmp = tempfile.mkdtemp(prefix=f"nr_scale_{cores}_")
+    try:
+        cat = LakeCatalog(spark, tmp)
+        cfg = CrawlConfig(
+            rps=2.0, round_seconds=PAGES / 6.0, max_rounds=50, n_bloom_shards=64
+        )
+        job = CrawlJob(spark, cat, MockFetcher(web), robots, cfg)
+        job.init_frontier(frontier0)
+        t0 = time.time()
+        stats = job.run()
+        t_rounds = time.time() - t0
+        archive = job.archive_stage(images)
+        dt = time.time() - t0
+        n = cat.read_slices("cache").count()
+        result = {
+            "cores": cores,
+            "urls": n,
+            "seconds": round(dt, 3),
+            "urls_per_sec": round(n / dt, 1),
+            "rounds": stats["rounds"],
+            "seconds_rounds": round(t_rounds, 3),
+            "seconds_archive": round(dt - t_rounds, 3),
+            "archive": archive,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(os.path.join(BENCH_DIR, f"leg_{cores}.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    return result
+
+
+def report(n_small: int) -> dict:
+    with open(os.path.join(BENCH_DIR, f"leg_{n_small}.json")) as f:
+        small = json.load(f)
+    with open(os.path.join(BENCH_DIR, f"leg_{4 * n_small}.json")) as f:
+        large = json.load(f)
+    efficiency = round(large["urls_per_sec"] / (4 * small["urls_per_sec"]), 3)
+    result = {
+        "n_cores": n_small,
+        "4n_cores": 4 * n_small,
+        "input_urls": small["urls"],
+        "throughput_n": small["urls_per_sec"],
+        "throughput_4n": large["urls_per_sec"],
+        "seconds_n": small["seconds"],
+        "seconds_4n": large["seconds"],
+        "rounds": small["rounds"],
+        "scaling_efficiency": efficiency,
+        "criterion": "efficiency >= 0.8 (BASELINE.json north_rule)",
+        "pass": efficiency >= 0.8,
+    }
+    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    return result
+
+
+def main() -> None:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if cmd == "gen":
+        gen()
+    elif cmd == "leg":
+        leg(int(sys.argv[2]))
+    elif cmd == "report":
+        report(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    elif cmd == "all":
+        n = int(os.environ.get("SCALE_N", "8"))
+        subprocess.run([sys.executable, __file__, "gen"], check=True)
+        subprocess.run([sys.executable, __file__, "leg", str(n)], check=True)
+        subprocess.run([sys.executable, __file__, "leg", str(4 * n)], check=True)
+        report(n)
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,10 +34,13 @@ def check_urls(
     robots: DataFrame,
     sitemaps: DataFrame,
     cdx: DataFrame,
+    feeds: DataFrame | None = None,
 ) -> DataFrame:
     """→ DataFrame[url, host, url_hash] — the discovered frontier, deduped.
 
-    Sorted writing is the sink's concern (K1: orderBy(url) at write).
+    ``feeds``: optional RSS/Atom table (host, items array<string>) — the
+    S6 source (bootstrap.rs:261-284). Sorted writing is the sink's
+    concern (K1: orderBy(url) at write).
     """
     seeds = spark.createDataFrame(lens.seeds(), "seed string, kind string")
     seeded = seeds_to_frontier(seeds)
@@ -69,6 +72,12 @@ def check_urls(
     cdx_urls = cdx_lookup(cdx, cdx_prefixes)
 
     discovered = sitemap_urls.unionByName(cdx_urls)
+    if feeds is not None:
+        from netrunner_spark.sources.discovery import rss_links
+
+        discovered = discovered.unionByName(
+            rss_links(feeds.join(F.broadcast(probe_hosts), "host"))
+        )
     admitted = admission_filter(discovered, lens)
 
     frontier = seeded.select("url").unionByName(admitted.select("url"))

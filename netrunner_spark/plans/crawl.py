@@ -265,6 +265,58 @@ class CrawlJob:
         )
         return frontier.unionByName(new_rows.select(*FRONTIER_COLS))
 
+    # ------------------------------------------------------------ archive
+    def archive_stage(self, images: DataFrame | None = None) -> dict:
+        """The reference crawl's tail (§3.1, create_archives,
+        archive.rs:356-403): 2xx filter (F6) → html_to_text parse (X2,
+        Arrow-batched) → canonical dedup (F9) → parsed table; plus the
+        north_star image path: join cached image_id FKs to the image
+        table and decode/validate batch-wise (decode_check_udf) —
+        phash/shape mismatches are counted, never silently dropped.
+
+        This is the perfectly-parallel stage of the drain (pure
+        per-partition Python over Arrow batches; one shuffle for the
+        canonical dedup)."""
+        cache = self.cache_df()
+        if cache is None:
+            return {"parsed": 0, "dupes_dropped": 0, "images_checked": 0, "image_failures": 0}
+        ok = cache.filter(F.col("status").between(200, 299))
+        parsed = parse_pages(ok.select("url", "content"))
+        from netrunner_spark.operators.dedup import canonical_dedup
+
+        deduped = canonical_dedup(parsed)
+        self.cat.write(deduped, "parsed", bucket_hint="canonical_url")
+        n_parsed = self.cat.read("parsed").count()
+        n_total = ok.count()
+
+        images_checked = image_failures = 0
+        if images is not None:
+            from netrunner_spark.images import decode_check_udf
+
+            refs = ok.filter(F.col("image_id").isNotNull()).select("image_id")
+            joined = refs.join(images, "image_id")
+            checked = joined.withColumn("chk", decode_check_udf(F.col("bytes")))
+            verdicts = checked.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(
+                        ~F.col("chk.decode_ok")
+                        | (F.col("chk.w_actual") != F.col("w"))
+                        | (F.col("chk.h_actual") != F.col("h"))
+                        | (F.col("chk.phash_actual") != F.col("phash")),
+                        1,
+                    ).otherwise(0)
+                ).alias("bad"),
+            ).collect()[0]
+            images_checked, image_failures = verdicts["n"], verdicts["bad"] or 0
+
+        return {
+            "parsed": n_parsed,
+            "dupes_dropped": n_total - n_parsed,
+            "images_checked": images_checked,
+            "image_failures": image_failures,
+        }
+
     # ------------------------------------------------------------ full run
     def run(self) -> dict:
         start_round = self.current_round()

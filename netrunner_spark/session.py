@@ -28,9 +28,13 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local mode: match cores; cluster mode: target ~128MB/partition
-        n = master[6:-1] if master.startswith("local[") else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        env_sp = os.environ.get("SPARK_SHUFFLE_PARTITIONS")
+        if env_sp:
+            shuffle_partitions = int(env_sp)
+        else:
+            # local mode: match cores; cluster mode: target ~128MB/partition
+            n = master[6:-1] if master.startswith("local[") else str(cpus)
+            shuffle_partitions = cpus if n == "*" else int(n)
 
     builder = (
         SparkSession.builder.master(master)

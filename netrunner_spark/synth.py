@@ -59,7 +59,14 @@ def image_id_for(h: int, i: int) -> str | None:
     return f"img-{h}-{i}" if i % 5 == 0 else None
 
 
-def _page_html(h: int, i: int, n_hosts: int, pages_per_host: int, seed: int) -> tuple[str, list[str]]:
+def _page_html(
+    h: int,
+    i: int,
+    n_hosts: int,
+    pages_per_host: int,
+    seed: int,
+    n_paragraphs: int = 6,
+) -> tuple[str, list[str]]:
     """→ (html, ground-truth followable hrefs)."""
     rng = _rng(seed, "page", h, i)
     p = pages_per_host
@@ -81,10 +88,18 @@ def _page_html(h: int, i: int, n_hosts: int, pages_per_host: int, seed: int) -> 
         else ""
     )
     img_tag = f'<img src="/img/{image_id_for(h, i)}.png">' if image_id_for(h, i) else ""
+    # realistic page weight: several sectioned paragraphs (~5 KB like a
+    # small real page) so parse cost in benches reflects actual crawling
+    paragraphs = "\n".join(
+        f"<div class='s{k}'><h2>{_sentence(rng, 3)}</h2><p>{_sentence(rng, 70)}</p>"
+        f"<span>{_sentence(rng, 10)}</span></div>"
+        for k in range(n_paragraphs)
+    )
     html = f"""<html><head><title>Page {h}-{i}</title>{meta_desc}{canonical}
 <meta property="og:site_name" content="{host_name(h)}"></head><body>
 <nav>site navigation junk</nav><header>header junk</header>
 <p>{_sentence(rng, 24)}</p>
+{paragraphs}
 <p>{body_links}</p>
 <a href="#top">top</a>
 <a rel="nofollow" href="https://tracker.invalid/x">sponsored</a>
@@ -136,9 +151,17 @@ WEB_SCHEMA = T.StructType(
 
 
 def gen_web(
-    spark: SparkSession, n_hosts: int, pages_per_host: int, seed: int = 42
+    spark: SparkSession,
+    n_hosts: int,
+    pages_per_host: int,
+    seed: int = 42,
+    n_paragraphs: int = 6,
 ) -> DataFrame:
-    """The synthetic page store — one row per (host, page)."""
+    """The synthetic page store — one row per (host, page).
+
+    ``n_paragraphs`` sets page weight: 6 ≈ 5 KB (tests), 16+ ≈ realistic
+    small web pages (benches; the reference's own fixtures are 7-320 KB).
+    """
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,7 +169,9 @@ def gen_web(
             for pid in pdf["id"]:
                 h, i = int(pid) // pages_per_host, int(pid) % pages_per_host
                 status = page_status(i)
-                html, links = _page_html(h, i, n_hosts, pages_per_host, seed)
+                html, links = _page_html(
+                    h, i, n_hosts, pages_per_host, seed, n_paragraphs
+                )
                 rows.append(
                     {
                         "url": page_url(h, i),
@@ -276,6 +301,21 @@ def gen_sitemaps(spark: SparkSession, n_hosts: int, pages_per_host: int) -> Data
     return spark.createDataFrame(
         pd.DataFrame(rows),
         schema="sitemap_url string, entry_type string, loc string",
+    )
+
+
+def gen_feeds(spark: SparkSession, n_hosts: int, pages_per_host: int) -> DataFrame:
+    """RSS/Atom feed items per host (S6): hosts h%3==1 expose a feed
+    listing pages ≡1 (mod 6) — URLs the sitemap (evens) misses."""
+    rows = []
+    for h in range(n_hosts):
+        if h % 3 != 1:
+            continue
+        items = [page_url(h, i) for i in range(1, pages_per_host, 6)]
+        rows.append({"host": host_name(h), "items": items})
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["host", "items"]),
+        schema="host string, items array<string>",
     )
 
 
