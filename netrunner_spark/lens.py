@@ -253,5 +253,32 @@ def loads(text: str) -> LensConfig:
 
 
 def load(path: str) -> LensConfig:
+    """Local path or http(s) URL (main.rs:86-106 accepts both)."""
+    if path.startswith(("http://", "https://")):  # pragma: no cover - no net
+        import urllib.request
+
+        with urllib.request.urlopen(path, timeout=10) as r:
+            return loads(r.read().decode("utf-8"))
     with open(path, encoding="utf-8") as f:
         return loads(f.read())
+
+
+def dumps(cfg: LensConfig) -> str:
+    """Serialize a lens back to RON (K6, main.rs:203-212: the folder
+    crawler synthesizes a lens of sorted $-exact URLs)."""
+    urls = ",\n        ".join(f'"{u}"' for u in cfg.urls)
+    domains = ", ".join(f'"{d}"' for d in cfg.domains)
+    return (
+        "(\n"
+        '    version: "1",\n'
+        f'    name: "{cfg.name}",\n'
+        '    author: "netrunner_spark",\n'
+        f"    domains: [{domains}],\n"
+        f"    urls: [\n        {urls}\n    ]\n"
+        ")\n"
+    )
+
+
+def folder_lens(name: str, urls: list[str]) -> str:
+    """Sorted $-exact lens for a folder crawl (K6 semantics)."""
+    return dumps(LensConfig(name=name, urls=[u + "$" for u in sorted(urls)]))

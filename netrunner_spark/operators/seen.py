@@ -96,6 +96,46 @@ def build_shards(fetched: DataFrame, n_shards: int) -> DataFrame:
     return keyed.groupBy("shard_id").applyInPandas(build, SHARD_SCHEMA)
 
 
+def upsert_shards(
+    old: DataFrame | None, keys: DataFrame, n_shards: int
+) -> DataFrame:
+    """ONE grouped-pandas pass: OR the new keys' bits into the existing
+    shard bitsets (old=None → fresh shards). Halves the python stages
+    vs build-then-merge; idempotent on replay (re-ORing is a no-op)."""
+    new_rows = keys.select(
+        shard_id_col(F.col("url_hash"), n_shards).alias("shard_id"),
+        F.lit(None).cast("binary").alias("bits"),
+        F.lit(0).cast("long").alias("n_items"),
+        F.col("url_hash"),
+    )
+    rows = new_rows
+    if old is not None:
+        rows = old.select(
+            "shard_id", "bits", "n_items", F.lit(None).cast("long").alias("url_hash")
+        ).unionByName(new_rows)
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(SHARD_BITS // 8, dtype=np.uint8)
+        n = 0
+        for b, items in zip(pdf["bits"], pdf["n_items"]):
+            if b is not None:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+                n += int(items)
+        h = pdf["url_hash"].dropna().to_numpy().astype(np.uint64)
+        if len(h):
+            _set_bits(acc, h)
+            n += len(h)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "bits": [acc.tobytes()],
+                "n_items": [n],
+            }
+        )
+
+    return rows.groupBy("shard_id").applyInPandas(combine, SHARD_SCHEMA)
+
+
 def merge_shards(old: DataFrame | None, new: DataFrame) -> DataFrame:
     """OR together shard bitsets across rounds (grouped pandas)."""
     if old is None:

@@ -49,7 +49,7 @@ from netrunner_spark.operators.politeness import (
     robots_allowed,
     with_priority,
 )
-from netrunner_spark.operators.seen import build_shards, merge_shards, unseen_only
+from netrunner_spark.operators.seen import unseen_only, upsert_shards
 from netrunner_spark.parser.udf import parse_pages
 from netrunner_spark.tables import LakeCatalog
 
@@ -163,18 +163,22 @@ class CrawlJob:
             batch.unpersist()
             return 0
 
-        fetched = self.fetcher.fetch(batch).persist()
-
-        # 1. cache slice (idempotent overwrite on replay)
+        # 1. cache slice — the ONE pass that materializes fetched content
+        #    (idempotent overwrite on replay). Nothing content-sized is
+        #    persisted on the heap: downstream steps read the written
+        #    slice back, and parquet column pruning keeps content out of
+        #    the metrics/transition scans entirely.
+        fetched = self.fetcher.fetch(batch)
         self.cat.write_slice(
             fetched.select(*CACHE_COLS).withColumn("fetched_round", F.lit(round_no)),
             "cache",
             "fetched_round",
             round_no,
         )
+        slice_df = self.cat.read_slice("cache", "fetched_round", round_no)
 
         # 2. per-host lineage/metrics slice (north_rule)
-        metrics = fetched.groupBy("host").agg(
+        metrics = slice_df.groupBy("host").agg(
             F.count(F.lit(1)).alias("n_urls"),
             F.sum(F.when(F.col("status").between(200, 299), 1).otherwise(0)).alias(
                 "n_ok"
@@ -190,15 +194,21 @@ class CrawlJob:
             metrics.withColumn("round", F.lit(round_no)), "metrics", "round", round_no
         )
 
-        # 3. bloom shards: OR this round's keys in (idempotent re-OR)
+        # 3. bloom shards: OR this round's keys in — single grouped-pandas
+        #    pass, idempotent re-OR on replay
         old_shards = (
             self.cat.read("bloom_shards") if self.cat.exists("bloom_shards") else None
         )
-        new_shards = build_shards(batch.select("url_hash"), self.cfg.n_bloom_shards)
-        self.cat.write(merge_shards(old_shards, new_shards), "bloom_shards")
+        self.cat.write(
+            upsert_shards(old_shards, batch.select("url_hash"), self.cfg.n_bloom_shards),
+            "bloom_shards",
+        )
 
-        # 4. frontier transition — committed LAST (resume anchor)
-        transitions = fetched.select(
+        # 4. frontier transition — committed LAST (resume anchor);
+        #    reads only slim columns of the written slice
+        transitions = slice_df.join(
+            batch.select("url_hash", "depth", "priority"), "url_hash"
+        ).select(
             "url",
             "url_hash",
             "host",
@@ -212,11 +222,11 @@ class CrawlJob:
         remaining = frontier.join(batch.select("url_hash"), "url_hash", "left_anti")
         next_frontier = remaining.select(*FRONTIER_COLS).unionByName(transitions)
         if self.cfg.follow_links:
-            next_frontier = self._expand_links(fetched, next_frontier, round_no)
+            with_depth = slice_df.join(batch.select("url_hash", "depth"), "url_hash")
+            next_frontier = self._expand_links(with_depth, next_frontier, round_no)
         self.cat.write(next_frontier, "frontier", bucket_hint="url_hash")
 
         batch.unpersist()
-        fetched.unpersist()
         return n_batch
 
     def _expand_links(

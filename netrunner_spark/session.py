@@ -49,6 +49,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan-side parallelism: default 128MB makes a ~500MB table read
+        # as 4 partitions, capping every downstream stage (fetch joins,
+        # cache writes, parse) at 4 tasks — invisible at 4 cores, fatal
+        # at 32. 32MB keeps tasks ≳ cores at bench sizes; on a real
+        # 100TB cluster the default is fine (tables ≫ cores×128MB).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
+        )
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

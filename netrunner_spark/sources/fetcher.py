@@ -51,6 +51,7 @@ class MockFetcher:
         union. Both joins broadcast the batch and stream the store once,
         shuffle-free — the plan that survives a 10^10-row store.
         """
+        has_ia = "ia_status" in self.web.columns
         pages = self.web.select(
             "url_hash",
             F.col("status").alias("_status"),
@@ -58,20 +59,43 @@ class MockFetcher:
             F.col("content").alias("_content"),
             F.col("image_id").alias("_image_id"),
             "flaky_once",
+            (F.col("ia_status") if has_ia else F.lit(None).cast("int")).alias(
+                "_ia_status"
+            ),
         )
         batch_cols = list(batch.columns)
+        # dual-source policy (S9, crawler.rs:62-108): primary side first;
+        # on failure fall back to the other side — column logic, one pass
+        primary = F.col("_status") if self.og_first else F.col("_ia_status")
+        secondary = F.col("_ia_status") if self.og_first else F.col("_status")
+        primary_ok = primary.between(200, 299)
+        secondary_ok = secondary.between(200, 299)
+        eff_status = (
+            F.when(primary_ok, primary)
+            .when(secondary_ok, secondary)
+            .otherwise(F.coalesce(primary, secondary))
+        )
+        src_primary = "origin" if self.og_first else "archive"
+        src_secondary = "archive" if self.og_first else "origin"
         hits = pages.join(F.broadcast(batch), "url_hash").select(
             *batch_cols,
-            F.col("_status").alias("status"),
+            eff_status.alias("status"),
             F.col("_headers").alias("headers"),
-            F.col("_content").alias("content"),
+            F.when(eff_status.between(200, 299), F.col("_content"))
+            .otherwise(F.lit(""))
+            .alias("content"),
             F.col("_image_id").alias("image_id"),
-            F.when(F.col("_status").isin(*NO_RETRY_STATUSES), F.lit(1))
-            .when(F.col("_status") >= 500, F.lit(RETRY_BUDGET))
-            .when(F.col("flaky_once"), F.lit(2))
-            .otherwise(F.lit(1))
+            F.when(primary_ok & F.col("flaky_once"), F.lit(2))  # 429→retry (F11)
+            .when(primary_ok, F.lit(1))
+            .when(secondary_ok & primary.isin(*NO_RETRY_STATUSES), F.lit(2))
+            .when(secondary_ok, F.lit(RETRY_BUDGET + 1))
+            .when(eff_status.isin(*NO_RETRY_STATUSES), F.lit(1))
+            .otherwise(F.lit(RETRY_BUDGET))
             .alias("attempts"),
-            F.lit("origin" if self.og_first else "archive").alias("source"),
+            F.when(primary_ok, F.lit(src_primary))
+            .when(secondary_ok, F.lit(src_secondary))
+            .otherwise(F.lit(src_primary))
+            .alias("source"),
         )
         # keys present in the store: column-pruned scan (url_hash only) ×
         # broadcast batch — small result, safe to broadcast into the anti

@@ -117,6 +117,11 @@ def _page_html(
 
 
 def page_status(i: int) -> int:
+    """ORIGIN status. Pages i%31==9 are origin-404 but have an
+    Internet-Archive snapshot (ia_status 200) → the dual-source policy
+    (S9, crawler.rs:62-108) must recover them via the archive side."""
+    if i % 31 == 9:
+        return 404
     if i % 37 == 1:
         return 404
     if i % 41 == 2:
@@ -124,6 +129,10 @@ def page_status(i: int) -> int:
     if i % 53 == 4:
         return 500
     return 200
+
+
+def ia_status(i: int) -> int | None:
+    return 200 if i % 31 == 9 else None
 
 
 WEB_SCHEMA = T.StructType(
@@ -146,6 +155,7 @@ WEB_SCHEMA = T.StructType(
         T.StructField("links", T.ArrayType(T.StringType())),
         T.StructField("image_id", T.StringType(), True),
         T.StructField("flaky_once", T.BooleanType(), False),
+        T.StructField("ia_status", T.IntegerType(), True),
     ]
 )
 
@@ -169,21 +179,24 @@ def gen_web(
             for pid in pdf["id"]:
                 h, i = int(pid) // pages_per_host, int(pid) % pages_per_host
                 status = page_status(i)
+                ia = ia_status(i)
                 html, links = _page_html(
                     h, i, n_hosts, pages_per_host, seed, n_paragraphs
                 )
+                ok_somewhere = status == 200 or ia == 200
                 rows.append(
                     {
                         "url": page_url(h, i),
                         "host": host_name(h),
                         "status": status,
+                        "ia_status": ia,
                         "headers": [
                             {"name": "content-type", "value": "text/html"},
                             {"name": "server", "value": "synth/1"},
                         ]
                         if status != 500
                         else [],
-                        "content": html if status == 200 else "",
+                        "content": html if ok_somewhere else "",
                         "links": links,
                         "image_id": image_id_for(h, i),
                         "flaky_once": i % 29 == 7,  # first attempt 503s (W5)

@@ -107,6 +107,11 @@ class LakeCatalog:
         path = os.path.join(base, f"{slice_col}={slice_val}")
         df.drop(slice_col).write.mode("overwrite").parquet(path)
 
+    def read_slice(self, table: str, slice_col: str, slice_val) -> DataFrame:
+        """One committed slice (no partition column attached)."""
+        path = os.path.join(self._tdir(table), "data", f"{slice_col}={slice_val}")
+        return self.spark.read.parquet(path)
+
     def read_slices(self, table: str) -> DataFrame | None:
         base = os.path.join(self._tdir(table), "data")
         if not os.path.isdir(base) or not any(

@@ -164,6 +164,13 @@ def normalize_href_udf(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
     )
 
 
+def wayback_url(url: str, date_yyyymmdd: str) -> str:
+    """Internet-Archive snapshot URL (X7, cdx.rs:14-23). The reference
+    stamps *today's* date; ours takes the date explicitly (deterministic
+    plans — no wall clock inside jobs)."""
+    return f"https://web.archive.org/web/{date_yyyymmdd}000000id_/{url}"
+
+
 def url_hash_col(url_col: str | Column = "url") -> Column:
     """xxhash64 frontier key — JVM-side builtin, stays in codegen (X6).
 

@@ -1,0 +1,88 @@
+"""XML sitemap/RSS parsing (S4/S6/X10), wayback URL (X7), lens
+writer/folder lens (K6), dual-source fallback (S9)."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from netrunner_spark import lens as lens_mod
+from netrunner_spark.sources.xmlparse import parse_rss, parse_sitemap
+from netrunner_spark.urlnorm import wayback_url
+
+SITEMAP = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://a.test/1</loc><lastmod>2024-01-01</lastmod></url>
+  <url><loc>https://a.test/2</loc></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://a.test/sitemap-1.xml</loc></sitemap>
+  <sitemap><loc>https://a.test/sitemap-2.xml</loc></sitemap>
+</sitemapindex>"""
+
+RSS = """<rss version="2.0"><channel>
+  <item><link>https://b.test/post1</link></item>
+  <item><link>https://b.test/post2</link></item>
+</channel></rss>"""
+
+ATOM = """<feed xmlns="http://www.w3.org/2005/Atom">
+  <entry><link href="https://c.test/e1"/></entry>
+</feed>"""
+
+
+def test_parse_sitemap_urlset_and_index():
+    urls, children = parse_sitemap(SITEMAP)
+    assert urls == ["https://a.test/1", "https://a.test/2"] and not children
+    urls, children = parse_sitemap(SITEMAP_INDEX)
+    assert not urls and len(children) == 2
+
+
+def test_parse_sitemap_gzip_and_bom():
+    # X10: gzip payload + UTF-8 BOM both handled (bootstrap.rs:329-336)
+    payload = gzip.compress(("﻿" + SITEMAP).encode("utf-8"))
+    urls, _ = parse_sitemap(payload)
+    assert len(urls) == 2
+    assert parse_sitemap(b"not xml") == ([], [])
+
+
+def test_parse_rss_and_atom():
+    assert parse_rss(RSS) == ["https://b.test/post1", "https://b.test/post2"]
+    assert parse_rss(ATOM) == ["https://c.test/e1"]
+
+
+def test_wayback_url():
+    assert (
+        wayback_url("https://x.test/p", "20240101")
+        == "https://web.archive.org/web/20240101000000id_/https://x.test/p"
+    )
+
+
+def test_lens_roundtrip_and_folder_lens():
+    text = lens_mod.folder_lens("docs", ["https://f.test/b", "https://f.test/a"])
+    cfg = lens_mod.loads(text)
+    assert cfg.urls == ["https://f.test/a$", "https://f.test/b$"]
+    assert cfg.seeds() == [
+        ("https://f.test/a", "exact"),
+        ("https://f.test/b", "exact"),
+    ]
+
+
+def test_dual_source_fallback(spark):
+    """S9: origin-404 pages with an IA snapshot are recovered via the
+    archive side; source column records which side served."""
+    from netrunner_spark.sources.fetcher import MockFetcher
+    from netrunner_spark.synth import gen_web
+
+    web = gen_web(spark, 1, 40)  # page i=9 (i%31==9): origin 404, ia 200
+    batch = web.select("url", F.xxhash64("url").alias("url_hash"))
+    out = MockFetcher(web).fetch(batch)
+    rescued = out.filter(F.col("url").endswith("/9")).collect()[0]
+    assert rescued["status"] == 200
+    assert rescued["source"] == "archive"
+    assert rescued["attempts"] == 2  # one origin try (404, no retry) + one IA
+    plain = out.filter(F.col("url").endswith("/0")).collect()[0]
+    assert plain["source"] == "origin" and plain["status"] == 200
+    dead = out.filter(F.col("url").endswith(f"/{37 + 1}")).collect()
+    if dead:  # i=38: 404 origin, no IA → stays failed, 1 attempt (F10)
+        assert dead[0]["status"] == 404 and dead[0]["attempts"] == 1
