@@ -163,6 +163,26 @@ class CrawlJob:
             batch.unpersist()
             return 0
 
+        # bloom shards depend only on the batch keys — overlap their
+        # grouped-pandas upsert with the content-heavy cache write
+        # (Spark schedules concurrent jobs from driver threads; the
+        # frontier commit below still happens LAST).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def bloom_step():
+            old = (
+                self.cat.read("bloom_shards")
+                if self.cat.exists("bloom_shards")
+                else None
+            )
+            self.cat.write(
+                upsert_shards(old, batch.select("url_hash"), self.cfg.n_bloom_shards),
+                "bloom_shards",
+            )
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        bloom_future = pool.submit(bloom_step)
+
         # 1. cache slice — the ONE pass that materializes fetched content
         #    (idempotent overwrite on replay). Nothing content-sized is
         #    persisted on the heap: downstream steps read the written
@@ -195,14 +215,9 @@ class CrawlJob:
         )
 
         # 3. bloom shards: OR this round's keys in — single grouped-pandas
-        #    pass, idempotent re-OR on replay
-        old_shards = (
-            self.cat.read("bloom_shards") if self.cat.exists("bloom_shards") else None
-        )
-        self.cat.write(
-            upsert_shards(old_shards, batch.select("url_hash"), self.cfg.n_bloom_shards),
-            "bloom_shards",
-        )
+        #    pass, idempotent re-OR on replay (ran concurrently above)
+        bloom_future.result()
+        pool.shutdown()
 
         # 4. frontier transition — committed LAST (resume anchor);
         #    reads only slim columns of the written slice
