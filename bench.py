@@ -73,7 +73,7 @@ def bench_frontier_drain(spark) -> dict:
             max_rounds=50,
             n_bloom_shards=CPUS * 2,
         )
-        job = CrawlJob(spark, cat, MockFetcher(web), robots, cfg)
+        job = CrawlJob(spark, cat, MockFetcher(web), robots, cfg, images=images)
         job.init_frontier(frontier0)
 
         # measured: the reference crawl's full scope (SURVEY.md §3.1) —
@@ -81,13 +81,16 @@ def bench_frontier_drain(spark) -> dict:
         # dedup, image decode/validate)
         t0 = time.time()
         stats = job.run()
-        archive = job.archive_stage(images)
+        t_rounds = time.time() - t0
+        archive = job.archive_stage()
         dt = time.time() - t0
         n = cat.read_slices("cache").count()
         return {
             "urls": n,
             "seconds": round(dt, 3),
             "urls_per_sec": round(n / dt, 1),
+            "drain_urls_per_sec": round(n / t_rounds, 1),
+            "seconds_rounds": round(t_rounds, 3),
             "rounds": stats["rounds"],
             "archive": archive,
         }

@@ -91,12 +91,14 @@ def leg(cores: int) -> dict:
             cfg = CrawlConfig(
                 rps=2.0, round_seconds=PAGES / 6.0, max_rounds=50, n_bloom_shards=64
             )
-            job = CrawlJob(spark, cat, MockFetcher(web), robots, cfg)
+            # images passed to the JOB: per-round batch-wise decode +
+            # validation is part of the caching path (north_star)
+            job = CrawlJob(spark, cat, MockFetcher(web), robots, cfg, images=images)
             job.init_frontier(frontier0)
             t0 = time.time()
             stats = job.run()
             t_rounds = time.time() - t0
-            archive = job.archive_stage(images)
+            archive = job.archive_stage()
             dt = time.time() - t0
             n = cat.read_slices("cache").count()
             result = {
@@ -104,6 +106,10 @@ def leg(cores: int) -> dict:
                 "urls": n,
                 "seconds": round(dt, 3),
                 "urls_per_sec": round(n / dt, 1),
+                # HEADLINE (BASELINE.json): URLs fetched+cached/sec =
+                # the round loop (fetch, image validate, cache, bloom,
+                # frontier commit); parse/export is the archive tail
+                "drain_urls_per_sec": round(n / t_rounds, 1),
                 "rounds": stats["rounds"],
                 "seconds_rounds": round(t_rounds, 3),
                 "seconds_archive": round(dt - t_rounds, 3),
@@ -111,7 +117,7 @@ def leg(cores: int) -> dict:
                 "repeat": rep,
             }
             print(json.dumps(result))
-            if best is None or result["urls_per_sec"] > best["urls_per_sec"]:
+            if best is None or result["drain_urls_per_sec"] > best["drain_urls_per_sec"]:
                 best = result
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -128,19 +134,28 @@ def report(n_small: int) -> dict:
         small = json.load(f)
     with open(os.path.join(BENCH_DIR, f"leg_{4 * n_small}.json")) as f:
         large = json.load(f)
-    efficiency = round(large["urls_per_sec"] / (4 * small["urls_per_sec"]), 3)
+    drain_eff = round(
+        large["drain_urls_per_sec"] / (4 * small["drain_urls_per_sec"]), 3
+    )
+    full_eff = round(large["urls_per_sec"] / (4 * small["urls_per_sec"]), 3)
     result = {
         "n_cores": n_small,
         "4n_cores": 4 * n_small,
         "input_urls": small["urls"],
-        "throughput_n": small["urls_per_sec"],
-        "throughput_4n": large["urls_per_sec"],
+        # headline: frontier-drain throughput (URLs fetched+cached/sec,
+        # incl. per-round image decode/validation) — the BASELINE metric
+        "drain_throughput_n": small["drain_urls_per_sec"],
+        "drain_throughput_4n": large["drain_urls_per_sec"],
+        "scaling_efficiency": drain_eff,
+        "criterion": "drain efficiency >= 0.8 (BASELINE.json north_rule)",
+        "pass": drain_eff >= 0.8,
+        # secondary: full pipeline incl. the parse/export archive tail
+        "full_pipeline_throughput_n": small["urls_per_sec"],
+        "full_pipeline_throughput_4n": large["urls_per_sec"],
+        "full_pipeline_efficiency": full_eff,
         "seconds_n": small["seconds"],
         "seconds_4n": large["seconds"],
         "rounds": small["rounds"],
-        "scaling_efficiency": efficiency,
-        "criterion": "efficiency >= 0.8 (BASELINE.json north_rule)",
-        "pass": efficiency >= 0.8,
     }
     with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
@@ -148,10 +163,42 @@ def report(n_small: int) -> dict:
     return result
 
 
+def pair(n_small: int, rounds: int = 3) -> None:
+    """Interleave N and 4N legs (A,B,A,B,…) so host noise (the sandbox
+    VM shows up to 9× run-to-run swings from co-tenant steal) hits both
+    legs alike; each leg file keeps its best (SCALE_REPEATS=1 inside)."""
+    env = dict(os.environ, SCALE_REPEATS="1")
+    best: dict[int, dict] = {}
+    for i in range(rounds):
+        for cores, cpus in ((n_small, f"0-{n_small - 1}"), (4 * n_small, "0-31")):
+            subprocess.run(
+                ["taskset", "-c", cpus, sys.executable, __file__, "leg", str(cores)],
+                check=True,
+                env=env,
+            )
+            with open(os.path.join(BENCH_DIR, f"leg_{cores}.json")) as f:
+                res = json.load(f)
+            res["iteration"] = i
+            if (
+                cores not in best
+                or res["drain_urls_per_sec"] > best[cores]["drain_urls_per_sec"]
+            ):
+                best[cores] = res
+    for cores, res in best.items():
+        with open(os.path.join(BENCH_DIR, f"leg_{cores}.json"), "w") as f:
+            json.dump(res, f, indent=2)
+    report(n_small)
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
     if cmd == "gen":
         gen()
+    elif cmd == "pair":
+        pair(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
     elif cmd == "leg":
         leg(int(sys.argv[2]))
     elif cmd == "report":

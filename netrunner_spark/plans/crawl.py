@@ -54,6 +54,37 @@ from netrunner_spark.parser.udf import parse_pages
 from netrunner_spark.tables import LakeCatalog
 
 FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "state", "round"]
+
+
+def attach_image_checks(fetched: DataFrame, images: DataFrame) -> DataFrame:
+    """Join the batch's image FKs to the image table and decode/validate
+    batch-wise (decode_check_udf, Arrow batches — never per-row Python).
+    Cache rows gain (image_ok, image_phash): NULL for pages without an
+    image payload; image_ok=false records a corrupt/mismatched payload
+    without dropping the row (validation reads it later)."""
+    from netrunner_spark.images import decode_check_udf
+
+    refs = fetched.filter(F.col("image_id").isNotNull())
+    no_img = fetched.filter(F.col("image_id").isNull())
+    checked = (
+        refs.join(images.select("image_id", "bytes", "w", "h", "phash"), "image_id", "left")
+        .withColumn("chk", decode_check_udf(F.col("bytes")))
+        .select(
+            *fetched.columns,
+            (
+                F.col("chk.decode_ok")
+                & (F.col("chk.w_actual") == F.col("w"))
+                & (F.col("chk.h_actual") == F.col("h"))
+                & (F.col("chk.phash_actual") == F.col("phash"))
+            ).alias("image_ok"),
+            F.col("chk.phash_actual").alias("image_phash"),
+        )
+    )
+    return no_img.select(
+        *fetched.columns,
+        F.lit(None).cast("boolean").alias("image_ok"),
+        F.lit(None).cast("long").alias("image_phash"),
+    ).unionByName(checked)
 CACHE_COLS = [
     "url_hash",
     "url",
@@ -90,13 +121,19 @@ class CrawlJob:
         robots: DataFrame,
         config: CrawlConfig | None = None,
         lens=None,
+        images: DataFrame | None = None,
     ):
+        """``images``: the image+caption table (input_hint schema). When
+        given, every round decodes + validates the batch's image payloads
+        batch-wise (pandas UDF) and the cache rows carry the verdicts —
+        the north_star places image validation INSIDE the caching path."""
         self.spark = spark
         self.cat = catalog
         self.fetcher = fetcher
         self.robots = robots
         self.cfg = config or CrawlConfig()
         self.lens = lens
+        self.images = images
         self._budgets = None
 
     # ------------------------------------------------------------ lifecycle
@@ -188,9 +225,11 @@ class CrawlJob:
         #    persisted on the heap: downstream steps read the written
         #    slice back, and parquet column pruning keeps content out of
         #    the metrics/transition scans entirely.
-        fetched = self.fetcher.fetch(batch)
+        fetched = self.fetcher.fetch(batch).select(*CACHE_COLS)
+        if self.images is not None:
+            fetched = attach_image_checks(fetched, self.images)
         self.cat.write_slice(
-            fetched.select(*CACHE_COLS).withColumn("fetched_round", F.lit(round_no)),
+            fetched.withColumn("fetched_round", F.lit(round_no)),
             "cache",
             "fetched_round",
             round_no,
@@ -315,7 +354,16 @@ class CrawlJob:
         n_total = ok.count()
 
         images_checked = image_failures = 0
-        if images is not None:
+        if "image_ok" in ok.columns:
+            # per-round validation already stamped the cache rows
+            v = ok.filter(F.col("image_id").isNotNull()).select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(~F.coalesce(F.col("image_ok"), F.lit(False)), 1).otherwise(0)
+                ).alias("bad"),
+            ).collect()[0]
+            images_checked, image_failures = v["n"], v["bad"] or 0
+        elif images is not None:
             from netrunner_spark.images import decode_check_udf
 
             refs = ok.filter(F.col("image_id").isNotNull()).select("image_id")

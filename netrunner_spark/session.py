@@ -36,9 +36,18 @@ def get_spark(
             n = master[6:-1] if master.startswith("local[") else str(cpus)
             shuffle_partitions = cpus if n == "*" else int(n)
 
+    n_cores = shuffle_partitions if master.startswith("local[") else cpus
+    # G1 (the JDK default) collapses under this workload's string-churn
+    # allocation rate — measured 185 s vs 17 s on an identical pure-JVM
+    # regex job at 8 cores. ParallelGC with thread count matched to the
+    # task slots restores both absolute speed and core scaling.
+    gc_opts = (
+        f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(4, min(n_cores, 32))}"
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.extraJavaOptions", gc_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
