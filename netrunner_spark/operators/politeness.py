@@ -38,10 +38,12 @@ def robots_match_expr(url_col, pattern_col):
     """
     path = F.regexp_replace(url_col, r"^[a-z]+://[^/]+", "")
     path = F.when(path == "", "/").otherwise(path)
-    # escape regex metachars except * and $; then * -> .*, trailing $ kept
-    esc = F.regexp_replace(pattern_col, r"([.^+?(){}\[\]\\|])", r"\\$1")
+    # escape ALL regex metachars (incl. mid-pattern '$', which is a
+    # literal in REP paths); then * -> .*; then re-enable only a
+    # TRAILING '$' as the REP end-anchor by unescaping it.
+    esc = F.regexp_replace(pattern_col, r"([.^$+?(){}\[\]\\|])", r"\\$1")
     esc = F.regexp_replace(esc, r"\*", ".*")
-    rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\$$", "$"))
+    rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\\\$$", "$"))
     return F.regexp_like(path, rx) | (pattern_col == "")
 
 
@@ -128,6 +130,44 @@ def rank_round(
     return ranked.filter(F.col("rank_in_host") <= F.col("budget")).drop(
         "rank_in_host", "budget"
     )
+
+
+def schedule_rounds(
+    frontier: DataFrame,
+    budgets: DataFrame | None = None,
+    default_budget: int = 20,
+    round_offset: int = 0,
+) -> DataFrame:
+    """Assign every queued URL its drain round UP FRONT — one window
+    pass for the whole crawl instead of one per round:
+
+        sched_round = (row_number over (host, ORDER BY priority,
+                       url_hash) - 1) // budget + round_offset
+
+    Provably identical batches to iterated ``rank_round`` + requeue:
+    round r's batch is exactly the rows with per-host rank in
+    (r·budget, (r+1)·budget] — the rank is static because priority's
+    host-count term is constant WITHIN a host (with_priority partitions
+    by host), so draining earlier rounds never reorders later ones.
+
+    This is the scale move: the per-round full-frontier window shuffle
+    (O(R·N) at 10^10 rows) becomes ONE O(N) job, and each round's batch
+    is a partition-pruned read of ``sched_round=r``. At cluster scale
+    the window's host-shuffle is a single pass you'd bucket-by-host.
+    """
+    w = Window.partitionBy("host").orderBy(F.col("priority"), F.col("url_hash"))
+    ranked = frontier.withColumn("_rk", F.row_number().over(w))
+    if budgets is not None:
+        ranked = ranked.join(F.broadcast(budgets), "host", "left").withColumn(
+            "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
+        )
+    else:
+        ranked = ranked.withColumn("budget", F.lit(default_budget))
+    return ranked.withColumn(
+        "sched_round",
+        (F.floor((F.col("_rk") - F.lit(1)) / F.col("budget")) + F.lit(round_offset))
+        .cast("int"),
+    ).drop("_rk", "budget")
 
 
 def with_priority(frontier: DataFrame) -> DataFrame:

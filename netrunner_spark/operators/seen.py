@@ -36,6 +36,10 @@ SHARD_SCHEMA = T.StructType(
         T.StructField("shard_id", T.IntegerType(), False),
         T.StructField("bits", T.BinaryType(), False),
         T.StructField("n_items", T.LongType(), False),
+        # sharding config is PERSISTED with the shards: a resume with a
+        # different configured n_bloom_shards must not silently re-key
+        # pmod(url_hash, n) — probes/upserts validate against this.
+        T.StructField("n_shards", T.IntegerType(), False),
     ]
 )
 
@@ -87,6 +91,7 @@ def build_shards(fetched: DataFrame, n_shards: int) -> DataFrame:
                 "shard_id": [int(pdf["shard_id"].iloc[0])],
                 "bits": [bits.tobytes()],
                 "n_items": [len(pdf)],
+                "n_shards": [n_shards],
             }
         )
 
@@ -106,15 +111,27 @@ def upsert_shards(
         shard_id_col(F.col("url_hash"), n_shards).alias("shard_id"),
         F.lit(None).cast("binary").alias("bits"),
         F.lit(0).cast("long").alias("n_items"),
+        F.lit(n_shards).cast("int").alias("n_shards"),
         F.col("url_hash"),
     )
     rows = new_rows
     if old is not None:
+        old_n = "n_shards" if "n_shards" in old.columns else None
         rows = old.select(
-            "shard_id", "bits", "n_items", F.lit(None).cast("long").alias("url_hash")
+            "shard_id",
+            "bits",
+            "n_items",
+            (F.col(old_n) if old_n else F.lit(n_shards)).cast("int").alias("n_shards"),
+            F.lit(None).cast("long").alias("url_hash"),
         ).unionByName(new_rows)
 
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        persisted = set(int(v) for v in pdf["n_shards"].dropna().unique())
+        if persisted != {n_shards}:
+            raise ValueError(
+                f"bloom shard config mismatch: persisted n_shards={persisted}, "
+                f"configured {n_shards} — resume with the original value"
+            )
         acc = np.zeros(SHARD_BITS // 8, dtype=np.uint8)
         n = 0
         for b, items in zip(pdf["bits"], pdf["n_items"]):
@@ -130,6 +147,7 @@ def upsert_shards(
                 "shard_id": [int(pdf["shard_id"].iloc[0])],
                 "bits": [acc.tobytes()],
                 "n_items": [n],
+                "n_shards": [n_shards],
             }
         )
 
@@ -151,6 +169,7 @@ def merge_shards(old: DataFrame | None, new: DataFrame) -> DataFrame:
                 "shard_id": [int(pdf["shard_id"].iloc[0])],
                 "bits": [acc.tobytes()],
                 "n_items": [int(pdf["n_items"].sum())],
+                "n_shards": [int(pdf["n_shards"].iloc[0])],
             }
         )
 
@@ -175,7 +194,12 @@ def bloom_partition(candidates: DataFrame, shards: DataFrame, n_shards: int) -> 
             out = cand[cols].copy()
             out["maybe_seen"] = False
             return out
-        bits = np.frombuffer(shard["bits"].iloc[0], dtype=np.uint8)
+        # OR *all* rows for this shard id — a multi-row shards table
+        # (e.g. un-merged round snapshots) must not silently drop bits,
+        # which would yield bloom false NEGATIVES.
+        bits = np.zeros(SHARD_BITS // 8, dtype=np.uint8)
+        for b in shard["bits"]:
+            bits |= np.frombuffer(b, dtype=np.uint8)
         h = cand["url_hash"].to_numpy().astype(np.uint64)
         out = cand[cols].copy()
         out["maybe_seen"] = _test_bits(bits, h)

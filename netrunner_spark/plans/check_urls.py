@@ -53,9 +53,12 @@ def check_urls(
         .dropDuplicates()
     )
 
-    # robots declare sitemap roots (S2/S3); hosts without go to CDX queue
+    # robots declare sitemap roots (S2/S3); hosts without — INCLUDING
+    # hosts with no robots row at all (probe failure) — go to the CDX
+    # queue, matching bootstrap.rs:70-77. Left join keeps robots-less
+    # hosts; their sitemap_url is NULL so they land in no_sitemap_hosts.
     host_sitemaps = (
-        robots.join(F.broadcast(probe_hosts), "host")
+        probe_hosts.join(robots.select("host", "sitemaps"), "host", "left")
         .select("host", F.explode_outer("sitemaps").alias("sitemap_url"))
         .dropDuplicates()
     )

@@ -1,39 +1,46 @@
 """The flagship: round-based frontier drain (reference §3.1,
-mod.rs:120-143,211-263) — Spark-first redesign.
+mod.rs:120-143,211-263) — Spark-first redesign, round 2.
 
 The reference drains the queue SERIALLY under a 2 req/s/domain token
 bucket. We schedule whole ROUNDS: politeness becomes a per-host slot
-budget per round; the round batch is window-ranked by
-(priority, url_hash) within host (W1/O3); fetch+cache run with full
-partition parallelism. Same politeness envelope, ~N_hosts × budget
-pages per round instead of one in flight.
+budget per round. Round 2 moves the scheduling itself out of the loop:
 
-Cost structure (what survives 10^10 rows — each round):
-  * ONE window shuffle over the queued set (the rank) — keyed by host,
-    AQE skew-split for hot hosts;
-  * fetch = broadcast joins of the small batch against the page store
-    (store is streamed, never shuffled — see MockFetcher);
-  * cache + metrics commits are APPEND SLICES keyed by round
-    (Iceberg append-snapshot analog) — no table rewrite, idempotent on
-    replay, O(round) not O(total);
-  * robots allow/deny is evaluated ONCE per URL at enqueue time
-    (init or link-expansion), not per round;
-  * the seen-set guard (bloom shards + exact anti-join backstop) runs
-    at ENQUEUE time over new links only — the reference checks its
-    seen set before enqueue/fetch too (mod.rs:221-241); nothing
-    re-probes the whole frontier every round.
+  * ``init_frontier`` window-ranks the WHOLE queue ONCE
+    (politeness.schedule_rounds) and writes a ``schedule`` table
+    partitioned by ``sched_round`` — provably the same per-round batches
+    as re-ranking every round (the within-host order is static), at
+    O(N) total instead of O(R·N).
+  * each round is then: partition-pruned read of ``sched_round=r`` →
+    fetch join (broadcast below a size cap, shuffle-hash above) →
+    batch-wise image decode/validate (single left join — ONE pass) →
+    ONE cache-slice write (with ``observe`` supplying the row count, so
+    no separate count job) → one tiny column-pruned metrics job.
+    That's 2 Spark jobs per round; round 1 needed 5-6 plus an
+    O(frontier) snapshot rewrite.
+  * the URL-seen bloom covers every SCHEDULED key from init (enqueue-
+    time membership, exactly when the reference consults its seen set,
+    mod.rs:221-241) — it only changes when link expansion enqueues new
+    URLs, so the per-round "bloom checkpoint" is the unchanged
+    committed snapshot, not a rewrite.
+  * the terminal ``frontier`` snapshot (url, state, round) is an O(N)
+    MATERIALIZATION at drain end / on demand — per-round frontier state
+    is fully determined by (schedule, committed cache slices), which is
+    what resume reads.
 
-Commit order per round: cache slice → metrics slice → bloom snapshot →
-frontier snapshot LAST. A crash between any two steps resumes at the
-same round (current_round derives from the frontier, the last commit);
-replay overwrites the same slices — exactly-once effect (W4).
+Durability / resume (W4): the cache slice IS the round commit — a round
+is committed iff its slice directory carries Spark's ``_SUCCESS``
+marker. ``current_round`` = max committed slice + 1 (driver-side
+listdir, zero jobs). A crash mid-round leaves a marker-less partial
+slice that the replay overwrites; a crash between the cache and metrics
+writes is healed by the metrics backfill at ``run()`` start. All writes
+are idempotent overwrites of per-round paths — exactly-once effect.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from netrunner_spark.operators.admission import (
@@ -45,8 +52,8 @@ from netrunner_spark.operators.admission import (
 from netrunner_spark.operators.politeness import (
     DEFAULT_RPS,
     host_budgets,
-    rank_round,
     robots_allowed,
+    schedule_rounds,
     with_priority,
 )
 from netrunner_spark.operators.seen import unseen_only, upsert_shards
@@ -54,41 +61,12 @@ from netrunner_spark.parser.udf import parse_pages
 from netrunner_spark.tables import LakeCatalog
 
 FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "state", "round"]
-
-
-def attach_image_checks(fetched: DataFrame, images: DataFrame) -> DataFrame:
-    """Join the batch's image FKs to the image table and decode/validate
-    batch-wise (decode_check_udf, Arrow batches — never per-row Python).
-    Cache rows gain (image_ok, image_phash): NULL for pages without an
-    image payload; image_ok=false records a corrupt/mismatched payload
-    without dropping the row (validation reads it later)."""
-    from netrunner_spark.images import decode_check_udf
-
-    refs = fetched.filter(F.col("image_id").isNotNull())
-    no_img = fetched.filter(F.col("image_id").isNull())
-    checked = (
-        refs.join(images.select("image_id", "bytes", "w", "h", "phash"), "image_id", "left")
-        .withColumn("chk", decode_check_udf(F.col("bytes")))
-        .select(
-            *fetched.columns,
-            (
-                F.col("chk.decode_ok")
-                & (F.col("chk.w_actual") == F.col("w"))
-                & (F.col("chk.h_actual") == F.col("h"))
-                & (F.col("chk.phash_actual") == F.col("phash"))
-            ).alias("image_ok"),
-            F.col("chk.phash_actual").alias("image_phash"),
-        )
-    )
-    return no_img.select(
-        *fetched.columns,
-        F.lit(None).cast("boolean").alias("image_ok"),
-        F.lit(None).cast("long").alias("image_phash"),
-    ).unionByName(checked)
+SCHEDULE_COLS = ["url", "url_hash", "host", "depth", "priority", "sched_round"]
 CACHE_COLS = [
     "url_hash",
     "url",
     "host",
+    "depth",
     "status",
     "headers",
     "content",
@@ -96,6 +74,40 @@ CACHE_COLS = [
     "attempts",
     "source",
 ]
+
+# round batches below this on-disk size broadcast into the fetch join;
+# above it (millions of URLs at 10^10-frontier scale) the join falls
+# back to shuffle-hash so the driver never holds the batch
+BROADCAST_BATCH_BYTES = 32 * 1024 * 1024
+
+
+def attach_image_checks(fetched: DataFrame, images: DataFrame) -> DataFrame:
+    """Join the batch's image FKs to the image table and decode/validate
+    batch-wise (decode_check_udf, Arrow batches — never per-row Python).
+
+    ONE left join + conditional columns — a single pass over ``fetched``
+    (round 1 split it into refs/no-image branches and unioned them,
+    which recomputed the unpersisted fetch join twice per round).
+    Cache rows gain (image_ok, image_phash): NULL for pages without an
+    image payload; image_ok=false records a corrupt/mismatched payload
+    without dropping the row (validation reads it later)."""
+    from netrunner_spark.images import decode_check_udf
+
+    joined = fetched.join(
+        images.select("image_id", "bytes", "w", "h", "phash"), "image_id", "left"
+    ).withColumn("chk", decode_check_udf(F.col("bytes")))
+    has_img = F.col("image_id").isNotNull()
+    return joined.select(
+        *fetched.columns,
+        F.when(
+            has_img,
+            F.col("chk.decode_ok")
+            & (F.col("chk.w_actual") == F.col("w"))
+            & (F.col("chk.h_actual") == F.col("h"))
+            & (F.col("chk.phash_actual") == F.col("phash")),
+        ).alias("image_ok"),
+        F.when(has_img, F.col("chk.phash_actual")).alias("image_phash"),
+    )
 
 
 @dataclass
@@ -138,42 +150,56 @@ class CrawlJob:
 
     # ------------------------------------------------------------ lifecycle
     def init_frontier(self, urls: DataFrame) -> None:
-        """urls(url, host, url_hash) → frontier table; robots verdict is
-        stamped HERE (once per URL): disallowed rows enter as 'blocked'.
-        No-op if a frontier snapshot exists (resume, W4/mod.rs:121-128)."""
-        if self.cat.exists("frontier"):
+        """urls(url, host, url_hash) → ``schedule`` table: robots verdict
+        stamped ONCE per URL (disallowed rows park at sched_round=-1),
+        then every allowed URL gets its drain round assigned up front
+        (schedule_rounds — one window job for the whole crawl). The
+        URL-seen bloom is built over all scheduled keys in the same
+        step. No-op if a schedule exists (resume, W4/mod.rs:121-128)."""
+        if self.cat.exists("schedule"):
             return
-        base = urls.select(
-            "url", "url_hash", "host", F.lit(0).alias("depth")
+        base = urls.select("url", "url_hash", "host", F.lit(0).alias("depth"))
+        ok = robots_allowed(base, self.robots)
+        sched = schedule_rounds(with_priority(ok), self.budgets()).select(
+            *SCHEDULE_COLS
         )
-        ok = robots_allowed(base, self.robots).withColumn("state", F.lit("queued"))
-        blocked = base.join(ok.select("url_hash"), "url_hash", "left_anti").withColumn(
-            "state", F.lit("blocked")
-        )
-        frontier = ok.unionByName(blocked).select(
+        blocked = base.join(ok.select("url_hash"), "url_hash", "left_anti").select(
             "url",
             "url_hash",
             "host",
             "depth",
             F.lit(0.0).alias("priority"),
-            "state",
-            F.lit(-1).alias("round"),
+            F.lit(-1).alias("sched_round"),
         )
-        self.cat.write(frontier, "frontier", bucket_hint="url_hash")
+        self.cat.write(
+            sched.unionByName(blocked), "schedule", partition_by=["sched_round"]
+        )
+        keys = (
+            self.cat.read("schedule")
+            .filter(F.col("sched_round") >= 0)
+            .select("url_hash")
+        )
+        self.cat.write(
+            upsert_shards(None, keys, self.cfg.n_bloom_shards), "bloom_shards"
+        )
 
     def current_round(self) -> int:
-        """Next round to run = 1 + last round stamped on a terminal
-        frontier transition (the frontier commit is the round's LAST
-        step, so this resumes a half-committed round for replay)."""
-        if not self.cat.exists("frontier"):
-            return 0
-        row = (
-            self.cat.read("frontier")
-            .filter(F.col("state").isin("fetched", "failed"))
-            .agg(F.max("round").alias("r"))
-            .collect()[0]
-        )
-        return 0 if row["r"] is None else row["r"] + 1
+        """Next round to run = 1 + last COMMITTED cache slice (driver-side
+        listdir + _SUCCESS check — zero Spark jobs). The cache slice is
+        the round's commit anchor; a marker-less partial slice from a
+        crash is replayed/overwritten."""
+        m = self.cat.max_committed_slice("cache", "fetched_round")
+        return 0 if m is None else m + 1
+
+    def max_round(self) -> int:
+        """Highest scheduled round (init schedule + link-expansion
+        appends); -1 when nothing is scheduled. Driver-side listing."""
+        vals = [
+            v for v in self.cat.partition_values("schedule", "sched_round") if v >= 0
+        ]
+        m = max(vals, default=-1)
+        ext = self.cat.max_slice("schedule_ext", "sched_round")
+        return max(m, ext if ext is not None else -1)
 
     def budgets(self) -> DataFrame:
         if self._budgets is None:
@@ -189,54 +215,30 @@ class CrawlJob:
         return self.cat.read_slices("metrics")
 
     # ------------------------------------------------------------ one round
-    def run_round(self, round_no: int) -> int:
-        """→ number of URLs attempted this round."""
-        frontier = self.cat.read("frontier")
-        queued = frontier.filter(F.col("state") == "queued")
-
-        batch = rank_round(with_priority(queued), self.budgets()).persist()
-        n_batch = batch.count()
-        if n_batch == 0:
-            batch.unpersist()
-            return 0
-
-        # bloom shards depend only on the batch keys — overlap their
-        # grouped-pandas upsert with the content-heavy cache write
-        # (Spark schedules concurrent jobs from driver threads; the
-        # frontier commit below still happens LAST).
-        from concurrent.futures import ThreadPoolExecutor
-
-        def bloom_step():
-            old = (
-                self.cat.read("bloom_shards")
-                if self.cat.exists("bloom_shards")
-                else None
+    def _round_batch(self, round_no: int) -> DataFrame | None:
+        parts = []
+        if round_no in self.cat.partition_values("schedule", "sched_round"):
+            parts.append(
+                self.cat.read_partition("schedule", "sched_round", round_no)
             )
-            self.cat.write(
-                upsert_shards(old, batch.select("url_hash"), self.cfg.n_bloom_shards),
-                "bloom_shards",
-            )
+        if self.cat.slice_exists("schedule_ext", "sched_round", round_no):
+            parts.append(self.cat.read_slice("schedule_ext", "sched_round", round_no))
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
-        pool = ThreadPoolExecutor(max_workers=1)
-        bloom_future = pool.submit(bloom_step)
+    def _batch_bytes(self, round_no: int) -> int:
+        return self.cat.partition_bytes(
+            "schedule", "sched_round", round_no
+        ) + self.cat.slice_bytes("schedule_ext", "sched_round", round_no)
 
-        # 1. cache slice — the ONE pass that materializes fetched content
-        #    (idempotent overwrite on replay). Nothing content-sized is
-        #    persisted on the heap: downstream steps read the written
-        #    slice back, and parquet column pruning keeps content out of
-        #    the metrics/transition scans entirely.
-        fetched = self.fetcher.fetch(batch).select(*CACHE_COLS)
-        if self.images is not None:
-            fetched = attach_image_checks(fetched, self.images)
-        self.cat.write_slice(
-            fetched.withColumn("fetched_round", F.lit(round_no)),
-            "cache",
-            "fetched_round",
-            round_no,
-        )
+    def _write_metrics(self, round_no: int) -> None:
+        """Per-host lineage/metrics for one committed round (north_rule).
+        Column-pruned scan of the written slice — content never read."""
         slice_df = self.cat.read_slice("cache", "fetched_round", round_no)
-
-        # 2. per-host lineage/metrics slice (north_rule)
         metrics = slice_df.groupBy("host").agg(
             F.count(F.lit(1)).alias("n_urls"),
             F.sum(F.when(F.col("status").between(200, 299), 1).otherwise(0)).alias(
@@ -253,48 +255,70 @@ class CrawlJob:
             metrics.withColumn("round", F.lit(round_no)), "metrics", "round", round_no
         )
 
-        # 3. bloom shards: OR this round's keys in — single grouped-pandas
-        #    pass, idempotent re-OR on replay (ran concurrently above)
-        bloom_future.result()
-        pool.shutdown()
+    def _backfill_metrics(self) -> None:
+        """Heal a crash between the cache and metrics writes: recompute
+        the (tiny) metrics slice for any committed cache round missing
+        one. Normally a no-op (driver-side listdir)."""
+        done = self.cat.max_committed_slice("cache", "fetched_round")
+        if done is None:
+            return
+        for r in range(done + 1):
+            if self.cat.slice_exists(
+                "cache", "fetched_round", r
+            ) and not self.cat.slice_committed("metrics", "round", r):
+                self._write_metrics(r)
 
-        # 4. frontier transition — committed LAST (resume anchor);
-        #    reads only slim columns of the written slice
-        transitions = slice_df.join(
-            batch.select("url_hash", "depth", "priority"), "url_hash"
-        ).select(
-            "url",
-            "url_hash",
-            "host",
-            "depth",
-            "priority",
-            F.when(F.col("status").between(200, 299), "fetched")
-            .otherwise("failed")
-            .alias("state"),
-            F.lit(round_no).alias("round"),
+    def run_round(self, round_no: int) -> int:
+        """→ number of URLs attempted this round (from ``observe`` on the
+        cache write — no separate count job)."""
+        batch = self._round_batch(round_no)
+        if batch is None:
+            return 0
+
+        # 1. cache slice — the ONE pass that materializes fetched content
+        #    (idempotent overwrite on replay). The fetch join broadcasts
+        #    the batch only while it is genuinely small (driver-side
+        #    stat of the schedule partition, no job).
+        small = self._batch_bytes(round_no) < BROADCAST_BATCH_BYTES
+        fetched = self.fetcher.fetch(batch, prefer_broadcast=small).select(
+            *CACHE_COLS
         )
-        remaining = frontier.join(batch.select("url_hash"), "url_hash", "left_anti")
-        next_frontier = remaining.select(*FRONTIER_COLS).unionByName(transitions)
-        if self.cfg.follow_links:
-            with_depth = slice_df.join(batch.select("url_hash", "depth"), "url_hash")
-            next_frontier = self._expand_links(with_depth, next_frontier, round_no)
-        self.cat.write(next_frontier, "frontier", bucket_hint="url_hash")
+        if self.images is not None:
+            fetched = attach_image_checks(fetched, self.images)
+        obs = Observation()
+        fetched = fetched.observe(obs, F.count(F.lit(1)).alias("n"))
+        self.cat.write_slice(
+            fetched.withColumn("fetched_round", F.lit(round_no)),
+            "cache",
+            "fetched_round",
+            round_no,
+        )
+        n_batch = int(obs.get["n"])
 
-        batch.unpersist()
+        # 2. per-host lineage/metrics slice — tiny column-pruned job
+        self._write_metrics(round_no)
+
+        # 3. link expansion (our scalability extension; the reference
+        #    drains a fixed queue) appends NEW schedule partitions and
+        #    folds the new keys into the bloom — O(new links), never
+        #    O(frontier).
+        if self.cfg.follow_links:
+            self._expand_links(round_no)
         return n_batch
 
-    def _expand_links(
-        self, fetched: DataFrame, frontier: DataFrame, round_no: int
-    ) -> DataFrame:
-        """Parse 2xx pages, admit + normalize links, robots-check, then
-        the F7 seen guard (bloom pre-filter + exact anti-join vs cache
-        keys) — all at enqueue time; unseen links queue at depth+1.
+    def _expand_links(self, round_no: int) -> None:
+        """Parse this round's 2xx pages, admit + normalize links,
+        robots-check, then the F7 seen guard (bloom pre-filter + exact
+        anti-join vs ALL scheduled keys) — at enqueue time; unseen links
+        are window-scheduled into rounds AFTER the current maximum
+        (budget-safe: a host's new rounds never exceed its slot budget).
 
         (Link-following is our scalability extension; the reference
         drains a fixed queue — its ParseResult.links are serde-skipped,
         parser/mod.rs:24.)
         """
-        ok = fetched.filter(
+        slice_df = self.cat.read_slice("cache", "fetched_round", round_no)
+        ok = slice_df.filter(
             F.col("status").between(200, 299) & (F.col("depth") < self.cfg.max_depth)
         )
         parsed = parse_pages(ok.select("url", "content"))
@@ -309,25 +333,72 @@ class CrawlJob:
         shards = (
             self.cat.read("bloom_shards") if self.cat.exists("bloom_shards") else None
         )
+        n_sh = self.cfg.n_bloom_shards
+        if shards is not None and "n_shards" in shards.columns:
+            n_sh = int(shards.agg(F.max("n_shards")).first()[0])
+
+        scheduled = self.cat.read("schedule").select("url_hash", "sched_round")
+        ext = self.cat.read_slices("schedule_ext")
+        seen_keys = scheduled.filter(F.col("sched_round") >= 0).select("url_hash")
+        if ext is not None:
+            seen_keys = seen_keys.unionByName(ext.select("url_hash"))
+        # blocked keys are NOT in the bloom; robots_allowed above already
+        # re-filters them, so they can't re-enter via this path
+        fresh = unseen_only(links, seen_keys, shards, n_sh)
+
+        base_round = max(self.max_round(), round_no) + 1
+        newly = schedule_rounds(
+            with_priority(fresh), self.budgets(), round_offset=base_round
+        ).select(*SCHEDULE_COLS)
+        self.cat.append_partitions(newly, "schedule_ext", "sched_round")
+
+        appended = self.cat.read_slices("schedule_ext")
+        if appended is not None and shards is not None:
+            new_keys = appended.filter(
+                F.col("sched_round") >= base_round
+            ).select("url_hash")
+            self.cat.write(upsert_shards(shards, new_keys, n_sh), "bloom_shards")
+            self.cat.vacuum("bloom_shards")
+
+    # ------------------------------------------------------- frontier state
+    def materialize_frontier(self) -> None:
+        """Write the ``frontier`` snapshot (url, state, round) — an O(N)
+        join of the schedule against the committed cache slices, run
+        ONCE at drain end (round 1 rewrote this table every round).
+        State is fully derivable: blocked (sched_round=-1) / fetched
+        (2xx cache row) / failed (cache row) / queued (no cache row)."""
+        sched = self.cat.read("schedule").select(*SCHEDULE_COLS)
+        ext = self.cat.read_slices("schedule_ext")
+        if ext is not None:
+            sched = sched.unionByName(ext.select(*SCHEDULE_COLS))
         cache = self.cache_df()
-        seen_keys = (
-            cache.select("url_hash")
-            if cache is not None
-            else self.spark.createDataFrame([], "url_hash long")
-        )
-        fresh = unseen_only(links, seen_keys, shards, self.cfg.n_bloom_shards)
-        # also unseen w.r.t. anything already in the frontier (any state)
-        fresh = fresh.join(frontier.select("url_hash"), "url_hash", "left_anti")
-        new_rows = fresh.select(
+        if cache is None:
+            attempts = self.spark.createDataFrame(
+                [], "url_hash long, status int, fetched_round int"
+            )
+        else:
+            attempts = cache.select("url_hash", "status", "fetched_round")
+        frontier = sched.join(attempts, "url_hash", "left").select(
             "url",
             "url_hash",
             "host",
             "depth",
-            F.lit(0.0).alias("priority"),
-            F.lit("queued").alias("state"),
-            F.lit(-1).alias("round"),
+            "priority",
+            F.when(F.col("sched_round") == -1, "blocked")
+            .when(
+                F.col("fetched_round").isNotNull()
+                & F.col("status").between(200, 299),
+                "fetched",
+            )
+            .when(F.col("fetched_round").isNotNull(), "failed")
+            .otherwise("queued")
+            .alias("state"),
+            F.coalesce(F.col("fetched_round"), F.lit(-1)).alias("round"),
         )
-        return frontier.unionByName(new_rows.select(*FRONTIER_COLS))
+        self.cat.write(
+            frontier.select(*FRONTIER_COLS), "frontier", bucket_hint="url_hash"
+        )
+        self.cat.vacuum("frontier")
 
     # ------------------------------------------------------------ archive
     def archive_stage(self, images: DataFrame | None = None) -> dict:
@@ -392,15 +463,14 @@ class CrawlJob:
 
     # ------------------------------------------------------------ full run
     def run(self) -> dict:
-        start_round = self.current_round()
+        self._backfill_metrics()
+        start = self.current_round()
         total = 0
         rounds = 0
-        for r in range(start_round, start_round + self.cfg.max_rounds):
-            n = self.run_round(r)
+        r = start
+        while rounds < self.cfg.max_rounds and r <= self.max_round():
+            total += self.run_round(r)
             rounds += 1
-            total += n
-            if n == 0:
-                break
-            self.cat.vacuum("frontier")
-            self.cat.vacuum("bloom_shards")
+            r += 1
+        self.materialize_frontier()
         return {"rounds": rounds, "fetched": total}

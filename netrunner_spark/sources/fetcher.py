@@ -40,7 +40,7 @@ class MockFetcher:
         self.web = web.withColumn("url_hash", F.xxhash64("url"))
         self.og_first = og_first
 
-    def fetch(self, batch: DataFrame) -> DataFrame:
+    def fetch(self, batch: DataFrame, prefer_broadcast: bool = True) -> DataFrame:
         """batch: frontier rows selected for this round.
 
         The round batch (≤ Σ host budgets rows) is small relative to the
@@ -50,6 +50,13 @@ class MockFetcher:
         hits + broadcast LEFT-ANTI for misses (connection failures),
         union. Both joins broadcast the batch and stream the store once,
         shuffle-free — the plan that survives a 10^10-row store.
+
+        ``prefer_broadcast=False``: the caller determined the batch is
+        too big to broadcast (a round at 10^10-frontier scale is
+        millions of URLs — a multi-million-row broadcast with URL
+        strings would kill the driver); fall back to a shuffle-hash
+        join on url_hash, which stays shuffle-light on the store side
+        when the store is bucketed by url_hash.
         """
         has_ia = "ia_status" in self.web.columns
         pages = self.web.select(
@@ -77,7 +84,8 @@ class MockFetcher:
         )
         src_primary = "origin" if self.og_first else "archive"
         src_secondary = "archive" if self.og_first else "origin"
-        hits = pages.join(F.broadcast(batch), "url_hash").select(
+        bset = F.broadcast(batch) if prefer_broadcast else batch.hint("shuffle_hash")
+        hits = pages.join(bset, "url_hash").select(
             *batch_cols,
             eff_status.alias("status"),
             F.col("_headers").alias("headers"),
@@ -99,10 +107,14 @@ class MockFetcher:
         )
         # keys present in the store: column-pruned scan (url_hash only) ×
         # broadcast batch — small result, safe to broadcast into the anti
-        present = pages.select("url_hash").join(
-            F.broadcast(batch.select("url_hash")), "url_hash"
+        bkeys = (
+            F.broadcast(batch.select("url_hash"))
+            if prefer_broadcast
+            else batch.select("url_hash").hint("shuffle_hash")
         )
-        misses = batch.join(F.broadcast(present), "url_hash", "left_anti").select(
+        present = pages.select("url_hash").join(bkeys, "url_hash")
+        present = F.broadcast(present) if prefer_broadcast else present
+        misses = batch.join(present, "url_hash", "left_anti").select(
             *batch_cols,
             F.lit(None).cast("int").alias("status"),  # connection failure
             F.lit(None).cast(
@@ -126,9 +138,11 @@ class HttpFetcher:  # pragma: no cover - requires network, absent in sandbox
     def __init__(self, og_first: bool = True):
         self.og_first = og_first
 
-    def fetch(self, batch: DataFrame) -> DataFrame:
+    def fetch(self, batch: DataFrame, prefer_broadcast: bool = True) -> DataFrame:
         import pandas as pd
         from pyspark.sql import types as T
+
+        del prefer_broadcast  # join-strategy hint; meaningless for real HTTP
 
         schema = T.StructType(
             list(batch.schema.fields)

@@ -61,7 +61,12 @@ MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
         T.StructField("n_records", T.LongType()),
+        T.StructField("n_skipped", T.LongType()),
         T.StructField("bytes_written", T.LongType()),
+        # A6 compression accounting (archive.rs:160-187 logs
+        # before/after bytes and the % saved)
+        T.StructField("bytes_raw", T.LongType()),
+        T.StructField("compression_ratio", T.DoubleType()),
     ]
 )
 
@@ -81,21 +86,27 @@ def warc_export(records: DataFrame, out_dir: str, single_file: bool = False) -> 
 
         buf = io.BytesIO()
         gz = gzip.GzipFile(fileobj=buf, mode="wb", mtime=0)
-        n = 0
+        n = skipped = raw = 0
         first_url = None
         for pdf in batches:
             for _, row in pdf.iterrows():
+                # connection-failure cache rows carry status NULL (the
+                # schema allows it) — there is no HTTP response to
+                # archive, so skip them instead of crashing on int(None)
+                if row["status"] is None or pd.isna(row["status"]):
+                    skipped += 1
+                    continue
                 if first_url is None:
                     first_url = row["url"]
-                gz.write(
-                    _record_bytes(
-                        row["url"], int(row["status"]), row["headers"], row["content"]
-                    )
+                rec = _record_bytes(
+                    row["url"], int(row["status"]), row["headers"], row["content"]
                 )
+                raw += len(rec)
+                gz.write(rec)
                 n += 1
         gz.close()
         if n == 0:
-            yield pd.DataFrame(columns=["path", "n_records", "bytes_written"])
+            yield pd.DataFrame(columns=[f.name for f in MANIFEST_SCHEMA.fields])
             return
         # deterministic per-partition name from first record's url hash
         tag = uuid.uuid5(uuid.NAMESPACE_URL, f"{first_url}|{n}").hex[:12]
@@ -105,7 +116,16 @@ def warc_export(records: DataFrame, out_dir: str, single_file: bool = False) -> 
             f.write(data)
         _ = (socket, threading)  # keep linters honest about unused safety imports
         yield pd.DataFrame(
-            [{"path": path, "n_records": n, "bytes_written": len(data)}]
+            [
+                {
+                    "path": path,
+                    "n_records": n,
+                    "n_skipped": skipped,
+                    "bytes_written": len(data),
+                    "bytes_raw": raw,
+                    "compression_ratio": round(len(data) / raw, 6) if raw else None,
+                }
+            ]
         )
 
     return records.select("url", "status", "headers", "content").mapInPandas(
@@ -115,20 +135,38 @@ def warc_export(records: DataFrame, out_dir: str, single_file: bool = False) -> 
 
 # ----------------------------------------------------------------- reader
 def parse_warc_bytes(data: bytes) -> list[dict]:
-    """gzip'd (or raw) WARC bytes → [{url, status, headers, content}]."""
+    """gzip'd (or raw) WARC bytes → [{url, status, headers, content}].
+
+    Records are delimited by the Content-Length written in their own
+    WARC header — NOT by scanning for the version string, so a page
+    body that itself contains 'WARC/1.1' reads back intact.
+    """
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
-    text = data.decode("utf-8", errors="replace")
     records = []
-    for chunk in text.split(WARC_VERSION):
-        if "WARC-Target-URI:" not in chunk:
-            continue
-        head, _, block = chunk.partition("\r\n\r\n")
-        url = None
-        for line in head.split("\r\n"):
-            if line.lower().startswith("warc-target-uri:"):
-                url = line.split(":", 1)[1].strip()
-        block = block.rstrip("\r\n")
+    pos, n = 0, len(data)
+    while pos < n:
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        head = data[pos:head_end].decode("utf-8", errors="replace")
+        if not head.startswith("WARC/"):
+            break  # malformed stream: stop rather than misparse
+        url, clen = None, 0
+        for line in head.split("\r\n")[1:]:
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            if key == "warc-target-uri":
+                url = val.strip()
+            elif key == "content-length":
+                try:
+                    clen = int(val.strip())
+                except ValueError:
+                    clen = 0
+        block = data[head_end + 4 : head_end + 4 + clen].decode(
+            "utf-8", errors="replace"
+        )
+        pos = head_end + 4 + clen + 4  # skip the \r\n\r\n record separator
         status_line, _, rest = block.partition("\n")
         try:
             status = int(status_line.split(" ")[1])

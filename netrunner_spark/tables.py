@@ -112,6 +112,52 @@ class LakeCatalog:
         path = os.path.join(self._tdir(table), "data", f"{slice_col}={slice_val}")
         return self.spark.read.parquet(path)
 
+    # ------------------------------------------------- partitioned snapshots
+    def partition_values(self, table: str, part_col: str) -> list[int]:
+        """Committed partition values of a hive-partitioned snapshot —
+        driver-side listdir, ZERO Spark jobs (the round loop's
+        "how many rounds" question must not cost a job)."""
+        try:
+            snap = self.snapshot_path(table)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(e.name.split("=", 1)[1])
+            for e in os.scandir(snap)
+            if e.is_dir() and e.name.startswith(f"{part_col}=")
+        )
+
+    def read_partition(self, table: str, part_col: str, val) -> DataFrame:
+        """One partition of a snapshot, read by DIRECT PATH — skips the
+        full partition-discovery listing a filter-on-read would do every
+        round (the partition column is not attached; the caller knows it)."""
+        return self.spark.read.parquet(
+            os.path.join(self.snapshot_path(table), f"{part_col}={val}")
+        )
+
+    def partition_bytes(self, table: str, part_col: str, val) -> int:
+        """On-disk bytes of one snapshot partition (driver stat, no job)
+        — used to pick broadcast vs shuffle join for the round batch."""
+        d = os.path.join(self.snapshot_path(table), f"{part_col}={val}")
+        if not os.path.isdir(d):
+            return 0
+        return sum(
+            e.stat().st_size for e in os.scandir(d) if e.name.endswith(".parquet")
+        )
+
+    def append_partitions(self, df: DataFrame, table: str, part_col: str) -> None:
+        """Append whole NEW partitions into a slice-tree table
+        (``<table>/data/<part_col>=v``) in one job. Dynamic partition
+        overwrite keeps a replayed append idempotent: only the
+        partitions in ``df`` are replaced."""
+        base = os.path.join(self._tdir(table), "data")
+        (
+            df.write.partitionBy(part_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(base)
+        )
+
     def read_slices(self, table: str) -> DataFrame | None:
         base = os.path.join(self._tdir(table), "data")
         if not os.path.isdir(base) or not any(
@@ -124,6 +170,40 @@ class LakeCatalog:
         path = os.path.join(self._tdir(table), "data", f"{slice_col}={slice_val}")
         return os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path)
+        )
+
+    def slice_committed(self, table: str, slice_col: str, slice_val) -> bool:
+        """True iff the slice write COMPLETED (Spark's _SUCCESS marker) —
+        a crash mid-write leaves part files but no marker; such a slice
+        must be replayed, not trusted."""
+        path = os.path.join(self._tdir(table), "data", f"{slice_col}={slice_val}")
+        return os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+    def max_committed_slice(self, table: str, slice_col: str) -> int | None:
+        vals = [
+            v
+            for v in (self._slice_values(table, slice_col) or [])
+            if self.slice_committed(table, slice_col, v)
+        ]
+        return max(vals) if vals else None
+
+    def _slice_values(self, table: str, slice_col: str) -> list[int]:
+        base = os.path.join(self._tdir(table), "data")
+        if not os.path.isdir(base):
+            return []
+        return [
+            int(e.name.split("=", 1)[1])
+            for e in os.scandir(base)
+            if e.is_dir() and e.name.startswith(f"{slice_col}=")
+        ]
+
+    def slice_bytes(self, table: str, slice_col: str, slice_val) -> int:
+        """On-disk bytes of one slice (driver stat, no job)."""
+        d = os.path.join(self._tdir(table), "data", f"{slice_col}={slice_val}")
+        if not os.path.isdir(d):
+            return 0
+        return sum(
+            e.stat().st_size for e in os.scandir(d) if e.name.endswith(".parquet")
         )
 
     def max_slice(self, table: str, slice_col: str) -> int | None:

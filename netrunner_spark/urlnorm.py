@@ -79,10 +79,17 @@ def rfc3986_normalize(url: str | None, strip_fragment: bool = True) -> str | Non
         return None
     if scheme in ("http", "https", "ftp") and not parts.netloc:
         return None
-    host = (parts.hostname or "").lower()
+    try:
+        # urlsplit defers host/port validation to attribute access: a
+        # malformed port ('http://h:80x/', port > 65535) or bad IPv6
+        # bracket raises ValueError HERE, not at urlsplit() — such URLs
+        # are silently dropped per F5 (bootstrap.rs:150-163).
+        host = (parts.hostname or "").lower()
+        port = parts.port
+    except ValueError:
+        return None
     if any(c in host for c in " \t\n"):
         return None
-    port = parts.port
     netloc = host
     if parts.username:
         cred = parts.username + (f":{parts.password}" if parts.password else "")
