@@ -272,7 +272,149 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return vectors.brute_topk_int(_t(spark, sf, "embeddings"))
 
     def ann_cosine_topk(spark, sf):
-        return vectors.cosine_topk(_t(spark, sf, "embeddings"))
+        # deterministic: exact int dot/norms + one IEEE division —
+        # bit-identical ordering in Spark and DuckDB (was rows-only)
+        return vectors.cosine_topk_quantized(_t(spark, sf, "embeddings"))
+
+    def embedding_near_dups(spark, sf):
+        return vectors.embedding_near_dups(_t(spark, sf, "embeddings"))
+
+    def jaccard_pairs_capped(spark, sf):
+        # hot-gram document-frequency cap — the 100 TB-safe variant
+        return textops.jaccard_pairs(
+            _t(spark, sf, "documents"), max_doc_id=150, max_gram_df=25
+        )
+
+    def robots_parse(spark, sf):
+        # S3 front half: REAL robots.txt text (built deterministically
+        # from the nation table) through the relational parser; the
+        # oracle derives the expected rules independently
+        from netrunner_spark.sources.robots import parse_robots
+
+        nat = _t(spark, sf, "nation")
+        host = F.concat(
+            F.lower(F.regexp_replace("n_name", " ", "-")), F.lit(".test")
+        )
+        k = F.col("n_nationkey")
+        txt = F.concat(
+            F.lit("# synthetic\nUser-agent: *\nDisallow: /private/*\n"),
+            F.when(k % 3 == 0, F.lit("Allow: /private/ok*\n")).otherwise(F.lit("")),
+            F.when(
+                k % 2 == 0,
+                F.concat(
+                    F.lit("Crawl-delay: "), (k % 5 + 1).cast("string"), F.lit("\n")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 4 != 3,
+                F.concat(F.lit("Sitemap: https://"), host, F.lit("/sm.xml\n")),
+            ).otherwise(F.lit("")),
+        )
+        parsed = parse_robots(nat.select(host.alias("host"), txt.alias("robots_txt")))
+        return parsed.select(
+            "host",
+            "directive",
+            "path_pattern",
+            "crawl_delay",
+            F.size("sitemaps").alias("n_sitemaps"),
+        )
+
+    def x2_html_parse(spark, sf):
+        # X2/X3: real HTML (built from documents) through the stdlib
+        # parser; og:description must beat meta description (X3)
+        from netrunner_spark.parser.udf import parse_pages
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id").cast("string")
+        # X3 precedence (meta description > og:description, mod.rs:196-220):
+        # docs %4==0 carry ONLY og:description → the fallback must fire
+        desc_tag = F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<meta property="og:description" content="og '),
+                d,
+                F.lit('">'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<meta name="description" content="meta '), d, F.lit('">')
+            )
+        )
+        html = F.concat(
+            F.lit("<html><head><title>Doc "),
+            d,
+            F.lit("</title>"),
+            desc_tag,
+            F.lit("</head><body><p>body</p></body></html>"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://docs.test/"), d).alias("url"),
+            html.alias("content"),
+            "doc_id",
+        )
+        parsed = parse_pages(pages.select("url", "content"))
+        return parsed.join(pages.select("url", "doc_id"), "url").select(
+            "doc_id", "title", "description"
+        )
+
+    def f3_seed_classification(spark, sf):
+        from netrunner_spark.operators.admission import seeds_to_frontier
+
+        part = _t(spark, sf, "part")
+        key = F.col("p_partkey").cast("string")
+        raw = (
+            F.when(F.col("p_partkey") % 5 == 0, F.concat(F.lit("p"), key, F.lit(".test")))
+            .when(
+                F.col("p_partkey") % 3 == 0,
+                F.concat(F.lit("https://p"), key, F.lit(".test/x$")),
+            )
+            .otherwise(F.concat(F.lit("https://p"), key, F.lit(".test/pre")))
+        )
+        seeds = part.select(raw.alias("raw")).select(
+            F.when(F.col("raw").endswith("$"), F.expr("substring(raw, 1, length(raw)-1)"))
+            .otherwise(F.col("raw"))
+            .alias("seed"),
+            F.when(~F.col("raw").startswith("http"), "domain")
+            .when(F.col("raw").endswith("$"), "exact")
+            .otherwise("prefix")
+            .alias("kind"),
+        )
+        return seeds_to_frontier(seeds).select("url", "kind", "skip_discovery")
+
+    def s4_sitemap_closure(spark, sf):
+        # nested sitemap BFS over a 3-level index built from
+        # region→nation→customer; only even regions hang off the root,
+        # so reachability is real (W2/S4)
+        from netrunner_spark.sources.discovery import sitemap_bfs
+
+        region = _t(spark, sf, "region")
+        nation = _t(spark, sf, "nation")
+        cust = _t(spark, sf, "customer")
+        sm = F.lit("sitemap")
+        level1 = region.filter(F.col("r_regionkey") % 2 == 0).select(
+            F.lit("root.xml").alias("sitemap_url"),
+            sm.alias("entry_type"),
+            F.concat(F.lit("sm-r"), F.col("r_regionkey").cast("string")).alias("loc"),
+        )
+        level2 = nation.select(
+            F.concat(F.lit("sm-r"), F.col("n_regionkey").cast("string")).alias(
+                "sitemap_url"
+            ),
+            sm.alias("entry_type"),
+            F.concat(F.lit("sm-n"), F.col("n_nationkey").cast("string")).alias("loc"),
+        )
+        level3 = cust.select(
+            F.concat(F.lit("sm-n"), F.col("c_nationkey").cast("string")).alias(
+                "sitemap_url"
+            ),
+            F.lit("url").alias("entry_type"),
+            F.concat(
+                F.lit("https://t.test/c/"), F.col("c_custkey").cast("string")
+            ).alias("loc"),
+        )
+        sitemaps = level1.unionByName(level2).unionByName(level3)
+        roots = spark.createDataFrame([("root.xml",)], "sitemap_url string")
+        return sitemap_bfs(sitemaps, roots)
 
     def lsh_bucket_sizes(spark, sf):
         b = vectors.srp_bucket(_t(spark, sf, "embeddings"))
@@ -306,6 +448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_int": ann_topk_int,
         "ann_cosine_topk": ann_cosine_topk,
         "lsh_bucket_sizes": lsh_bucket_sizes,
+        "embedding_near_dups": embedding_near_dups,
+        "jaccard_pairs_capped": jaccard_pairs_capped,
+        "robots_parse": robots_parse,
+        "x2_html_parse": x2_html_parse,
+        "f3_seed_classification": f3_seed_classification,
+        "s4_sitemap_closure": s4_sitemap_closure,
     }
 
 
@@ -566,6 +714,127 @@ WITH base AS (
               FROM proj GROUP BY vec_id
             ) GROUP BY bucket
         """,
-        # ann_cosine_topk: float scores → no SQL oracle (rows-only check);
-        # the exact-arithmetic twin ann_topk_int covers value correctness.
+        # ann_cosine_topk: dot and squared norms are EXACT ints; the one
+        # division+sqrt is IEEE-correctly-rounded in both engines, so the
+        # ordering and floor(cos*1e6) hash-match deterministically.
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), n AS (
+              SELECT vec_id, qe,
+                     list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b) AS n2
+              FROM q
+            ), pairs AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     CAST(list_reduce(list_transform(generate_series(1, len(a.qe)),
+                                  i -> a.qe[i] * b.qe[i]), (x, y) -> x + y) AS DOUBLE)
+                       / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos
+              FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6,
+                   rn AS rank
+            FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
+              FROM pairs
+            ) WHERE rn <= 5
+        """,
+        "embedding_near_dups": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), proj AS (
+              SELECT vec_id, b,
+                     list_reduce(list_transform(generate_series(1, len(qe)),
+                         i -> qe[i] * (((b * 1009) + (i - 1) * 9176 + 7) % 2003 - 1001)),
+                         (x, y) -> x + y) AS p
+              FROM q, generate_series(0, 7) AS t(b)
+            ), buckets AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+              FROM proj GROUP BY vec_id
+            ), cands AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM buckets a JOIN buckets b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, dot_q FROM (
+              SELECT vec_a, vec_b,
+                     CAST(list_reduce(list_transform(generate_series(1, len(qa.qe)),
+                          i -> qa.qe[i] * qb.qe[i]), (x, y) -> x + y) AS BIGINT) AS dot_q
+              FROM cands
+              JOIN q qa ON qa.vec_id = vec_a
+              JOIN q qb ON qb.vec_id = vec_b
+            ) WHERE dot_q >= 500000
+        """,
+        "jaccard_pairs_capped": grams_cte
+        + """
+            , sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+            , gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+            , jg AS (SELECT grams.doc_id, grams.g FROM grams JOIN gdf USING (g) WHERE df <= 25)
+            , common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM jg a JOIN jg b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_b, doc_a, n_common,
+                   sa.n_grams AS grams_a, sb.n_grams AS grams_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        """,
+        # robots_parse: the oracle derives the expected rule rows
+        # INDEPENDENTLY from the same generation arithmetic — the Spark
+        # side must reproduce them by actually parsing the text.
+        "robots_parse": """
+            WITH n AS (
+              SELECT lower(replace(n_name, ' ', '-')) || '.test' AS host,
+                     n_nationkey AS k
+              FROM nation
+            )
+            SELECT host, 'disallow' AS directive, '/private/*' AS path_pattern,
+                   CASE WHEN k % 2 = 0 THEN CAST(k % 5 + 1 AS DOUBLE) END AS crawl_delay,
+                   CAST(CASE WHEN k % 4 <> 3 THEN 1 ELSE 0 END AS INT) AS n_sitemaps
+            FROM n
+            UNION ALL
+            SELECT host, 'allow', '/private/ok*',
+                   CASE WHEN k % 2 = 0 THEN CAST(k % 5 + 1 AS DOUBLE) END,
+                   CAST(CASE WHEN k % 4 <> 3 THEN 1 ELSE 0 END AS INT)
+            FROM n WHERE k % 3 = 0
+        """,
+        "x2_html_parse": """
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CASE WHEN doc_id % 4 = 0 THEN 'og ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'meta ' || CAST(doc_id AS VARCHAR) END AS description
+            FROM documents
+        """,
+        "f3_seed_classification": """
+            WITH s AS (
+              SELECT CASE
+                       WHEN p_partkey % 5 = 0 THEN 'p' || CAST(p_partkey AS VARCHAR) || '.test'
+                       WHEN p_partkey % 3 = 0 THEN 'https://p' || CAST(p_partkey AS VARCHAR) || '.test/x$'
+                       ELSE 'https://p' || CAST(p_partkey AS VARCHAR) || '.test/pre'
+                     END AS raw
+              FROM part
+            ), cls AS (
+              SELECT CASE WHEN raw LIKE '%$' THEN substr(raw, 1, length(raw) - 1) ELSE raw END AS seed,
+                     CASE WHEN raw NOT LIKE 'http%' THEN 'domain'
+                          WHEN raw LIKE '%$' THEN 'exact'
+                          ELSE 'prefix' END AS kind
+              FROM s
+            )
+            SELECT CASE WHEN kind = 'domain' THEN 'http://' || seed || '/' ELSE seed END AS url,
+                   kind,
+                   kind = 'exact' AS skip_discovery
+            FROM cls
+        """,
+        "s4_sitemap_closure": """
+            SELECT DISTINCT 'https://t.test/c/' || CAST(c_custkey AS VARCHAR) AS url
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_regionkey % 2 = 0
+        """,
     }

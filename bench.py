@@ -59,7 +59,11 @@ def bench_frontier_drain(spark) -> dict:
         gen_web(spark, N_HOSTS, PAGES).write.parquet(web_path)
         web = spark.read.parquet(web_path)
         robots = gen_robots(spark, N_HOSTS)
-        images = gen_images(spark, N_HOSTS, PAGES)
+        # materialize the image+caption store once (the Iceberg-table
+        # analog); rounds must scan parquet, not re-encode in Python
+        img_path = os.path.join(tmp, "images")
+        gen_images(spark, N_HOSTS, PAGES).write.parquet(img_path)
+        images = spark.read.parquet(img_path)
         frontier0 = web.select(
             "url", "host", url_hash_col("url").alias("url_hash")
         )

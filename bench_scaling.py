@@ -41,13 +41,19 @@ PARAGRAPHS = int(os.environ.get("SCALE_PARAGRAPHS", "16"))
 def gen() -> None:
     sys.path.insert(0, REPO)
     from netrunner_spark.session import get_spark
-    from netrunner_spark.synth import gen_web
+    from netrunner_spark.synth import gen_images, gen_web
 
     spark = get_spark("scale_gen", master="local[32]")
     gen_web(spark, N_HOSTS, PAGES, n_paragraphs=PARAGRAPHS).write.mode(
         "overwrite"
     ).parquet(WEB_PATH)
-    print(f"wrote {N_HOSTS * PAGES} pages to {WEB_PATH}")
+    # the image+caption store is MATERIALIZED once, like the Iceberg
+    # table the north_rule describes — legs must scan parquet, not
+    # re-encode the corpus in Python on every reference
+    gen_images(spark, N_HOSTS, PAGES).write.mode("overwrite").parquet(
+        WEB_PATH + "_images"
+    )
+    print(f"wrote {N_HOSTS * PAGES} pages to {WEB_PATH} (+ image store)")
 
 
 def leg(cores: int) -> dict:
@@ -75,7 +81,10 @@ def leg(cores: int) -> dict:
     robots = gen_robots(spark, N_HOSTS).withColumn(
         "crawl_delay", F.lit(None).cast("double")
     )
-    images = gen_images(spark, N_HOSTS, PAGES)
+    try:
+        images = spark.read.parquet(WEB_PATH + "_images")
+    except Exception:  # pre-materialization input dir: regenerate inline
+        images = gen_images(spark, N_HOSTS, PAGES)
     frontier0 = web.select("url", "host", url_hash_col("url").alias("url_hash"))
 
     best = None

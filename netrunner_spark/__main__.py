@@ -1,6 +1,7 @@
 """CLI mirroring the reference's commands (main.rs:108-238) over the
 Spark engine — a user of `netrunner <cmd>` can run the same workflows:
 
+  python -m netrunner_spark check-domain --domain HOST
   python -m netrunner_spark check-urls  --lens L [--lake DIR]
   python -m netrunner_spark crawl       --lens L --lake DIR [--follow-links]
   python -m netrunner_spark validate    --lake DIR --urls urls.txt
@@ -28,6 +29,10 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--synth-hosts", type=int, default=3)
         sp.add_argument("--synth-pages", type=int, default=30)
         sp.add_argument("--cores", type=int, default=8)
+
+    sp = sub.add_parser("check-domain")
+    sp.add_argument("--domain", required=True)
+    add_common(sp)
 
     sp = sub.add_parser("check-urls")
     sp.add_argument("--lens", required=True)
@@ -75,7 +80,39 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("netrunner_cli", master=f"local[{args.cores}]")
 
-    if args.cmd == "check-urls":
+    if args.cmd == "check-domain":
+        # main.rs:110-115 / site.rs:73-99: probe one domain and print
+        # robots / feeds / sitemaps (table-backed in the sandbox)
+        from pyspark.sql import functions as F
+
+        from netrunner_spark.sources.robots import site_info
+        from netrunner_spark.synth import gen_robots_txt, gen_web
+
+        web = gen_web(spark, args.synth_hosts, args.synth_pages)
+        homepages = (
+            web.filter(F.col("host") == args.domain)
+            .orderBy("url")
+            .limit(1)
+            .select("host", "url", "content")
+        )
+        robots_texts = gen_robots_txt(spark, args.synth_hosts).filter(
+            F.col("host") == args.domain
+        )
+        rows = site_info(homepages, robots_texts).collect()
+        if not rows:
+            print(f"Domain: {args.domain}\nRobots: N/A\n\n== Feeds (0) ==\n== Sitemaps (0) ==")
+            return 1
+        info = rows[0]
+        print(f"Domain: {info['host']}")
+        print(f"Robots: {'present' if info['has_robots'] else 'N/A'}")
+        print(f"\n== Feeds ({len(info['feeds'])}) ==")
+        for f_ in info["feeds"]:
+            print(f_)
+        print(f"\n== Sitemaps ({len(info['sitemaps'])}) ==")
+        for s_ in info["sitemaps"]:
+            print(s_)
+
+    elif args.cmd == "check-urls":
         from netrunner_spark import lens as lens_mod
         from netrunner_spark.plans.check_urls import check_urls, write_urls_txt
         from netrunner_spark.synth import gen_cdx, gen_robots, gen_sitemaps

@@ -116,25 +116,30 @@ def decode_check_udf(blobs: pd.Series) -> pd.DataFrame:
         try:
             arr = decode_image(bytes(blob))
             rows.append(
-                {
-                    "decode_ok": True,
-                    "w_actual": int(arr.shape[1]),
-                    "h_actual": int(arr.shape[0]),
-                    "phash_actual": phash64(arr),
-                    "mean_px": float(arr.mean()),
-                }
+                (
+                    True,
+                    int(arr.shape[1]),
+                    int(arr.shape[0]),
+                    phash64(arr),
+                    float(arr.mean()),
+                )
             )
         except Exception:
-            rows.append(
-                {
-                    "decode_ok": False,
-                    "w_actual": None,
-                    "h_actual": None,
-                    "phash_actual": None,
-                    "mean_px": None,
-                }
-            )
-    return pd.DataFrame(rows)
+            rows.append((False, None, None, None, None))
+    # CRITICAL: nullable integer dtypes. A plain pd.DataFrame over mixed
+    # int/None rows infers float64, which silently destroys the low bits
+    # of 64-bit phashes (float64 has 53 mantissa bits) — every
+    # validation in a batch containing one imageless row would then
+    # fail the phash equality.
+    return pd.DataFrame(
+        {
+            "decode_ok": pd.array([r[0] for r in rows], dtype="boolean"),
+            "w_actual": pd.array([r[1] for r in rows], dtype="Int32"),
+            "h_actual": pd.array([r[2] for r in rows], dtype="Int32"),
+            "phash_actual": pd.array([r[3] for r in rows], dtype="Int64"),
+            "mean_px": pd.array([r[4] for r in rows], dtype="Float64"),
+        }
+    )
 
 
 @pandas_udf(T.DoubleType())

@@ -43,7 +43,8 @@ def robots_match_expr(url_col, pattern_col):
     # TRAILING '$' as the REP end-anchor by unescaping it.
     esc = F.regexp_replace(pattern_col, r"([.^$+?(){}\[\]\\|])", r"\\$1")
     esc = F.regexp_replace(esc, r"\*", ".*")
-    rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\\\$$", "$"))
+    # replacement-side '$' is a group ref in Java regex — escape it
+    rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\\\$$", "\\$"))
     return F.regexp_like(path, rx) | (pattern_col == "")
 
 

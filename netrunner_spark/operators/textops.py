@@ -147,7 +147,10 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, n: int = 3, max_doc_id: int | None = None
+    docs: DataFrame,
+    n: int = 3,
+    max_doc_id: int | None = None,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity for candidate pairs sharing ≥1 gram.
 
@@ -155,12 +158,28 @@ def jaccard_pairs(
     shuffling gram keys (partial agg on (gram, doc) first) instead of
     cross-joining documents. Output exact ints: n_common over distinct
     grams + each side's distinct-gram count.
+
+    ``max_gram_df``: hot-gram cap — the gram self-join is QUADRATIC in
+    per-gram document frequency (a stop-gram in 10^8 docs would emit
+    10^16 join rows), so grams appearing in more than this many docs
+    are dropped from the JOIN side before pairing (the standard
+    stop-gram cut; n_grams denominators still count every gram). The
+    LSH path (``minhash_lsh_pairs``) is the preferred scale route.
     """
     base = docs if max_doc_id is None else docs.filter(F.col("doc_id") < max_doc_id)
     grams = exploded_grams(base, n).select("doc_id", "gram").dropDuplicates()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    join_grams = grams
+    if max_gram_df is not None:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_gram_df)
+            .select("gram")
+        )
+        join_grams = grams.join(hot, "gram", "left_anti")
+    a = join_grams.alias("a")
+    b = join_grams.alias("b")
     common = (
         a.join(b, "gram")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

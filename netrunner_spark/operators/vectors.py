@@ -95,6 +95,59 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataF
     )
 
 
+def cosine_topk_quantized(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Deterministic cosine top-k: dot and squared norms are EXACT
+    int64 over quantized elements; the cosine is then ONE IEEE-754
+    division+sqrt from those exact ints — bit-identical in any engine
+    (both ops are correctly rounded), so ordering and the exported
+    ``cos_e6 = floor(cos·10⁶)`` hash-match a DuckDB oracle. This is the
+    oracle-checkable twin of ``cosine_topk`` (float accumulation order
+    makes the naive version engine-dependent).
+
+    Bounds (dim 64, |x|≲1 → |q|≤1000): dot ≤ 6.4e7, na·nb ≤ 4e15 <
+    2^53 — every intermediate is exactly representable.
+    """
+    q = _quantized(F.col("embedding"))
+    sq = F.aggregate(
+        _quantized(F.col("embedding")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    base = embeddings.select("vec_id", q.alias("q"), sq.alias("n2"))
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    joined = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot.cast("double")
+            / F.sqrt((F.col("qn2") * F.col("n2")).cast("double"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.col("cos") * 1000000).cast("long").alias("cos_e6"),
+            "rank",
+        )
+    )
+
+
 def srp_bucket(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     """Sign-random-projection bucket key (LSH for cosine).
 

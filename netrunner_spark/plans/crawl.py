@@ -81,32 +81,65 @@ CACHE_COLS = [
 BROADCAST_BATCH_BYTES = 32 * 1024 * 1024
 
 
-def attach_image_checks(fetched: DataFrame, images: DataFrame) -> DataFrame:
-    """Join the batch's image FKs to the image table and decode/validate
-    batch-wise (decode_check_udf, Arrow batches — never per-row Python).
+def attach_image_checks(
+    fetched: DataFrame,
+    images: DataFrame,
+    prefer_broadcast: bool = True,
+    refs: DataFrame | None = None,
+) -> DataFrame:
+    """Decode/validate the batch's image payloads batch-wise
+    (decode_check_udf, Arrow batches — never per-row Python) and stamp
+    (image_ok, image_phash) onto the cache rows.
 
-    ONE left join + conditional columns — a single pass over ``fetched``
-    (round 1 split it into refs/no-image branches and unioned them,
-    which recomputed the unpersisted fetch join twice per round).
-    Cache rows gain (image_ok, image_phash): NULL for pages without an
-    image payload; image_ok=false records a corrupt/mismatched payload
-    without dropping the row (validation reads it later)."""
+    Shuffle-minimal shape (single pass over ``fetched``): the
+    content-heavy fetched rows NEVER shuffle. The slim ref keys join
+    into the image store (streaming it once), the decode verdicts —
+    O(batch) narrow rows — join back by broadcast (shuffle-hash when
+    the caller says the batch is too big to broadcast). Round 1 instead
+    unioned a refs/no-image split, recomputing the unpersisted fetch
+    join twice AND shuffling content through the image join.
+
+    image_ok is NULL for pages without an image payload (left join
+    miss); false records a corrupt/mismatched/absent payload without
+    dropping the row (validation reads it later)."""
     from netrunner_spark.images import decode_check_udf
 
-    joined = fetched.join(
-        images.select("image_id", "bytes", "w", "h", "phash"), "image_id", "left"
+    if refs is None:
+        # generic fallback: derive refs from the fetch output. NOTE:
+        # broadcasting the verdicts below MATERIALIZES this subtree, so
+        # with an expensive ``fetched`` pipeline the caller should pass
+        # ``refs`` from a slim source (fetcher.image_refs) instead —
+        # deriving here re-executes the whole fetch join once.
+        refs = (
+            fetched.filter(F.col("image_id").isNotNull())
+            .select("image_id")
+            .dropDuplicates()
+        )
+    refs = F.broadcast(refs) if prefer_broadcast else refs.hint("shuffle_hash")
+    checked = images.select("image_id", "bytes", "w", "h", "phash").join(
+        refs, "image_id"
     ).withColumn("chk", decode_check_udf(F.col("bytes")))
-    has_img = F.col("image_id").isNotNull()
-    return joined.select(
-        *fetched.columns,
-        F.when(
-            has_img,
+    verdicts = checked.select(
+        "image_id",
+        (
             F.col("chk.decode_ok")
             & (F.col("chk.w_actual") == F.col("w"))
             & (F.col("chk.h_actual") == F.col("h"))
-            & (F.col("chk.phash_actual") == F.col("phash")),
+            & (F.col("chk.phash_actual") == F.col("phash"))
         ).alias("image_ok"),
-        F.when(has_img, F.col("chk.phash_actual")).alias("image_phash"),
+        F.col("chk.phash_actual").alias("image_phash"),
+    )
+    verdicts = F.broadcast(verdicts) if prefer_broadcast else verdicts
+    joined = fetched.join(verdicts, "image_id", "left")
+    # a ref whose image is MISSING from the store is a failure, not a
+    # no-image page: image_ok false, never null, when image_id is set
+    return joined.select(
+        *fetched.columns,
+        F.when(
+            F.col("image_id").isNotNull(),
+            F.coalesce(F.col("image_ok"), F.lit(False)),
+        ).alias("image_ok"),
+        "image_phash",
     )
 
 
@@ -284,7 +317,14 @@ class CrawlJob:
             *CACHE_COLS
         )
         if self.images is not None:
-            fetched = attach_image_checks(fetched, self.images)
+            refs = (
+                self.fetcher.image_refs(batch, prefer_broadcast=small)
+                if hasattr(self.fetcher, "image_refs")
+                else None
+            )
+            fetched = attach_image_checks(
+                fetched, self.images, prefer_broadcast=small, refs=refs
+            )
         obs = Observation()
         fetched = fetched.observe(obs, F.count(F.lit(1)).alias("n"))
         self.cat.write_slice(

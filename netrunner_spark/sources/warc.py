@@ -167,12 +167,15 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             "utf-8", errors="replace"
         )
         pos = head_end + 4 + clen + 4  # skip the \r\n\r\n record separator
-        status_line, _, rest = block.partition("\n")
+        # block = status line + header lines + BLANK LINE + body: split
+        # on the first blank line FIRST (an empty header section would
+        # otherwise swallow the body into the header part)
+        http_head, _, content = block.partition("\n\n")
+        status_line, _, header_part = http_head.partition("\n")
         try:
             status = int(status_line.split(" ")[1])
         except (IndexError, ValueError):
             status = 0
-        header_part, _, content = rest.partition("\n\n")
         headers = []
         for line in header_part.splitlines():
             if ": " in line:

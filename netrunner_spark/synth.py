@@ -299,6 +299,31 @@ def gen_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
 
 
+def gen_robots_txt(spark: SparkSession, n_hosts: int) -> DataFrame:
+    """The SAME per-host rules as ``gen_robots``, rendered as raw
+    robots.txt text — input for the S3 text parser
+    (``sources.robots.parse_robots``); parsing this must reproduce
+    ``gen_robots`` rows (parity test)."""
+    rows = []
+    for h in range(n_hosts):
+        host = host_name(h)
+        lines = [
+            "# synthetic robots fixture",
+            "User-agent: *",
+            "Disallow: /private/*",
+        ]
+        if h % 7 == 0:
+            lines.append("Crawl-delay: 2")
+        if h % 3 == 0:
+            lines.append("Allow: /private/ok*")
+        if h % 5 != 3:
+            lines.append(f"Sitemap: https://{host}/sitemap.xml")
+        rows.append({"host": host, "robots_txt": "\n".join(lines) + "\n"})
+    return spark.createDataFrame(
+        pd.DataFrame(rows), schema="host string, robots_txt string"
+    )
+
+
 def gen_sitemaps(spark: SparkSession, n_hosts: int, pages_per_host: int) -> DataFrame:
     """sitemap entries; hosts h%4==0 use a nested index (S4 recursion)."""
     rows = []

@@ -39,6 +39,34 @@ class TestImages:
         with pytest.raises(NotImplementedError):
             decode_image(b"JUNKxxxxxxxxxxxxxxxx")
 
+    def test_decode_check_exact_phash_with_nulls_in_batch(self, spark):
+        """Regression: a batch mixing NULL and real payloads must not
+        lose int64 phash precision (pandas infers float64 over
+        int+None rows unless the UDF pins nullable Int64 — float64's
+        53-bit mantissa silently zeroes the low bits)."""
+        from netrunner_spark.images import decode_check_udf
+
+        rng = np.random.default_rng(11)
+        arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        blob = encode_image(arr, "png")
+        expected = phash64(arr)
+        assert abs(expected) > (1 << 53)  # big enough to expose rounding
+        df = spark.createDataFrame(
+            [(1, bytearray(blob)), (2, None), (3, bytearray(blob))],
+            "id int, bytes binary",
+        )
+        out = df.withColumn("chk", decode_check_udf(F.col("bytes")))
+        # force a WRITE (the consuming path in run_round) then read back
+        path = "/tmp/nr_test_decode_nulls"
+        out.select("id", F.col("chk.phash_actual").alias("p")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        got = {
+            r["id"]: r["p"] for r in spark.read.parquet(path).collect()
+        }
+        assert got[1] == expected and got[3] == expected
+        assert got[2] is None
+
 
 class TestLakeCatalog:
     def test_snapshot_versioning_and_rollback(self, spark, tmp_path):
@@ -183,3 +211,28 @@ class TestWarc:
         assert back[0]["url"] == "https://w.test/1"
         assert back[0]["status"] == 200
         assert back[0]["content"] == "<html><body>hi</body></html>"
+        # A6: compression accounting present and sane
+        assert manifest[0]["bytes_raw"] > manifest[0]["bytes_written"] > 0
+        assert 0 < manifest[0]["compression_ratio"] < 1
+
+    def test_null_status_skipped_and_warc_literal_body(self, spark, tmp_path):
+        """Connection-failure rows (status NULL) are skipped, not a
+        crash; a body containing the literal 'WARC/1.1' string reads
+        back intact (records are delimited by Content-Length)."""
+        from netrunner_spark.sources.warc import warc_export, warc_read
+
+        tricky = "about the WARC/1.1\r\n\r\nformat spec"
+        df = spark.createDataFrame(
+            [
+                ("https://w.test/ok", 200, [], tricky),
+                ("https://w.test/dead", None, None, None),
+            ],
+            "url string, status int, headers array<struct<name:string,value:string>>, content string",
+        )
+        out = str(tmp_path / "warc2")
+        manifest = warc_export(df, out, single_file=True).collect()
+        assert manifest[0]["n_records"] == 1
+        assert manifest[0]["n_skipped"] == 1
+        back = warc_read(spark, out).collect()
+        assert len(back) == 1
+        assert back[0]["content"] == tricky

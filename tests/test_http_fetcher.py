@@ -1,0 +1,109 @@
+"""HttpFetcher against a loopback HTTP server: retry budget, terminal
+statuses, Retry-After honor (F11), connection reuse, per-host pacing —
+crawler.rs:37-88 envelope without touching the real network."""
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from netrunner_spark.sources.fetcher import HttpFetcher
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"  # keep-alive: exercises connection reuse
+    hits: dict = {}
+    times: dict = {}
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        cls = type(self)
+        n = cls.hits[self.path] = cls.hits.get(self.path, 0) + 1
+        cls.times.setdefault(self.path, []).append(time.monotonic())
+        if self.path == "/ok":
+            body = b"hello world"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/gone":
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        elif self.path == "/flaky":
+            if n == 1:
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            else:
+                body = b"recovered"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+        else:
+            self.send_response(500)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+
+@pytest.fixture(scope="module")
+def server():
+    _Handler.hits, _Handler.times = {}, {}
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_http_fetcher_end_to_end(spark, server):
+    urls = [f"{server}/ok", f"{server}/gone", f"{server}/flaky"]
+    batch = spark.createDataFrame(
+        [(u, "127.0.0.1", i) for i, u in enumerate(urls)],
+        "url string, host string, url_hash long",
+    ).coalesce(1)
+    out = {r["url"].rsplit("/", 1)[1]: r for r in
+           HttpFetcher(rps=100.0).fetch(batch).collect()}
+
+    assert out["ok"]["status"] == 200
+    assert out["ok"]["content"] == "hello world"
+    assert out["ok"]["attempts"] == 1
+    # 404 terminal: exactly one attempt, never retried (crawler.rs:48-59)
+    assert out["gone"]["status"] == 404
+    assert out["gone"]["attempts"] == 1
+    assert _Handler.hits["/gone"] == 1
+    # 429 → Retry-After honored → success on the second attempt (F11)
+    assert out["flaky"]["status"] == 200
+    assert out["flaky"]["attempts"] == 2
+    gap = _Handler.times["/flaky"][1] - _Handler.times["/flaky"][0]
+    assert gap >= 0.9  # slept the advertised 1 s, not the 0.1 s backoff
+
+
+def test_http_fetcher_per_host_pacing(spark, server):
+    _Handler.times.pop("/ok", None)
+    _Handler.hits.pop("/ok", None)
+    batch = spark.createDataFrame(
+        [(f"{server}/ok", "127.0.0.1", i) for i in range(3)],
+        "url string, host string, url_hash long",
+    )
+    HttpFetcher(rps=5.0).fetch(batch).collect()
+    ts = sorted(_Handler.times["/ok"])
+    assert len(ts) == 3
+    # ≥ 1/rps between consecutive same-host hits (token bucket, W1)
+    assert all(b - a >= 0.15 for a, b in zip(ts, ts[1:]))
+
+
+def test_null_status_on_connection_failure(spark):
+    batch = spark.createDataFrame(
+        [("http://127.0.0.1:1/never", "127.0.0.1", 0)],
+        "url string, host string, url_hash long",
+    )
+    row = HttpFetcher(rps=100.0).fetch(batch).collect()[0]
+    assert row["status"] is None
+    assert row["attempts"] == 3  # full retry budget consumed (W5)
