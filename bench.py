@@ -44,25 +44,37 @@ HEADLINE = [
 ]
 
 
-def bench_frontier_drain(spark) -> dict:
+def bench_frontier_drain(spark, mode: str = "html") -> dict:
+    """mode='pairs': the BASELINE.json headline object — drain a frontier
+    over the image+caption pair store (~2 KB/URL, per-round batch image
+    decode+validate in the caching path), no HTML archive tail.
+    mode='html': the full reference-crawl scope (12 KB pages, parse +
+    canonical dedup + archive)."""
     from pyspark.sql import functions as F
 
     from netrunner_spark.plans.crawl import CrawlConfig, CrawlJob
     from netrunner_spark.sources.fetcher import MockFetcher
-    from netrunner_spark.synth import gen_images, gen_robots, gen_web
+    from netrunner_spark.synth import gen_images, gen_pair_web, gen_robots, gen_web
     from netrunner_spark.tables import LakeCatalog
     from netrunner_spark.urlnorm import url_hash_col
 
     tmp = tempfile.mkdtemp(prefix="nr_bench_")
     try:
         web_path = os.path.join(tmp, "web")
-        gen_web(spark, N_HOSTS, PAGES).write.parquet(web_path)
+        gen_df = (
+            gen_pair_web(spark, N_HOSTS, PAGES)
+            if mode == "pairs"
+            else gen_web(spark, N_HOSTS, PAGES)
+        )
+        gen_df.write.parquet(web_path)
         web = spark.read.parquet(web_path)
         robots = gen_robots(spark, N_HOSTS)
         # materialize the image+caption store once (the Iceberg-table
         # analog); rounds must scan parquet, not re-encode in Python
         img_path = os.path.join(tmp, "images")
-        gen_images(spark, N_HOSTS, PAGES).write.parquet(img_path)
+        gen_images(spark, N_HOSTS, PAGES, dense=(mode == "pairs")).write.parquet(
+            img_path
+        )
         images = spark.read.parquet(img_path)
         frontier0 = web.select(
             "url", "host", url_hash_col("url").alias("url_hash")
@@ -80,16 +92,16 @@ def bench_frontier_drain(spark) -> dict:
         job = CrawlJob(spark, cat, MockFetcher(web), robots, cfg, images=images)
         job.init_frontier(frontier0)
 
-        # measured: the reference crawl's full scope (SURVEY.md §3.1) —
-        # round loop (fetch+cache) + archive stage (parse, canonical
-        # dedup, image decode/validate)
         t0 = time.time()
         stats = job.run()
         t_rounds = time.time() - t0
-        archive = job.archive_stage()
+        archive = (
+            job.archive_stage() if mode == "html" else {"skipped": "pairs mode"}
+        )
         dt = time.time() - t0
         n = cat.read_slices("cache").count()
         return {
+            "mode": mode,
             "urls": n,
             "seconds": round(dt, 3),
             "urls_per_sec": round(n / dt, 1),
@@ -113,8 +125,13 @@ def main() -> None:
     t_start = time.time()
     timings: dict[str, float] = {}
 
-    frontier = bench_frontier_drain(spark)
+    # headline (BASELINE.json): image+caption pair-store drain
+    pairs = bench_frontier_drain(spark, mode="pairs")
+    timings["frontier_drain_pairs"] = pairs["seconds"]
+    # secondary: full reference-crawl scope (HTML web + archive tail)
+    frontier = bench_frontier_drain(spark, mode="html")
     timings["frontier_drain"] = frontier["seconds"]
+    frontier = {"pairs": pairs, "html": frontier}
 
     qs = entry_mod.queries()
     for name in HEADLINE:

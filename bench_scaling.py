@@ -36,24 +36,32 @@ WEB_PATH = os.environ.get("SCALE_WEB", "/tmp/nr_scale_input/web")
 N_HOSTS = int(os.environ.get("SCALE_HOSTS", "1500"))
 PAGES = int(os.environ.get("SCALE_PAGES", "120"))
 PARAGRAPHS = int(os.environ.get("SCALE_PARAGRAPHS", "16"))
+# SCALE_MODE=pairs → the NORTH-STAR store: image+caption pairs, one per
+# URL (BASELINE.json metric: "frontier-drain throughput ... over the
+# Iceberg image+caption table"). Default 'html' keeps the full
+# reference-crawl web (12 KB pages, parse/archive tail).
+MODE = os.environ.get("SCALE_MODE", "html")
 
 
 def gen() -> None:
     sys.path.insert(0, REPO)
     from netrunner_spark.session import get_spark
-    from netrunner_spark.synth import gen_images, gen_web
+    from netrunner_spark.synth import gen_images, gen_pair_web, gen_web
 
     spark = get_spark("scale_gen", master="local[32]")
-    gen_web(spark, N_HOSTS, PAGES, n_paragraphs=PARAGRAPHS).write.mode(
-        "overwrite"
-    ).parquet(WEB_PATH)
+    web = (
+        gen_pair_web(spark, N_HOSTS, PAGES)
+        if MODE == "pairs"
+        else gen_web(spark, N_HOSTS, PAGES, n_paragraphs=PARAGRAPHS)
+    )
+    web.write.mode("overwrite").parquet(WEB_PATH)
     # the image+caption store is MATERIALIZED once, like the Iceberg
     # table the north_rule describes — legs must scan parquet, not
     # re-encode the corpus in Python on every reference
-    gen_images(spark, N_HOSTS, PAGES).write.mode("overwrite").parquet(
-        WEB_PATH + "_images"
-    )
-    print(f"wrote {N_HOSTS * PAGES} pages to {WEB_PATH} (+ image store)")
+    gen_images(spark, N_HOSTS, PAGES, dense=(MODE == "pairs")).write.mode(
+        "overwrite"
+    ).parquet(WEB_PATH + "_images")
+    print(f"wrote {N_HOSTS * PAGES} pages to {WEB_PATH} (+ image store, mode={MODE})")
 
 
 def leg(cores: int) -> dict:
@@ -98,7 +106,15 @@ def leg(cores: int) -> dict:
         try:
             cat = LakeCatalog(spark, tmp)
             cfg = CrawlConfig(
-                rps=2.0, round_seconds=PAGES / 6.0, max_rounds=50, n_bloom_shards=64
+                rps=2.0,
+                round_seconds=float(
+                    os.environ.get("SCALE_ROUND_SECONDS", str(PAGES / 6.0))
+                ),
+                max_rounds=50,
+                n_bloom_shards=64,
+                broadcast_batch_bytes=int(
+                    os.environ.get("SCALE_BCAST_BYTES", str(32 * 1024 * 1024))
+                ),
             )
             # images passed to the JOB: per-round batch-wise decode +
             # validation is part of the caching path (north_star)
@@ -107,11 +123,19 @@ def leg(cores: int) -> dict:
             t0 = time.time()
             stats = job.run()
             t_rounds = time.time() - t0
-            archive = job.archive_stage()
+            # SCALE_ARCHIVE=0 measures the drain only (the BASELINE
+            # metric is URLs fetched+cached/sec = the round loop; the
+            # parse/export archive tail is reported separately)
+            if os.environ.get("SCALE_ARCHIVE", "0" if MODE == "pairs" else "1") != "0":
+                archive = job.archive_stage()
+            else:
+                archive = {"skipped": True}
             dt = time.time() - t0
             n = cat.read_slices("cache").count()
             result = {
                 "cores": cores,
+                "mode": MODE,
+                "round_seconds": cfg.round_seconds,
                 "urls": n,
                 "seconds": round(dt, 3),
                 "urls_per_sec": round(n / dt, 1),
@@ -179,7 +203,10 @@ def pair(n_small: int, rounds: int = 3) -> None:
     env = dict(os.environ, SCALE_REPEATS="1")
     best: dict[int, dict] = {}
     for i in range(rounds):
-        for cores, cpus in ((n_small, f"0-{n_small - 1}"), (4 * n_small, "0-31")):
+        for cores, cpus in (
+            (n_small, f"0-{n_small - 1}"),
+            (4 * n_small, f"0-{4 * n_small - 1}"),
+        ):
             subprocess.run(
                 ["taskset", "-c", cpus, sys.executable, __file__, "leg", str(cores)],
                 check=True,

@@ -155,6 +155,11 @@ class CrawlConfig:
     max_depth: int = 3
     n_bloom_shards: int = 64
     og_first: bool = True
+    # round batches below this on-disk size broadcast into the fetch /
+    # image joins; above it they fall back to shuffle-hash (a broadcast
+    # build is driver-serial — at multi-100k-row rounds that serial
+    # cost is the scaling bottleneck)
+    broadcast_batch_bytes: int = BROADCAST_BATCH_BYTES
 
 
 class CrawlJob:
@@ -312,7 +317,7 @@ class CrawlJob:
         #    (idempotent overwrite on replay). The fetch join broadcasts
         #    the batch only while it is genuinely small (driver-side
         #    stat of the schedule partition, no job).
-        small = self._batch_bytes(round_no) < BROADCAST_BATCH_BYTES
+        small = self._batch_bytes(round_no) < self.cfg.broadcast_batch_bytes
         fetched = self.fetcher.fetch(batch, prefer_broadcast=small).select(
             *CACHE_COLS
         )

@@ -209,6 +209,54 @@ def gen_web(
     return spark.range(n, numPartitions=parts).mapInPandas(build, WEB_SCHEMA)
 
 
+def gen_pair_web(
+    spark: SparkSession, n_hosts: int, pages_per_host: int, seed: int = 42
+) -> DataFrame:
+    """The NORTH-STAR fetch store (BASELINE.json): one row per frontier
+    URL whose payload is an image+caption PAIR reference — content is
+    the caption (~100 B), every row carries an image FK (pair with
+    ``gen_images(dense=True)``). Same status / retry / dual-source mix
+    as gen_web so the politeness+retry semantics stay exercised, but
+    ~2 KB/URL instead of ~12 KB — the drain is then compute-bound
+    (batch image decode+validate), which is what the metric measures.
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid in pdf["id"]:
+                h, i = int(pid) // pages_per_host, int(pid) % pages_per_host
+                status = page_status(i)
+                ia = ia_status(i)
+                iid = f"img-{h}-{i}"
+                rng = _rng(seed, "img", iid)
+                ok_somewhere = status == 200 or ia == 200
+                rows.append(
+                    {
+                        "url": page_url(h, i),
+                        "host": host_name(h),
+                        "status": status,
+                        "ia_status": ia,
+                        "headers": [
+                            {"name": "content-type", "value": "application/json"},
+                        ]
+                        if status != 500
+                        else [],
+                        "content": f"caption {iid}: {_sentence(rng, 8)}"
+                        if ok_somewhere
+                        else "",
+                        "links": [],
+                        "image_id": iid,
+                        "flaky_once": i % 29 == 7,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    n = n_hosts * pages_per_host
+    parts = max(4, min(256, n // 2000 + 1))
+    return spark.range(n, numPartitions=parts).mapInPandas(build, WEB_SCHEMA)
+
+
 IMAGES_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),
@@ -223,16 +271,24 @@ IMAGES_SCHEMA = T.StructType(
 
 
 def gen_images(
-    spark: SparkSession, n_hosts: int, pages_per_host: int, seed: int = 42, size: int = 24
+    spark: SparkSession,
+    n_hosts: int,
+    pages_per_host: int,
+    seed: int = 42,
+    size: int = 24,
+    dense: bool = False,
 ) -> DataFrame:
-    """image+caption table (input_hint schema) for pages carrying images."""
+    """image+caption table (input_hint schema) for pages carrying images.
+
+    ``dense=True``: EVERY page gets an image — the north-star store is
+    image+caption pairs, one per URL (BASELINE.json input_hint)."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for pid in pdf["id"]:
                 h, i = int(pid) // pages_per_host, int(pid) % pages_per_host
-                iid = image_id_for(h, i)
+                iid = f"img-{h}-{i}" if dense else image_id_for(h, i)
                 if iid is None:
                     continue
                 rng = _rng(seed, "img", iid)

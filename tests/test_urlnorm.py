@@ -32,6 +32,22 @@ def test_rfc3986_normalize():
     assert rfc3986_normalize(None) is None
     # fragment-only difference collapses (bootstrap.rs:146-151)
     assert rfc3986_normalize("http://example.com#Title") == rfc3986_normalize("http://example.com")
+    # malformed ports must SILENTLY DROP (F5, bootstrap.rs:150-163) —
+    # urlsplit defers port validation to attribute access, so these
+    # raise ValueError inside the parse unless guarded. One such href
+    # in a page must not crash the link-expansion stage.
+    assert rfc3986_normalize("http://host:80x/") is None
+    assert rfc3986_normalize("http://host:99999999/") is None
+    assert rfc3986_normalize("http://[::1:80/") is None
+
+
+def test_normalize_href_malformed_port_golden():
+    from netrunner_spark.urlnorm import normalize_href
+
+    assert normalize_href("https://a.test/page", "http://host:80x/") is None
+    assert normalize_href("https://a.test/page", "//host:bad0/x") is None
+    # surrounding good hrefs still resolve
+    assert normalize_href("https://a.test/page", "/ok") == "https://a.test/ok"
 
 
 def test_sanitize_and_host():
