@@ -279,6 +279,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embedding_near_dups(spark, sf):
         return vectors.embedding_near_dups(_t(spark, sf, "embeddings"))
 
+    def ann_ivf_topk(spark, sf):
+        return vectors.ivf_topk(_t(spark, sf, "embeddings"))
+
+    def media_video_sample(spark, sf):
+        # multimodal: build deterministic NRVD1 videos, frame-sample
+        # every 2nd frame via mapInPandas; oracle derives the expected
+        # sample counts from the generation arithmetic
+        from netrunner_spark.media import sample_frames, synth_video_udf
+
+        ids = (
+            _t(spark, sf, "embeddings")
+            .select(F.col("vec_id").alias("video_id"))
+            .filter(F.col("video_id") < 100)
+        )
+        vids = ids.withColumn("bytes", synth_video_udf()(F.col("video_id")))
+        return sample_frames(vids, every=2).groupBy("video_id").agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("frame_idx").alias("max_idx"),
+        )
+
+    def media_audio_features(spark, sf):
+        from netrunner_spark.media import audio_features_udf, synth_audio_udf
+
+        ids = (
+            _t(spark, sf, "embeddings")
+            .select(F.col("vec_id").alias("audio_id"))
+            .filter(F.col("audio_id") < 100)
+        )
+        a = ids.withColumn("bytes", synth_audio_udf()(F.col("audio_id")))
+        f = a.withColumn("ft", audio_features_udf(F.col("bytes")))
+        return f.select(
+            "audio_id",
+            F.col("ft.n_samples").alias("n_samples"),
+            F.col("ft.abs_sum").alias("abs_sum"),
+            F.col("ft.zero_crossings").alias("zero_crossings"),
+        )
+
     def jaccard_pairs_capped(spark, sf):
         # hot-gram document-frequency cap — the 100 TB-safe variant
         return textops.jaccard_pairs(
@@ -449,6 +486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "lsh_bucket_sizes": lsh_bucket_sizes,
         "embedding_near_dups": embedding_near_dups,
+        "ann_ivf_topk": ann_ivf_topk,
+        "media_video_sample": media_video_sample,
+        "media_audio_features": media_audio_features,
         "jaccard_pairs_capped": jaccard_pairs_capped,
         "robots_parse": robots_parse,
         "x2_html_parse": x2_html_parse,
@@ -739,6 +779,61 @@ WITH base AS (
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
               FROM pairs
             ) WHERE rn <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), c AS (
+              SELECT vec_id AS cid, qe AS cq FROM q WHERE vec_id < 8
+            ), dots AS (
+              SELECT q.vec_id, q.qe, c.cid,
+                     list_reduce(list_transform(generate_series(1, len(q.qe)),
+                                 i -> q.qe[i] * c.cq[i]), (x, y) -> x + y) AS cd
+              FROM q, c
+            ), ranked AS (
+              SELECT vec_id, qe, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
+              FROM dots
+            ), cells AS (
+              SELECT vec_id, qe, cid FROM ranked WHERE rn = 1
+            ), probes AS (
+              SELECT vec_id AS query_id, qe AS qv, cid FROM ranked
+              WHERE rn <= 2 AND vec_id < 10
+            ), scored AS (
+              SELECT p.query_id, ce.vec_id AS neighbor_id,
+                     CAST(list_reduce(list_transform(generate_series(1, len(p.qv)),
+                          i -> p.qv[i] * ce.qe[i]), (x, y) -> x + y) AS BIGINT) AS dot_q
+              FROM probes p JOIN cells ce ON p.cid = ce.cid
+              WHERE ce.vec_id != p.query_id
+            )
+            SELECT query_id, neighbor_id, dot_q, rn AS rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS INT) AS rn
+              FROM scored
+            ) WHERE rn <= 5
+        """,
+        # media oracles: independent closed-form derivation of what the
+        # Spark side must reproduce by actually building + decoding the
+        # binary containers (n_frames = 4 + id%5, sampled every 2nd;
+        # square wave n = 1000 + (id%7)·100, period p = 10 + id%5)
+        "media_video_sample": """
+            SELECT vec_id AS video_id,
+                   CAST((4 + vec_id % 5 + 1) // 2 AS BIGINT) AS n_sampled,
+                   CAST(((4 + vec_id % 5 - 1) // 2) * 2 AS INT) AS max_idx
+            FROM embeddings WHERE vec_id < 100
+        """,
+        "media_audio_features": """
+            WITH a AS (
+              SELECT vec_id AS audio_id,
+                     1000 + (vec_id % 7) * 100 AS n,
+                     10 + vec_id % 5 AS p
+              FROM embeddings WHERE vec_id < 100
+            )
+            SELECT audio_id,
+                   CAST(n AS INT) AS n_samples,
+                   CAST(1000 * n AS BIGINT) AS abs_sum,
+                   CAST((n - 1) // p AS INT) AS zero_crossings
+            FROM a
         """,
         "embedding_near_dups": """
             WITH q AS (

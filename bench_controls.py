@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Hardware controls for the scaling experiment (BENCH/BASELINE.md §3):
+establish what THIS box can evidence before interpreting N→4N pairs.
+
+  busyloop  — pure-CPU (no memory traffic): do the cores exist?
+  memcopy   — 50 MB numpy copies: where does the memory bus saturate?
+
+Writes BENCH/controls.json. Run with the box otherwise idle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+BUSY = """
+import time
+t_end = time.time() + %f
+n = 0
+while time.time() < t_end:
+    for _ in range(10000): n += 1
+print(n)
+"""
+
+MEM = """
+import numpy as np, time
+a = np.ones(50_000_000, dtype=np.uint8)
+t_end = time.time() + %f
+n = 0
+while time.time() < t_end:
+    b = a.copy(); n += 1
+print(n)
+"""
+
+
+def run(n_procs: int, cpus: str, code: str) -> int:
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", cpus, sys.executable, "-c", code],
+            stdout=subprocess.PIPE,
+        )
+        for _ in range(n_procs)
+    ]
+    return sum(int(p.communicate()[0]) for p in procs)
+
+
+def main() -> None:
+    secs = float(os.environ.get("CTL_SECONDS", "5"))
+    busy, mem = BUSY % secs, MEM % secs
+    out: dict = {"seconds_per_leg": secs, "points": {}}
+    for n, cpus in ((2, "0-1"), (4, "0-3"), (8, "0-7"), (16, "0-15"), (32, "0-31")):
+        b = run(n, cpus, busy)
+        m = run(n, cpus, mem)
+        out["points"][str(n)] = {
+            "busyloop_iters": b,
+            "memcopy_gb_per_s": round(m * 0.05 / secs, 2),
+        }
+    p = out["points"]
+    out["busyloop_eff_8_to_32"] = round(
+        p["32"]["busyloop_iters"] / (4 * p["8"]["busyloop_iters"]), 2
+    )
+    out["memcopy_eff_8_to_32"] = round(
+        p["32"]["memcopy_gb_per_s"] / (4 * p["8"]["memcopy_gb_per_s"]), 2
+    )
+    out["memcopy_eff_2_to_8"] = round(
+        p["8"]["memcopy_gb_per_s"] / (4 * p["2"]["memcopy_gb_per_s"]), 2
+    )
+    os.makedirs(os.path.join(os.path.dirname(__file__), "BENCH"), exist_ok=True)
+    with open(
+        os.path.join(os.path.dirname(__file__), "BENCH", "controls.json"), "w"
+    ) as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

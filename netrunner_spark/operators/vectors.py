@@ -172,6 +172,66 @@ def srp_bucket(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     return embeddings.select("vec_id", bucket.alias("bucket"))
 
 
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
+    cells, probe only the query's ``nprobe`` closest cells, exact top-k
+    within the candidates — the inverted-file scale path next to the
+    SRP-LSH one.
+
+    Deterministic/oracle-able: centroids are the first ``n_centroids``
+    vectors (no iterative kmeans — a fixed, reproducible quantizer);
+    assignment and scoring are exact int64 dots over quantized
+    elements, ties broken by id.
+
+    Scale shape: assignment is a narrow crossJoin against the
+    BROADCAST centroid set (K ≪ corpus, one streaming pass);
+    candidate generation is an EQUI-join on cell id — candidates are
+    |corpus|·nprobe/K on balanced cells, never all-pairs.
+    """
+    base = embeddings.select("vec_id", _quantized(F.col("embedding")).alias("q"))
+    cents = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    dots = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cid", _dot(F.col("q"), F.col("cq")).alias("cd")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cd").desc(), F.col("cid"))
+    ranked = dots.withColumn("rn", F.row_number().over(w))
+    cells = ranked.filter(F.col("rn") == 1).select("vec_id", "q", "cid")
+    probes = (
+        ranked.filter((F.col("rn") <= nprobe) & (F.col("vec_id") < n_queries))
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "cid")
+    )
+    cands = probes.join(cells, "cid").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _dot(F.col("qv"), F.col("q")).alias("dot_q"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
 def lsh_candidates(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     """Candidate near-neighbor pairs sharing an SRP bucket (equi-join)."""
     b = srp_bucket(embeddings, bits)
