@@ -100,6 +100,52 @@ def check_urls(
     return dedup_frontier(frontier).select("url", "host", "url_hash")
 
 
+def check_urls_from_probe(
+    spark: SparkSession,
+    lens: LensConfig,
+    homepages: DataFrame,
+    robots_texts: DataFrame,
+    sitemaps: DataFrame,
+    cdx: DataFrame,
+    user_agent: str | None = None,
+) -> DataFrame:
+    """The live-shaped discovery front-end (S2+S3 full path,
+    bootstrap.rs:51-94 over site.rs probes): raw homepages + raw
+    robots.txt TEXT → parsed rules, declared-or-root-fallback sitemaps,
+    detected RSS/Atom feeds → the same downstream pipeline as
+    ``check_urls``. Everything stays relational — the probe tables are
+    whatever the fetch layer landed (MockFetcher in the sandbox,
+    HttpFetcher outside)."""
+    from netrunner_spark.sources.robots import USER_AGENT, parse_robots, site_info
+
+    ua = user_agent or USER_AGENT
+    rules = parse_robots(robots_texts, ua)
+    info = site_info(
+        homepages,
+        robots_texts,
+        ua,
+        known_sitemaps=sitemaps.select("sitemap_url"),
+    )
+    robots = (
+        rules.drop("sitemaps")
+        .join(info.select("host", "sitemaps"), "host", "left")
+        .withColumn(
+            "sitemaps", F.coalesce("sitemaps", F.array().cast("array<string>"))
+        )
+    )
+    feeds = info.select("host", F.col("feeds").alias("items")).filter(
+        F.size("items") > 0
+    )
+    return check_urls(
+        spark,
+        lens,
+        robots,
+        sitemaps,
+        cdx,
+        feeds=None if feeds.isEmpty() else feeds,
+    )
+
+
 def write_urls_txt(frontier: DataFrame, path: str) -> None:
     """K1: sorted unique URL list (main.rs:120-133). coalesce(1) is the
     checkpoint-artifact contract, not a scale path."""

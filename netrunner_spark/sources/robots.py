@@ -181,6 +181,7 @@ def site_info(
     homepages: DataFrame,
     robots_texts: DataFrame,
     user_agent: str = USER_AGENT,
+    known_sitemaps: DataFrame | None = None,
 ) -> DataFrame:
     """S2 domain probe, table-backed (site.rs:16-69): per host —
     detected feeds from the homepage, robots rules parsed from text,
@@ -189,6 +190,9 @@ def site_info(
 
     ``homepages``: (host, url, content) — the fetched homepage.
     ``robots_texts``: (host, robots_txt) — may omit hosts (no robots).
+    ``known_sitemaps``: optional (sitemap_url) table — the probe analog:
+    the root fallback counts only if that URL actually answers
+    (site.rs:47-56 checks the response; table-backed = row exists).
     → (host, feeds array, sitemaps array, has_robots bool).
     """
     feeds = (
@@ -213,8 +217,20 @@ def site_info(
             "left",
         )
     )
-    # site.rs:45-60: no declared sitemap → always try the root sitemap
-    fallback = F.array(F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")))
+    # site.rs:45-60: no declared sitemap → always try the root sitemap;
+    # it counts only if it answers (known_sitemaps membership)
+    root = F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml"))
+    joined = joined.withColumn("_root", root)
+    if known_sitemaps is not None:
+        answering = known_sitemaps.select(
+            F.col("sitemap_url").alias("_root")
+        ).dropDuplicates().withColumn("_root_ok", F.lit(True))
+        joined = joined.join(answering, "_root", "left")
+    else:
+        joined = joined.withColumn("_root_ok", F.lit(True))
+    fallback = F.when(
+        F.coalesce("_root_ok", F.lit(False)), F.array(F.col("_root"))
+    ).otherwise(F.array().cast("array<string>"))
     return joined.select(
         "host",
         F.coalesce("feeds", F.array().cast("array<string>")).alias("feeds"),

@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the drain's scale properties are
+PLAN properties (broadcast vs shuffle, partition pruning, column
+pruning) — assert them on explain output so a refactor that silently
+reintroduces a shuffle or a full-content scan fails loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from netrunner_spark.plans.crawl import CACHE_COLS, CrawlConfig, CrawlJob
+from netrunner_spark.sources.fetcher import MockFetcher
+from netrunner_spark.synth import gen_images, gen_robots, gen_web
+from netrunner_spark.tables import LakeCatalog
+from netrunner_spark.urlnorm import url_hash_col
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def drained(spark, tmp_path_factory):
+    web = gen_web(spark, 3, 30).cache()
+    cat = LakeCatalog(spark, str(tmp_path_factory.mktemp("plan_lake")))
+    job = CrawlJob(
+        spark,
+        cat,
+        MockFetcher(web),
+        gen_robots(spark, 3),
+        CrawlConfig(n_bloom_shards=8),
+        images=gen_images(spark, 3, 30),
+    )
+    job.init_frontier(web.select("url", "host", url_hash_col("url").alias("url_hash")))
+    job.run_round(0)
+    return {"job": job, "cat": cat, "web": web}
+
+
+def test_fetch_join_broadcasts_small_batch(drained):
+    """The round batch must broadcast into the store scan — a sort-merge
+    join here would shuffle the 10^10-row store every round."""
+    job = drained["job"]
+    batch = job._round_batch(1)
+    plan = _explain(MockFetcher(drained["web"]).fetch(batch, prefer_broadcast=True))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fetch_join_shuffles_when_told(drained):
+    job = drained["job"]
+    batch = job._round_batch(1)
+    plan = _explain(MockFetcher(drained["web"]).fetch(batch, prefer_broadcast=False))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_schedule_read_is_partition_pruned(drained):
+    """Reading round r's batch must touch only sched_round=r (direct
+    path read — no filter, no full-table listing)."""
+    cat = drained["cat"]
+    df = cat.read_partition("schedule", "sched_round", 1)
+    files = df.inputFiles()
+    assert files and all("sched_round=1" in f for f in files)
+
+
+def test_metrics_scan_prunes_content(drained):
+    """The per-round metrics job must never read the content column
+    (parquet column pruning keeps the tiny job tiny)."""
+    cat = drained["cat"]
+    slice_df = cat.read_slice("cache", "fetched_round", 0)
+    metrics = slice_df.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.when(F.col("status").between(200, 299), 1).otherwise(0)).alias("ok"),
+    )
+    plan = _explain(metrics)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("content" not in ln for ln in read_schema)
+
+
+def test_cache_write_plan_has_no_shuffle(drained):
+    """The round's cache pipeline (fetch + image verdicts) is exchange-
+    free up to the write: broadcasts only, content rows never shuffle."""
+    from netrunner_spark.plans.crawl import attach_image_checks
+
+    job = drained["job"]
+    batch = job._round_batch(1)
+    fetcher = job.fetcher
+    fetched = fetcher.fetch(batch, prefer_broadcast=True).select(*CACHE_COLS)
+    full = attach_image_checks(
+        fetched, job.images, prefer_broadcast=True,
+        refs=fetcher.image_refs(batch, prefer_broadcast=True),
+    )
+    plan = _explain(full)
+    assert "Exchange hashpartitioning" not in plan

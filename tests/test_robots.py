@@ -186,6 +186,43 @@ class TestDomainProbe:
         }
 
 
+class TestProbeDiscovery:
+    def test_check_urls_from_probe(self, spark):
+        """Full S2+S3 path: raw homepages + raw robots.txt text →
+        parse → sitemap/feed discovery. Host 3 declares NO sitemap in
+        robots, so the reference's root /sitemap.xml fallback
+        (site.rs:45-60) must find its (existing) root sitemap."""
+        from netrunner_spark.lens import LensConfig
+        from netrunner_spark.plans.check_urls import check_urls_from_probe
+        from netrunner_spark.synth import (
+            gen_cdx,
+            gen_robots_txt,
+            gen_sitemaps,
+            gen_web,
+        )
+
+        n, pages = 6, 12
+        web = gen_web(spark, n, pages)
+        homepages = web.filter(F.col("url").endswith("/docs/0")).select(
+            "host", "url", "content"
+        )
+        lens = LensConfig(
+            name="probe", domains=[f"host{h}.test" for h in range(n)]
+        )
+        out = check_urls_from_probe(
+            spark,
+            lens,
+            homepages,
+            gen_robots_txt(spark, n),
+            gen_sitemaps(spark, n, pages),
+            gen_cdx(spark, n, pages),
+        )
+        urls = {r["url"] for r in out.collect()}
+        assert "https://host0.test/docs/0" in urls  # declared sitemap
+        assert "https://host3.test/docs/0" in urls  # root fallback
+        assert len(urls) == len({u for u in urls})  # deduped
+
+
 class TestCheckDomainCli:
     def test_check_domain(self, spark, capsys):
         from netrunner_spark.__main__ import main
