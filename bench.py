@@ -143,19 +143,24 @@ def main() -> None:
         _ = n
 
     total = round(time.time() - t_start, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "frontier": frontier,
-                "cpus": CPUS,
-            }
-        )
-    )
+    out = {
+        "metric": "e2e_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "frontier": frontier,
+        "cpus": CPUS,
+    }
+    # attach the last committed scaling-efficiency experiment (the
+    # BASELINE.json north_rule criterion; produced by bench_scaling.py
+    # — too long to rerun here) + the hardware controls
+    for name, key in (("scaling.json", "scaling"), ("controls.json", "controls")):
+        path = os.path.join(REPO, "BENCH", name)
+        if os.path.isfile(path):
+            with open(path) as f:
+                out[key] = json.load(f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
