@@ -145,6 +145,46 @@ def test_image_psnr_invariant(spark, world):
     assert bad.count() == 0
 
 
+def test_follow_links_expands_schedule(spark, world, tmp_path_factory):
+    """Link expansion (our scalability extension): start from a few
+    seed pages only; parsed links must be admitted, robots-checked,
+    seen-filtered and scheduled into LATER rounds (schedule_ext),
+    then actually fetched — with no URL attempted twice."""
+    root = str(tmp_path_factory.mktemp("lake_links"))
+    cat = LakeCatalog(spark, root)
+    cfg = CrawlConfig(
+        round_seconds=10.0,
+        max_rounds=30,
+        n_bloom_shards=8,
+        follow_links=True,
+        max_depth=2,
+    )
+    job = CrawlJob(
+        spark, cat, MockFetcher(world["web"]), world["robots"], cfg,
+        lens=world["lens"],
+    )
+    seeds = world["web"].filter(F.col("url").endswith("/docs/0")).select(
+        "url", "host", F.xxhash64("url").alias("url_hash")
+    )
+    job.init_frontier(seeds)
+    stats = job.run()
+    cache = cat.read_slices("cache")
+    n_seeds = seeds.count()
+    # expansion really happened: more URLs fetched than seeded
+    assert cache.count() > n_seeds
+    # every URL attempted exactly once (seen guard + schedule dedup)
+    assert cache.count() == cache.select("url_hash").distinct().count()
+    # depth-1+ rows exist and respect max_depth
+    depths = {r["depth"] for r in cache.select("depth").distinct().collect()}
+    assert max(depths) >= 1 and max(depths) <= cfg.max_depth
+    # skip-rule still enforced on expanded links (F2)
+    assert cache.filter(F.col("url").startswith("https://host0.test/wiki/")).count() == 0
+    # terminal frontier accounts for everything scheduled
+    frontier = cat.read("frontier")
+    assert frontier.filter(F.col("state") == "queued").count() == 0
+    assert stats["fetched"] == cache.count()
+
+
 def test_resume_bit_identity(spark, world, discovered, tmp_path_factory):
     """Kill-resume: running rounds 0..1, then resuming a fresh CrawlJob
     over the same catalog, must converge to the same cache/frontier as
