@@ -91,9 +91,9 @@ def phash64(arr: np.ndarray) -> int:
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     g = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
     bits = (g > g.mean()).flatten()
-    val = 0
-    for bit in bits:
-        val = (val << 1) | int(bit)
+    # packbits packs bit 0 into the MSB of byte 0 — identical to the
+    # former (val << 1) | bit loop, vectorized
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return val - (1 << 64) if val >= 1 << 63 else val
 
 

@@ -138,6 +138,7 @@ def schedule_rounds(
     budgets: DataFrame | None = None,
     default_budget: int = 20,
     round_offset: int = 0,
+    n_salts: int = 1,
 ) -> DataFrame:
     """Assign every queued URL its drain round UP FRONT — one window
     pass for the whole crawl instead of one per round:
@@ -155,20 +156,42 @@ def schedule_rounds(
     (O(R·N) at 10^10 rows) becomes ONE O(N) job, and each round's batch
     is a partition-pruned read of ``sched_round=r``. At cluster scale
     the window's host-shuffle is a single pass you'd bucket-by-host.
+
+    ``n_salts > 1`` — SALTED scheduling for hot-host skew (north_rule:
+    "salted repartitioning to break hot-host skew"): the window
+    partitions by (host, pmod(url_hash, S)) so one 10^8-URL host spreads
+    over S tasks instead of one. Each salt stripe gets
+    ``floor(budget / S_eff)`` slots per round, so a (host, round) batch
+    carries at most ``S_eff · floor(budget / S_eff) ≤ budget`` URLs —
+    the politeness bound is PRESERVED (slightly under-filled rounds,
+    never over). Within-host order becomes per-stripe instead of global
+    — crawl order is our own pinned spec, and the sorted URL-set
+    artifact is unchanged.
     """
-    w = Window.partitionBy("host").orderBy(F.col("priority"), F.col("url_hash"))
-    ranked = frontier.withColumn("_rk", F.row_number().over(w))
     if budgets is not None:
-        ranked = ranked.join(F.broadcast(budgets), "host", "left").withColumn(
+        based = frontier.join(F.broadcast(budgets), "host", "left").withColumn(
             "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
         )
     else:
-        ranked = ranked.withColumn("budget", F.lit(default_budget))
+        based = frontier.withColumn("budget", F.lit(default_budget))
+    if n_salts <= 1:
+        w = Window.partitionBy("host").orderBy(F.col("priority"), F.col("url_hash"))
+        ranked = based.withColumn("_rk", F.row_number().over(w))
+        per_round = F.col("budget")
+    else:
+        s_eff = F.least(F.lit(n_salts), F.col("budget"))
+        based = based.withColumn("_salt", F.pmod(F.col("url_hash"), s_eff))
+        w = Window.partitionBy("host", "_salt").orderBy(
+            F.col("priority"), F.col("url_hash")
+        )
+        ranked = based.withColumn("_rk", F.row_number().over(w))
+        per_round = F.floor(F.col("budget") / s_eff)
     return ranked.withColumn(
         "sched_round",
-        (F.floor((F.col("_rk") - F.lit(1)) / F.col("budget")) + F.lit(round_offset))
-        .cast("int"),
-    ).drop("_rk", "budget")
+        (F.floor((F.col("_rk") - F.lit(1)) / per_round) + F.lit(round_offset)).cast(
+            "int"
+        ),
+    ).drop("_rk", "budget", "_salt")
 
 
 def with_priority(frontier: DataFrame) -> DataFrame:

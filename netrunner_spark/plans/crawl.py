@@ -160,6 +160,10 @@ class CrawlConfig:
     # build is driver-serial — at multi-100k-row rounds that serial
     # cost is the scaling bottleneck)
     broadcast_batch_bytes: int = BROADCAST_BATCH_BYTES
+    # >1: salt the scheduling window by pmod(url_hash, S) so a hot host
+    # spreads over S tasks (north_rule skew mitigation); politeness
+    # budget stays an upper bound (see politeness.schedule_rounds)
+    schedule_salts: int = 1
 
 
 class CrawlJob:
@@ -198,9 +202,9 @@ class CrawlJob:
             return
         base = urls.select("url", "url_hash", "host", F.lit(0).alias("depth"))
         ok = robots_allowed(base, self.robots)
-        sched = schedule_rounds(with_priority(ok), self.budgets()).select(
-            *SCHEDULE_COLS
-        )
+        sched = schedule_rounds(
+            with_priority(ok), self.budgets(), n_salts=self.cfg.schedule_salts
+        ).select(*SCHEDULE_COLS)
         blocked = base.join(ok.select("url_hash"), "url_hash", "left_anti").select(
             "url",
             "url_hash",
@@ -393,7 +397,10 @@ class CrawlJob:
 
         base_round = max(self.max_round(), round_no) + 1
         newly = schedule_rounds(
-            with_priority(fresh), self.budgets(), round_offset=base_round
+            with_priority(fresh),
+            self.budgets(),
+            round_offset=base_round,
+            n_salts=self.cfg.schedule_salts,
         ).select(*SCHEDULE_COLS)
         self.cat.append_partitions(newly, "schedule_ext", "sched_round")
 
