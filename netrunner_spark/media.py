@@ -44,13 +44,13 @@ def decode_video(data: bytes) -> tuple[dict, list[np.ndarray]]:
     """→ (meta, frames). Raises on unknown container (real formats need
     ``av``, unavailable here)."""
     if data[:5] != _MAGIC_VID:
-        try:  # pragma: no cover - real decoder path
-            import av  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "real video decoding requires PyAV (unavailable in this "
-                "sandbox); NRVD1 containers are supported"
-            ) from exc
+        # Unconditional: even with PyAV installed, routing real MP4 bytes
+        # through the NRVD1 header parse would produce garbage metadata —
+        # fail clearly instead. The PyAV path is a deliberate stub.
+        raise NotImplementedError(
+            "real video decoding (PyAV) not implemented in this build; "
+            "only NRVD1 containers are supported"
+        )
     n, w, h, fps_m = struct.unpack("<IIII", data[5:21])
     body = np.frombuffer(data, dtype=np.uint8, offset=21)
     frames = [
@@ -66,13 +66,10 @@ def encode_audio(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
     if data[:5] != _MAGIC_AUD:
-        try:  # pragma: no cover - real decoder path
-            import soundfile  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "real audio decoding requires soundfile (unavailable in "
-                "this sandbox); NRAU1 containers are supported"
-            ) from exc
+        raise NotImplementedError(
+            "real audio decoding (soundfile) not implemented in this "
+            "build; only NRAU1 containers are supported"
+        )
     rate, n = struct.unpack("<II", data[5:13])
     return rate, np.frombuffer(data, dtype="<i2", offset=13)[:n]
 

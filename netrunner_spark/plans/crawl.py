@@ -353,7 +353,27 @@ class CrawlJob:
         #    O(frontier).
         if self.cfg.follow_links:
             self._expand_links(round_no)
+            self.cat.set_marker("schedule_ext", f"expanded-{round_no}")
         return n_batch
+
+    def _backfill_expansion(self) -> None:
+        """Heal a crash AFTER the cache slice committed but BEFORE its
+        link expansion landed (ADVICE r2): without this, resume skips
+        past the round and its discovered links are never scheduled.
+        Re-running _expand_links is idempotent — already-scheduled keys
+        vanish in the seen anti-join — so replay appends only what the
+        crash lost. Driver-side marker check; normally a no-op."""
+        if not self.cfg.follow_links:
+            return
+        done = self.cat.max_committed_slice("cache", "fetched_round")
+        if done is None:
+            return
+        for r in range(done + 1):
+            if self.cat.slice_committed(
+                "cache", "fetched_round", r
+            ) and not self.cat.has_marker("schedule_ext", f"expanded-{r}"):
+                self._expand_links(r)
+                self.cat.set_marker("schedule_ext", f"expanded-{r}")
 
     def _expand_links(self, round_no: int) -> None:
         """Parse this round's 2xx pages, admit + normalize links,
@@ -516,6 +536,7 @@ class CrawlJob:
     # ------------------------------------------------------------ full run
     def run(self) -> dict:
         self._backfill_metrics()
+        self._backfill_expansion()
         start = self.current_round()
         total = 0
         rounds = 0

@@ -167,10 +167,16 @@ class HttpFetcher:
     TOTAL_TIMEOUT = 10.0
     USER_AGENT = "netrunner_spark/0.1.0"
     MAX_RETRY_AFTER = 30.0
+    MAX_REDIRECTS = 10  # reqwest's default policy (crawler.rs http_client)
 
-    def __init__(self, og_first: bool = True, rps: float = 2.0):
+    def __init__(self, og_first: bool = True, rps: float = 2.0, pool_size: int = 8):
+        """``pool_size``: concurrent in-flight requests per partition.
+        Politeness only constrains per-host spacing — different hosts in
+        the same partition fetch concurrently, so a task is no longer
+        capped at 1/latency req/s regardless of host mix."""
         self.og_first = og_first
         self.rps = rps
+        self.pool_size = pool_size
 
     def fetch(self, batch: DataFrame, prefer_broadcast: bool = True) -> DataFrame:
         import pandas as pd
@@ -204,15 +210,39 @@ class HttpFetcher:
         max_retry_after = self.MAX_RETRY_AFTER
         min_interval = 1.0 / self.rps if self.rps > 0 else 0.0
 
+        max_redirects = self.MAX_REDIRECTS
+        pool_size = self.pool_size
+
         def run(batches):
             import http.client
+            import threading
             import time
-            from urllib.parse import urlsplit
+            from concurrent.futures import ThreadPoolExecutor
+            from urllib.parse import urljoin, urlsplit
 
-            conns: dict = {}
-            last_hit: dict = {}
+            # per-host slot reservation shared across the pool: each
+            # request RESERVES the next legal hit time under a lock, then
+            # sleeps until its slot — per-host spacing holds no matter
+            # how many threads are in flight (W1, crawler.rs:21,80-88)
+            last_slot: dict = {}
+            slot_lock = threading.Lock()
+            # http.client connections are not thread-safe → per-thread
+            # keep-alive caches
+            tls = threading.local()
+
+            def reserve_slot(host: str) -> None:
+                with slot_lock:
+                    now = time.monotonic()
+                    slot = max(now, last_slot.get(host, now - min_interval) + min_interval)
+                    last_slot[host] = slot
+                wait = slot - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
 
             def get_conn(scheme: str, netloc: str):
+                conns = getattr(tls, "conns", None)
+                if conns is None:
+                    conns = tls.conns = {}
                 key = (scheme, netloc)
                 if key not in conns:
                     cls = (
@@ -223,54 +253,81 @@ class HttpFetcher:
                     conns[key] = cls(netloc, timeout=total_timeout)
                 return conns[key]
 
+            def drop_conn(scheme: str, netloc: str) -> None:
+                conns = getattr(tls, "conns", None)
+                if conns:
+                    c = conns.pop((scheme, netloc), None)
+                    if c is not None:
+                        try:
+                            c.close()
+                        except Exception:
+                            pass
+
             def fetch_one(url: str):
-                try:
-                    parts = urlsplit(url)
-                except ValueError:
-                    return None, [], None, 0
-                host = (parts.hostname or parts.netloc or "").lower()
                 status, headers, content, attempts = None, [], None, 0
                 for attempt in range(RETRY_BUDGET):
                     attempts = attempt + 1
-                    # keyed token bucket (W1): ≥ min_interval between
-                    # hits on the same host within this partition
-                    wait = last_hit.get(host, -1e18) + min_interval - time.monotonic()
-                    if wait > 0:
-                        time.sleep(wait)
-                    last_hit[host] = time.monotonic()
-                    try:
-                        conn = get_conn(parts.scheme, parts.netloc)
-                        path = parts.path or "/"
-                        if parts.query:
-                            path += "?" + parts.query
-                        conn.request(
-                            "GET",
-                            path,
-                            headers={"User-Agent": ua, "Connection": "keep-alive"},
-                        )
-                        r = conn.getresponse()
-                        status = r.status
-                        headers = [
-                            {"name": k, "value": v} for k, v in r.getheaders()
-                        ]
-                        body = r.read()
+                    cur, hops = url, 0
+                    while True:  # redirect-hop loop (reqwest follows ≤10)
+                        try:
+                            parts = urlsplit(cur)
+                        except ValueError:
+                            return None, [], None, attempts
+                        host = (parts.hostname or parts.netloc or "").lower()
+                        reserve_slot(host)
+                        try:
+                            conn = get_conn(parts.scheme, parts.netloc)
+                            path = parts.path or "/"
+                            if parts.query:
+                                path += "?" + parts.query
+                            conn.request(
+                                "GET",
+                                path,
+                                headers={"User-Agent": ua, "Connection": "keep-alive"},
+                            )
+                            r = conn.getresponse()
+                            status = r.status
+                            headers = [
+                                {"name": k, "value": v} for k, v in r.getheaders()
+                            ]
+                            body = r.read()
+                        except Exception:
+                            drop_conn(parts.scheme, parts.netloc)
+                            time.sleep(min(0.1 * (2**attempt), 5.0))
+                            break  # consume a retry attempt
+                        if 300 <= status < 400:
+                            loc = r.getheader("Location")
+                            if loc and hops < max_redirects:
+                                # re-resolve the connection key per hop;
+                                # relative Location resolves against cur
+                                cur = urljoin(cur, loc)
+                                hops += 1
+                                continue
+                            # 3xx without Location / hop cap: terminal —
+                            # retrying cannot help (ADVICE r2 fix)
+                            return status, headers, None, attempts
                         if 200 <= status < 300:
-                            content = body.decode("utf-8", errors="replace")
-                            break
+                            return (
+                                status,
+                                headers,
+                                body.decode("utf-8", errors="replace"),
+                                attempts,
+                            )
                         if status in NO_RETRY_STATUSES:
-                            break
+                            return status, headers, None, attempts
                         ra = r.getheader("Retry-After")
                         if status in (429, 503) and ra and ra.strip().isdigit():
                             time.sleep(min(float(ra.strip()), max_retry_after))
                         else:
                             time.sleep(min(0.1 * (2**attempt), 5.0))
-                    except Exception:
-                        conns.pop((parts.scheme, parts.netloc), None)
-                        time.sleep(min(0.1 * (2**attempt), 5.0))
+                        break  # consume a retry attempt
                 return status, headers, content, attempts
 
             for pdf in batches:
-                results = [fetch_one(u) for u in pdf["url"]]
+                urls = list(pdf["url"])
+                n_workers = max(1, min(pool_size, len(urls) or 1))
+                with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                    results = list(ex.map(fetch_one, urls))
                 out = pdf.copy()
                 # nullable Int32 — a plain int/None mix infers float64
                 out["status"] = pd.array(

@@ -122,9 +122,18 @@ def stateful_host_quota(
         else:
             last_ts, tokens = None, float(burst)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("discovered_at")
-            for r in pdf.itertuples(index=False):
+        # applyInPandasWithState may deliver a host's rows split across
+        # multiple Arrow chunks in arbitrary order; the token bucket is
+        # order-sensitive (replenish on ts > last_ts), so concatenate and
+        # sort the whole micro-batch by event time first — otherwise
+        # which rows get admitted depends on the input partitioning.
+        chunks = list(pdfs)
+        whole = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(whole):
+            whole = whole.sort_values(
+                "discovered_at", kind="mergesort"
+            )  # stable: ties keep arrival order deterministically
+            for r in whole.itertuples(index=False):
                 ts = r.discovered_at.timestamp()
                 if last_ts is not None and ts > last_ts:
                     tokens = min(float(burst), tokens + (ts - last_ts) * rps)

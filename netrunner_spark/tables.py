@@ -217,6 +217,21 @@ class LakeCatalog:
         ]
         return max(vals) if vals else None
 
+    # ------------------------------------------------------------- markers
+    def set_marker(self, table: str, name: str) -> None:
+        """Durable driver-side marker (atomic create) — records that a
+        non-table side effect tied to ``table`` completed, e.g. that a
+        round's link expansion ran (W4 exactly-once)."""
+        d = self._tdir(table)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".marker-tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w", encoding="utf-8"):
+            pass
+        os.replace(tmp, os.path.join(d, f"_marker-{name}"))
+
+    def has_marker(self, table: str, name: str) -> bool:
+        return os.path.isfile(os.path.join(self._tdir(table), f"_marker-{name}"))
+
     def merge(
         self,
         df: DataFrame,

@@ -185,6 +185,62 @@ def test_follow_links_expands_schedule(spark, world, tmp_path_factory):
     assert stats["fetched"] == cache.count()
 
 
+def test_expansion_backfill_heals_crash(spark, world, tmp_path_factory):
+    """W4 exactly-once for link expansion (ADVICE r2): a crash after the
+    round's cache slice commits but before _expand_links runs must NOT
+    lose that round's discovered links on resume. Simulated by
+    committing round 0 without expansion (no marker), then resuming
+    with follow_links on — the backfill replays the expansion and the
+    final cache equals an uninterrupted run's."""
+
+    def mk_cfg():
+        return CrawlConfig(
+            round_seconds=10.0, max_rounds=30, n_bloom_shards=8,
+            follow_links=True, max_depth=2,
+        )
+
+    seeds_df = world["web"].filter(F.col("url").endswith("/docs/0")).select(
+        "url", "host", F.xxhash64("url").alias("url_hash")
+    )
+
+    # uninterrupted reference run
+    root_a = str(tmp_path_factory.mktemp("lake_exp_a"))
+    cat_a = LakeCatalog(spark, root_a)
+    job_a = CrawlJob(
+        spark, cat_a, MockFetcher(world["web"]), world["robots"], mk_cfg(),
+        lens=world["lens"],
+    )
+    job_a.init_frontier(seeds_df)
+    job_a.run()
+
+    # crashed run: round 0's cache slice commits, expansion never runs
+    root_b = str(tmp_path_factory.mktemp("lake_exp_b"))
+    cat_b = LakeCatalog(spark, root_b)
+    crash_cfg = mk_cfg()
+    crash_cfg.follow_links = False  # models dying inside _expand_links
+    job_b = CrawlJob(
+        spark, cat_b, MockFetcher(world["web"]), world["robots"], crash_cfg,
+        lens=world["lens"],
+    )
+    job_b.init_frontier(seeds_df)
+    job_b.run_round(0)
+    assert not cat_b.has_marker("schedule_ext", "expanded-0")
+
+    # resume: fresh job, follow_links on → backfill must replay round 0's
+    # expansion even though current_round() has moved past it
+    job_b2 = CrawlJob(
+        spark, cat_b, MockFetcher(world["web"]), world["robots"], mk_cfg(),
+        lens=world["lens"],
+    )
+    job_b2.run()
+    assert cat_b.has_marker("schedule_ext", "expanded-0")
+
+    a = {(r["url"], r["status"]) for r in cat_a.read_slices("cache").collect()}
+    b = {(r["url"], r["status"]) for r in cat_b.read_slices("cache").collect()}
+    assert a == b
+    assert len(b) > seeds_df.count()  # expansion genuinely recovered
+
+
 def test_resume_bit_identity(spark, world, discovered, tmp_path_factory):
     """Kill-resume: running rounds 0..1, then resuming a fresh CrawlJob
     over the same catalog, must converge to the same cache/frontier as

@@ -46,6 +46,37 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+        elif self.path == "/redir":
+            self.send_response(302)
+            self.send_header("Location", "/ok")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        elif self.path == "/hop1":
+            self.send_response(301)
+            self.send_header("Location", "/hop2")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        elif self.path == "/hop2":
+            self.send_response(302)
+            self.send_header("Location", "ok")  # relative: resolves vs /hop2
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        elif self.path == "/noloc":
+            self.send_response(302)  # 3xx WITHOUT Location: terminal
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        elif self.path == "/loop":
+            self.send_response(302)
+            self.send_header("Location", "/loop")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        elif self.path.startswith("/wait"):
+            time.sleep(0.5)
+            body = b"slow"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self.send_response(500)
             self.send_header("Content-Length", "0")
@@ -97,6 +128,69 @@ def test_http_fetcher_per_host_pacing(spark, server):
     assert len(ts) == 3
     # ≥ 1/rps between consecutive same-host hits (token bucket, W1)
     assert all(b - a >= 0.15 for a, b in zip(ts, ts[1:]))
+
+
+def test_redirects_followed(spark, server):
+    """3xx follows Location (bounded hops, relative resolution) instead
+    of burning the retry budget — reqwest-default parity (ADVICE r2)."""
+    for p in ("/redir", "/hop1", "/hop2", "/noloc", "/loop", "/ok"):
+        _Handler.hits.pop(p, None)
+    urls = [f"{server}/redir", f"{server}/hop1", f"{server}/noloc"]
+    batch = spark.createDataFrame(
+        [(u, "127.0.0.1", i) for i, u in enumerate(urls)],
+        "url string, host string, url_hash long",
+    ).coalesce(1)
+    out = {r["url"].rsplit("/", 1)[1]: r for r in
+           HttpFetcher(rps=100.0).fetch(batch).collect()}
+
+    # single-hop absolute Location → lands on /ok, one attempt
+    assert out["redir"]["status"] == 200
+    assert out["redir"]["content"] == "hello world"
+    assert out["redir"]["attempts"] == 1
+    # two-hop chain incl. RELATIVE Location ("ok" vs /hop2)
+    assert out["hop1"]["status"] == 200
+    assert out["hop1"]["content"] == "hello world"
+    # 3xx without Location: terminal, exactly one attempt (no retries)
+    assert out["noloc"]["status"] == 302
+    assert out["noloc"]["attempts"] == 1
+    assert _Handler.hits["/noloc"] == 1
+
+
+def test_redirect_loop_capped(spark, server):
+    _Handler.hits.pop("/loop", None)
+    batch = spark.createDataFrame(
+        [(f"{server}/loop", "127.0.0.1", 0)],
+        "url string, host string, url_hash long",
+    )
+    row = HttpFetcher(rps=1000.0).fetch(batch).collect()[0]
+    # hop cap reached → terminal 3xx, one attempt, 1 + MAX_REDIRECTS hits
+    assert row["status"] == 302
+    assert row["attempts"] == 1
+    assert _Handler.hits["/loop"] == 1 + HttpFetcher.MAX_REDIRECTS
+
+
+def test_cross_host_concurrency_with_pacing(spark, server):
+    """Thread pool per partition: different hosts are in flight
+    concurrently (wall-time bound), while same-host spacing holds.
+    127.0.0.1 and localhost resolve to the same loopback server but are
+    distinct politeness hosts."""
+    port = server.rsplit(":", 1)[1]
+    urls = [
+        f"{server}/wait?a", f"{server}/wait?b",
+        f"http://localhost:{port}/wait?c", f"http://localhost:{port}/wait?d",
+    ]
+    hosts = ["127.0.0.1", "127.0.0.1", "localhost", "localhost"]
+    batch = spark.createDataFrame(
+        [(u, h, i) for i, (u, h) in enumerate(zip(urls, hosts))],
+        "url string, host string, url_hash long",
+    ).coalesce(1)
+    t0 = time.monotonic()
+    rows = HttpFetcher(rps=100.0, pool_size=8).fetch(batch).collect()
+    wall = time.monotonic() - t0
+    assert all(r["status"] == 200 for r in rows)
+    # serial would be ≥ 4 × 0.5 s; concurrent across hosts + pool ≈ 1 s.
+    # Generous bound still proves >1 request in flight.
+    assert wall < 1.9, f"no cross-host concurrency: wall={wall:.2f}s"
 
 
 def test_null_status_on_connection_failure(spark):
