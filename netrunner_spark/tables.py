@@ -22,12 +22,15 @@ with deterministic last-write-wins keyed upserts.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
 
 
 class LakeCatalog:
@@ -68,7 +71,9 @@ class LakeCatalog:
 
     # ------------------------------------------------------------------ API
     def read(self, table: str, version: int | None = None) -> DataFrame:
-        return self.spark.read.parquet(self.snapshot_path(table, version))
+        df = self.spark.read.parquet(self.snapshot_path(table, version))
+        # bucketed layout column is physical, not logical — hide it
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
     def write(
         self,
@@ -232,6 +237,51 @@ class LakeCatalog:
     def has_marker(self, table: str, name: str) -> bool:
         return os.path.isfile(os.path.join(self._tdir(table), f"_marker-{name}"))
 
+    # --------------------------------------------------- bucketed merge (K2)
+    def _bucket_meta_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_buckets")
+
+    def bucket_meta(self, table: str) -> dict | None:
+        try:
+            with open(self._bucket_meta_path(table), encoding="utf-8") as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    @staticmethod
+    def _bucket_expr(keys: list[str], n_buckets: int):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+
+    def write_bucketed(
+        self, df: DataFrame, table: str, key: str | list[str], n_buckets: int = 64
+    ) -> int:
+        """Snapshot write with an explicit Iceberg-style ``bucket(N, key)``
+        layout: rows land under ``snap-V/_bucket=k`` with
+        k = pmod(xxhash64(key), N). This is what makes ``merge`` touch
+        O(affected buckets) instead of O(table)."""
+        keys = [key] if isinstance(key, str) else list(key)
+        cur = self.version(table)
+        new = 1 if cur is None else cur + 1
+        path = os.path.join(self._tdir(table), f"snap-{new}")
+        out = df.withColumn(BUCKET_COL, self._bucket_expr(keys, n_buckets))
+        out.repartition(F.col(BUCKET_COL)).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(path)
+        tmp = self._bucket_meta_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"n_buckets": n_buckets, "key": keys}, f)
+        os.replace(tmp, self._bucket_meta_path(table))
+        self._commit(table, new)
+        return new
+
+    def read_bucketed(self, table: str, version: int | None = None) -> DataFrame:
+        """Read a bucketed snapshot WITHOUT the layout column."""
+        return (
+            self.spark.read.option("basePath", self.snapshot_path(table, version))
+            .parquet(self.snapshot_path(table, version))
+            .drop(BUCKET_COL)
+        )
+
     def merge(
         self,
         df: DataFrame,
@@ -239,15 +289,80 @@ class LakeCatalog:
         key: str | list[str],
         bucket_hint: str | None = None,
     ) -> int:
-        """MERGE INTO: upsert by key, new rows win (K2 semantics)."""
+        """MERGE INTO: upsert by key, new rows win (K2 semantics,
+        replacing the reference's first-wins file dedup mod.rs:177-208).
+
+        Bucket-wise when the table has a bucketed layout
+        (``write_bucketed``): only the buckets containing incoming keys
+        are rewritten — one Spark job over O(affected buckets) of old
+        data — and every untouched bucket's files are HARDLINKED from
+        the previous snapshot (zero copy, the parquet analog of Iceberg
+        reusing unchanged manifests). A 2-bucket upsert against a
+        10^10-row 64-bucket cache reads/writes 2/64ths of it.
+        Falls back to the O(table) rewrite for unbucketed tables."""
         keys = [key] if isinstance(key, str) else list(key)
-        if self.exists(table):
-            old = self.read(table)
-            keep = old.join(df.select(*keys).dropDuplicates(keys), keys, "left_anti")
-            merged = keep.unionByName(df.dropDuplicates(keys))
-        else:
-            merged = df.dropDuplicates(keys)
-        return self.write(merged, table, bucket_hint=bucket_hint)
+        meta = self.bucket_meta(table)
+        if meta is None or not self.exists(table) or meta.get("key") != keys:
+            if self.exists(table):
+                old = self.read(table)
+                keep = old.join(
+                    df.select(*keys).dropDuplicates(keys), keys, "left_anti"
+                )
+                merged = keep.unionByName(df.dropDuplicates(keys))
+            else:
+                merged = df.dropDuplicates(keys)
+            return self.write(merged, table, bucket_hint=bucket_hint)
+
+        n_buckets = int(meta["n_buckets"])
+        incoming = df.dropDuplicates(keys).withColumn(
+            BUCKET_COL, self._bucket_expr(keys, n_buckets)
+        )
+        # affected buckets: ≤ n_buckets values — driver-safe collect
+        affected = sorted(
+            r[0] for r in incoming.select(BUCKET_COL).distinct().collect()
+        )
+        cur = self.version(table)
+        old_snap = self.snapshot_path(table, cur)
+        new = cur + 1
+        new_snap = os.path.join(self._tdir(table), f"snap-{new}")
+        os.makedirs(new_snap, exist_ok=True)
+
+        if affected:
+            old_paths = [
+                p
+                for b in affected
+                if os.path.isdir(p := os.path.join(old_snap, f"{BUCKET_COL}={b}"))
+            ]
+            if old_paths:
+                old_rows = self.spark.read.option("basePath", old_snap).parquet(
+                    *old_paths
+                )
+                keep = old_rows.join(
+                    incoming.select(*keys).dropDuplicates(keys), keys, "left_anti"
+                )
+                merged = keep.unionByName(incoming.select(*old_rows.columns))
+            else:
+                merged = incoming
+            merged.repartition(F.col(BUCKET_COL)).write.mode(
+                "overwrite"
+            ).partitionBy(BUCKET_COL).parquet(new_snap)
+
+        # untouched buckets: hardlink every file from the old snapshot
+        affected_set = {f"{BUCKET_COL}={b}" for b in affected}
+        for entry in os.scandir(old_snap):
+            if not entry.is_dir() or not entry.name.startswith(f"{BUCKET_COL}="):
+                continue
+            if entry.name in affected_set:
+                continue
+            dst_dir = os.path.join(new_snap, entry.name)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f_ in os.scandir(entry.path):
+                if f_.is_file() and not f_.name.startswith("_"):
+                    dst = os.path.join(dst_dir, f_.name)
+                    if not os.path.exists(dst):
+                        os.link(f_.path, dst)
+        self._commit(table, new)
+        return new
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
