@@ -457,6 +457,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b = vectors.srp_bucket(_t(spark, sf, "embeddings"))
         return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
 
+    def _warc_docs(spark, sf):
+        """Deterministic ArchiveRecords from documents: every 10th doc is
+        a connection failure (status NULL — K3 must skip it), the rest
+        roundtrip through real WARC bytes."""
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id").cast("string")
+        return docs.select(
+            "doc_id",
+            F.concat(F.lit("https://w.test/doc/"), d).alias("url"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(None))
+            .otherwise(F.when(F.col("doc_id") % 7 == 3, 404).otherwise(200))
+            .cast("int")
+            .alias("status"),
+            F.array(
+                F.struct(
+                    F.lit("content-type").alias("name"),
+                    F.lit("text/html").alias("value"),
+                )
+            ).alias("headers"),
+            # body contains a blank line — the reader must not split on it
+            F.concat(
+                F.lit("payload "), d, F.lit("\n\nsecond "),
+                (F.col("doc_id") % 7).cast("string"),
+            ).alias("content"),
+        )
+
+    def warc_roundtrip(spark, sf):
+        # K3→S10: records → real gzip'd WARC bytes on disk → reader →
+        # parsed fields. The oracle derives every field in closed form;
+        # the Spark side must REPRODUCE them through the actual bytes.
+        import tempfile
+
+        from netrunner_spark.sources.warc import warc_export, warc_read
+
+        recs = _warc_docs(spark, sf)
+        out = tempfile.mkdtemp(prefix="nr_warc_q_")
+        warc_export(recs, out, single_file=True).collect()  # run the export
+        back = warc_read(spark, out)
+        return back.select(
+            "url",
+            "status",
+            F.size("headers").alias("n_headers"),
+            F.length("content").alias("content_len"),
+            F.substring("content", 1, 12).alias("head12"),
+        )
+
+    def a6_compression_ratio(spark, sf):
+        # A6 (archive.rs:160-187): exact raw-byte accounting + skip
+        # count from the export manifest; the gzip'd size can't be
+        # derived in closed form, so the oracle checks it as a bound.
+        import tempfile
+
+        from netrunner_spark.sources.warc import warc_export
+
+        recs = _warc_docs(spark, sf)
+        out = tempfile.mkdtemp(prefix="nr_warc_a6_")
+        m = warc_export(recs, out, single_file=True)
+        return m.select(
+            "n_records",
+            "n_skipped",
+            "bytes_raw",
+            (
+                (F.col("compression_ratio") > 0)
+                & (F.col("compression_ratio") < 1)
+                & (F.col("bytes_written") < F.col("bytes_raw"))
+            ).alias("ratio_bounded"),
+        )
+
     return {
         "w1_politeness_quota": w1_politeness_quota,
         "f2_admission_filter": f2_admission_filter,
@@ -494,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_html_parse": x2_html_parse,
         "f3_seed_classification": f3_seed_classification,
         "s4_sitemap_closure": s4_sitemap_closure,
+        "warc_roundtrip": warc_roundtrip,
+        "a6_compression_ratio": a6_compression_ratio,
     }
 
 
@@ -931,5 +1001,27 @@ WITH base AS (
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_regionkey % 2 = 0
+        """,
+        # warc oracles: the Spark side writes REAL gzip'd WARC bytes and
+        # reads them back; the oracle derives every parsed field (and the
+        # exact raw byte count — record = 277 + 2·digits(doc_id) bytes
+        # for this fixed header/content shape) in closed form.
+        "warc_roundtrip": """
+            SELECT 'https://w.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS INT) AS status,
+                   CAST(1 AS INT) AS n_headers,
+                   CAST(18 + length(CAST(doc_id AS VARCHAR)) AS INT) AS content_len,
+                   substr('payload ' || CAST(doc_id AS VARCHAR)
+                          || chr(10) || chr(10) || 'second '
+                          || CAST(doc_id % 7 AS VARCHAR), 1, 12) AS head12
+            FROM documents WHERE doc_id % 10 <> 0
+        """,
+        "a6_compression_ratio": """
+            SELECT CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+                   CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+                   CAST(sum(CASE WHEN doc_id % 10 <> 0
+                        THEN 277 + 2 * length(CAST(doc_id AS VARCHAR)) ELSE 0 END) AS BIGINT) AS bytes_raw,
+                   TRUE AS ratio_bounded
+            FROM documents
         """,
     }

@@ -164,6 +164,13 @@ class CrawlConfig:
     # spreads over S tasks (north_rule skew mitigation); politeness
     # budget stays an upper bound (see politeness.schedule_rounds)
     schedule_salts: int = 1
+    # set to a bucket count to store the SCHEDULE as a Spark bucketed
+    # table on url_hash (same count as the fetcher's bucketed store):
+    # every round's fetch join is then a co-located, exchange-free
+    # sort-merge join with NO driver-serial broadcast build — the
+    # round-2 serial floor (BENCH/BASELINE.md §5). Pair with
+    # fetcher.prepare_colocated_fetcher.
+    colocated_buckets: int | None = None
 
 
 class CrawlJob:
@@ -191,6 +198,23 @@ class CrawlJob:
         self._budgets = None
 
     # ------------------------------------------------------------ lifecycle
+    def _colocated(self) -> bool:
+        return bool(self.cfg.colocated_buckets)
+
+    def _schedule_df(self) -> DataFrame:
+        return (
+            self.cat.read_table("schedule")
+            if self._colocated()
+            else self.cat.read("schedule")
+        )
+
+    def _sched_rounds(self) -> list[int]:
+        return (
+            self.cat.table_partition_values("schedule", "sched_round")
+            if self._colocated()
+            else self.cat.partition_values("schedule", "sched_round")
+        )
+
     def init_frontier(self, urls: DataFrame) -> None:
         """urls(url, host, url_hash) → ``schedule`` table: robots verdict
         stamped ONCE per URL (disallowed rows park at sched_round=-1),
@@ -198,7 +222,9 @@ class CrawlJob:
         (schedule_rounds — one window job for the whole crawl). The
         URL-seen bloom is built over all scheduled keys in the same
         step. No-op if a schedule exists (resume, W4/mod.rs:121-128)."""
-        if self.cat.exists("schedule"):
+        if self.cat.exists("schedule") or (
+            self._colocated() and self.cat.table_meta("schedule") is not None
+        ):
             return
         base = urls.select("url", "url_hash", "host", F.lit(0).alias("depth"))
         ok = robots_allowed(base, self.robots)
@@ -213,11 +239,21 @@ class CrawlJob:
             F.lit(0.0).alias("priority"),
             F.lit(-1).alias("sched_round"),
         )
-        self.cat.write(
-            sched.unionByName(blocked), "schedule", partition_by=["sched_round"]
-        )
+        full = sched.unionByName(blocked)
+        if self._colocated():
+            # bucket-aligned with the fetcher's store: per-round reads are
+            # partition-pruned AND carry bucketing metadata into the join
+            self.cat.write_table_bucketed(
+                full,
+                "schedule",
+                key="url_hash",
+                n_buckets=self.cfg.colocated_buckets,
+                partition_by=["sched_round"],
+            )
+        else:
+            self.cat.write(full, "schedule", partition_by=["sched_round"])
         keys = (
-            self.cat.read("schedule")
+            self._schedule_df()
             .filter(F.col("sched_round") >= 0)
             .select("url_hash")
         )
@@ -236,9 +272,7 @@ class CrawlJob:
     def max_round(self) -> int:
         """Highest scheduled round (init schedule + link-expansion
         appends); -1 when nothing is scheduled. Driver-side listing."""
-        vals = [
-            v for v in self.cat.partition_values("schedule", "sched_round") if v >= 0
-        ]
+        vals = [v for v in self._sched_rounds() if v >= 0]
         m = max(vals, default=-1)
         ext = self.cat.max_slice("schedule_ext", "sched_round")
         return max(m, ext if ext is not None else -1)
@@ -259,10 +293,20 @@ class CrawlJob:
     # ------------------------------------------------------------ one round
     def _round_batch(self, round_no: int) -> DataFrame | None:
         parts = []
-        if round_no in self.cat.partition_values("schedule", "sched_round"):
-            parts.append(
-                self.cat.read_partition("schedule", "sched_round", round_no)
-            )
+        if round_no in self._sched_rounds():
+            if self._colocated():
+                # catalog-table read: the sched_round predicate prunes to
+                # one partition at plan time AND the scan keeps its
+                # url_hash bucketing → exchange-free fetch join
+                parts.append(
+                    self.cat.read_table("schedule")
+                    .filter(F.col("sched_round") == round_no)
+                    .drop("sched_round")
+                )
+            else:
+                parts.append(
+                    self.cat.read_partition("schedule", "sched_round", round_no)
+                )
         if self.cat.slice_exists("schedule_ext", "sched_round", round_no):
             parts.append(self.cat.read_slice("schedule_ext", "sched_round", round_no))
         if not parts:
@@ -318,14 +362,30 @@ class CrawlJob:
             return 0
 
         # 1. cache slice — the ONE pass that materializes fetched content
-        #    (idempotent overwrite on replay). The fetch join broadcasts
-        #    the batch only while it is genuinely small (driver-side
-        #    stat of the schedule partition, no job).
-        small = self._batch_bytes(round_no) < self.cfg.broadcast_batch_bytes
-        fetched = self.fetcher.fetch(batch, prefer_broadcast=small).select(
-            *CACHE_COLS
-        )
-        if self.images is not None:
+        #    (idempotent overwrite on replay). Colocated mode: bucketed
+        #    sort-merge join, no broadcast sizing needed (and image
+        #    validation is fused into the fetch stage). Otherwise the
+        #    fetch join broadcasts the batch only while it is genuinely
+        #    small (driver-side stat of the schedule partition, no job).
+        inline_images = getattr(self.fetcher, "images_by_url", None) is not None
+        if self._colocated():
+            fetched = self.fetcher.fetch(batch)
+            fetched = fetched.select(
+                *(CACHE_COLS + ["image_ok", "image_phash"])
+                if inline_images
+                else CACHE_COLS
+            )
+        else:
+            small = self._batch_bytes(round_no) < self.cfg.broadcast_batch_bytes
+            fetched = self.fetcher.fetch(batch, prefer_broadcast=small).select(
+                *CACHE_COLS
+            )
+        if self.images is not None and not inline_images:
+            small = (
+                True
+                if self._colocated()
+                else self._batch_bytes(round_no) < self.cfg.broadcast_batch_bytes
+            )
             refs = (
                 self.fetcher.image_refs(batch, prefer_broadcast=small)
                 if hasattr(self.fetcher, "image_refs")
@@ -406,7 +466,7 @@ class CrawlJob:
         if shards is not None and "n_shards" in shards.columns:
             n_sh = int(shards.agg(F.max("n_shards")).first()[0])
 
-        scheduled = self.cat.read("schedule").select("url_hash", "sched_round")
+        scheduled = self._schedule_df().select("url_hash", "sched_round")
         ext = self.cat.read_slices("schedule_ext")
         seen_keys = scheduled.filter(F.col("sched_round") >= 0).select("url_hash")
         if ext is not None:
@@ -439,7 +499,7 @@ class CrawlJob:
         ONCE at drain end (round 1 rewrote this table every round).
         State is fully derivable: blocked (sched_round=-1) / fetched
         (2xx cache row) / failed (cache row) / queued (no cache row)."""
-        sched = self.cat.read("schedule").select(*SCHEDULE_COLS)
+        sched = self._schedule_df().select(*SCHEDULE_COLS)
         ext = self.cat.read_slices("schedule_ext")
         if ext is not None:
             sched = sched.unionByName(ext.select(*SCHEDULE_COLS))

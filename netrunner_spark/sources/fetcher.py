@@ -35,10 +35,39 @@ NO_RETRY_STATUSES = (403, 404)  # crawler.rs:48-59
 
 
 class MockFetcher:
-    def __init__(self, web: DataFrame, og_first: bool = True):
-        """``web``: synthetic page store (synth.gen_web schema)."""
-        self.web = web.withColumn("url_hash", F.xxhash64("url"))
+    def __init__(
+        self,
+        web: DataFrame,
+        og_first: bool = True,
+        colocated: bool = False,
+        images_by_url: DataFrame | None = None,
+    ):
+        """``web``: synthetic page store (synth.gen_web schema).
+
+        ``colocated=True``: the store (and the round batches fed to
+        ``fetch``) are Spark bucketed tables on ``url_hash`` with equal
+        bucket counts — the fetch join then runs as an exchange-free
+        sort-merge join with NO driver-built broadcast relation (the
+        round-2 serial floor). On a cluster this is Iceberg
+        ``bucket(N, url_hash)`` + storage-partitioned joins.
+
+        ``images_by_url``: pre-co-located image payloads
+        (url_hash, bytes, w, h, phash), bucketed the same way — image
+        decode+validate then happens INLINE in the same exchange-free
+        stage (see prepare_colocated_fetcher)."""
+        if "url_hash" not in web.columns:
+            web = web.withColumn("url_hash", F.xxhash64("url"))
+        self.web = web
         self.og_first = og_first
+        self.colocated = colocated
+        self.images_by_url = images_by_url
+
+    def _side(self, df: DataFrame, prefer_broadcast: bool) -> DataFrame:
+        """Join-strategy dial for the batch/keys side: co-located merge
+        join (bucketed, exchange-free) / broadcast / shuffle-hash."""
+        if self.colocated:
+            return df.hint("merge")
+        return F.broadcast(df) if prefer_broadcast else df.hint("shuffle_hash")
 
     def image_refs(self, batch: DataFrame, prefer_broadcast: bool = True) -> DataFrame:
         """Distinct image FKs this batch will touch — a COLUMN-PRUNED
@@ -46,8 +75,7 @@ class MockFetcher:
         image validation never has to re-derive refs from the fetch
         output (materializing that for a broadcast would re-run the
         full content scan — measured +14 s/round at bench scale)."""
-        keys = batch.select("url_hash")
-        keys = F.broadcast(keys) if prefer_broadcast else keys.hint("shuffle_hash")
+        keys = self._side(batch.select("url_hash"), prefer_broadcast)
         return (
             self.web.select("url_hash", "image_id")
             .join(keys, "url_hash")
@@ -100,7 +128,7 @@ class MockFetcher:
         )
         src_primary = "origin" if self.og_first else "archive"
         src_secondary = "archive" if self.og_first else "origin"
-        bset = F.broadcast(batch) if prefer_broadcast else batch.hint("shuffle_hash")
+        bset = self._side(batch, prefer_broadcast)
         hits = pages.join(bset, "url_hash").select(
             *batch_cols,
             eff_status.alias("status"),
@@ -122,15 +150,21 @@ class MockFetcher:
             .alias("source"),
         )
         # keys present in the store: column-pruned scan (url_hash only) ×
-        # broadcast batch — small result, safe to broadcast into the anti
-        bkeys = (
-            F.broadcast(batch.select("url_hash"))
-            if prefer_broadcast
-            else batch.select("url_hash").hint("shuffle_hash")
-        )
-        present = pages.select("url_hash").join(bkeys, "url_hash")
-        present = F.broadcast(present) if prefer_broadcast else present
-        misses = batch.join(present, "url_hash", "left_anti").select(
+        # broadcast batch — small result, safe to broadcast into the anti.
+        # Colocated mode: the whole chain stays bucket-aligned instead.
+        if self.colocated:
+            present = pages.select("url_hash").hint("merge")
+            misses_src = batch.join(present, "url_hash", "left_anti")
+        else:
+            bkeys = (
+                F.broadcast(batch.select("url_hash"))
+                if prefer_broadcast
+                else batch.select("url_hash").hint("shuffle_hash")
+            )
+            present = pages.select("url_hash").join(bkeys, "url_hash")
+            present = F.broadcast(present) if prefer_broadcast else present
+            misses_src = batch.join(present, "url_hash", "left_anti")
+        misses = misses_src.select(
             *batch_cols,
             F.lit(None).cast("int").alias("status"),  # connection failure
             F.lit(None).cast(
@@ -141,7 +175,85 @@ class MockFetcher:
             F.lit(RETRY_BUDGET).alias("attempts"),  # all retries consumed (W5)
             F.lit("origin" if self.og_first else "archive").alias("source"),
         )
+        if self.images_by_url is not None:
+            hits = self._attach_images_inline(hits)
+            misses = misses.withColumn(
+                "image_ok", F.lit(None).cast("boolean")
+            ).withColumn("image_phash", F.lit(None).cast("long"))
         return hits.unionByName(misses)
+
+    def _attach_images_inline(self, hits: DataFrame) -> DataFrame:
+        """Image decode+validate fused into the fetch stage: a co-located
+        left join against the pre-bucketed (url_hash → image payload)
+        table, then the Arrow-batched decode UDF — zero exchanges, zero
+        broadcast builds (vs attach_image_checks, which must broadcast
+        refs + verdicts when the store is not bucket-aligned)."""
+        from netrunner_spark.images import decode_check_udf
+
+        ibu = self.images_by_url.select(
+            "url_hash",
+            F.col("bytes").alias("_ibytes"),
+            F.col("w").alias("_iw"),
+            F.col("h").alias("_ih"),
+            F.col("phash").alias("_iphash"),
+        )
+        joined = hits.join(ibu.hint("merge"), "url_hash", "left")
+        chk = F.when(
+            F.col("_ibytes").isNotNull(), decode_check_udf(F.col("_ibytes"))
+        )
+        joined = joined.withColumn("chk", chk)
+        return joined.select(
+            *hits.columns,
+            F.when(
+                F.col("image_id").isNotNull(),
+                F.coalesce(
+                    F.col("chk.decode_ok")
+                    & (F.col("chk.w_actual") == F.col("_iw"))
+                    & (F.col("chk.h_actual") == F.col("_ih"))
+                    & (F.col("chk.phash_actual") == F.col("_iphash")),
+                    F.lit(False),
+                ),
+            ).alias("image_ok"),
+            F.col("chk.phash_actual").alias("image_phash"),
+        )
+
+
+def prepare_colocated_fetcher(
+    cat,
+    web: DataFrame,
+    images: DataFrame | None = None,
+    n_buckets: int = 32,
+    og_first: bool = True,
+) -> MockFetcher:
+    """One-time layout job (drain init, amortized over every round):
+    write the page store — and, when given, the image payloads keyed by
+    their owning page's url_hash — as Spark bucketed tables on
+    ``url_hash`` with a shared bucket count. Every subsequent round's
+    fetch join (and inline image validation) is then exchange-free with
+    no per-round driver-serial broadcast build. Cluster translation:
+    Iceberg ``bucket(N, url_hash)`` on cache + store, storage-partitioned
+    joins."""
+    if "url_hash" not in web.columns:
+        web = web.withColumn("url_hash", F.xxhash64("url"))
+    cat.write_table_bucketed(web, "web_store", key="url_hash", n_buckets=n_buckets)
+    ibu = None
+    if images is not None:
+        refs = web.select("url_hash", "image_id").filter(
+            F.col("image_id").isNotNull()
+        )
+        pairs = images.join(refs, "image_id").select(
+            "url_hash", "bytes", "w", "h", "phash"
+        )
+        cat.write_table_bucketed(
+            pairs, "images_by_url", key="url_hash", n_buckets=n_buckets
+        )
+        ibu = cat.read_table("images_by_url")
+    return MockFetcher(
+        cat.read_table("web_store"),
+        og_first=og_first,
+        colocated=True,
+        images_by_url=ibu,
+    )
 
 
 class HttpFetcher:

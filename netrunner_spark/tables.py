@@ -22,6 +22,7 @@ with deterministic last-write-wins keyed upserts.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -221,6 +222,106 @@ class LakeCatalog:
             if e.is_dir() and e.name.startswith(f"{slice_col}=")
         ]
         return max(vals) if vals else None
+
+    # ----------------------------------------- Spark-native bucketed tables
+    # (the co-located-join layout: two tables bucketBy'd on the same key
+    # with the same bucket count join with ZERO exchanges and no
+    # driver-built broadcast relation — the local-mode twin of Iceberg
+    # ``bucket(N, key)`` storage-partitioned joins on a cluster)
+
+    def table_name(self, table: str) -> str:
+        """Session-catalog name, unique per (lake root, table)."""
+        tag = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        return f"nrtbl_{tag}_{table}"
+
+    def _table_meta_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_table_meta")
+
+    def table_meta(self, table: str) -> dict | None:
+        try:
+            with open(self._table_meta_path(table), encoding="utf-8") as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def write_table_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        key: str,
+        n_buckets: int,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Write ``df`` as a Spark bucketed+sorted table. The pre-write
+        ``repartition(n_buckets, key)`` uses the same murmur3 pmod as the
+        bucketing spec, so every task holds exactly one bucket → ONE file
+        per (partition, bucket) → no extra sort in downstream merge joins.
+        Metadata (schema DDL, bucket spec) is persisted so a NEW session
+        can re-register the table for resume (W4)."""
+        name = self.table_name(table)
+        path = os.path.join(self._tdir(table), "bucketed")
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
+        writer = (
+            df.repartition(n_buckets, F.col(key))
+            .write.format("parquet")
+            .mode("overwrite")
+            .option("path", path)
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.bucketBy(n_buckets, key).sortBy(key).saveAsTable(name)
+        meta = {
+            "name": name,
+            "key": key,
+            "n_buckets": n_buckets,
+            "partition_by": partition_by or [],
+            "columns": [
+                {"name": f.name, "type": f.dataType.simpleString()}
+                for f in df.schema.fields
+            ],
+        }
+        tmp = self._table_meta_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._table_meta_path(table))
+
+    def read_table(self, table: str) -> DataFrame:
+        """Catalog-backed read of a bucketed table (a direct parquet path
+        read would DROP the bucketing metadata and reintroduce shuffles).
+        Re-registers from persisted metadata when the session is new."""
+        meta = self.table_meta(table)
+        if meta is None:
+            raise FileNotFoundError(f"no bucketed table {table!r}")
+        name = meta["name"]
+        if not self.spark.catalog.tableExists(name):
+            path = os.path.join(self._tdir(table), "bucketed")
+            parts = set(meta["partition_by"])
+            cols = ", ".join(
+                f"`{c['name']}` {c['type']}" for c in meta["columns"]
+            )
+            stmt = f"CREATE TABLE {name} ({cols}) USING parquet "
+            if parts:
+                stmt += f"PARTITIONED BY ({', '.join(sorted(parts))}) "
+            stmt += (
+                f"CLUSTERED BY ({meta['key']}) SORTED BY ({meta['key']}) "
+                f"INTO {meta['n_buckets']} BUCKETS LOCATION '{path}'"
+            )
+            self.spark.sql(stmt)
+            if parts:
+                self.spark.catalog.recoverPartitions(name)
+        return self.spark.table(name)
+
+    def table_partition_values(self, table: str, part_col: str) -> list[int]:
+        """Partition values of a bucketed table — driver-side listdir."""
+        base = os.path.join(self._tdir(table), "bucketed")
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(e.name.split("=", 1)[1])
+            for e in os.scandir(base)
+            if e.is_dir() and e.name.startswith(f"{part_col}=")
+        )
 
     # ------------------------------------------------------------- markers
     def set_marker(self, table: str, name: str) -> None:
