@@ -247,12 +247,35 @@ def lsh_candidates(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     )
 
 
+def auto_srp_bits(
+    n: int, target_bucket: int = 32, lo: int = 8, hi: int = 24
+) -> int:
+    """SRP hash width scaled to corpus size: enough buckets that the
+    EXPECTED bucket holds ~``target_bucket`` vectors, clamped to
+    [lo, hi]. The within-bucket self-join is quadratic in bucket size,
+    so a fixed 8-bit key (256 buckets) at 10^9 vectors would mean
+    ~4·10^6-row buckets → ~10^13 candidate pairs per bucket; 24 bits
+    keeps expected buckets at ~60 rows there. lo=8 preserves the
+    oracle-checked behavior at test scales (≤ ~8k vectors)."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(1.0, n / target_bucket)))))
+
+
 def embedding_near_dups(
-    embeddings: DataFrame, bits: int = 8, min_dot_q: int = 500_000
+    embeddings: DataFrame, bits: int | None = None, min_dot_q: int = 500_000
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by quantized dot
     (embedding-cosine near-dup from the task spec: LSH candidates →
-    exact verify, never a full cross join)."""
+    exact verify, never a full cross join).
+
+    ``bits=None`` derives the hash width from the corpus size
+    (auto_srp_bits) so the default stays scale-safe: the bucket
+    equi-join's per-bucket work is bounded instead of going quadratic
+    when the corpus outgrows a fixed bucket count. The sizing count is
+    one column-pruned pass, amortized across the whole dedup job."""
+    if bits is None:
+        bits = auto_srp_bits(embeddings.select("vec_id").count())
     cands = lsh_candidates(embeddings, bits)
     base = embeddings.select("vec_id", _quantized(F.col("embedding")).alias("q"))
     withv = (

@@ -108,6 +108,7 @@ def check_urls_from_probe(
     sitemaps: DataFrame,
     cdx: DataFrame,
     user_agent: str | None = None,
+    feed_items: DataFrame | None = None,
 ) -> DataFrame:
     """The live-shaped discovery front-end (S2+S3 full path,
     bootstrap.rs:51-94 over site.rs probes): raw homepages + raw
@@ -133,9 +134,15 @@ def check_urls_from_probe(
             "sitemaps", F.coalesce("sitemaps", F.array().cast("array<string>"))
         )
     )
-    feeds = info.select("host", F.col("feeds").alias("items")).filter(
-        F.size("items") > 0
-    )
+    # ``feed_items``: live mode passes REAL parsed article links per host
+    # (live.land_feed_items); the table-backed fallback treats detected
+    # feed URLs themselves as discovery output (probe-table analog).
+    if feed_items is not None:
+        feeds = feed_items
+    else:
+        feeds = info.select("host", F.col("feeds").alias("items")).filter(
+            F.size("items") > 0
+        )
     return check_urls(
         spark,
         lens,

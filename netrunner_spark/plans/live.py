@@ -1,0 +1,376 @@
+"""Live-HTTP discovery driver: the network-facing front-end that LANDS
+the probe tables (homepages, robots_texts, sitemaps, feeds, cdx) via
+real HTTP, then delegates to the existing relational pipeline
+(``check_urls_from_probe`` → parse_robots / site_info / sitemap_bfs /
+cdx_lookup).
+
+Reference envelope being matched (not copied):
+  * bootstrap.rs:230-259,287-389 — parallel recursive sitemap fetch
+    with manual gunzip + BOM strip (X10, ours in xmlparse._clean),
+    retry on transient errors;
+  * site.rs:16-69 — homepage probe (feed detection) + robots fetch +
+    root /sitemap.xml fallback;
+  * cdx.rs:25-95 + bootstrap.rs:193-227 — CDX pagination following the
+    resume key (`while let Ok((urls, resume))`), page GET with retry.
+
+Spark-first split of labor: per-LEVEL sitemap fetches and all probe
+fetches are DISTRIBUTED (HttpFetcher's mapInPandas — partition
+parallelism is the reference's JoinSet fan-out, S5); only the BFS
+frontier of child-sitemap URLs and the CDX resume keys cross the driver
+— bounded metadata, never page data. The CDX chain itself is inherently
+serial per prefix (each page's resume key gates the next request), so
+it runs driver-side exactly like the reference's loop; distinct
+prefixes still land in one union.
+
+Not exercised against the public internet in the sandbox — every path
+is loopback-tested (tests/test_live_discovery.py) against a synthetic
+site serving robots/sitemap-index/gz-sitemap/RSS/CDX endpoints.
+"""
+
+from __future__ import annotations
+
+import time
+import urllib.parse
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from netrunner_spark.plans.check_urls import check_urls_from_probe
+from netrunner_spark.sources.fetcher import HttpFetcher
+
+CDX_PAGE_LIMIT = 1000  # bootstrap.rs:204
+CDX_RETRIES = 3  # cdx.rs:84-94 (expo 1 s × 3)
+
+
+def _origin(url: str) -> str:
+    p = urllib.parse.urlsplit(url)
+    return f"{p.scheme}://{p.netloc}"
+
+
+def _origins_df(spark: SparkSession, seed_urls: DataFrame) -> DataFrame:
+    """seed urls → distinct (origin, host) rows."""
+    from netrunner_spark.urlnorm import host_udf
+
+    return (
+        seed_urls.select(
+            F.regexp_extract("url", r"^([a-z]+://[^/]+)", 1).alias("origin")
+        )
+        .filter(F.col("origin") != "")
+        .dropDuplicates()
+        .withColumn("host", host_udf(F.col("origin")))
+    )
+
+
+def fetch_bodies(
+    urls: DataFrame, fetcher: HttpFetcher, keep_failures: bool = False
+) -> DataFrame:
+    """urls(url, host[, ...]) → fetched rows (adds status/content/...).
+    2xx-only unless ``keep_failures``."""
+    batch = urls.withColumn("url_hash", F.xxhash64("url"))
+    out = fetcher.fetch(batch)
+    if not keep_failures:
+        out = out.filter(F.col("status").between(200, 299))
+    return out
+
+
+def land_probe_tables(
+    spark: SparkSession, origins: DataFrame, fetcher: HttpFetcher
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed homepage + robots.txt fetch per origin (site.rs:16-44).
+    → (homepages(host, url, content), robots_texts(host, robots_txt))."""
+    home_urls = origins.select(
+        F.concat("origin", F.lit("/")).alias("url"), "host"
+    )
+    robot_urls = origins.select(
+        F.concat("origin", F.lit("/robots.txt")).alias("url"), "host"
+    )
+    homepages = fetch_bodies(home_urls, fetcher).select(
+        "host", "url", F.col("content").cast("string").alias("content")
+    )
+    robots_texts = fetch_bodies(robot_urls, fetcher).select(
+        "host", F.col("content").cast("string").alias("robots_txt")
+    )
+    return homepages, robots_texts
+
+
+_SM_SCHEMA = T.StructType(
+    [
+        T.StructField("sitemap_url", T.StringType()),
+        T.StructField("entry_type", T.StringType()),
+        T.StructField("loc", T.StringType()),
+    ]
+)
+
+
+def _parse_sitemap_rows(fetched: DataFrame) -> DataFrame:
+    """fetched sitemap bodies → (sitemap_url, entry_type, loc) rows —
+    the landed-table contract sitemap_bfs consumes. Arrow-batched."""
+    import pandas as pd
+
+    def run(batches):
+        from netrunner_spark.sources.xmlparse import parse_sitemap
+
+        for pdf in batches:
+            rows = []
+            for url, body in zip(pdf["url"], pdf["content"]):
+                if body is None:
+                    continue
+                urls, children = parse_sitemap(bytes(body))
+                rows.extend((url, "url", u) for u in urls)
+                rows.extend((url, "sitemap", c) for c in children)
+            yield pd.DataFrame(
+                rows, columns=["sitemap_url", "entry_type", "loc"]
+            )
+
+    return fetched.select("url", "content").mapInPandas(run, _SM_SCHEMA)
+
+
+def land_sitemaps_live(
+    spark: SparkSession,
+    roots: DataFrame,
+    fetcher: HttpFetcher,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Fetch the sitemap closure level-by-level (W2 BFS, S5 fan-out):
+    each level is ONE distributed fetch+parse over that level's sitemap
+    URLs; only the child-URL list (metadata) returns to the driver to
+    seed the next level. → landed (sitemap_url, entry_type, loc) table
+    covering every reachable level (gz + BOM handled in xmlparse)."""
+    from netrunner_spark.urlnorm import host_udf
+
+    todo = [r["sitemap_url"] for r in roots.select("sitemap_url").distinct().collect()]
+    seen = set(todo)
+    landed: DataFrame | None = None
+    for _ in range(max_depth):
+        if not todo:
+            break
+        level_urls = spark.createDataFrame(
+            [(u,) for u in todo], "url string"
+        ).withColumn("host", host_udf(F.col("url")))
+        fetched = fetch_bodies(level_urls, fetcher)
+        rows = _parse_sitemap_rows(fetched)
+        landed = rows if landed is None else landed.unionByName(rows)
+        # only the child-sitemap URL list crosses the driver (bounded)
+        children = [
+            r["loc"]
+            for r in landed.filter(
+                (F.col("entry_type") == "sitemap") & F.col("loc").isNotNull()
+            )
+            .select("loc")
+            .distinct()
+            .collect()
+        ]
+        todo = [c for c in children if c not in seen]
+        seen.update(todo)
+    if landed is None:
+        return spark.createDataFrame([], _SM_SCHEMA)
+    return landed.dropDuplicates().cache()
+
+
+def land_feed_items(
+    spark: SparkSession,
+    homepages: DataFrame,
+    fetcher: HttpFetcher,
+) -> DataFrame | None:
+    """Detected feed URLs → fetched + parsed article links (S6,
+    bootstrap.rs:261-284). → (host, items array<string>) or None."""
+    import pandas as pd
+
+    from netrunner_spark.sources.robots import detect_feeds
+    from netrunner_spark.urlnorm import host_udf
+
+    feeds = (
+        detect_feeds(homepages)
+        .select(F.col("feed_url").alias("url"))
+        .dropDuplicates()
+        .withColumn("host", host_udf(F.col("url")))
+    )
+    if feeds.isEmpty():
+        return None
+    fetched = fetch_bodies(feeds, fetcher)
+
+    def run(batches):
+        from netrunner_spark.sources.xmlparse import parse_rss
+
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["content"]):
+                if body is None:
+                    continue
+                rows.extend((host, link) for link in parse_rss(bytes(body)))
+            yield pd.DataFrame(rows, columns=["host", "link"])
+
+    links = fetched.select("host", "content").mapInPandas(
+        run, "host string, link string"
+    )
+    out = links.groupBy("host").agg(
+        F.sort_array(F.collect_set("link")).alias("items")
+    )
+    return None if out.isEmpty() else out
+
+
+def fetch_cdx_chain(
+    base_url: str,
+    prefix: str,
+    limit: int = CDX_PAGE_LIMIT,
+    max_pages: int = 50,
+    user_agent: str = HttpFetcher.USER_AGENT,
+) -> list[tuple[str, str, int]]:
+    """One prefix's full CDX pagination (cdx.rs:25-95): request pages of
+    ``limit`` URLs, follow the resume key (body = URL lines, then a
+    blank line, then the key) until absent. Driver-side and serial BY
+    PROTOCOL — each page's key gates the next request — with the
+    reference's bounded retry. → [(prefix, original, page)]."""
+    out: list[tuple[str, str, int]] = []
+    resume: str | None = None
+    for page in range(max_pages):
+        q = {
+            "url": prefix,
+            "matchType": "prefix",
+            "fl": "original",
+            "limit": str(limit),
+            "showResumeKey": "true",
+        }
+        if resume:
+            q["resumeKey"] = resume
+        full = f"{base_url}?{urllib.parse.urlencode(q)}"
+        body = None
+        for attempt in range(CDX_RETRIES):
+            try:
+                req = urllib.request.Request(
+                    full, headers={"User-Agent": user_agent}
+                )
+                with urllib.request.urlopen(req, timeout=10.0) as r:
+                    body = r.read().decode("utf-8", errors="replace")
+                break
+            except Exception:
+                time.sleep(min(1.0 * (2**attempt), 5.0))
+        if body is None:
+            break  # chain abandoned after retries (reference: Err ends loop)
+        lines = body.split("\n")
+        if "" in lines:
+            cut = lines.index("")
+            urls, tail = lines[:cut], [x for x in lines[cut + 1 :] if x]
+            resume = tail[0] if tail else None
+        else:
+            urls, resume = [x for x in lines if x], None
+        out.extend((prefix, u, page) for u in urls if u)
+        if not resume:
+            break
+    return out
+
+
+def land_cdx_live(
+    spark: SparkSession,
+    base_url: str,
+    prefixes: DataFrame,
+    limit: int = CDX_PAGE_LIMIT,
+) -> DataFrame:
+    """All prefixes' chains → the landed ``cdx`` table contract
+    (prefix, original, statuscode, mimetype, page). The reference
+    filters statuscode/mimetype SERVER-side via query params
+    (cdx.rs:42-49); live rows therefore land already-filtered and carry
+    the constants, making the relational filter a no-op.
+
+    ``prefixes``: (prefix, query) — ``query`` is the literal URL prefix
+    sent to the CDX endpoint; ``prefix`` is the join key the relational
+    pipeline will look up (check_urls builds host-derived keys)."""
+    rows = []
+    for r in prefixes.select("prefix", "query").distinct().collect():
+        rows.extend(
+            (r["prefix"], u, pg)
+            for _, u, pg in fetch_cdx_chain(base_url, r["query"], limit=limit)
+        )
+    schema = (
+        "prefix string, original string, page int, "
+        "statuscode int, mimetype string"
+    )
+    return spark.createDataFrame(
+        [(p, u, pg, 200, "text/html") for p, u, pg in rows], schema
+    )
+
+
+def check_urls_live(
+    spark: SparkSession,
+    lens,
+    fetcher: HttpFetcher | None = None,
+    cdx_base: str | None = None,
+) -> DataFrame:
+    """The live twin of check_urls (§3.2 end-to-end over real HTTP):
+    seeds → live probe (homepage/robots) → live sitemap closure (+ root
+    /sitemap.xml fallback probe) → live feeds → live CDX chains for
+    sitemap-less hosts and prefix seeds → the SAME relational pipeline
+    as the table-backed path. ``fetcher`` must be content_binary (gz
+    sitemaps)."""
+    from netrunner_spark.operators.admission import seeds_to_frontier
+
+    fetcher = fetcher or HttpFetcher(rps=10.0, content_binary=True)
+    seeds = spark.createDataFrame(lens.seeds(), "seed string, kind string")
+    seeded = seeds_to_frontier(seeds)
+    probe = seeded.filter(~F.col("skip_discovery"))
+    origins = _origins_df(spark, probe)
+
+    homepages, robots_texts = land_probe_tables(spark, origins, fetcher)
+
+    # sitemap roots: robots-declared + the root fallback for every host
+    # (site.rs:45-60 ALWAYS probes it when none declared; only answering
+    # roots land, which is what known_sitemaps encodes downstream)
+    from netrunner_spark.sources.robots import parse_robots
+
+    declared = (
+        parse_robots(robots_texts)
+        .select(F.explode("sitemaps").alias("sitemap_url"))
+        .dropDuplicates()
+    )
+    root_probe = origins.join(
+        parse_robots(robots_texts)
+        .filter(F.size("sitemaps") > 0)
+        .select("host")
+        .dropDuplicates(),
+        "host",
+        "left_anti",
+    ).select(F.concat("origin", F.lit("/sitemap.xml")).alias("sitemap_url"))
+    roots = declared.unionByName(root_probe)
+    sitemaps = land_sitemaps_live(spark, roots, fetcher)
+
+    feed_items = land_feed_items(spark, homepages, fetcher)
+
+    # CDX: prefixes for hosts whose probe landed NO answering sitemap +
+    # all prefix seeds (the coverage second pass's candidate set). Rows
+    # for prefixes the relational pipeline doesn't route to CDX land but
+    # are never joined in. The JOIN KEY mirrors check_urls' host-derived
+    # ``https://<host>/`` contract; the live QUERY uses the real origin.
+    if cdx_base is not None:
+        from netrunner_spark.urlnorm import host_udf
+
+        answering_hosts = (
+            sitemaps.select(host_udf(F.col("sitemap_url")).alias("host"))
+            .dropDuplicates()
+        )
+        no_sm = origins.join(answering_hosts, "host", "left_anti")
+        pref = no_sm.select(
+            F.concat(F.lit("https://"), "host", F.lit("/")).alias("prefix"),
+            F.concat("origin", F.lit("/")).alias("query"),
+        )
+        seed_pref = seeds.filter(F.col("kind") == "prefix").select(
+            F.col("seed").alias("prefix"), F.col("seed").alias("query")
+        )
+        cdx = land_cdx_live(
+            spark, cdx_base, pref.unionByName(seed_pref).dropDuplicates()
+        )
+    else:
+        cdx = spark.createDataFrame(
+            [], "prefix string, original string, page int, statuscode int, mimetype string"
+        )
+
+    return check_urls_from_probe(
+        spark,
+        lens,
+        homepages,
+        robots_texts,
+        sitemaps,
+        cdx,
+        feed_items=feed_items,
+    )

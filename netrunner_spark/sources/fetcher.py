@@ -281,14 +281,26 @@ class HttpFetcher:
     MAX_RETRY_AFTER = 30.0
     MAX_REDIRECTS = 10  # reqwest's default policy (crawler.rs http_client)
 
-    def __init__(self, og_first: bool = True, rps: float = 2.0, pool_size: int = 8):
+    def __init__(
+        self,
+        og_first: bool = True,
+        rps: float = 2.0,
+        pool_size: int = 8,
+        content_binary: bool = False,
+    ):
         """``pool_size``: concurrent in-flight requests per partition.
         Politeness only constrains per-host spacing — different hosts in
         the same partition fetch concurrently, so a task is no longer
-        capped at 1/latency req/s regardless of host mix."""
+        capped at 1/latency req/s regardless of host mix.
+
+        ``content_binary``: return the body as a BinaryType column
+        instead of utf-8 text — required for gz sitemaps (X10) and any
+        non-text payload (a lossy decode would corrupt the gzip bytes
+        before ``xmlparse._clean`` can gunzip them)."""
         self.og_first = og_first
         self.rps = rps
         self.pool_size = pool_size
+        self.content_binary = content_binary
 
     def fetch(self, batch: DataFrame, prefer_broadcast: bool = True) -> DataFrame:
         import pandas as pd
@@ -311,12 +323,16 @@ class HttpFetcher:
                         )
                     ),
                 ),
-                T.StructField("content", T.StringType()),
+                T.StructField(
+                    "content",
+                    T.BinaryType() if self.content_binary else T.StringType(),
+                ),
                 T.StructField("image_id", T.StringType()),
                 T.StructField("attempts", T.IntegerType()),
                 T.StructField("source", T.StringType()),
             ]
         )
+        binary = self.content_binary
         ua = self.USER_AGENT
         total_timeout = self.TOTAL_TIMEOUT
         max_retry_after = self.MAX_RETRY_AFTER
@@ -422,7 +438,9 @@ class HttpFetcher:
                             return (
                                 status,
                                 headers,
-                                body.decode("utf-8", errors="replace"),
+                                bytes(body)
+                                if binary
+                                else body.decode("utf-8", errors="replace"),
                                 attempts,
                             )
                         if status in NO_RETRY_STATUSES:

@@ -218,8 +218,21 @@ def site_info(
         )
     )
     # site.rs:45-60: no declared sitemap → always try the root sitemap;
-    # it counts only if it answers (known_sitemaps membership)
-    root = F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml"))
+    # it counts only if it answers (known_sitemaps membership). The root
+    # URL derives from the homepage's real origin (scheme + netloc incl.
+    # port) so live loopback probes resolve; https://host when no
+    # homepage landed.
+    origins = homepages.select(
+        "host",
+        F.regexp_extract("url", r"^([a-z]+://[^/]+)", 1).alias("_origin"),
+    ).dropDuplicates(["host"])
+    joined = joined.join(origins, "host", "left")
+    root = F.concat(
+        F.coalesce(
+            F.col("_origin"), F.concat(F.lit("https://"), F.col("host"))
+        ),
+        F.lit("/sitemap.xml"),
+    )
     joined = joined.withColumn("_root", root)
     if known_sitemaps is not None:
         answering = known_sitemaps.select(

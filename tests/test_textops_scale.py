@@ -1,10 +1,12 @@
-"""Scale-safety checks for the text-dedup operators: the hot-gram
+"""Scale-safety checks for the dedup operators: the hot-gram
 document-frequency cap must bound the n-gram self-join's candidate
-row count (the uncapped join is quadratic in per-gram df)."""
+row count (the uncapped join is quadratic in per-gram df), and the
+embedding near-dup SRP hash must widen with the corpus so bucket
+self-joins stay bounded."""
 
 from pyspark.sql import functions as F
 
-from netrunner_spark.operators import textops
+from netrunner_spark.operators import textops, vectors
 
 
 def _docs(spark, n_docs=40):
@@ -36,3 +38,40 @@ def test_hot_gram_cap_bounds_join(spark):
         "gram"
     ).dropDuplicates().count()
     assert row["grams_a"] == full
+
+
+def test_srp_bits_scale_with_corpus():
+    """The near-dup default must widen the hash as the corpus grows —
+    a fixed 256-bucket key is quadratic death at 10^9 vectors."""
+    assert vectors.auto_srp_bits(500) == 8  # oracle-scale behavior pinned
+    assert vectors.auto_srp_bits(5_000) == 8
+    assert vectors.auto_srp_bits(1_000_000) == 15
+    assert vectors.auto_srp_bits(10**9) == 24  # hi clamp
+    # monotone non-decreasing
+    vals = [vectors.auto_srp_bits(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert vals == sorted(vals)
+    # expected bucket occupancy stays bounded at every scale
+    for n in (10**4, 10**6, 10**8, 10**9):
+        b = vectors.auto_srp_bits(n)
+        assert n / (2**b) <= 64  # ≤ 2× the 32-row target
+
+
+def test_near_dup_default_bounds_bucket_size(spark, sf_dir):
+    """At the knob's DEFAULT (bits=None → auto), the realized max SRP
+    bucket must stay far below the corpus — the bucket self-join's
+    per-bucket cost bound."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    bits = vectors.auto_srp_bits(n)
+    sizes = (
+        vectors.srp_bucket(emb, bits)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    max_bucket = sizes.agg(F.max("n")).first()[0]
+    # SRP buckets are not uniform, but the max must be O(target), not O(n)
+    assert max_bucket <= max(8 * 32, n // 4)
+    # and the default path still returns verified pairs without error
+    out = vectors.embedding_near_dups(emb)
+    assert out.columns == ["vec_a", "vec_b", "dot_q"]
+    out.count()
