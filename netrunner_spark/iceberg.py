@@ -1,0 +1,145 @@
+"""Optional Iceberg-backed implementation of the LakeCatalog contract.
+
+The sandbox has no Iceberg runtime jars, so ``LakeCatalog`` (parquet +
+atomic snapshot pointers) is the default backend everywhere. On a real
+cluster the north_rule's tables are Iceberg; this module is the seam:
+an ``IcebergCatalog`` exposing the same call-site API (read / write /
+merge / exists / drop / rollback) over a Spark-session Iceberg catalog,
+plus ``iceberg_available`` so tests and deployments can pick the
+backend. ``tests/test_catalog_contract.py`` runs the SAME contract
+suite against both backends and skips the Iceberg leg cleanly when the
+runtime is absent.
+
+Cluster setup expected (spark-submit conf):
+  spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog
+  spark.sql.catalog.<name>.type=hadoop
+  spark.sql.catalog.<name>.warehouse=<path>
+  --packages org.apache.iceberg:iceberg-spark-runtime-...
+
+What Iceberg buys over the stand-in (documented in VERDICT r2 missing
+#2): true MERGE INTO with file-level pushdown, snapshot isolation
+across concurrent writers, time travel (VERSION AS OF), and
+``bucket(N, col)`` partition transforms that feed storage-partitioned
+joins — the cluster analog of tables.write_table_bucketed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "nrlake") -> bool:
+    """True iff an Iceberg SparkCatalog is configured AND its classes
+    are on the JVM classpath."""
+    conf = spark.conf
+    try:
+        impl = conf.get(f"spark.sql.catalog.{catalog}")
+    except Exception:
+        return False
+    if not impl or "iceberg" not in impl.lower():
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergCatalog:
+    """LakeCatalog-compatible facade over a Spark Iceberg catalog.
+
+    Covers the snapshot-table API the engine's call sites use
+    (read/write/merge/exists/drop/rollback + version). The slice-tree
+    helpers (write_slice / read_slices / markers) are deliberately NOT
+    duplicated here: on Iceberg, per-round slices become plain appends
+    with a ``fetched_round`` partition column and resume reads snapshot
+    history — call sites that need them in Iceberg mode should use
+    partition-filtered reads (``read(table).where(...)``).
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str = "nrlake", db: str = "nr"):
+        if not iceberg_available(spark, catalog):
+            raise RuntimeError(
+                f"Iceberg catalog {catalog!r} is not configured/available "
+                "in this session"
+            )
+        self.spark = spark
+        self.catalog = catalog
+        self.db = db
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{db}")
+
+    def _fqn(self, table: str) -> str:
+        return f"{self.catalog}.{self.db}.{table}"
+
+    # ------------------------------------------------------------------ API
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._fqn(table))
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        if version is not None:
+            return self.spark.read.option("snapshot-id", version).table(
+                self._fqn(table)
+            )
+        return self.spark.table(self._fqn(table))
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        bucket_hint: str | None = None,
+    ) -> int:
+        writer = df.writeTo(self._fqn(table)).using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        elif bucket_hint is not None:
+            from pyspark.sql.functions import bucket, col
+
+            writer = writer.partitionedBy(bucket(64, col(bucket_hint)))
+        writer.createOrReplace()
+        return self.version(table) or 0
+
+    def version(self, table: str) -> int | None:
+        if not self.exists(table):
+            return None
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._fqn(table)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return int(row["snapshot_id"]) if row else None
+
+    def merge(
+        self,
+        df: DataFrame,
+        table: str,
+        key: str | list[str],
+        bucket_hint: str | None = None,
+    ) -> int:
+        """True MERGE INTO (K2): file-level pushdown — Iceberg rewrites
+        only the data files containing matched keys, the real-cluster
+        form of tables.merge's bucket-wise rewrite."""
+        keys = [key] if isinstance(key, str) else list(key)
+        if not self.exists(table):
+            return self.write(df.dropDuplicates(keys), table, bucket_hint=bucket_hint)
+        view = f"_nr_merge_src_{table}"
+        df.dropDuplicates(keys).createOrReplaceTempView(view)
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        self.spark.sql(
+            f"MERGE INTO {self._fqn(table)} t USING {view} s ON {cond} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return self.version(table) or 0
+
+    def rollback(self, table: str, version: int) -> None:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rollback_to_snapshot"
+            f"('{self.db}.{table}', {version})"
+        )
+
+    def drop(self, table: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._fqn(table)}")

@@ -457,6 +457,19 @@ class CrawlJob:
         if self.lens is not None:
             links = admission_filter(sanitize(links, self.lens), self.lens)
         links = dedup_frontier(normalize_frontier(links))
+        self.enqueue_frontier(links)
+
+    def enqueue_frontier(self, links: DataFrame) -> None:
+        """Admit NEW URLs into rounds after the current maximum — the
+        shared enqueue tail of link expansion AND the streaming→batch
+        handoff (streaming.ingest.handoff_admitted): robots check →
+        F7 seen guard (bloom pre-filter + exact anti-join vs ALL
+        scheduled keys) → window-scheduled schedule_ext appends
+        (budget-safe) → bloom fold. Idempotent: already-scheduled keys
+        vanish in the seen guard.
+
+        ``links``: (url, url_hash, host, depth) — normalized/admitted
+        by the caller."""
         links = robots_allowed(links, self.robots)
 
         shards = (
@@ -475,7 +488,7 @@ class CrawlJob:
         # re-filters them, so they can't re-enter via this path
         fresh = unseen_only(links, seen_keys, shards, n_sh)
 
-        base_round = max(self.max_round(), round_no) + 1
+        base_round = self.max_round() + 1
         newly = schedule_rounds(
             with_priority(fresh),
             self.budgets(),

@@ -193,6 +193,29 @@ def run_quota_once(
     q.awaitTermination()
 
 
+def handoff_admitted(
+    spark: SparkSession,
+    quota_out_dir: str,
+    job,
+    lens: LensConfig | None = None,
+) -> None:
+    """Streaming→batch handoff (W1 stream front-end feeding the W4
+    drain): read the stateful quota's output, keep the ADMITTED rows,
+    and enqueue them into the CrawlJob's schedule via
+    ``enqueue_frontier`` — robots + the F7 seen guard run there, so a
+    candidate that was already scheduled (or re-streamed after a
+    restart) is dropped exactly once, and deferred rows never reach the
+    drain until a later quota pass admits them."""
+    df = spark.read.parquet(quota_out_dir).filter(F.col("admitted"))
+    if lens is not None:
+        allow, skip = lens.alternations()
+        df = df.filter(F.col("url").rlike(allow) & ~F.col("url").rlike(skip))
+    links = df.select(
+        "url", "url_hash", "host", F.coalesce(F.col("depth"), F.lit(0)).alias("depth")
+    ).dropDuplicates(["url_hash"])
+    job.enqueue_frontier(links)
+
+
 def run_ingest_once(
     spark: SparkSession,
     input_dir: str,

@@ -1,0 +1,53 @@
+"""Catalog-contract suite parameterized over backends: the parquet
+stand-in (always) and the Iceberg facade (skipped cleanly when the
+Iceberg runtime isn't on the classpath — it isn't in this sandbox).
+Pins the K2 semantics every call site relies on: versioned write/read,
+last-write-wins MERGE, rollback."""
+
+import pytest
+
+from netrunner_spark.iceberg import IcebergCatalog, iceberg_available
+from netrunner_spark.tables import LakeCatalog
+
+
+def _make_catalog(backend, spark, tmp_path):
+    if backend == "parquet":
+        return LakeCatalog(spark, str(tmp_path / "lake"))
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg runtime not available in this session")
+    return IcebergCatalog(spark)
+
+
+@pytest.mark.parametrize("backend", ["parquet", "iceberg"])
+class TestCatalogContract:
+    def test_write_read_roundtrip(self, spark, tmp_path, backend):
+        cat = _make_catalog(backend, spark, tmp_path)
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        cat.write(df, "t")
+        assert cat.exists("t")
+        assert {(r["k"], r["v"]) for r in cat.read("t").collect()} == {
+            (1, "a"),
+            (2, "b"),
+        }
+        cat.drop("t")
+        assert not cat.exists("t")
+
+    def test_merge_last_write_wins(self, spark, tmp_path, backend):
+        cat = _make_catalog(backend, spark, tmp_path)
+        a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        b = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+        cat.merge(a, "m", key="k")
+        cat.merge(b, "m", key="k")
+        got = {(r["k"], r["v"]) for r in cat.read("m").collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c")}
+        cat.drop("m")
+
+    def test_versioned_rollback(self, spark, tmp_path, backend):
+        cat = _make_catalog(backend, spark, tmp_path)
+        cat.write(spark.range(5).withColumnRenamed("id", "k"), "r")
+        v1 = cat.version("r")
+        cat.write(spark.range(9).withColumnRenamed("id", "k"), "r")
+        assert cat.read("r").count() == 9
+        cat.rollback("r", v1)
+        assert cat.read("r").count() == 5
+        cat.drop("r")

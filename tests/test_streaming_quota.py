@@ -1,12 +1,18 @@
 """Stateful streaming politeness (applyInPandasWithState): per-host
 token bucket carried ACROSS micro-batches via the streaming checkpoint
-— the streaming twin of the batch round budget (W1/J6)."""
+— the streaming twin of the batch round budget (W1/J6) — plus the
+streaming→batch handoff into the drain schedule."""
 
 import datetime
 
 import pandas as pd
+from pyspark.sql import functions as F
 
-from netrunner_spark.streaming.ingest import CANDIDATE_SCHEMA, run_quota_once
+from netrunner_spark.streaming.ingest import (
+    CANDIDATE_SCHEMA,
+    handoff_admitted,
+    run_quota_once,
+)
 
 
 def _write_batch(spark, path, rows):
@@ -59,3 +65,61 @@ def test_stateful_quota_across_batches(spark, tmp_path):
     got = spark.read.parquet(out_dir).toPandas()
     c_rows = got[got["url"].str.contains("other.test")]
     assert int(c_rows["admitted"].sum()) == 2  # fresh bucket: burst=2
+
+
+def test_streaming_to_batch_handoff(spark, tmp_path):
+    """VERDICT r2 #10: quota-ADMITTED rows flow into schedule_ext and
+    the drain fetches exactly the admitted set once; deferred rows never
+    reach the drain; a replayed handoff is a no-op (seen guard)."""
+    from netrunner_spark.plans.crawl import CrawlConfig, CrawlJob
+    from netrunner_spark.sources.fetcher import MockFetcher
+    from netrunner_spark.synth import gen_robots, gen_web
+    from netrunner_spark.tables import LakeCatalog
+
+    web = gen_web(spark, 2, 20).cache()
+    robots = gen_robots(spark, 2)
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    job = CrawlJob(
+        spark, cat, MockFetcher(web), robots,
+        CrawlConfig(max_rounds=40, n_bloom_shards=8),
+    )
+    seeds = web.filter(F.col("url").endswith("/docs/0")).select(
+        "url", "host", F.xxhash64("url").alias("url_hash")
+    )
+    job.init_frontier(seeds)
+    job.run()
+    n_seeds = seeds.count()
+    assert cat.read_slices("cache").count() == n_seeds
+
+    # stream 8 same-second candidates from ONE host through the quota:
+    # burst=3, rps=1 → exactly 3 admitted, 5 deferred
+    cands = [
+        r["url"]
+        for r in web.filter(
+            (F.col("host") == "host0.test") & ~F.col("url").endswith("/docs/0")
+        ).orderBy("url").limit(8).collect()
+    ]
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "s_in"), str(tmp_path / "s_out"), str(tmp_path / "s_ckpt")
+    )
+    _write_batch(spark, in_dir, [(u, t0, 0) for u in cands])
+    run_quota_once(spark, in_dir, out_dir, ckpt, rps=1.0, burst=3.0)
+    out = spark.read.parquet(out_dir)
+    admitted = {r["url"] for r in out.filter("admitted").collect()}
+    assert len(admitted) == 3
+
+    handoff_admitted(spark, out_dir, job)
+    job.run()
+    cached = {r["url"] for r in cat.read_slices("cache").collect()}
+    # exactly seeds + admitted, each once; deferred never fetched
+    assert cached == {r["url"] for r in seeds.collect()} | admitted
+    assert cat.read_slices("cache").count() == n_seeds + 3
+
+    # replayed handoff: seen guard drops everything → drain unchanged
+    before = job.max_round()
+    handoff_admitted(spark, out_dir, job)
+    job.run()
+    assert cat.read_slices("cache").count() == n_seeds + 3
+    ext = cat.read_slices("schedule_ext")
+    assert ext.filter(F.col("sched_round") > before).count() == 0
