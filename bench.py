@@ -146,14 +146,23 @@ def main() -> None:
     timings["frontier_drain"] = frontier["seconds"]
     frontier = {"pairs": pairs, "html": frontier}
 
+    # Interleaved A/B repetition (round-2 verdict item 5): run the whole
+    # headline list twice, A-pass then B-pass, and keep the per-query MIN.
+    # Co-tenant steal on this VM hits whichever query it lands on; two
+    # interleaved passes bound that noise (r2's minhash_lsh 16 s vs r1's
+    # 4.6 s was exactly such a hit). Raw per-pass numbers are kept in
+    # "queries_passes" so the floor is auditable.
     qs = entry_mod.queries()
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _rep in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            _ = df.count()
+            passes[name].append(round(time.time() - t0, 3))
     for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        timings[name] = min(passes[name])
 
     total = round(time.time() - t_start, 3)
     out = {
@@ -161,6 +170,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_passes": passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "frontier": frontier,
         "cpus": CPUS,
