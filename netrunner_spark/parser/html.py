@@ -46,7 +46,10 @@ _IGNORE = {
 _IGNORED_ROLES = {"navigation", "contentinfo", "button"}
 
 
-@dataclass
+_NL_SPLIT = re.compile(r"(\n)")
+
+
+@dataclass(slots=True)
 class _Node:
     kind: str  # element | text | comment
     name: str = ""
@@ -85,12 +88,16 @@ class _TreeBuilder(HTMLParser):
         # reproduce that chunking so golden text/descriptions match.
         if not data:
             return
-        parts = [
-            " " if chunk.strip() == "" else chunk
-            for chunk in re.split(r"(\n)", data.replace("\r\n", "\n"))
-            if chunk != ""
-        ]
-        text = "".join(parts)
+        if "\n" not in data and "\r" not in data:
+            # fast path: no newline chunking to replay
+            text = " " if data.strip() == "" else data
+        else:
+            parts = [
+                " " if chunk.strip() == "" else chunk
+                for chunk in _NL_SPLIT.split(data.replace("\r\n", "\n"))
+                if chunk != ""
+            ]
+            text = "".join(parts)
         last = self.stack[-1].children[-1] if self.stack[-1].children else None
         if last is not None and last.kind == "text":
             last.text += text
@@ -101,11 +108,25 @@ class _TreeBuilder(HTMLParser):
         self.stack[-1].children.append(_Node("comment", text=data))
 
 
-def parse_dom(doc: str) -> _Node:
+def parse_dom_stdlib(doc: str) -> _Node:
+    """Reference tokenizer path (stdlib ``html.parser``): the behavioral
+    oracle for the fast tokenizer, and the recovery path for documents
+    with constructs outside its replicated set."""
     tb = _TreeBuilder()
     tb.feed(doc)
     tb.close()
     return tb.root
+
+
+def parse_dom(doc: str) -> _Node:
+    from netrunner_spark.parser.fast import FallbackNeeded, tokenize
+
+    tb = _TreeBuilder()
+    try:
+        tokenize(doc, tb)
+        return tb.root
+    except FallbackNeeded:
+        return parse_dom_stdlib(doc)
 
 
 @dataclass

@@ -1,0 +1,123 @@
+"""Differential parity: the fast tokenizer (parser/fast.py) must
+produce the IDENTICAL ParseResult as the stdlib ``html.parser`` path
+on every document — by matching its event stream, or by explicitly
+falling back to it (FallbackNeeded → parse_dom re-parses stdlib-wise,
+identical by construction).
+
+Corpus: the reference's real-world fixture pages, the synthetic bench
+web, and hand-built edge cases targeting each tokenizer branch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from netrunner_spark.parser.fast import FallbackNeeded, tokenize
+from netrunner_spark.parser.html import (
+    _TreeBuilder,
+    html_to_text,
+    parse_dom,
+    parse_dom_stdlib,
+)
+
+FIX = "/root/reference/fixtures/html"
+
+
+def _result_via(parse, url, doc):
+    # html_to_text pinned to one DOM builder via monkeypatching parse_dom
+    import netrunner_spark.parser.html as H
+
+    orig = H.parse_dom
+    H.parse_dom = parse
+    try:
+        return H.html_to_text(url, doc).as_row()
+    finally:
+        H.parse_dom = orig
+
+
+def _assert_parity(doc, url="https://example.com/page"):
+    fast = _result_via(parse_dom, url, doc)
+    slow = _result_via(parse_dom_stdlib, url, doc)
+    assert fast == slow
+
+
+@pytest.mark.skipif(not os.path.isdir(FIX), reason="reference fixtures unavailable")
+@pytest.mark.parametrize(
+    "name", ["raw.html", "personal_blog.html", "summary_test.html", "wikipedia_entry.html"]
+)
+def test_fixture_parity(name):
+    with open(os.path.join(FIX, name), encoding="utf-8", errors="replace") as f:
+        _assert_parity(f.read())
+
+
+def test_synthetic_corpus_parity():
+    from netrunner_spark.synth import _page_html
+
+    for h in range(4):
+        for i in range(25):
+            doc, _links = _page_html(h, i, 20, 30, 42, 8)
+            _assert_parity(doc, url=f"https://h{h}.example.com/p{i}")
+
+
+EDGES = [
+    # start tags: attrs quoted/unquoted/valueless, XHTML self-close, case
+    '<html><body><A HREF="/x" data-a b=c>t</a><br/><img src=i.png></body></html>',
+    # '>' inside a quoted attribute value
+    '<p title="a>b">x</p>',
+    # entity refs in text and attributes; bare '&'
+    '<p>&amp; &lt;tag&gt; &unknown; & loose</p><a href="/x?a=1&amp;b=2">l</a>',
+    # comments incl. '>' inside, htdig markers, multi-dash close
+    "<div>a<!-- x > y -->b<!--htdig_noindex-->hidden<!--/htdig_noindex-->c</div>",
+    "<div><!----->t</div>",
+    # CDATA script/style: markup-ish content stays raw; bad closers
+    "<script>if (a < b && c > d) { x('</scriptx>'); }</script><p>after</p>",
+    "<style>a { content: '</div>'; }</style><p>s</p>",
+    "<SCRIPT>var x=1;</SCRIPT ><p>t</p>",
+    # end-tag junk tolerated after name
+    "<p>a</p junk><div>b</div wat>",
+    # doctype / PI / bogus declarations
+    "<!DOCTYPE html><?php echo 1 ?><p>x</p>",
+    # lone '<' as text, '<3' digits, unterminated tag at EOF
+    "<p>a < b and <3 hearts</p>",
+    "<p>tail<unclosed",
+    # degenerate comment and marked section (fallback-trigger paths)
+    "<div><!-->x</div>",
+    "<div><![CDATA[ raw > stuff ]]>y</div>",
+    # bogus end tags: '</>' and '</ name>' (stdlib: skip / bogus comment)
+    "<p>a</>b</ p>c</p>",
+    # nested ignores, roles, whitespace runs with \r\n and \n
+    "<body><nav>skip</nav><div role=\"button\">skip</div>\r\n  <p>keep\n it</p></body>",
+    # head maps: title/meta/link, duplicate attrs (first occurrence wins)
+    '<head><title>T</title><meta name="description" content="D">'
+    '<link rel="canonical" href="https://c.example.com/x#f">'
+    '<meta property="og:description" content="OG"></head><body><p>b</p></body>',
+    # script that never closes (EOF inside CDATA drops the tail)
+    "<p>seen</p><script>var x = '<p>never</p>';",
+]
+
+
+@pytest.mark.parametrize("idx", range(len(EDGES)))
+def test_edge_parity(idx):
+    _assert_parity(EDGES[idx])
+
+
+def test_fallback_docs_still_parse():
+    # constructs the fast tokenizer refuses route through stdlib whole-doc
+    doc = "<div><![CDATA[ x ]]><p>body</p></div>"
+    tb = _TreeBuilder()
+    with pytest.raises(FallbackNeeded):
+        tokenize(doc, tb)
+    res = html_to_text("https://e.com/", doc)
+    assert "body" in res.content
+
+
+def test_fast_path_actually_taken():
+    # the bench-shaped synthetic page must NOT fall back
+    from netrunner_spark.synth import _page_html
+
+    doc, _ = _page_html(0, 0, 10, 20, 42, 8)
+    tb = _TreeBuilder()
+    tokenize(doc, tb)  # no FallbackNeeded
+    assert tb.root.children
