@@ -165,6 +165,8 @@ def leg(cores: int) -> dict:
                 "drain_urls_per_sec": round(n / t_rounds, 1),
                 "rounds": stats["rounds"],
                 "seconds_rounds": round(t_rounds, 3),
+                "seconds_round_loop": stats.get("seconds_round_loop"),
+                "seconds_materialize": stats.get("seconds_materialize"),
                 "seconds_archive": round(dt - t_rounds, 3),
                 "archive": archive,
                 "repeat": rep,

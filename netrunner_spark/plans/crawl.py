@@ -608,6 +608,9 @@ class CrawlJob:
 
     # ------------------------------------------------------------ full run
     def run(self) -> dict:
+        import time as _time
+
+        t0 = _time.time()
         self._backfill_metrics()
         self._backfill_expansion()
         start = self.current_round()
@@ -618,5 +621,11 @@ class CrawlJob:
             total += self.run_round(r)
             rounds += 1
             r += 1
+        t_loop = _time.time() - t0
         self.materialize_frontier()
-        return {"rounds": rounds, "fetched": total}
+        return {
+            "rounds": rounds,
+            "fetched": total,
+            "seconds_round_loop": round(t_loop, 3),
+            "seconds_materialize": round(_time.time() - t0 - t_loop, 3),
+        }

@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # codec knob: at lake scale table bytes are the scarce resource
+        # (storage AND bus traffic on every scan) — zstd buys ~40% on
+        # text tables for extra CPU. Default stays snappy (Spark's):
+        # the bench's hot store is incompressible image bytes, where
+        # zstd only adds CPU. A real 100 TB text lake wants zstd.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_PARQUET_CODEC", "snappy"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
