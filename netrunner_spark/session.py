@@ -41,8 +41,11 @@ def get_spark(
     # allocation rate — measured 185 s vs 17 s on an identical pure-JVM
     # regex job at 8 cores. ParallelGC with thread count matched to the
     # task slots restores both absolute speed and core scaling.
+    # GC threads = task slots (floor 2): a floor of 4 oversubscribed
+    # small-core sessions 2x (4 GC threads fighting 2 pinned CPUs),
+    # which depressed the N-core leg of every N->4N scaling pair
     gc_opts = (
-        f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(4, min(n_cores, 32))}"
+        f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, min(n_cores, 32))}"
     )
     builder = (
         SparkSession.builder.master(master)
