@@ -164,6 +164,13 @@ class CrawlConfig:
     # spreads over S tasks (north_rule skew mitigation); politeness
     # budget stays an upper bound (see politeness.schedule_rounds)
     schedule_salts: int = 1
+    # colocated rounds: batches below this size broadcast over the
+    # bucketed scan (exchange-free BHJ, no merge-sort startup); above
+    # it they sort-merge co-located. Much lower than
+    # broadcast_batch_bytes because the alternative here is an
+    # exchange-free merge join, not a shuffle: measured crossover is
+    # ~100k slim rows (merge won at 330k-row rounds, broadcast at 15k)
+    colocated_broadcast_bytes: int = 4 * 1024 * 1024
     # set to a bucket count to store the SCHEDULE as a Spark bucketed
     # table on url_hash (same count as the fetcher's bucketed store):
     # every round's fetch join is then a co-located, exchange-free
@@ -317,9 +324,12 @@ class CrawlJob:
         return df
 
     def _batch_bytes(self, round_no: int) -> int:
-        return self.cat.partition_bytes(
-            "schedule", "sched_round", round_no
-        ) + self.cat.slice_bytes("schedule_ext", "sched_round", round_no)
+        base = (
+            self.cat.table_partition_bytes("schedule", "sched_round", round_no)
+            if self._colocated()
+            else self.cat.partition_bytes("schedule", "sched_round", round_no)
+        )
+        return base + self.cat.slice_bytes("schedule_ext", "sched_round", round_no)
 
     def _write_metrics(self, round_no: int) -> None:
         """Per-host lineage/metrics for one committed round (north_rule).
@@ -369,7 +379,14 @@ class CrawlJob:
         #    small (driver-side stat of the schedule partition, no job).
         inline_images = getattr(self.fetcher, "images_by_url", None) is not None
         if self._colocated():
-            fetched = self.fetcher.fetch(batch)
+            # layout enables the exchange-free merge join; batch size
+            # still picks merge vs broadcast-over-the-bucketed-scan
+            # (both exchange-free; BHJ skips the merge-sort startup,
+            # which dominates at small rounds)
+            small = (
+                self._batch_bytes(round_no) < self.cfg.colocated_broadcast_bytes
+            )
+            fetched = self.fetcher.fetch(batch, prefer_broadcast=small)
             fetched = fetched.select(
                 *(CACHE_COLS + ["image_ok", "image_phash"])
                 if inline_images

@@ -62,12 +62,21 @@ class MockFetcher:
         self.colocated = colocated
         self.images_by_url = images_by_url
 
-    def _side(self, df: DataFrame, prefer_broadcast: bool) -> DataFrame:
+    def _side(self, df: DataFrame, prefer_broadcast: bool | None) -> DataFrame:
         """Join-strategy dial for the batch/keys side: co-located merge
-        join (bucketed, exchange-free) / broadcast / shuffle-hash."""
+        join (bucketed, exchange-free) / broadcast / shuffle-hash.
+
+        Colocated layout + small batch (prefer_broadcast=True) still
+        broadcasts: a BHJ over the bucketed scan is exchange-free too
+        and skips the merge-sort startup, which dominates when a round
+        is thousands of rows rather than millions (the layout decides
+        what is POSSIBLE; the per-round batch size decides what is
+        fastest). None = the at-scale default for the layout."""
         if self.colocated:
-            return df.hint("merge")
-        return F.broadcast(df) if prefer_broadcast else df.hint("shuffle_hash")
+            return F.broadcast(df) if prefer_broadcast else df.hint("merge")
+        return (
+            df.hint("shuffle_hash") if prefer_broadcast is False else F.broadcast(df)
+        )
 
     def image_refs(self, batch: DataFrame, prefer_broadcast: bool = True) -> DataFrame:
         """Distinct image FKs this batch will touch — a COLUMN-PRUNED
@@ -84,8 +93,14 @@ class MockFetcher:
             .dropDuplicates()
         )
 
-    def fetch(self, batch: DataFrame, prefer_broadcast: bool = True) -> DataFrame:
+    def fetch(
+        self, batch: DataFrame, prefer_broadcast: bool | None = None
+    ) -> DataFrame:
         """batch: frontier rows selected for this round.
+
+        ``prefer_broadcast``: None picks the layout's default (merge
+        when colocated, broadcast otherwise); the round loop passes an
+        explicit bool from the batch's on-disk size.
 
         The round batch (≤ Σ host budgets rows) is small relative to the
         page store, and Spark cannot broadcast the PRESERVED side of an
@@ -152,17 +167,18 @@ class MockFetcher:
         # keys present in the store: column-pruned scan (url_hash only) ×
         # broadcast batch — small result, safe to broadcast into the anti.
         # Colocated mode: the whole chain stays bucket-aligned instead.
-        if self.colocated:
+        if self.colocated and not prefer_broadcast:
             present = pages.select("url_hash").hint("merge")
             misses_src = batch.join(present, "url_hash", "left_anti")
         else:
+            bc = prefer_broadcast is not False
             bkeys = (
                 F.broadcast(batch.select("url_hash"))
-                if prefer_broadcast
+                if bc
                 else batch.select("url_hash").hint("shuffle_hash")
             )
             present = pages.select("url_hash").join(bkeys, "url_hash")
-            present = F.broadcast(present) if prefer_broadcast else present
+            present = F.broadcast(present) if bc else present
             misses_src = batch.join(present, "url_hash", "left_anti")
         misses = misses_src.select(
             *batch_cols,
@@ -176,19 +192,60 @@ class MockFetcher:
             F.lit("origin" if self.og_first else "archive").alias("source"),
         )
         if self.images_by_url is not None:
-            hits = self._attach_images_inline(hits)
+            hits = self._attach_images_inline(
+                hits,
+                batch_keys=batch.select("url_hash") if prefer_broadcast else None,
+            )
             misses = misses.withColumn(
                 "image_ok", F.lit(None).cast("boolean")
             ).withColumn("image_phash", F.lit(None).cast("long"))
         return hits.unionByName(misses)
 
-    def _attach_images_inline(self, hits: DataFrame) -> DataFrame:
+    def _attach_images_inline(
+        self, hits: DataFrame, batch_keys: DataFrame | None = None
+    ) -> DataFrame:
         """Image decode+validate fused into the fetch stage: a co-located
         left join against the pre-bucketed (url_hash → image payload)
         table, then the Arrow-batched decode UDF — zero exchanges, zero
         broadcast builds (vs attach_image_checks, which must broadcast
-        refs + verdicts when the store is not bucket-aligned)."""
+        refs + verdicts when the store is not bucket-aligned).
+
+        ``batch_keys`` (small rounds): compute slim per-url_hash
+        verdicts by broadcasting the batch's keys into the image table,
+        then broadcast the verdicts back into ``hits`` — no sort of the
+        content-heavy side, no store-wide merge-sort startup. Same
+        semantics; the payload rows decoded are identical (the batch's
+        matches)."""
         from netrunner_spark.images import decode_check_udf
+
+        if batch_keys is not None:
+            matched = self.images_by_url.join(F.broadcast(batch_keys), "url_hash")
+            chk = decode_check_udf(F.col("bytes"))
+            verdicts = matched.select(
+                "url_hash",
+                chk.alias("chk"),
+                F.col("w").alias("_iw"),
+                F.col("h").alias("_ih"),
+                F.col("phash").alias("_iphash"),
+            ).select(
+                "url_hash",
+                (
+                    F.col("chk.decode_ok")
+                    & (F.col("chk.w_actual") == F.col("_iw"))
+                    & (F.col("chk.h_actual") == F.col("_ih"))
+                    & (F.col("chk.phash_actual") == F.col("_iphash"))
+                ).alias("_img_ok"),
+                F.col("chk.phash_actual").alias("_img_phash"),
+            )
+            joined = hits.join(F.broadcast(verdicts), "url_hash", "left")
+            return joined.select(
+                *hits.columns,
+                F.when(
+                    F.col("image_id").isNotNull(),
+                    F.coalesce(F.col("_img_ok"), F.lit(False)),
+                ).alias("image_ok"),
+                F.col("_img_phash").alias("image_phash"),
+            )
 
         ibu = self.images_by_url.select(
             "url_hash",

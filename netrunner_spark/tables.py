@@ -312,6 +312,17 @@ class LakeCatalog:
                 self.spark.catalog.recoverPartitions(name)
         return self.spark.table(name)
 
+    def table_partition_bytes(self, table: str, part_col: str, val) -> int:
+        """On-disk bytes of one partition of a BUCKETED table (driver
+        stat, no job) — the broadcast-vs-merge dial for colocated
+        rounds."""
+        d = os.path.join(self._tdir(table), "bucketed", f"{part_col}={val}")
+        if not os.path.isdir(d):
+            return 0
+        return sum(
+            e.stat().st_size for e in os.scandir(d) if e.name.endswith(".parquet")
+        )
+
     def table_partition_values(self, table: str, part_col: str) -> list[int]:
         """Partition values of a bucketed table — driver-side listdir."""
         base = os.path.join(self._tdir(table), "bucketed")

@@ -101,9 +101,25 @@ def test_colocated_round_has_no_broadcast_and_no_shuffle(spark, tmp_path_factory
     job.init_frontier(seeds)
 
     batch = job._round_batch(0)
+    # big-batch path (the at-scale default, prefer_broadcast unset):
+    # co-located merge join — NO broadcast build, NO shuffle
     plan = _explain(fetcher.fetch(batch))
     assert "BroadcastExchange" not in plan
     assert "Exchange hashpartitioning" not in plan
+    # small-batch path: broadcast OVER the bucketed scan — still no
+    # shuffle, but no store-wide merge-sort startup either
+    plan_bc = _explain(fetcher.fetch(batch, prefer_broadcast=True))
+    assert "BroadcastHashJoin" in plan_bc
+    assert "Exchange hashpartitioning" not in plan_bc
+    # both plans must produce identical rows
+    a = {tuple(r) for r in fetcher.fetch(batch).select("url", "status").collect()}
+    b = {
+        tuple(r)
+        for r in fetcher.fetch(batch, prefer_broadcast=True)
+        .select("url", "status")
+        .collect()
+    }
+    assert a == b
     # the schedule read prunes to the round's partition
     files = batch.inputFiles()
     assert files and all("sched_round=0" in f for f in files)
