@@ -164,6 +164,12 @@ class CrawlConfig:
     # spreads over S tasks (north_rule skew mitigation); politeness
     # budget stays an upper bound (see politeness.schedule_rounds)
     schedule_salts: int = 1
+    # enforce the politeness window against the wall clock: a round that
+    # finishes early sleeps out its remainder, so the per-host request
+    # rate NEVER exceeds rps even when compute is fast (live-crawl
+    # mode). Off by default: batch/mock runs model politeness logically
+    # (budget slots per round) and stay deterministic + fast.
+    enforce_wall_clock: bool = False
     # colocated rounds: batches below this size broadcast over the
     # bucketed scan (exchange-free BHJ, no merge-sort startup); above
     # it they sort-merge co-located. Much lower than
@@ -635,7 +641,15 @@ class CrawlJob:
         rounds = 0
         r = start
         while rounds < self.cfg.max_rounds and r <= self.max_round():
+            t_round = _time.time()
             total += self.run_round(r)
+            if self.cfg.enforce_wall_clock and r < self.max_round():
+                # politeness window is real time in live mode (W1):
+                # each host got ≤ budget slots THIS window, so the next
+                # window must not start before round_seconds elapse
+                remaining = self.cfg.round_seconds - (_time.time() - t_round)
+                if remaining > 0:
+                    _time.sleep(remaining)
             rounds += 1
             r += 1
         t_loop = _time.time() - t0

