@@ -277,7 +277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return vectors.cosine_topk_quantized(_t(spark, sf, "embeddings"))
 
     def embedding_near_dups(spark, sf):
-        return vectors.embedding_near_dups(_t(spark, sf, "embeddings"))
+        # bits pinned to 8: the DuckDB oracle hard-codes an 8-bit SRP
+        # (generate_series(0,7)), so the driver row must agree at ANY
+        # sf — auto_srp_bits would pick 9+ past 8192 vectors and the
+        # candidate sets would diverge. The scale-safe auto default is
+        # the operator's API default, tested in test_textops_scale.
+        return vectors.embedding_near_dups(_t(spark, sf, "embeddings"), bits=8)
 
     def ann_ivf_topk(spark, sf):
         return vectors.ivf_topk(_t(spark, sf, "embeddings"))
@@ -457,6 +462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b = vectors.srp_bucket(_t(spark, sf, "embeddings"))
         return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
 
+    def _safe_tag(sf: str) -> str:
+        return "".join(c if c.isalnum() else "_" for c in str(sf))
+
     def _warc_docs(spark, sf):
         """Deterministic ArchiveRecords from documents: every 10th doc is
         a connection failure (status NULL — K3 must skip it), the rest
@@ -487,12 +495,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # K3→S10: records → real gzip'd WARC bytes on disk → reader →
         # parsed fields. The oracle derives every field in closed form;
         # the Spark side must REPRODUCE them through the actual bytes.
+        # A FIXED per-(process, sf) dir, overwritten each call: mkdtemp
+        # per invocation leaked a gzip'd corpus into /tmp on every run
+        # (bench runs each headline query twice; lazy recomputes re-export)
+        import shutil
         import tempfile
 
         from netrunner_spark.sources.warc import warc_export, warc_read
 
         recs = _warc_docs(spark, sf)
-        out = tempfile.mkdtemp(prefix="nr_warc_q_")
+        out = os.path.join(
+            tempfile.gettempdir(), f"nr_warc_q_{os.getpid()}_{_safe_tag(sf)}"
+        )
+        shutil.rmtree(out, ignore_errors=True)
         warc_export(recs, out, single_file=True).collect()  # run the export
         back = warc_read(spark, out)
         return back.select(
@@ -507,12 +522,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A6 (archive.rs:160-187): exact raw-byte accounting + skip
         # count from the export manifest; the gzip'd size can't be
         # derived in closed form, so the oracle checks it as a bound.
+        import shutil
         import tempfile
 
         from netrunner_spark.sources.warc import warc_export
 
         recs = _warc_docs(spark, sf)
-        out = tempfile.mkdtemp(prefix="nr_warc_a6_")
+        out = os.path.join(
+            tempfile.gettempdir(), f"nr_warc_a6_{os.getpid()}_{_safe_tag(sf)}"
+        )
+        shutil.rmtree(out, ignore_errors=True)
         m = warc_export(recs, out, single_file=True)
         return m.select(
             "n_records",

@@ -84,9 +84,16 @@ def main() -> None:
             batch = job._round_batch(r)
             if batch is None:
                 break
+            from netrunner_spark.plans.crawl import CACHE_COLS
+
             obs = Observation()
-            fetched = job.fetcher.fetch(batch).observe(
-                obs, F.count(F.lit(1)).alias("n")
+            # identical projection to run_round's cache write — the
+            # timed job must be the same physical plan the drain runs
+            small = job._batch_bytes(r) < cfg.colocated_broadcast_bytes
+            fetched = (
+                job.fetcher.fetch(batch, prefer_broadcast=small)
+                .select(*(CACHE_COLS + ["image_ok", "image_phash"]))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
             )
             t_plan = time.time() - t  # pure driver-side plan construction
             t = time.time()

@@ -106,9 +106,13 @@ class IcebergCatalog:
     def version(self, table: str) -> int | None:
         if not self.exists(table):
             return None
+        # the CURRENT snapshot, not the newest by committed_at: after
+        # rollback_to_snapshot the rolled-back-FROM snapshot still has
+        # the latest commit time — .history's made_current_at tracks
+        # which snapshot the table actually points at
         row = self.spark.sql(
-            f"SELECT snapshot_id FROM {self._fqn(table)}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self._fqn(table)}.history "
+            "WHERE is_current_ancestor ORDER BY made_current_at DESC LIMIT 1"
         ).first()
         return int(row["snapshot_id"]) if row else None
 

@@ -71,7 +71,18 @@ def _emit_text(sink, text: str) -> None:
         # a '<' the combined regex could not place as markup — stdlib
         # would enter one of its recovery paths; replay the whole doc
         raise FallbackNeeded
-    sink.handle_data(unescape(text) if "&" in text else text)
+    if "<" not in text:
+        sink.handle_data(unescape(text) if "&" in text else text)
+        return
+    # literal non-markup '<' (e.g. '<1 day', '< ', '<3'): stdlib chunks
+    # the data stream AT each '<' (goahead emits text-up-to-'<', then
+    # '<' alone, then continues) and the whitespace-collapse in
+    # handle_data is per-chunk — so replay the exact same chunking
+    for i, part in enumerate(text.split("<")):
+        if i:
+            sink.handle_data("<")
+        if part:
+            sink.handle_data(unescape(part) if "&" in part else part)
 
 
 def tokenize(doc: str, sink) -> None:
@@ -130,12 +141,17 @@ def tokenize(doc: str, sink) -> None:
             sink.handle_comment(m.group("comment"))
         else:
             other = m.group("other")
-            # '<!' declarations that are NOT a plain doctype/PI get
-            # stdlib recovery (marked sections, '<!-->', ...)
+            # '<!' declarations that are NOT a plain doctype get stdlib
+            # recovery (marked sections, '<!-->', ...)
             if other.startswith(("!-", "![")):
                 raise FallbackNeeded
-            # doctype / bogus decl / processing instruction: consumed,
-            # no tree contribution (handle_decl/handle_pi are no-ops)
+            if other[0] == "!" and not other[1:8].lower() == "doctype":
+                # bogus declaration: stdlib emits a COMMENT node with
+                # the text after '<!' (parse_bogus_comment) — comments
+                # are semantically live here (htdig_noindex)
+                sink.handle_comment(other[1:])
+            # else doctype / processing instruction: consumed, no tree
+            # contribution (handle_decl/handle_pi are no-ops)
     return
 
 

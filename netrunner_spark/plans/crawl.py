@@ -400,8 +400,13 @@ class CrawlJob:
             )
         else:
             small = self._batch_bytes(round_no) < self.cfg.broadcast_batch_bytes
+            # inline-image fetchers stamp (image_ok, image_phash) during
+            # fetch regardless of the colocated flag — dropping them
+            # here would silently pay the decode and discard the verdict
             fetched = self.fetcher.fetch(batch, prefer_broadcast=small).select(
-                *CACHE_COLS
+                *(CACHE_COLS + ["image_ok", "image_phash"])
+                if inline_images
+                else CACHE_COLS
             )
         if self.images is not None and not inline_images:
             small = (

@@ -67,12 +67,18 @@ def fetch_bodies(
     urls: DataFrame, fetcher: HttpFetcher, keep_failures: bool = False
 ) -> DataFrame:
     """urls(url, host[, ...]) → fetched rows (adds status/content/...).
-    2xx-only unless ``keep_failures``."""
+    2xx-only unless ``keep_failures``.
+
+    The result is MATERIALIZED (eager localCheckpoint, lineage cut):
+    every downstream Spark action would otherwise re-execute the real
+    network fetch — hammering live hosts (politeness violation),
+    O(depth²) HTTP in the sitemap BFS, and non-deterministic probe
+    tables when a refetch transiently fails. One call = one fetch."""
     batch = urls.withColumn("url_hash", F.xxhash64("url"))
     out = fetcher.fetch(batch)
     if not keep_failures:
         out = out.filter(F.col("status").between(200, 299))
-    return out
+    return out.localCheckpoint(eager=True)
 
 
 def land_probe_tables(

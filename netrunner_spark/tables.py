@@ -99,6 +99,14 @@ class LakeCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        # a plain write produces an UNBUCKETED snapshot: stale _buckets
+        # metadata from an earlier write_bucketed would make the next
+        # keyed merge treat this snapshot as bucket-laid-out, find zero
+        # bucket dirs, and silently drop every existing row
+        try:
+            os.remove(self._bucket_meta_path(table))
+        except FileNotFoundError:
+            pass
         self._commit(table, new)
         return new
 
@@ -414,6 +422,17 @@ class LakeCatalog:
         Falls back to the O(table) rewrite for unbucketed tables."""
         keys = [key] if isinstance(key, str) else list(key)
         meta = self.bucket_meta(table)
+        if meta is not None and self.exists(table):
+            # defense-in-depth vs stale metadata: the bucket-wise path
+            # is only valid if the CURRENT snapshot really has the
+            # layout (at least one _bucket=* dir)
+            snap = self.snapshot_path(table)
+            has_layout = any(
+                e.is_dir() and e.name.startswith(f"{BUCKET_COL}=")
+                for e in os.scandir(snap)
+            )
+            if not has_layout:
+                meta = None
         if meta is None or not self.exists(table) or meta.get("key") != keys:
             if self.exists(table):
                 old = self.read(table)

@@ -82,6 +82,14 @@ EDGES = [
     # lone '<' as text, '<3' digits, unterminated tag at EOF
     "<p>a < b and <3 hearts</p>",
     "<p>tail<unclosed",
+    # literal '<' after whitespace: stdlib chunks data AT '<', so the
+    # preceding whitespace-only run collapses (review finding r3)
+    "<table><tr><td>\t<1 day</td></tr></table>",
+    "<p>x\n  < y</p><p>a<\nb</p>",
+    # bogus declarations become COMMENT nodes (parse_bogus_comment) —
+    # and comments are live (htdig_noindex) (review finding r3)
+    "<div>a<!htdig_noindex>hidden<p>still hidden</p></div>",
+    "<div><!foo>x<!DOCTYPE html>y<!d>z</div>",
     # degenerate comment and marked section (fallback-trigger paths)
     "<div><!-->x</div>",
     "<div><![CDATA[ raw > stuff ]]>y</div>",
