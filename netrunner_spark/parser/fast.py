@@ -67,13 +67,14 @@ _LT_MARKUPISH = re.compile(r"<[a-zA-Z!/?]")
 def _emit_text(sink, text: str) -> None:
     if not text:
         return
-    if _LT_MARKUPISH.search(text) is not None:
+    lt = text.find("<")
+    if lt == -1:  # common case: one scan, no regex
+        sink.handle_data(unescape(text) if "&" in text else text)
+        return
+    if _LT_MARKUPISH.search(text, lt) is not None:
         # a '<' the combined regex could not place as markup — stdlib
         # would enter one of its recovery paths; replay the whole doc
         raise FallbackNeeded
-    if "<" not in text:
-        sink.handle_data(unescape(text) if "&" in text else text)
-        return
     # literal non-markup '<' (e.g. '<1 day', '< ', '<3'): stdlib chunks
     # the data stream AT each '<' (goahead emits text-up-to-'<', then
     # '<' alone, then continues) and the whitespace-collapse in
