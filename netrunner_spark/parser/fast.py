@@ -103,6 +103,14 @@ def tokenize(doc: str, sink) -> None:
         pos = m.end()
         if m.group("start") is not None:
             tag = m.group("start").lower()
+            raw_attrs = m.group("attrs")
+            if not raw_attrs:
+                # attr-less tag (the common case on tag-dense pages):
+                # nothing for the attr loop to do — emit directly
+                sink.handle_starttag(tag, [])
+                if tag in _CDATA_CLOSE:
+                    pos = _cdata(doc, pos, tag, sink)
+                continue
             # stdlib attr loop, same regex, same absolute positions
             k = _WS_SLASH.match(doc, m.end("start")).end()
             endpos = m.end()
