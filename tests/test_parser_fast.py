@@ -129,3 +129,35 @@ def test_fast_path_actually_taken():
     tb = _TreeBuilder()
     tokenize(doc, tb)  # no FallbackNeeded
     assert tb.root.children
+
+
+# ------------------------- property-based parity fuzz (hypothesis)
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _FRAGMENTS = st.sampled_from(
+        [
+            "<p>", "</p>", "<div >", "</div>", "<br>", "<br/>", "<a href='/x'>",
+            '<a href="y" rel=nofollow>', "</a>", "<b>", "</b >", "<img src=i>",
+            "<script>", "</script>", "<style>", "</style>", "<head>", "</head>",
+            "<title>", "</title>", '<meta name="d" content="c">',
+            '<link rel="canonical" href="https://c.e/x">',
+            "<!-- c -->", "<!--htdig_noindex-->", "<!doctype html>", "<!bogus>",
+            "<?pi?>", "text", " ", "\n", "\t", "&amp;", "&lt;", "& ", "<",
+            "< 1", "<3", "a<b", "x > y", "</>", "</ p>", "<![CDATA[z]]>",
+            "<!-->", "<unclosed", "role=\"button\"", "<nav>", "</nav>",
+        ]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(_FRAGMENTS, min_size=0, max_size=25))
+    def test_random_fragment_parity(fragments):
+        """Any concatenation of markup fragments must produce an
+        IDENTICAL ParseResult through the fast path as through the
+        stdlib path (directly, or via the explicit wholesale
+        fallback)."""
+        _assert_parity("".join(fragments))
+
+except ImportError:  # pragma: no cover - hypothesis is in the sandbox
+    pass
