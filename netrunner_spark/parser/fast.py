@@ -40,7 +40,7 @@ _MARKUP = re.compile(
         (?P<start>[a-zA-Z][^\t\n\r\f\ />\x00]*)
             (?P<attrs>(?:"[^"]*"|'[^']*'|[^"'>])*)>
       | /(?P<end>[a-zA-Z][^\t\n\r\f\ />\x00]*)(?P<endrest>[^>]*)>
-      | !--(?P<comment>.*?)--[ \t\n\r\f]*>
+      | !--(?P<comment>.*?)--\s*>
       | (?P<other>[!?][^>]*)>
     )""",
     re.VERBOSE | re.DOTALL,
@@ -139,6 +139,14 @@ def tokenize(doc: str, sink) -> None:
                 # residue the stdlib would re-scan char-wise — rare
                 raise FallbackNeeded
         elif m.group("end") is not None:
+            # stdlib order (parse_endtag): the strict endtagfind
+            # ('</\s*name\s*>', UNICODE \s) wins first — e.g.
+            # '</div\xa0>' closes 'div', not 'div\xa0'
+            em = endtagfind.match(doc, m.start())
+            if em is not None:
+                sink.handle_endtag(em.group(1).lower())
+                pos = em.end()
+                continue
             # tolerant end tag: junk between name and '>' is ignored
             # (parser.py:397-407); quoted '>' inside that junk would
             # diverge, so only accept quote-free residue

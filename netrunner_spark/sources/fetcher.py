@@ -452,13 +452,15 @@ class HttpFetcher:
                 status, headers, content, attempts = None, [], None, 0
                 for attempt in range(RETRY_BUDGET):
                     attempts = attempt + 1
-                    # reset per attempt: a connection error on the FINAL
-                    # attempt must report status NULL (connection
-                    # failure), not a stale HTTP status from an earlier
-                    # attempt (W5 distinguishes the two)
-                    status, headers = None, []
                     cur, hops = url, 0
                     while True:  # redirect-hop loop (reqwest follows ≤10)
+                        # reset per NETWORK OPERATION, not per attempt:
+                        # a connection error — including on hop ≥2 of
+                        # the FINAL attempt — must report status NULL
+                        # (connection failure), never a stale HTTP
+                        # status from an earlier hop/attempt (W5
+                        # distinguishes the two)
+                        status, headers = None, []
                         try:
                             parts = urlsplit(cur)
                         except ValueError:

@@ -65,6 +65,14 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(302)  # 3xx WITHOUT Location: terminal
             self.send_header("Content-Length", "0")
             self.end_headers()
+        elif self.path == "/deadredir":
+            # 302 → a port nothing listens on: hop 2 is a connection
+            # failure, so the final result must be status NULL, not
+            # this stale 302 (review finding r4)
+            self.send_response(302)
+            self.send_header("Location", "http://127.0.0.1:1/never")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
         elif self.path == "/loop":
             self.send_response(302)
             self.send_header("Location", "/loop")
@@ -191,6 +199,20 @@ def test_cross_host_concurrency_with_pacing(spark, server):
     # serial would be ≥ 4 × 0.5 s; concurrent across hosts + pool ≈ 1 s.
     # Generous bound still proves >1 request in flight.
     assert wall < 1.9, f"no cross-host concurrency: wall={wall:.2f}s"
+
+
+def test_null_status_on_redirect_hop_connection_failure(spark, server):
+    """Connection error on hop ≥2 of the final attempt: the earlier
+    hop's 3xx must NOT leak out as the result status (W5: connection
+    failure == NULL status)."""
+    batch = spark.createDataFrame(
+        [(f"{server}/deadredir", "127.0.0.1", 0)],
+        "url string, host string, url_hash long",
+    )
+    row = HttpFetcher(rps=1000.0).fetch(batch).collect()[0]
+    assert row["status"] is None
+    assert row["content"] is None
+    assert row["attempts"] == 3
 
 
 def test_null_status_on_connection_failure(spark):

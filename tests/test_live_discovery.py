@@ -138,6 +138,28 @@ def test_cdx_chain_lands_table_contract(spark, site):
     assert {r["page"] for r in got} == {0, 1, 2}
 
 
+def test_sitemap_bfs_parses_each_level_once(spark, site):
+    """r3 verdict 'what's wrong' #1: the per-level child collect used to
+    re-execute the parse over the CUMULATIVE landed union (O(levels²)).
+    Now each level is materialized: with a 2-level closure (index → gz
+    child) exactly 2 bodies are parsed, and consuming the landed table
+    afterwards re-parses nothing."""
+    from netrunner_spark.plans.live import land_sitemaps_live
+
+    a = f"http://127.0.0.1:{site}"
+    roots = spark.createDataFrame([(f"{a}/sm-index.xml",)], "sitemap_url string")
+    acc = spark.sparkContext.accumulator(0)
+    landed = land_sitemaps_live(
+        spark, roots, HttpFetcher(rps=1000.0, content_binary=True),
+        parse_counter=acc,
+    )
+    assert acc.value == 2  # index + child, parsed once each
+    # downstream actions read the materialized levels — no re-parse
+    assert landed.count() == 3  # 1 child-sitemap row + 2 url rows
+    landed.filter(F.col("entry_type") == "url").count()
+    assert acc.value == 2
+
+
 def test_check_urls_live_equals_table_backed(spark, site):
     """The full live path (probe → robots parse → sitemap BFS over a gz
     child → feed items → CDX chain) must produce the same frontier as

@@ -103,6 +103,14 @@ EDGES = [
     '<meta property="og:description" content="OG"></head><body><p>b</p></body>',
     # script that never closes (EOF inside CDATA drops the tail)
     "<p>seen</p><script>var x = '<p>never</p>';",
+    # non-ASCII whitespace in end tags / comment closers (review
+    # finding r4): stdlib endtagfind + commentclose use UNICODE \s
+    "<div>a</div\xa0>b",
+    "<div>a</div\x0b>b",
+    "<p>x</p ></p>",
+    "<div><!--x--\xa0><!--y--></div>",
+    "<div><!--x--\x0b>tail</div>",
+    "<div>a</div\xa0junk>b</div>",
 ]
 
 
@@ -147,6 +155,10 @@ try:
             "<?pi?>", "text", " ", "\n", "\t", "&amp;", "&lt;", "& ", "<",
             "< 1", "<3", "a<b", "x > y", "</>", "</ p>", "<![CDATA[z]]>",
             "<!-->", "<unclosed", "role=\"button\"", "<nav>", "</nav>",
+            # non-ASCII whitespace (unicode \s in stdlib endtagfind /
+            # commentclose — review finding r4)
+            "</p\xa0>", "</div\x0b>", "<!--c--\xa0>", "\xa0", " ",
+            "</p\xa0x>", "--\xa0>",
         ]
     )
 

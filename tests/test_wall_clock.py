@@ -15,7 +15,9 @@ from netrunner_spark.tables import LakeCatalog
 from netrunner_spark.urlnorm import url_hash_col
 
 
-def _drain(spark, tmp_path, enforce: bool) -> tuple[float, int]:
+def _drain(
+    spark, tmp_path, enforce: bool, round_seconds: float = 2.0
+) -> tuple[float, int]:
     web = gen_web(spark, 2, 12)
     cat = LakeCatalog(spark, str(tmp_path / f"lake_{enforce}"))
     job = CrawlJob(
@@ -24,8 +26,10 @@ def _drain(spark, tmp_path, enforce: bool) -> tuple[float, int]:
         MockFetcher(web),
         gen_robots(spark, 2),
         CrawlConfig(
-            rps=2.0,
-            round_seconds=2.0,
+            # keep the per-round budget (rps × round_seconds) fixed at 4
+            # URLs/host so the drain always takes multiple rounds
+            rps=4.0 / round_seconds,
+            round_seconds=round_seconds,
             n_bloom_shards=4,
             enforce_wall_clock=enforce,
         ),
@@ -45,7 +49,12 @@ def test_wall_clock_paces_rounds(spark, tmp_path):
 
 def test_logical_mode_does_not_sleep(spark, tmp_path):
     # a tiny drain's compute is well under the window; without
-    # enforcement it must not sleep the windows out
-    dt, rounds = _drain(spark, tmp_path, enforce=False)
+    # enforcement it must not sleep the windows out. round_seconds is
+    # deliberately huge (30 s/round) so that on this VM's documented
+    # co-tenant steal even a pathologically slow round cannot reach the
+    # bound from compute alone — the assert can only fail if the code
+    # actually slept the windows (review finding r4: the old 2 s bound
+    # flaked under steal).
+    dt, rounds = _drain(spark, tmp_path, enforce=False, round_seconds=30.0)
     assert rounds >= 2
-    assert dt < 2.0 * (rounds - 1)
+    assert dt < 30.0 * (rounds - 1)
