@@ -118,7 +118,16 @@ def parse_dom_stdlib(doc: str) -> _Node:
     return tb.root
 
 
+# per-process count of documents the fast tokenizer refused (stdlib
+# wholesale re-parse). Read delta-wise by the parse UDF to feed a Spark
+# accumulator — a content drift toward fallback-heavy HTML would
+# silently erase the fast path's 10×, so the rate is surfaced in
+# archive_stage stats (r3 verdict item 6).
+FALLBACK_COUNT = 0
+
+
 def parse_dom(doc: str) -> _Node:
+    global FALLBACK_COUNT
     from netrunner_spark.parser.fast import FallbackNeeded, tokenize
 
     tb = _TreeBuilder()
@@ -126,6 +135,7 @@ def parse_dom(doc: str) -> _Node:
         tokenize(doc, tb)
         return tb.root
     except FallbackNeeded:
+        FALLBACK_COUNT += 1
         return parse_dom_stdlib(doc)
 
 

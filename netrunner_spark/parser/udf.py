@@ -29,8 +29,7 @@ PARSE_SCHEMA = T.StructType(
 )
 
 
-@pandas_udf(PARSE_SCHEMA)
-def parse_html_udf(urls: pd.Series, docs: pd.Series) -> pd.DataFrame:
+def _parse_batch(urls: pd.Series, docs: pd.Series) -> pd.DataFrame:
     rows = []
     for url, doc in zip(urls, docs):
         if not isinstance(doc, str) or not isinstance(url, str):
@@ -50,14 +49,51 @@ def parse_html_udf(urls: pd.Series, docs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def parse_pages(fetched: DataFrame, url_col: str = "url", content_col: str = "content") -> DataFrame:
+@pandas_udf(PARSE_SCHEMA)
+def parse_html_udf(urls: pd.Series, docs: pd.Series) -> pd.DataFrame:
+    return _parse_batch(urls, docs)
+
+
+def make_parse_udf(fallback_counter=None):
+    """Parse UDF wired to a Spark accumulator counting docs that hit
+    the stdlib-fallback path — the fast tokenizer's escape hatch is
+    silent per-row, so the drain surfaces its rate (archive_stage
+    'parse_fallbacks'); a drift toward fallback-heavy HTML shows up in
+    stats instead of as an unexplained slowdown."""
+
+    @pandas_udf(PARSE_SCHEMA)
+    def udf(urls: pd.Series, docs: pd.Series) -> pd.DataFrame:
+        from netrunner_spark.parser import html as H
+
+        before = H.FALLBACK_COUNT
+        out = _parse_batch(urls, docs)
+        if fallback_counter is not None:
+            delta = H.FALLBACK_COUNT - before
+            if delta:
+                fallback_counter.add(delta)
+        return out
+
+    return udf
+
+
+def parse_pages(
+    fetched: DataFrame,
+    url_col: str = "url",
+    content_col: str = "content",
+    fallback_counter=None,
+) -> DataFrame:
     """fetched(url, content, ...) → one parsed row per page.
 
     Only 2xx rows should be fed here (F6 filter applied by caller, as in
     create_archives, archive.rs:378).
     """
+    udf = (
+        parse_html_udf
+        if fallback_counter is None
+        else make_parse_udf(fallback_counter)
+    )
     return fetched.withColumn(
-        "parsed", parse_html_udf(F.col(url_col), F.col(content_col))
+        "parsed", udf(F.col(url_col), F.col(content_col))
     ).select(
         F.col(url_col).alias("url"),
         F.col("parsed.canonical_url").alias("canonical_url"),

@@ -583,30 +583,59 @@ class CrawlJob:
         phash/shape mismatches are counted, never silently dropped.
 
         This is the perfectly-parallel stage of the drain (pure
-        per-partition Python over Arrow batches; one shuffle for the
-        canonical dedup)."""
+        per-partition Python over Arrow batches; ONE pass over the
+        cache: input/image tallies ride the parse plan via ``observe``,
+        the parsed count via ``observe`` on the written rows — the r3
+        verdict's two extra full scans (parsed re-read + ok.count) are
+        gone; one shuffle for the canonical dedup)."""
+        from pyspark.sql import Observation
+
         cache = self.cache_df()
         if cache is None:
-            return {"parsed": 0, "dupes_dropped": 0, "images_checked": 0, "image_failures": 0}
+            return {
+                "parsed": 0,
+                "dupes_dropped": 0,
+                "images_checked": 0,
+                "image_failures": 0,
+                "parse_fallbacks": 0,
+            }
         ok = cache.filter(F.col("status").between(200, 299))
-        parsed = parse_pages(ok.select("url", "content"))
+        in_aggs = [F.count(F.lit(1)).alias("n")]
+        stamped = "image_ok" in ok.columns
+        if stamped:
+            # per-round validation already stamped the cache rows —
+            # tally them on the same scan the parse consumes
+            in_aggs += [
+                F.sum(
+                    F.when(F.col("image_id").isNotNull(), 1).otherwise(0)
+                ).alias("img_n"),
+                F.sum(
+                    F.when(
+                        F.col("image_id").isNotNull()
+                        & ~F.coalesce(F.col("image_ok"), F.lit(False)),
+                        1,
+                    ).otherwise(0)
+                ).alias("img_bad"),
+            ]
+        obs_in, obs_out = Observation(), Observation()
+        ok = ok.observe(obs_in, *in_aggs)
+        fb_acc = self.spark.sparkContext.accumulator(0)
+        parsed = parse_pages(
+            ok.select("url", "content"), fallback_counter=fb_acc
+        )
         from netrunner_spark.operators.dedup import canonical_dedup
 
-        deduped = canonical_dedup(parsed)
+        deduped = canonical_dedup(parsed).observe(
+            obs_out, F.count(F.lit(1)).alias("n")
+        )
         self.cat.write(deduped, "parsed", bucket_hint="canonical_url")
-        n_parsed = self.cat.read("parsed").count()
-        n_total = ok.count()
+        got_in, got_out = obs_in.get, obs_out.get
+        n_total, n_parsed = got_in["n"], got_out["n"]
 
         images_checked = image_failures = 0
-        if "image_ok" in ok.columns:
-            # per-round validation already stamped the cache rows
-            v = ok.filter(F.col("image_id").isNotNull()).select(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.when(~F.coalesce(F.col("image_ok"), F.lit(False)), 1).otherwise(0)
-                ).alias("bad"),
-            ).collect()[0]
-            images_checked, image_failures = v["n"], v["bad"] or 0
+        if stamped:
+            images_checked = got_in["img_n"] or 0
+            image_failures = got_in["img_bad"] or 0
         elif images is not None:
             from netrunner_spark.images import decode_check_udf
 
@@ -632,6 +661,7 @@ class CrawlJob:
             "dupes_dropped": n_total - n_parsed,
             "images_checked": images_checked,
             "image_failures": image_failures,
+            "parse_fallbacks": fb_acc.value,
         }
 
     # ------------------------------------------------------------ full run

@@ -18,9 +18,11 @@ fetches are DISTRIBUTED (HttpFetcher's mapInPandas — partition
 parallelism is the reference's JoinSet fan-out, S5); only the BFS
 frontier of child-sitemap URLs and the CDX resume keys cross the driver
 — bounded metadata, never page data. The CDX chain itself is inherently
-serial per prefix (each page's resume key gates the next request), so
-it runs driver-side exactly like the reference's loop; distinct
-prefixes still land in one union.
+serial per prefix (each page's resume key gates the next request), but
+DISTINCT prefixes' chains are independent: they run concurrently on a
+driver thread pool behind one shared per-host rate gate (the reference
+serializes all chains through one loop, bootstrap.rs:193-227 — parity
+on protocol, not on its bottleneck).
 
 Not exercised against the public internet in the sandbox — every path
 is loopback-tested (tests/test_live_discovery.py) against a synthetic
@@ -29,6 +31,7 @@ site serving robots/sitemap-index/gz-sitemap/RSS/CDX endpoints.
 
 from __future__ import annotations
 
+import threading
 import time
 import urllib.parse
 import urllib.request
@@ -236,12 +239,34 @@ def land_feed_items(
     return None if out.isEmpty() else out
 
 
+class _RateGate:
+    """Shared token gate toward ONE host: concurrent CDX chains space
+    their requests globally at ``rps`` (politeness is per-HOST, so N
+    parallel chains must not multiply the rate by N)."""
+
+    def __init__(self, rps: float | None):
+        self._lock = threading.Lock()
+        self._interval = (1.0 / rps) if rps else 0.0
+        self._next = 0.0
+
+    def wait(self) -> None:
+        if not self._interval:
+            return
+        with self._lock:
+            now = time.monotonic()
+            t = max(self._next, now)
+            self._next = t + self._interval
+        if t > now:
+            time.sleep(t - now)
+
+
 def fetch_cdx_chain(
     base_url: str,
     prefix: str,
     limit: int = CDX_PAGE_LIMIT,
     max_pages: int = 50,
     user_agent: str = HttpFetcher.USER_AGENT,
+    gate: _RateGate | None = None,
 ) -> list[tuple[str, str, int]]:
     """One prefix's full CDX pagination (cdx.rs:25-95): request pages of
     ``limit`` URLs, follow the resume key (body = URL lines, then a
@@ -263,6 +288,8 @@ def fetch_cdx_chain(
         full = f"{base_url}?{urllib.parse.urlencode(q)}"
         body = None
         for attempt in range(CDX_RETRIES):
+            if gate is not None:
+                gate.wait()  # every attempt is a request to the host
             try:
                 req = urllib.request.Request(
                     full, headers={"User-Agent": user_agent}
@@ -292,6 +319,8 @@ def land_cdx_live(
     base_url: str,
     prefixes: DataFrame,
     limit: int = CDX_PAGE_LIMIT,
+    max_workers: int = 8,
+    rps: float | None = None,
 ) -> DataFrame:
     """All prefixes' chains → the landed ``cdx`` table contract
     (prefix, original, statuscode, mimetype, page). The reference
@@ -299,15 +328,41 @@ def land_cdx_live(
     (cdx.rs:42-49); live rows therefore land already-filtered and carry
     the constants, making the relational filter a no-op.
 
+    Chains run CONCURRENTLY across prefixes (r3 verdict missing #3 —
+    the reference serializes everything through one loop,
+    bootstrap.rs:193-227; independent chains have no protocol
+    dependency). Each chain stays serial internally (resume key gates
+    the next page), per-chain page order is preserved, and a shared
+    ``_RateGate`` keeps the aggregate request rate toward the single
+    CDX host at ``rps`` regardless of worker count. Driver threads, not
+    tasks: chain traffic is bounded metadata (resume keys + URL lists),
+    and a thread pool keeps the one-host politeness gate trivially
+    shared — at 10k prefixes the bottleneck is the host's rate cap, not
+    the driver.
+
     ``prefixes``: (prefix, query) — ``query`` is the literal URL prefix
     sent to the CDX endpoint; ``prefix`` is the join key the relational
     pipeline will look up (check_urls builds host-derived keys)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    want = prefixes.select("prefix", "query").distinct().collect()
+    gate = _RateGate(rps)
     rows = []
-    for r in prefixes.select("prefix", "query").distinct().collect():
-        rows.extend(
-            (r["prefix"], u, pg)
-            for _, u, pg in fetch_cdx_chain(base_url, r["query"], limit=limit)
-        )
+    if want:
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(max_workers, len(want)))
+        ) as ex:
+            chains = ex.map(
+                lambda r: (
+                    r["prefix"],
+                    fetch_cdx_chain(
+                        base_url, r["query"], limit=limit, gate=gate
+                    ),
+                ),
+                want,
+            )
+            for prefix, chain in chains:
+                rows.extend((prefix, u, pg) for _, u, pg in chain)
     schema = (
         "prefix string, original string, page int, "
         "statuscode int, mimetype string"

@@ -124,6 +124,47 @@ def test_parse_and_canonical_dedup(spark, world, crawled):
     )
 
 
+def test_archive_stage_single_pass_stats(spark, world, crawled, monkeypatch):
+    """r3 verdict item 7: archive_stage's tallies must ride the ONE
+    write pass (observe on input + written rows) — no parsed-table
+    re-read, no cache re-count. Pinned by forbidding DataFrame.count and
+    cat.read('parsed') during the call, then checking the stats against
+    directly recomputed values."""
+    from pyspark.sql import DataFrame
+
+    cat = crawled["cat"]
+    # expected values, computed independently BEFORE the patch
+    cache = cat.read_slices("cache")
+    ok = cache.filter(F.col("status").between(200, 299))
+    exp_total = ok.count()
+    exp_parsed = canonical_dedup(parse_pages(ok.select("url", "content"))).count()
+
+    job = CrawlJob(
+        spark, cat, MockFetcher(world["web"]), world["robots"],
+        CrawlConfig(), lens=world["lens"],
+    )
+
+    def no_count(self, *a, **k):
+        raise AssertionError("archive_stage ran an extra count() scan")
+
+    orig_read = LakeCatalog.read
+
+    def guarded_read(self, table, *a, **k):
+        if table == "parsed":
+            raise AssertionError("archive_stage re-read the parsed table")
+        return orig_read(self, table, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    monkeypatch.setattr(LakeCatalog, "read", guarded_read)
+    stats = job.archive_stage()
+    monkeypatch.undo()
+
+    assert stats["parsed"] == exp_parsed
+    assert stats["dupes_dropped"] == exp_total - exp_parsed
+    # synthetic corpus never falls back (rate pinned in test_parser_fast)
+    assert stats["parse_fallbacks"] == 0
+
+
 def test_image_psnr_invariant(spark, world):
     """input_hint: decoded-pixel PSNR ≥ 40 dB for lossy, exact for
     lossless — against the reference image table itself (cache holds

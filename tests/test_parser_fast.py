@@ -129,6 +129,32 @@ def test_fallback_docs_still_parse():
     assert "body" in res.content
 
 
+def test_fallback_rate_pinned_on_corpus():
+    """Observability guard (r3 verdict item 6): the reference fixture
+    pages and the whole synthetic bench corpus must take the FAST path —
+    fallback rate pinned at exactly 0 here, and surfaced at runtime via
+    archive_stage's 'parse_fallbacks' counter."""
+    import netrunner_spark.parser.html as H
+    from netrunner_spark.synth import _page_html
+
+    docs = []
+    if os.path.isdir(FIX):
+        for name in os.listdir(FIX):
+            if name.endswith(".html"):
+                with open(
+                    os.path.join(FIX, name), encoding="utf-8", errors="replace"
+                ) as f:
+                    docs.append(f.read())
+    for h in range(4):
+        for i in range(25):
+            doc, _ = _page_html(h, i, 20, 30, 42, 8)
+            docs.append(doc)
+    before = H.FALLBACK_COUNT
+    for doc in docs:
+        H.parse_dom(doc)
+    assert H.FALLBACK_COUNT - before == 0
+
+
 def test_fast_path_actually_taken():
     # the bench-shaped synthetic page must NOT fall back
     from netrunner_spark.synth import _page_html
