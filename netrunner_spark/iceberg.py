@@ -47,6 +47,49 @@ def iceberg_available(spark: SparkSession, catalog: str = "nrlake") -> bool:
         return False
 
 
+# --------------------------------------------------------------- SQL text
+# Pure builders for every SQL statement the facade emits. The sandbox
+# has no Iceberg runtime, so these strings are the ONLY part of the
+# facade whose correctness can be pinned here — tests/test_iceberg_sql.py
+# golden-tests them without jars (r3 verdict item 5); the catalog
+# methods execute exactly these strings, nothing else.
+
+
+def create_namespace_sql(catalog: str, db: str) -> str:
+    return f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{db}"
+
+
+def current_snapshot_sql(fqn: str) -> str:
+    # the CURRENT snapshot, not the newest by committed_at: after
+    # rollback_to_snapshot the rolled-back-FROM snapshot still has the
+    # latest commit time — history's made_current_at tracks which
+    # snapshot the table actually points at
+    return (
+        f"SELECT snapshot_id FROM {fqn}.history "
+        "WHERE is_current_ancestor ORDER BY made_current_at DESC LIMIT 1"
+    )
+
+
+def merge_sql(fqn: str, view: str, keys: list[str]) -> str:
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    return (
+        f"MERGE INTO {fqn} t USING {view} s ON {cond} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def rollback_sql(catalog: str, db: str, table: str, version: int) -> str:
+    return (
+        f"CALL {catalog}.system.rollback_to_snapshot"
+        f"('{db}.{table}', {version})"
+    )
+
+
+def drop_sql(fqn: str) -> str:
+    return f"DROP TABLE IF EXISTS {fqn}"
+
+
 class IcebergCatalog:
     """LakeCatalog-compatible facade over a Spark Iceberg catalog.
 
@@ -68,7 +111,7 @@ class IcebergCatalog:
         self.spark = spark
         self.catalog = catalog
         self.db = db
-        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{db}")
+        spark.sql(create_namespace_sql(catalog, db))
 
     def _fqn(self, table: str) -> str:
         return f"{self.catalog}.{self.db}.{table}"
@@ -106,14 +149,7 @@ class IcebergCatalog:
     def version(self, table: str) -> int | None:
         if not self.exists(table):
             return None
-        # the CURRENT snapshot, not the newest by committed_at: after
-        # rollback_to_snapshot the rolled-back-FROM snapshot still has
-        # the latest commit time — .history's made_current_at tracks
-        # which snapshot the table actually points at
-        row = self.spark.sql(
-            f"SELECT snapshot_id FROM {self._fqn(table)}.history "
-            "WHERE is_current_ancestor ORDER BY made_current_at DESC LIMIT 1"
-        ).first()
+        row = self.spark.sql(current_snapshot_sql(self._fqn(table))).first()
         return int(row["snapshot_id"]) if row else None
 
     def merge(
@@ -131,19 +167,11 @@ class IcebergCatalog:
             return self.write(df.dropDuplicates(keys), table, bucket_hint=bucket_hint)
         view = f"_nr_merge_src_{table}"
         df.dropDuplicates(keys).createOrReplaceTempView(view)
-        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-        self.spark.sql(
-            f"MERGE INTO {self._fqn(table)} t USING {view} s ON {cond} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        self.spark.sql(merge_sql(self._fqn(table), view, keys))
         return self.version(table) or 0
 
     def rollback(self, table: str, version: int) -> None:
-        self.spark.sql(
-            f"CALL {self.catalog}.system.rollback_to_snapshot"
-            f"('{self.db}.{table}', {version})"
-        )
+        self.spark.sql(rollback_sql(self.catalog, self.db, table, version))
 
     def drop(self, table: str) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {self._fqn(table)}")
+        self.spark.sql(drop_sql(self._fqn(table)))

@@ -1,0 +1,122 @@
+"""Golden tests for the Iceberg facade's generated SQL (r3 verdict
+item 5): the sandbox has no Iceberg jars, so the statements the facade
+emits (CREATE NAMESPACE / MERGE INTO / rollback CALL / snapshot query /
+DROP) would otherwise never be checked at all. Three layers, none
+skipped:
+
+  1. golden strings — a refactor can't silently change the emitted SQL;
+  2. the stock Spark parser accepts every statement (syntax pinned —
+     Spark 4.1 parses MERGE INTO and CALL without Iceberg extensions);
+  3. wiring — each catalog method executes EXACTLY the builder's output
+     (recorded through a stub session), so the goldens govern the real
+     calls, not a parallel copy of the strings.
+
+The semantic contract itself still runs via tests/test_catalog_contract
+when a runtime is present (skip-gated)."""
+
+from __future__ import annotations
+
+import pytest
+
+from netrunner_spark.iceberg import (
+    IcebergCatalog,
+    create_namespace_sql,
+    current_snapshot_sql,
+    drop_sql,
+    merge_sql,
+    rollback_sql,
+)
+
+GOLDENS = {
+    "create_namespace": (
+        create_namespace_sql("nrlake", "nr"),
+        "CREATE NAMESPACE IF NOT EXISTS nrlake.nr",
+    ),
+    "current_snapshot": (
+        current_snapshot_sql("nrlake.nr.cache"),
+        "SELECT snapshot_id FROM nrlake.nr.cache.history "
+        "WHERE is_current_ancestor ORDER BY made_current_at DESC LIMIT 1",
+    ),
+    "merge_single_key": (
+        merge_sql("nrlake.nr.cache", "_nr_merge_src_cache", ["url_hash"]),
+        "MERGE INTO nrlake.nr.cache t USING _nr_merge_src_cache s "
+        "ON t.url_hash = s.url_hash "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ),
+    "merge_compound_key": (
+        merge_sql("nrlake.nr.store", "v", ["url_hash", "host"]),
+        "MERGE INTO nrlake.nr.store t USING v s "
+        "ON t.url_hash = s.url_hash AND t.host = s.host "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ),
+    "rollback": (
+        rollback_sql("nrlake", "nr", "cache", 42),
+        "CALL nrlake.system.rollback_to_snapshot('nr.cache', 42)",
+    ),
+    "drop": (
+        drop_sql("nrlake.nr.cache"),
+        "DROP TABLE IF EXISTS nrlake.nr.cache",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDENS))
+def test_sql_golden(name):
+    got, want = GOLDENS[name]
+    assert got == want
+
+
+def test_sql_parses_with_stock_parser(spark):
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for name, (got, _) in GOLDENS.items():
+        parser.parsePlan(got)  # raises ParseException on bad syntax
+
+
+class _RecordingSpark:
+    """Stub SparkSession capturing spark.sql() text."""
+
+    def __init__(self):
+        self.executed: list[str] = []
+
+    def sql(self, text):
+        self.executed.append(text)
+
+        class _R:
+            def first(self):
+                return None
+
+        return _R()
+
+
+class _StubDF:
+    def dropDuplicates(self, keys):
+        return self
+
+    def createOrReplaceTempView(self, name):
+        pass
+
+
+def _facade_with_recorder():
+    cat = IcebergCatalog.__new__(IcebergCatalog)
+    cat.spark = _RecordingSpark()
+    cat.catalog, cat.db = "nrlake", "nr"
+    return cat
+
+
+def test_methods_execute_exactly_the_builders(monkeypatch):
+    cat = _facade_with_recorder()
+    # merge on an existing table
+    monkeypatch.setattr(IcebergCatalog, "exists", lambda self, t: True)
+    cat.merge(_StubDF(), "cache", "url_hash")
+    cat.rollback("cache", 42)
+    cat.drop("cache")
+    cat.version("cache")
+    assert cat.spark.executed == [
+        merge_sql("nrlake.nr.cache", "_nr_merge_src_cache", ["url_hash"]),
+        current_snapshot_sql("nrlake.nr.cache"),  # merge's return value
+        rollback_sql("nrlake", "nr", "cache", 42),
+        drop_sql("nrlake.nr.cache"),
+        current_snapshot_sql("nrlake.nr.cache"),
+    ]
