@@ -344,6 +344,7 @@ class HttpFetcher:
         rps: float = 2.0,
         pool_size: int = 8,
         content_binary: bool = False,
+        salt: int = 1,
     ):
         """``pool_size``: concurrent in-flight requests per partition.
         Politeness only constrains per-host spacing — different hosts in
@@ -353,11 +354,23 @@ class HttpFetcher:
         ``content_binary``: return the body as a BinaryType column
         instead of utf-8 text — required for gz sitemaps (X10) and any
         non-text payload (a lossy decode would corrupt the gzip bytes
-        before ``xmlparse._clean`` can gunzip them)."""
+        before ``xmlparse._clean`` can gunzip them).
+
+        ``salt``: sub-partitions per host (r3 verdict item 9). Default 1
+        = one task per host, strict 1/rps spacing. With a high-``rps``
+        config a single-host crawl serializes into one task + one
+        thread pool; ``salt=K`` spreads each host over K tasks on
+        ``pmod(xxhash64(url), K)`` and paces EACH task at ``rps/K`` —
+        the politeness contract becomes an aggregate per-host rate cap
+        (the reference's governor token bucket is also rate-based, not
+        spacing-based, crawler.rs:21) while K pools fetch in parallel."""
         self.og_first = og_first
         self.rps = rps
         self.pool_size = pool_size
         self.content_binary = content_binary
+        if salt < 1:
+            raise ValueError("salt must be >= 1")
+        self.salt = salt
 
     def fetch(self, batch: DataFrame, prefer_broadcast: bool = True) -> DataFrame:
         import pandas as pd
@@ -393,7 +406,8 @@ class HttpFetcher:
         ua = self.USER_AGENT
         total_timeout = self.TOTAL_TIMEOUT
         max_retry_after = self.MAX_RETRY_AFTER
-        min_interval = 1.0 / self.rps if self.rps > 0 else 0.0
+        # salted: K tasks per host, each paced at rps/K → aggregate ≤ rps
+        min_interval = self.salt / self.rps if self.rps > 0 else 0.0
 
         max_redirects = self.MAX_REDIRECTS
         pool_size = self.pool_size
@@ -536,5 +550,27 @@ class HttpFetcher:
                 out["source"] = "origin"
                 yield out
 
-        # host-partitioned so the token bucket is local to one task
-        return batch.repartition(F.col("host")).mapInPandas(run, schema)
+        # host-partitioned so the token bucket is local to one task;
+        # salted mode splits a host over `salt` tasks, each already
+        # paced at rps/salt via min_interval above. The salted
+        # repartition pins an EXPLICIT partition count (the session's
+        # shuffle width): an expression-only repartition lets AQE
+        # coalesce the tiny shuffle back into one task, silently
+        # un-salting the host
+        if self.salt > 1:
+            n = int(
+                batch.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            salt_col = (
+                F.col("url_hash")
+                if "url_hash" in batch.columns
+                else F.xxhash64(F.col("url"))
+            )
+            part = batch.repartition(
+                max(n, self.salt),
+                F.col("host"),
+                F.pmod(salt_col, F.lit(self.salt)),
+            )
+        else:
+            part = batch.repartition(F.col("host"))
+        return part.mapInPandas(run, schema)

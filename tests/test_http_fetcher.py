@@ -24,7 +24,7 @@ class _Handler(BaseHTTPRequestHandler):
         cls = type(self)
         n = cls.hits[self.path] = cls.hits.get(self.path, 0) + 1
         cls.times.setdefault(self.path, []).append(time.monotonic())
-        if self.path == "/ok":
+        if self.path.partition("?")[0] == "/ok":
             body = b"hello world"
             self.send_response(200)
             self.send_header("Content-Length", str(len(body)))
@@ -199,6 +199,55 @@ def test_cross_host_concurrency_with_pacing(spark, server):
     # serial would be ≥ 4 × 0.5 s; concurrent across hosts + pool ≈ 1 s.
     # Generous bound still proves >1 request in flight.
     assert wall < 1.9, f"no cross-host concurrency: wall={wall:.2f}s"
+
+
+def test_salted_single_host_spreads_across_tasks(spark, server):
+    """r3 verdict item 9: with a high-rps config a single-host crawl
+    used to serialize into ONE task with one small pool. salt=3 must cut
+    wall-time on slow same-host requests (3 tasks × pool of 2 vs 1 × 2),
+    with identical results."""
+    urls = [f"{server}/wait?salt{i}" for i in range(12)]
+    batch = spark.createDataFrame(
+        [(u, "127.0.0.1", i) for i, u in enumerate(urls)],
+        "url string, host string, url_hash long",
+    )
+    t0 = time.monotonic()
+    rows1 = HttpFetcher(rps=1000.0, pool_size=2).fetch(batch).collect()
+    wall1 = time.monotonic() - t0
+    t0 = time.monotonic()
+    # salt keys on url_hash (0..11 here) → pmod 2 splits 6/6, landing in
+    # two distinct tasks deterministically at the conftest shuffle width
+    rows2 = HttpFetcher(rps=1000.0, pool_size=2, salt=2).fetch(batch).collect()
+    wall2 = time.monotonic() - t0
+    assert all(r["status"] == 200 for r in rows1)
+    assert sorted(r["url"] for r in rows2) == sorted(r["url"] for r in rows1)
+    # 12 × 0.5 s server sleeps: salt=1 ⇒ 6 pool-rounds ≈ 3 s; salt=2 ⇒
+    # 2 tasks × 2 threads ≈ 1.5 s. Generous bounds (steal-safe: the gap
+    # is sleep-dominated, not compute).
+    assert wall1 > 2.5, f"salt=1 unexpectedly parallel: {wall1:.2f}s"
+    assert wall2 < wall1 - 0.8, f"salt=2 gave no spread: {wall2:.2f} vs {wall1:.2f}"
+
+
+def test_salted_pacing_respects_aggregate_host_rate(spark, server):
+    """Salted tasks each pace at rps/salt, so the aggregate per-host
+    request rate stays ≤ rps: no 1.0 s window at the server may see
+    more than rps hits (+1 tolerance for sleep jitter)."""
+    _Handler.times.clear()
+    rps, salt = 4.0, 2
+    urls = [f"{server}/ok?rate{i}" for i in range(8)]
+    batch = spark.createDataFrame(
+        [(u, "127.0.0.1", i) for i, u in enumerate(urls)],
+        "url string, host string, url_hash long",
+    )
+    rows = HttpFetcher(rps=rps, pool_size=4, salt=salt).fetch(batch).collect()
+    assert all(r["status"] == 200 for r in rows)
+    hits = sorted(
+        t for path, ts in _Handler.times.items() if "rate" in path for t in ts
+    )
+    assert len(hits) == 8
+    for i, t in enumerate(hits):
+        in_window = sum(1 for u in hits[i:] if u < t + 1.0)
+        assert in_window <= int(rps) + 1, f"{in_window} hits in 1s window"
 
 
 def test_null_status_on_redirect_hop_connection_failure(spark, server):
