@@ -174,13 +174,35 @@ def main() -> None:
     # JIT warm-up through the drain code path (not timed; see docstring)
     warmup_drain(spark)
 
-    # headline (BASELINE.json): image+caption pair-store drain
-    pairs = bench_frontier_drain(spark, mode="pairs")
+    # Drain headlines now get the same interleaved best-of protocol the
+    # analytics queries have had since r2 (r3 verdict item 1): run
+    # pairs/html alternately DRAIN_REPS times and keep the fastest pass
+    # per mode. Co-tenant bus steal on this VM is bursty; interleaving
+    # means a burst hits one pass of each mode, not every pass of one
+    # mode (that asymmetry is what produced the unannotated r3
+    # frontier_drain_pairs 4,079→1,854 URLs/s "regression"). Raw passes
+    # are kept under frontier["passes"] so the floor is auditable.
+    reps = int(os.environ.get("BENCH_DRAIN_REPS", "2"))
+    drain_passes: dict[str, list[dict]] = {"pairs": [], "html": []}
+    for _rep in range(reps):
+        drain_passes["pairs"].append(bench_frontier_drain(spark, mode="pairs"))
+        drain_passes["html"].append(bench_frontier_drain(spark, mode="html"))
+    pairs = min(drain_passes["pairs"], key=lambda r: r["seconds"])
+    html = min(drain_passes["html"], key=lambda r: r["seconds"])
     timings["frontier_drain_pairs"] = pairs["seconds"]
-    # secondary: full reference-crawl scope (HTML web + archive tail)
-    frontier = bench_frontier_drain(spark, mode="html")
-    timings["frontier_drain"] = frontier["seconds"]
-    frontier = {"pairs": pairs, "html": frontier}
+    timings["frontier_drain"] = html["seconds"]
+    frontier = {
+        "pairs": pairs,
+        "html": html,
+        "passes": {
+            m: [
+                {"seconds": r["seconds"], "urls_per_sec": r["urls_per_sec"]}
+                for r in runs
+            ]
+            for m, runs in drain_passes.items()
+        },
+        "protocol": f"interleaved best-of-{reps} (same as queries)",
+    }
 
     # Interleaved A/B repetition (round-2 verdict item 5): run the whole
     # headline list twice, A-pass then B-pass, and keep the per-query MIN.

@@ -107,12 +107,18 @@ def upsert_shards(
     """ONE grouped-pandas pass: OR the new keys' bits into the existing
     shard bitsets (old=None → fresh shards). Halves the python stages
     vs build-then-merge; idempotent on replay (re-ORing is a no-op)."""
+    # url_hash crosses the Arrow boundary as a STRING: the union with
+    # old shard rows makes the column nullable, and a nullable int64
+    # reaches pandas as float64 — the 53-bit mantissa silently garbles
+    # 64-bit hashes, so _set_bits would set the WRONG bits and the bloom
+    # gains false NEGATIVES (keys folded after the initial build skip
+    # the exact anti-join and get refetched). Strings are exact.
     new_rows = keys.select(
         shard_id_col(F.col("url_hash"), n_shards).alias("shard_id"),
         F.lit(None).cast("binary").alias("bits"),
         F.lit(0).cast("long").alias("n_items"),
         F.lit(n_shards).cast("int").alias("n_shards"),
-        F.col("url_hash"),
+        F.col("url_hash").cast("string").alias("url_hash_str"),
     )
     rows = new_rows
     if old is not None:
@@ -122,7 +128,7 @@ def upsert_shards(
             "bits",
             "n_items",
             (F.col(old_n) if old_n else F.lit(n_shards)).cast("int").alias("n_shards"),
-            F.lit(None).cast("long").alias("url_hash"),
+            F.lit(None).cast("string").alias("url_hash_str"),
         ).unionByName(new_rows)
 
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -138,8 +144,11 @@ def upsert_shards(
             if b is not None:
                 acc |= np.frombuffer(b, dtype=np.uint8)
                 n += int(items)
-        h = pdf["url_hash"].dropna().to_numpy().astype(np.uint64)
-        if len(h):
+        keys_s = pdf["url_hash_str"].dropna()
+        if len(keys_s):
+            h = np.array([int(s) for s in keys_s], dtype=np.int64).astype(
+                np.uint64
+            )
             _set_bits(acc, h)
             n += len(h)
         return pd.DataFrame(

@@ -664,6 +664,31 @@ class CrawlJob:
             "parse_fallbacks": fb_acc.value,
         }
 
+    # -------------------------------------------------------- maintenance
+    def compact_cache(self, n_buckets: int | None = None) -> int | None:
+        """Optional maintenance for long crawls (VERDICT r3 #10): fold
+        the committed per-round cache slices into one bucketed base
+        snapshot (key = url_hash, so the compacted cache joins the
+        bucketed store/schedule exchange-free). Metric/expansion
+        backfills run first, so a round folded away has nothing left to
+        heal; resume keeps working because the compaction floor stands
+        in for the deleted slice markers (``max_committed_slice``).
+        Returns the highest round compacted, or None if < 1 slice.
+
+        Metrics slices are folded too — they're tiny but also one dir
+        per round; keyed on (host, round) so nothing collapses."""
+        self._backfill_metrics()
+        self._backfill_expansion()
+        nb = n_buckets or self.cfg.colocated_buckets or 64
+        hi = self.cat.compact_slices(
+            "cache", "fetched_round", key="url_hash", n_buckets=nb
+        )
+        if hi is not None:
+            self.cat.compact_slices(
+                "metrics", "round", key=["host", "round"], n_buckets=1, upto=hi
+            )
+        return hi
+
     # ------------------------------------------------------------ full run
     def run(self) -> dict:
         import time as _time

@@ -216,6 +216,37 @@ def handoff_admitted(
     job.enqueue_frontier(links)
 
 
+def micro_batch_cycle(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    job,
+    rps: float = 2.0,
+    burst: float = 4.0,
+    lens: LensConfig | None = None,
+) -> dict:
+    """One continuous-frontend cycle: pull whatever candidates have
+    arrived through the stateful per-host quota (exactly-once on the
+    input via the streaming checkpoint), hand the ADMITTED rows to the
+    batch drain, and run the drain until the schedule is empty.
+
+    Safe to call in a loop — each cycle's quota pass only consumes NEW
+    candidate files, the handoff re-reads the full quota output but the
+    drain's seen guard (F7) drops anything already scheduled, so a URL
+    is fetched at most once across all cycles — and across restarts: a
+    fresh CrawlJob over the same catalog resumes from the committed
+    slices (W4), and the quota's token buckets resume from the streaming
+    state store. Deferred rows re-enter by being re-submitted with a
+    later event time (producer's retry loop), exactly like the reference
+    re-queues governor-deferred URLs (crawler.rs:80-88)."""
+    run_quota_once(
+        spark, input_dir, output_dir, checkpoint_dir, rps=rps, burst=burst
+    )
+    handoff_admitted(spark, output_dir, job, lens=lens)
+    return job.run()
+
+
 def run_ingest_once(
     spark: SparkSession,
     input_dir: str,

@@ -28,7 +28,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 BUCKET_COL = "_bucket"
@@ -173,12 +173,23 @@ class LakeCatalog:
         )
 
     def read_slices(self, table: str) -> DataFrame | None:
+        """All rows of a slice-tree table: the compacted base snapshot
+        (if ``compact_slices`` has run) plus every slice ABOVE the
+        compaction floor. Slices at/below the floor are excluded even if
+        their directories still exist (crash between snapshot commit and
+        slice deletion) — the snapshot is authoritative below the floor,
+        so the union stays duplicate-free."""
         base = os.path.join(self._tdir(table), "data")
-        if not os.path.isdir(base) or not any(
-            e.is_dir() for e in os.scandir(base)
-        ):
-            return None
-        return self.spark.read.option("basePath", base).parquet(base)
+        meta = self.compact_meta(table)
+        tail = None
+        if os.path.isdir(base) and any(e.is_dir() for e in os.scandir(base)):
+            tail = self.spark.read.option("basePath", base).parquet(base)
+            if meta is not None:
+                tail = tail.filter(F.col(meta["slice_col"]) > meta["upto"])
+        if meta is not None and self.exists(table):
+            head = self.read(table)
+            return head if tail is None else head.unionByName(tail)
+        return tail
 
     def slice_exists(self, table: str, slice_col: str, slice_val) -> bool:
         path = os.path.join(self._tdir(table), "data", f"{slice_col}={slice_val}")
@@ -199,6 +210,12 @@ class LakeCatalog:
             for v in (self._slice_values(table, slice_col) or [])
             if self.slice_committed(table, slice_col, v)
         ]
+        # the compaction floor stands in for deleted slice markers —
+        # rounds folded into the base snapshot were all committed (W4
+        # resume must not replay them)
+        floor = self.compacted_upto(table, slice_col)
+        if floor is not None:
+            vals.append(floor)
         return max(vals) if vals else None
 
     def _slice_values(self, table: str, slice_col: str) -> list[int]:
@@ -494,6 +511,97 @@ class LakeCatalog:
                         os.link(f_.path, dst)
         self._commit(table, new)
         return new
+
+    # ------------------------------------------------- slice-tree compaction
+    def _compact_meta_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_compacted")
+
+    def compact_meta(self, table: str) -> dict | None:
+        try:
+            with open(self._compact_meta_path(table), encoding="utf-8") as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def compacted_upto(self, table: str, slice_col: str) -> int | None:
+        meta = self.compact_meta(table)
+        if meta is not None and meta.get("slice_col") == slice_col:
+            return int(meta["upto"])
+        return None
+
+    def compact_slices(
+        self,
+        table: str,
+        slice_col: str,
+        key: str | list[str],
+        n_buckets: int = 64,
+        upto: int | None = None,
+    ) -> int | None:
+        """Fold committed slices ≤ ``upto`` (default: all committed) into
+        ONE bucketed base snapshot (VERDICT r3 #10): a months-long crawl
+        otherwise grows one ``<slice_col>=r`` directory per round forever,
+        and every ``read_slices`` pays the ever-longer file listing.
+        Incremental — a second compaction bucket-wise-MERGEs the new
+        slices into the existing snapshot (only affected buckets rewritten,
+        untouched ones hardlinked), so each round's rows are rewritten
+        O(1) times, not O(rounds).
+
+        If the same key appears in several slices, the HIGHEST slice
+        value wins (K2 new-rows-win, matching ``merge``); the slice
+        column survives as an ordinary data column, so per-row lineage
+        (e.g. frontier materialization's ``round``) is preserved.
+
+        Crash-safe ordering: snapshot + floor commit BEFORE slice
+        deletion; ``read_slices`` excludes slices at/below the floor, so
+        a crash between the two steps never double-counts, and replaying
+        the compaction just re-deletes."""
+        keys = [key] if isinstance(key, str) else list(key)
+        committed = sorted(
+            v
+            for v in self._slice_values(table, slice_col)
+            if self.slice_committed(table, slice_col, v)
+        )
+        base_dir = os.path.join(self._tdir(table), "data")
+        floor = self.compacted_upto(table, slice_col)
+        if floor is not None:
+            # heal a crash between floor commit and slice deletion:
+            # slices at/below the floor are already in the snapshot
+            # (read_slices ignores them) — just re-delete
+            for v in [v for v in committed if v <= floor]:
+                shutil.rmtree(
+                    os.path.join(base_dir, f"{slice_col}={v}"), ignore_errors=True
+                )
+            committed = [v for v in committed if v > floor]
+        if upto is not None:
+            committed = [v for v in committed if v <= upto]
+        if not committed:
+            return None
+        hi = max(committed)
+        df = self.spark.read.option("basePath", base_dir).parquet(
+            *[os.path.join(base_dir, f"{slice_col}={v}") for v in committed]
+        )
+        # highest-slice-wins dedup BEFORE the merge (merge's own
+        # dropDuplicates would pick an arbitrary row among rounds)
+        w = Window.partitionBy(*keys).orderBy(F.col(slice_col).desc())
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if self.exists(table):
+            self.merge(df, table, key=keys)
+        else:
+            self.write_bucketed(df, table, key=keys, n_buckets=n_buckets)
+        tmp = self._compact_meta_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"slice_col": slice_col, "upto": hi}, f)
+        os.replace(tmp, self._compact_meta_path(table))
+        for v in committed:
+            shutil.rmtree(
+                os.path.join(base_dir, f"{slice_col}={v}"), ignore_errors=True
+            )
+        self.vacuum(table)
+        return hi
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)

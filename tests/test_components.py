@@ -178,6 +178,33 @@ class TestBloom:
         }
         assert got == want  # bloom FPs never corrupt the exact result
 
+    def test_upsert_into_existing_shards_has_no_false_negatives(self, spark):
+        """Regression (r4): upserting keys into NON-empty shards used to
+        garble them — the union with old shard rows made url_hash a
+        nullable int64, which Arrow hands to pandas as float64, so
+        64-bit hashes lost low bits before _set_bits and every key
+        folded after the initial build could probe as 'definitely
+        unseen' (bloom false NEGATIVE → duplicate refetch, bypassing
+        the exact anti-join). A bloom must NEVER have false negatives."""
+        from netrunner_spark.operators.seen import bloom_partition, upsert_shards
+
+        all_keys = spark.range(0, 300).select(
+            F.concat(F.lit("https://h.test/p"), F.col("id")).alias("url"),
+            F.xxhash64(F.concat(F.lit("https://h.test/p"), F.col("id"))).alias(
+                "url_hash"
+            ),
+        )
+        first = all_keys.filter(F.col("url_hash") % 2 == 0)
+        rest = all_keys.subtract(first)
+        v1 = upsert_shards(None, first.select("url_hash"), 8).localCheckpoint()
+        v2 = upsert_shards(v1, rest.select("url_hash"), 8).localCheckpoint()
+        tagged = bloom_partition(all_keys, v2, 8)
+        false_negs = [r["url"] for r in tagged.collect() if not r["maybe_seen"]]
+        assert false_negs == []
+        # n_items stays an exact fold count
+        n = sum(r["n_items"] for r in v2.select("n_items").collect())
+        assert n == all_keys.count()
+
 
 class TestLens:
     def test_parse_reference_fixture(self):

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from netrunner_spark.streaming.ingest import (
     CANDIDATE_SCHEMA,
     handoff_admitted,
+    micro_batch_cycle,
     run_quota_once,
 )
 
@@ -123,3 +124,87 @@ def test_streaming_to_batch_handoff(spark, tmp_path):
     assert cat.read_slices("cache").count() == n_seeds + 3
     ext = cat.read_slices("schedule_ext")
     assert ext.filter(F.col("sched_round") > before).count() == 0
+
+
+def test_continuous_frontend_three_waves_with_restart(spark, tmp_path):
+    """VERDICT r3 #8: the continuous micro-batch loop — three waves of
+    candidates stream through quota → handoff → drain while earlier
+    waves' rows sit in the cache, with a simulated process RESTART
+    between waves 2 and 3 (fresh CrawlJob over the same catalog, same
+    streaming checkpoint). Exactly-once end to end: every admitted URL
+    is fetched exactly once, wave-1 deferred URLs are fetched only after
+    re-submission admits them, and nothing is ever fetched twice."""
+    from netrunner_spark.plans.crawl import CrawlConfig, CrawlJob
+    from netrunner_spark.sources.fetcher import MockFetcher
+    from netrunner_spark.synth import gen_robots, gen_web
+    from netrunner_spark.tables import LakeCatalog
+
+    web = gen_web(spark, 2, 30).cache()
+    robots = gen_robots(spark, 2)
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    cfg = CrawlConfig(max_rounds=60, n_bloom_shards=8)
+    job = CrawlJob(spark, cat, MockFetcher(web), robots, cfg)
+    seeds = web.filter(F.col("url").endswith("/docs/0")).select(
+        "url", "host", F.xxhash64("url").alias("url_hash")
+    )
+    job.init_frontier(seeds)
+    job.run()
+    n_seeds = seeds.count()
+
+    def host_urls(host, lo, hi):
+        return [
+            r["url"]
+            for r in web.filter(
+                (F.col("host") == host) & ~F.col("url").endswith("/docs/0")
+            ).orderBy("url").collect()
+        ][lo:hi]
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "w_in"), str(tmp_path / "w_out"), str(tmp_path / "w_ckpt")
+    )
+
+    # wave 1: five same-second host0 candidates, burst=3 → 3 admitted,
+    # 2 deferred; the cycle drains the admitted 3
+    w1 = host_urls("host0.test", 0, 5)
+    _write_batch(spark, in_dir, [(u, t0, 0) for u in w1])
+    micro_batch_cycle(spark, in_dir, out_dir, ckpt, job, rps=1.0, burst=3.0)
+    out = spark.read.parquet(out_dir)
+    w1_admitted = {r["url"] for r in out.filter("admitted").collect()}
+    w1_deferred = set(w1) - w1_admitted
+    assert len(w1_admitted) == 3 and len(w1_deferred) == 2
+    cached = {r["url"] for r in cat.read_slices("cache").collect()}
+    assert cached == {r["url"] for r in seeds.collect()} | w1_admitted
+    assert not (w1_deferred & cached)  # deferred rows never reach the drain
+
+    # wave 2: re-submit wave-1's deferred URLs 10 s later (bucket has
+    # refilled to burst) plus two fresh host1 candidates — all admitted
+    t1 = t0 + datetime.timedelta(seconds=10)
+    w2_new = host_urls("host1.test", 0, 2)
+    _write_batch(
+        spark, in_dir, [(u, t1, 0) for u in sorted(w1_deferred) + w2_new]
+    )
+    micro_batch_cycle(spark, in_dir, out_dir, ckpt, job, rps=1.0, burst=3.0)
+    cached = {r["url"] for r in cat.read_slices("cache").collect()}
+    assert w1_deferred <= cached and set(w2_new) <= cached
+    assert cat.read_slices("cache").count() == n_seeds + 5 + 2  # no dupes
+
+    # RESTART: a fresh CrawlJob over the same catalog resumes from the
+    # committed slices; its bare run() is a no-op (nothing scheduled)
+    job2 = CrawlJob(spark, cat, MockFetcher(web), robots, cfg)
+    job2.init_frontier(seeds)  # no-op: schedule exists (W4)
+    job2.run()
+    assert cat.read_slices("cache").count() == n_seeds + 7
+
+    # wave 3 through the restarted job: three fresh host0 candidates
+    # 10 s later — quota state ALSO resumed (from the stream checkpoint),
+    # bucket refilled → all 3 admitted and drained exactly once
+    t2 = t1 + datetime.timedelta(seconds=10)
+    w3 = host_urls("host0.test", 5, 8)
+    _write_batch(spark, in_dir, [(u, t2, 0) for u in w3])
+    micro_batch_cycle(spark, in_dir, out_dir, ckpt, job2, rps=1.0, burst=3.0)
+    cache = cat.read_slices("cache")
+    cached = {r["url"] for r in cache.collect()}
+    assert set(w3) <= cached
+    assert cache.count() == n_seeds + 10
+    assert cache.select("url").distinct().count() == cache.count()
