@@ -236,7 +236,11 @@ def main() -> None:
     # attach the last committed scaling-efficiency experiment (the
     # BASELINE.json north_rule criterion; produced by bench_scaling.py
     # — too long to rerun here) + the hardware controls
-    for name, key in (("scaling.json", "scaling"), ("controls.json", "controls")):
+    for name, key in (
+        ("scaling.json", "scaling"),
+        ("scaling_10x.json", "scaling_10x"),
+        ("controls.json", "controls"),
+    ):
         path = os.path.join(REPO, "BENCH", name)
         if os.path.isfile(path):
             with open(path) as f:

@@ -43,6 +43,13 @@ PARAGRAPHS = int(os.environ.get("SCALE_PARAGRAPHS", "16"))
 MODE = os.environ.get("SCALE_MODE", "html")
 
 
+def _leg_file(cores: int) -> str:
+    """SCALE_TAG names the experiment (e.g. "10x") so a size-scaling
+    run doesn't clobber the committed core-scaling leg files."""
+    tag = os.environ.get("SCALE_TAG", "")
+    return f"leg_{tag + '_' if tag else ''}{cores}.json"
+
+
 def gen() -> None:
     sys.path.insert(0, REPO)
     from netrunner_spark.session import get_spark
@@ -111,6 +118,22 @@ def leg(cores: int) -> dict:
             prefix=f"nr_scale_{cores}_", dir=os.environ.get("SCALE_LAKE_DIR")
         )
         try:
+            # SCALE_TEMPLATE: a lake holding the pre-bucketed store
+            # (built ONCE by `prep`, at full cores). Hardlink its table
+            # dirs into this repeat's fresh lake — the one-time layout
+            # shuffle is setup, not measurement, and at 10M URLs it
+            # dominates a small-core leg's wall-clock if re-run per
+            # repeat (the drain itself is unchanged: same files, same
+            # bucketing metadata).
+            tpl = os.environ.get("SCALE_TEMPLATE")
+            if tpl:
+                for t in ("web_store", "images_by_url"):
+                    src_dir = os.path.join(tpl, t)
+                    if os.path.isdir(src_dir):
+                        subprocess.run(
+                            ["cp", "-al", src_dir, os.path.join(tmp, t)],
+                            check=True,
+                        )
             cat = LakeCatalog(spark, tmp)
             cfg = CrawlConfig(
                 rps=2.0,
@@ -138,7 +161,9 @@ def leg(cores: int) -> dict:
                 job = CrawlJob(
                     spark, cat, MockFetcher(web), robots, cfg, images=images
                 )
+            t_init = time.time()
             job.init_frontier(frontier0)
+            init_schedule_s = round(time.time() - t_init, 3)
             t0 = time.time()
             stats = job.run()
             t_rounds = time.time() - t0
@@ -164,6 +189,10 @@ def leg(cores: int) -> dict:
                 # frontier commit); parse/export is the archive tail
                 "drain_urls_per_sec": round(n / t_rounds, 1),
                 "rounds": stats["rounds"],
+                # schedule init: the one O(N) window job (robots stamp +
+                # round assignment + bloom build) — tracked per size for
+                # the efficiency-vs-size curve (r3 verdict item 2)
+                "init_schedule_s": init_schedule_s,
                 "seconds_rounds": round(t_rounds, 3),
                 "seconds_round_loop": stats.get("seconds_round_loop"),
                 "seconds_materialize": stats.get("seconds_materialize"),
@@ -178,16 +207,16 @@ def leg(cores: int) -> dict:
             shutil.rmtree(tmp, ignore_errors=True)
     best["repeats"] = repeats
     os.makedirs(BENCH_DIR, exist_ok=True)
-    with open(os.path.join(BENCH_DIR, f"leg_{cores}.json"), "w") as f:
+    with open(os.path.join(BENCH_DIR, _leg_file(cores)), "w") as f:
         json.dump(best, f, indent=2)
     print(json.dumps(best))
     return best
 
 
 def report(n_small: int) -> dict:
-    with open(os.path.join(BENCH_DIR, f"leg_{n_small}.json")) as f:
+    with open(os.path.join(BENCH_DIR, _leg_file(n_small))) as f:
         small = json.load(f)
-    with open(os.path.join(BENCH_DIR, f"leg_{4 * n_small}.json")) as f:
+    with open(os.path.join(BENCH_DIR, _leg_file(4 * n_small))) as f:
         large = json.load(f)
     drain_eff = round(
         large["drain_urls_per_sec"] / (4 * small["drain_urls_per_sec"]), 3
@@ -212,7 +241,9 @@ def report(n_small: int) -> dict:
         "seconds_4n": large["seconds"],
         "rounds": small["rounds"],
     }
-    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
+    tag = os.environ.get("SCALE_TAG", "")
+    out_name = f"scaling{('_' + tag) if tag else ''}.json"
+    with open(os.path.join(BENCH_DIR, out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     return result
@@ -234,7 +265,7 @@ def pair(n_small: int, rounds: int = 3) -> None:
                 check=True,
                 env=env,
             )
-            with open(os.path.join(BENCH_DIR, f"leg_{cores}.json")) as f:
+            with open(os.path.join(BENCH_DIR, _leg_file(cores))) as f:
                 res = json.load(f)
             res["iteration"] = i
             if (
@@ -243,15 +274,35 @@ def pair(n_small: int, rounds: int = 3) -> None:
             ):
                 best[cores] = res
     for cores, res in best.items():
-        with open(os.path.join(BENCH_DIR, f"leg_{cores}.json"), "w") as f:
+        with open(os.path.join(BENCH_DIR, _leg_file(cores)), "w") as f:
             json.dump(res, f, indent=2)
     report(n_small)
+
+
+def prep() -> None:
+    """Build the bucketed-store template ONCE at full cores (setup is
+    untimed in every leg; see SCALE_TEMPLATE in leg())."""
+    sys.path.insert(0, REPO)
+    from netrunner_spark.session import get_spark
+    from netrunner_spark.sources.fetcher import prepare_colocated_fetcher
+    from netrunner_spark.tables import LakeCatalog
+
+    tpl = os.environ["SCALE_TEMPLATE"]
+    n_buckets = int(os.environ.get("SCALE_BUCKETS", "32"))
+    spark = get_spark("scale_prep", master="local[32]")
+    web = spark.read.parquet(WEB_PATH)
+    images = spark.read.parquet(WEB_PATH + "_images")
+    cat = LakeCatalog(spark, tpl)
+    prepare_colocated_fetcher(cat, web, images, n_buckets=n_buckets)
+    print(f"template ready at {tpl} (buckets={n_buckets})")
 
 
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
     if cmd == "gen":
         gen()
+    elif cmd == "prep":
+        prep()
     elif cmd == "pair":
         pair(
             int(sys.argv[2]) if len(sys.argv) > 2 else 8,

@@ -79,6 +79,14 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
         )
+        # liveness under saturation: a big shuffle on a small pinned
+        # core count can stall the in-JVM heartbeat thread for minutes
+        # (GC + CPU starvation); the 120 s default then "removes" the
+        # local executor and wedges the context mid-job. Longer timeouts
+        # cost nothing in local mode and match cluster practice for
+        # memory-heavy stages.
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "1200s")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

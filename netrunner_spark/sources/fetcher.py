@@ -292,18 +292,34 @@ def prepare_colocated_fetcher(
     joins."""
     if "url_hash" not in web.columns:
         web = web.withColumn("url_hash", F.xxhash64("url"))
-    cat.write_table_bucketed(web, "web_store", key="url_hash", n_buckets=n_buckets)
+
+    def _have(table: str) -> bool:
+        # reuse an existing layout (resume, or a lake pre-seeded from a
+        # bucketed-store template) instead of re-running the one-time
+        # layout shuffle — valid only if key + bucket count match
+        m = cat.table_meta(table)
+        return (
+            m is not None
+            and m.get("key") == "url_hash"
+            and int(m.get("n_buckets", -1)) == n_buckets
+        )
+
+    if not _have("web_store"):
+        cat.write_table_bucketed(
+            web, "web_store", key="url_hash", n_buckets=n_buckets
+        )
     ibu = None
     if images is not None:
-        refs = web.select("url_hash", "image_id").filter(
-            F.col("image_id").isNotNull()
-        )
-        pairs = images.join(refs, "image_id").select(
-            "url_hash", "bytes", "w", "h", "phash"
-        )
-        cat.write_table_bucketed(
-            pairs, "images_by_url", key="url_hash", n_buckets=n_buckets
-        )
+        if not _have("images_by_url"):
+            refs = web.select("url_hash", "image_id").filter(
+                F.col("image_id").isNotNull()
+            )
+            pairs = images.join(refs, "image_id").select(
+                "url_hash", "bytes", "w", "h", "phash"
+            )
+            cat.write_table_bucketed(
+                pairs, "images_by_url", key="url_hash", n_buckets=n_buckets
+            )
         ibu = cat.read_table("images_by_url")
     return MockFetcher(
         cat.read_table("web_store"),

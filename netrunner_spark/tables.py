@@ -318,7 +318,12 @@ class LakeCatalog:
         meta = self.table_meta(table)
         if meta is None:
             raise FileNotFoundError(f"no bucketed table {table!r}")
-        name = meta["name"]
+        # derive from the CURRENT root, not the persisted name: a lake
+        # seeded by copying/hardlinking another lake's table dirs (e.g.
+        # a pre-bucketed store template) must register under ITS name,
+        # or two lakes sharing a template would collide in the session
+        # catalog and read each other's (possibly deleted) paths
+        name = self.table_name(table)
         if not self.spark.catalog.tableExists(name):
             path = os.path.join(self._tdir(table), "bucketed")
             parts = set(meta["partition_by"])
