@@ -191,6 +191,10 @@ def main() -> None:
     html = min(drain_passes["html"], key=lambda r: r["seconds"])
     timings["frontier_drain_pairs"] = pairs["seconds"]
     timings["frontier_drain"] = html["seconds"]
+    # first-pass values alongside the best-of floor (ADVICE r4): r2/r3
+    # headlines were single-pass, so cross-round readers need both
+    timings["frontier_drain_pairs_pass1"] = drain_passes["pairs"][0]["seconds"]
+    timings["frontier_drain_pass1"] = drain_passes["html"][0]["seconds"]
     frontier = {
         "pairs": pairs,
         "html": html,
@@ -232,6 +236,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "frontier": frontier,
         "cpus": CPUS,
+        "protocol": f"drains+queries interleaved best-of ({reps} drain reps)",
     }
     # attach the last committed scaling-efficiency experiment (the
     # BASELINE.json north_rule criterion; produced by bench_scaling.py
@@ -245,7 +250,63 @@ def main() -> None:
         if os.path.isfile(path):
             with open(path) as f:
                 out[key] = json.load(f)
-    print(json.dumps(out))
+
+    # DURABLE RECORD (VERDICT r4 #1): the driver keeps only the last
+    # ~2 KB of stdout, which in r4 contained nothing but the scaling
+    # attachments — the per-query timings and drain headlines were lost.
+    # Persist the COMPLETE dict to BENCH/bench_r{N}.json (N inferred from
+    # the driver's committed BENCH_r*.json: this run belongs to the round
+    # after the highest one recorded), plus a stable bench_latest.json.
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(REPO)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    tag = f"r{(max(rounds) + 1) if rounds else 1:02d}"
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    for fname in (f"bench_{tag}.json", "bench_latest.json"):
+        with open(os.path.join(REPO, "BENCH", fname), "w") as f:
+            json.dump(out, f, indent=1)
+    out["full_record"] = f"BENCH/bench_{tag}.json"
+
+    # stdout stays SMALL enough that the headline numbers survive the
+    # driver's tail window: summaries instead of the full attachments
+    slim = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": out["sf"],
+        "cpus": CPUS,
+        "frontier": {
+            m: {
+                "urls": frontier[m]["urls"],
+                "seconds": frontier[m]["seconds"],
+                "urls_per_sec": frontier[m]["urls_per_sec"],
+                "drain_urls_per_sec": frontier[m]["drain_urls_per_sec"],
+            }
+            for m in ("pairs", "html")
+        },
+        "protocol": out["protocol"],
+        "full_record": out["full_record"],
+    }
+    for key in ("scaling", "scaling_10x"):
+        if key in out and isinstance(out[key], dict):
+            summary = {
+                k: out[key][k]
+                for k in (
+                    "scaling_efficiency",
+                    "pass",
+                    "drain_throughput_n",
+                    "drain_throughput_4n",
+                )
+                if k in out[key]
+            }
+            if summary:
+                slim[key] = summary
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":

@@ -63,6 +63,22 @@ def _bit_positions(hashes: np.ndarray, m: int = SHARD_BITS) -> np.ndarray:
     return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
 
 
+def _hashes_u64(series: pd.Series) -> np.ndarray:
+    """url_hash pandas column → exact uint64, REFUSING float dtypes.
+
+    A nullable int64 Spark column reaches pandas as float64; the 53-bit
+    mantissa silently garbles 64-bit hashes (the r4 false-negative bug).
+    Raising here turns any future nullable regression into a loud error
+    instead of corrupted bloom bits."""
+    arr = series.to_numpy()
+    if arr.dtype.kind == "f":
+        raise TypeError(
+            "url_hash arrived as float (nullable int64 across Arrow?) — "
+            "64-bit hashes would be garbled; make the column non-null int64"
+        )
+    return arr.astype(np.uint64)
+
+
 def _set_bits(bits: np.ndarray, hashes: np.ndarray) -> None:
     pos = _bit_positions(hashes)
     np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
@@ -84,7 +100,7 @@ def build_shards(fetched: DataFrame, n_shards: int) -> DataFrame:
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(SHARD_BITS // 8, dtype=np.uint8)
-        h = pdf["url_hash"].to_numpy().astype(np.uint64)
+        h = _hashes_u64(pdf["url_hash"])
         _set_bits(bits, h)
         return pd.DataFrame(
             {
@@ -146,9 +162,9 @@ def upsert_shards(
                 n += int(items)
         keys_s = pdf["url_hash_str"].dropna()
         if len(keys_s):
-            h = np.array([int(s) for s in keys_s], dtype=np.int64).astype(
-                np.uint64
-            )
+            # C-level string→int64 (pandas astype), not a Python loop —
+            # this runs once per new key per upsert (ADVICE r4)
+            h = keys_s.astype("int64").to_numpy().astype(np.uint64)
             _set_bits(acc, h)
             n += len(h)
         return pd.DataFrame(
@@ -209,7 +225,7 @@ def bloom_partition(candidates: DataFrame, shards: DataFrame, n_shards: int) -> 
         bits = np.zeros(SHARD_BITS // 8, dtype=np.uint8)
         for b in shard["bits"]:
             bits |= np.frombuffer(b, dtype=np.uint8)
-        h = cand["url_hash"].to_numpy().astype(np.uint64)
+        h = _hashes_u64(cand["url_hash"])
         out = cand[cols].copy()
         out["maybe_seen"] = _test_bits(bits, h)
         return out

@@ -187,7 +187,13 @@ class LakeCatalog:
             if meta is not None:
                 tail = tail.filter(F.col(meta["slice_col"]) > meta["upto"])
         if meta is not None and self.exists(table):
-            head = self.read(table)
+            # bound the head to the COMMITTED floor: compact_slices commits
+            # the merged snapshot before it updates _compacted, so a crash
+            # between the two leaves freshly folded rows (slice_col > stale
+            # floor) in the head AND their slices on disk above the floor —
+            # the filter excludes exactly those head rows, keeping the
+            # union duplicate-free through the crash window (ADVICE r4)
+            head = self.read(table).filter(F.col(meta["slice_col"]) <= meta["upto"])
             return head if tail is None else head.unionByName(tail)
         return tail
 

@@ -92,6 +92,66 @@ def test_crawl_continues_after_compaction_and_recompacts(spark, tmp_path):
     assert {r["url"] for r in cat.read_slices("cache").collect()} == urls
 
 
+def test_recompaction_crash_before_floor_update_no_double_count(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r4 (medium): the SECOND compaction merges the new slices
+    into the head snapshot BEFORE updating the ``_compacted`` floor. A
+    crash between the two used to double-count: the folded rows were in
+    the head AND in the still-on-disk slices above the stale floor.
+    ``read_slices`` now bounds the head to the committed floor."""
+    import os as _os
+
+    web = gen_web(spark, 2, 10).cache()
+    robots = gen_robots(spark, 2)
+    cat, _cfg, job = _crawl(spark, tmp_path, web, robots)
+    seeds = {r["url"] for r in cat.read_slices("cache").select("url").collect()}
+    floor = job.compact_cache(n_buckets=4)
+    assert floor is not None
+
+    wave2 = gen_web(spark, 2, 14).filter(~F.col("url").isin(list(seeds)))
+    job.enqueue_frontier(
+        wave2.select(
+            "url", "host", F.xxhash64("url").alias("url_hash"),
+            F.lit(1).alias("depth"),
+        )
+    )
+    job.run()
+    n_combined = cat.read_slices("cache").count()
+    assert n_combined > len(seeds)
+
+    # crash the second compaction exactly between merge-commit and floor
+    # update: os.replace onto the _compacted meta file raises
+    real_replace = _os.replace
+
+    def crashing_replace(src, dst):
+        if _os.path.basename(dst) == "_compacted":
+            raise RuntimeError("injected crash before floor update")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", crashing_replace)
+    try:
+        job.compact_cache(n_buckets=4)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # crash window: head snapshot already carries the folded wave-2 rows,
+    # their slices are still on disk above the STALE floor — no dupes
+    assert cat.compacted_upto("cache", "fetched_round") == floor
+    assert min(cat._slice_values("cache", "fetched_round")) > floor
+    combined = cat.read_slices("cache")
+    assert combined.count() == n_combined
+    assert combined.select("url").distinct().count() == n_combined
+
+    # replaying the compaction heals: floor advances, slices deleted
+    hi2 = job.compact_cache(n_buckets=4)
+    assert hi2 is not None and hi2 > floor
+    assert cat._slice_values("cache", "fetched_round") == []
+    assert cat.read_slices("cache").count() == n_combined
+
+
 def test_read_slices_excludes_sub_floor_stragglers(spark, tmp_path):
     """Crash between snapshot commit and slice deletion leaves a slice
     dir at/below the floor — it must NOT double-count."""
