@@ -327,6 +327,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), max_doc_id=150, max_gram_df=25
         )
 
+    def minhash_lsh_capped(spark, sf):
+        # band-bucket DF cap (VERDICT r4 #2): buckets >8 docs emit a
+        # hub star instead of all C(m,2) pairs — the 100 TB-safe variant
+        return textops.minhash_lsh_pairs(
+            _t(spark, sf, "documents"), max_doc_id=150, max_band_df=8
+        )
+
+    def dedup_clusters(spark, sf):
+        # capped-LSH pairs → large-star/small-star connected components
+        # → deterministic min-id cluster labels + keeper flag
+        return textops.dedup_clusters(
+            _t(spark, sf, "documents"), max_doc_id=150, max_band_df=8
+        )
+
     def robots_parse(spark, sf):
         # S3 front half: REAL robots.txt text (built deterministically
         # from the nation table) through the relational parser; the
@@ -577,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_sample": media_video_sample,
         "media_audio_features": media_audio_features,
         "jaccard_pairs_capped": jaccard_pairs_capped,
+        "minhash_lsh_capped": minhash_lsh_capped,
+        "dedup_clusters": dedup_clusters,
         "robots_parse": robots_parse,
         "x2_html_parse": x2_html_parse,
         "f3_seed_classification": f3_seed_classification,
@@ -799,6 +815,72 @@ WITH base AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "minhash_lsh_capped": grams_cte
+        + """
+            , sig AS (
+              SELECT doc_id, j,
+                     min(((j * 2 + 1) * 104729 % 2147483647 * g + j * 7919 + 1) % 2147483647) AS minhash
+              FROM grams, generate_series(0, 15) AS s(j)
+              GROUP BY doc_id, j
+            ), bands AS (
+              SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                     string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j) AS band_key
+              FROM sig GROUP BY doc_id, CAST(j // 4 AS INT)
+            ), bcnt AS (
+              SELECT band, band_key, count(*) AS bdf, min(doc_id) AS hub
+              FROM bands GROUP BY band, band_key
+            ), keyed AS (
+              SELECT bands.doc_id, bands.band, bands.band_key, bcnt.bdf, bcnt.hub
+              FROM bands JOIN bcnt USING (band, band_key)
+            )
+            SELECT DISTINCT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM keyed a JOIN keyed b
+                ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+              WHERE a.bdf <= 8
+              UNION ALL
+              SELECT hub AS doc_a, doc_id AS doc_b
+              FROM keyed WHERE bdf > 8 AND doc_id != hub
+            )
+        """,
+        "dedup_clusters": grams_cte.replace("WITH base", "WITH RECURSIVE base", 1)
+        + """
+            , sig AS (
+              SELECT doc_id, j,
+                     min(((j * 2 + 1) * 104729 % 2147483647 * g + j * 7919 + 1) % 2147483647) AS minhash
+              FROM grams, generate_series(0, 15) AS s(j)
+              GROUP BY doc_id, j
+            ), bands AS (
+              SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                     string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j) AS band_key
+              FROM sig GROUP BY doc_id, CAST(j // 4 AS INT)
+            ), bcnt AS (
+              SELECT band, band_key, count(*) AS bdf, min(doc_id) AS hub
+              FROM bands GROUP BY band, band_key
+            ), keyed AS (
+              SELECT bands.doc_id, bands.band, bands.band_key, bcnt.bdf, bcnt.hub
+              FROM bands JOIN bcnt USING (band, band_key)
+            ), pairs AS (
+              SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM keyed a JOIN keyed b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                WHERE a.bdf <= 8
+                UNION ALL
+                SELECT hub AS doc_a, doc_id AS doc_b
+                FROM keyed WHERE bdf > 8 AND doc_id != hub
+              )
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), reach(u, v) AS (
+              SELECT doc_id, doc_id FROM base
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc_id, min(v) AS cluster_id, min(v) = u AS is_keeper
+            FROM reach GROUP BY u
         """,
         "simhash": grams_cte
         + """

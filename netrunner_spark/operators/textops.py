@@ -231,9 +231,22 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     max_doc_id: int | None = None,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """LSH banding: signature split into ``bands`` bands of k/bands rows;
-    docs sharing any full band are candidate near-dup pairs."""
+    docs sharing any full band are candidate near-dup pairs.
+
+    ``max_band_df``: band-bucket cap (VERDICT r4 #2) — the band-key
+    self-join emits C(m,2) pairs for a bucket of m docs, and boilerplate
+    corpora at 10^8+ docs produce mega-buckets (every near-identical
+    page shares all bands → 10^12-row joins). Buckets larger than the
+    cap switch to STAR emission: only (hub, doc) pairs with hub = the
+    bucket's min doc_id — O(m) rows, and every bucket member stays
+    connected through the hub, so ``dedup_clusters`` over the output
+    still finds the full duplicate cluster. Small buckets keep the
+    complete pair set (downstream exact verification sees every pair).
+    Mirrors ``max_gram_df`` on the Jaccard path.
+    """
     sig = minhash_signatures(docs, k, n, max_doc_id)
     r = k // bands
     band_keys = (
@@ -249,15 +262,151 @@ def minhash_lsh_pairs(
             ).alias("band_key")
         )
     )
-    a = band_keys.alias("a")
-    b = band_keys.alias("b")
-    return (
+    if max_band_df is None:
+        a = band_keys.alias("a")
+        b = band_keys.alias("b")
+        return (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .dropDuplicates()
+        )
+    # bucket sizes + hub in one pass; the join back is co-partitioned
+    # with the groupBy (same keys), so this adds no extra exchange
+    stats = band_keys.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bdf"), F.min("doc_id").alias("hub")
+    )
+    keyed = band_keys.join(stats, ["band", "band_key"])
+    small = keyed.filter(F.col("bdf") <= max_band_df)
+    a = small.alias("a")
+    b = small.alias("b")
+    small_pairs = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    big_pairs = (
+        keyed.filter((F.col("bdf") > max_band_df) & (F.col("doc_id") != F.col("hub")))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return small_pairs.unionByName(big_pairs).dropDuplicates()
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph →
+    ``(doc_id, cluster_id)`` with cluster_id = the component's MIN doc_id
+    (deterministic labels). Alternating large-star / small-star
+    iterations (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") as pure DataFrame joins — converges in O(log²) rounds
+    regardless of component diameter, unlike naive label propagation
+    which needs O(diameter) rounds on chain-shaped near-dup graphs.
+
+    ``nodes``: optional (doc_id) universe; isolated docs come back as
+    singleton clusters labeled by themselves. Each iteration
+    localCheckpoints the edge list so the lineage (and the DAG the
+    scheduler must walk) stays O(1) per round, not O(rounds).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(e: DataFrame) -> tuple:
+        # XOR fold, not SUM: orderless over the distinct edge set and
+        # immune to int64 overflow under ANSI mode
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(least(u, v), greatest(u, v)))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # for each node u: connect every strictly-larger neighbor to
+        # m = min(neighborhood ∪ {u})
+        nb = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nb.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        return (
+            nb.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient larger→smaller; for each u connect its ≤-neighbors and
+        # itself to m = min of that set
+        le = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).dropDuplicates()
+        m = le.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            le.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v")))
+        )
+        return out.filter(F.col("u") != F.col("v")).dropDuplicates()
+
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: every edge links a member to its component min
+    labels = (
+        edges.select(
+            F.greatest("u", "v").alias("doc_id"), F.least("u", "v").alias("cluster_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    members = labels.unionByName(
+        labels.select(F.col("cluster_id").alias("doc_id"), "cluster_id")
+    ).dropDuplicates()
+    if nodes is not None:
+        singletons = (
+            nodes.select("doc_id")
+            .join(members.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        )
+        members = members.unionByName(singletons)
+    return members
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_doc_id: int | None = None,
+    max_band_df: int | None = 64,
+) -> DataFrame:
+    """Near-dup clusters with a deterministic keeper: capped-LSH
+    candidate pairs → connected components → ``(doc_id, cluster_id,
+    is_keeper)``. The keeper is the cluster's min doc_id — a training
+    pipeline keeps ``is_keeper`` rows and drops the rest."""
+    pairs = minhash_lsh_pairs(
+        docs, k=k, bands=bands, n=n, max_doc_id=max_doc_id, max_band_df=max_band_df
+    )
+    base = docs if max_doc_id is None else docs.filter(F.col("doc_id") < max_doc_id)
+    comp = connected_components(pairs, nodes=base.select("doc_id"))
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
 
 

@@ -40,6 +40,55 @@ def test_hot_gram_cap_bounds_join(spark):
     assert row["grams_a"] == full
 
 
+def test_band_bucket_cap_bounds_lsh_pairs(spark):
+    """VERDICT r4 #2: a boilerplate corpus where EVERY doc shares all
+    bands (one mega-bucket per band) used to emit C(m,2) pairs per
+    bucket; with ``max_band_df`` the mega-bucket emits a hub star —
+    O(m) rows — while connectivity survives for clustering."""
+    m = 60
+    same = [(i, "identical boilerplate page body " * 4) for i in range(m)]
+    docs = spark.createDataFrame(same, "doc_id long, text string")
+    uncapped = textops.minhash_lsh_pairs(docs)
+    capped = textops.minhash_lsh_pairs(docs, max_band_df=8)
+    assert uncapped.count() == m * (m - 1) // 2  # the quadratic blowup
+    rows = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert rows == {(0, i) for i in range(1, m)}  # hub star, O(m)
+    # clustering over the capped pairs still recovers the full cluster
+    cl = textops.dedup_clusters(docs, max_band_df=8)
+    got = {(r["doc_id"], r["cluster_id"]) for r in cl.collect()}
+    assert got == {(i, 0) for i in range(m)}
+    # mixed corpus: small buckets keep their complete pair set
+    mixed = spark.createDataFrame(
+        same[:3] + [(100 + i, f"unique-{i} " + "x" * 30) for i in range(4)],
+        "doc_id long, text string",
+    )
+    small = {
+        (r["doc_a"], r["doc_b"])
+        for r in textops.minhash_lsh_pairs(mixed, max_band_df=8).collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= small
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Chain-shaped pair graph (the worst case for label propagation):
+    large-star/small-star must converge and label the whole chain with
+    its min id; isolated nodes come back as singletons."""
+    chain = [(i, i + 1) for i in range(0, 30)]  # 0-1-2-...-30 one chain
+    other = [(50, 51), (51, 52)]
+    pairs = spark.createDataFrame(chain + other, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(0, 31)] + [(50,), (51,), (52,), (99,)],
+        "doc_id long",
+    )
+    out = {
+        (r["doc_id"], r["cluster_id"])
+        for r in textops.connected_components(pairs, nodes=nodes).collect()
+    }
+    want = {(i, 0) for i in range(0, 31)}
+    want |= {(50, 50), (51, 50), (52, 50), (99, 99)}
+    assert out == want
+
+
 def test_srp_bits_scale_with_corpus():
     """The near-dup default must widen the hash as the corpus grows —
     a fixed 256-bucket key is quadratic death at 10^9 vectors."""
