@@ -31,6 +31,7 @@ site serving robots/sitemap-index/gz-sitemap/RSS/CDX endpoints.
 
 from __future__ import annotations
 
+import tempfile
 import threading
 import time
 import urllib.parse
@@ -267,12 +268,17 @@ def fetch_cdx_chain(
     max_pages: int = 50,
     user_agent: str = HttpFetcher.USER_AGENT,
     gate: _RateGate | None = None,
+    sink=None,
 ) -> list[tuple[str, str, int]]:
     """One prefix's full CDX pagination (cdx.rs:25-95): request pages of
     ``limit`` URLs, follow the resume key (body = URL lines, then a
     blank line, then the key) until absent. Driver-side and serial BY
     PROTOCOL — each page's key gates the next request — with the
-    reference's bounded retry. → [(prefix, original, page)]."""
+    reference's bounded retry. → [(prefix, original, page)].
+
+    ``sink``: optional callable receiving each page's rows as they
+    arrive; when given, rows are STREAMED out and the return value is
+    empty — the chain never holds more than one page in memory."""
     out: list[tuple[str, str, int]] = []
     resume: str | None = None
     for page in range(max_pages):
@@ -308,7 +314,11 @@ def fetch_cdx_chain(
             resume = tail[0] if tail else None
         else:
             urls, resume = [x for x in lines if x], None
-        out.extend((prefix, u, page) for u in urls if u)
+        page_rows = [(prefix, u, page) for u in urls if u]
+        if sink is not None:
+            sink(page_rows)
+        else:
+            out.extend(page_rows)
         if not resume:
             break
     return out
@@ -321,6 +331,9 @@ def land_cdx_live(
     limit: int = CDX_PAGE_LIMIT,
     max_workers: int = 8,
     rps: float | None = None,
+    cat=None,
+    table: str = "cdx_live",
+    flush_rows: int = 100_000,
 ) -> DataFrame:
     """All prefixes' chains → the landed ``cdx`` table contract
     (prefix, original, statuscode, mimetype, page). The reference
@@ -342,33 +355,92 @@ def land_cdx_live(
 
     ``prefixes``: (prefix, query) — ``query`` is the literal URL prefix
     sent to the CDX endpoint; ``prefix`` is the join key the relational
-    pipeline will look up (check_urls builds host-derived keys)."""
+    pipeline will look up (check_urls builds host-derived keys).
+
+    Landing is SPILL-BOUNDED (VERDICT r4 #3): pages stream from the
+    chains into a shared buffer capped at ``flush_rows`` rows; beyond
+    the cap the buffer flushes to a lake slice-tree, so peak driver
+    memory is O(flush_rows + one page), not O(total discovered URLs) —
+    at 10 k prefixes × deep chains the old ``rows.extend`` union was a
+    10^7-row driver list. Small discoveries that never hit the cap stay
+    a single driver-side DataFrame (no lake round-trip). Pass ``cat``
+    to land spills into the caller's catalog (table ``cdx_live``);
+    otherwise a session-scoped temp catalog is created on first spill.
+    Per-chain page order is preserved in the ``page`` column."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from netrunner_spark.tables import LakeCatalog
 
     want = prefixes.select("prefix", "query").distinct().collect()
     gate = _RateGate(rps)
-    rows = []
-    if want:
-        with ThreadPoolExecutor(
-            max_workers=max(1, min(max_workers, len(want)))
-        ) as ex:
-            chains = ex.map(
-                lambda r: (
-                    r["prefix"],
-                    fetch_cdx_chain(
-                        base_url, r["query"], limit=limit, gate=gate
-                    ),
-                ),
-                want,
-            )
-            for prefix, chain in chains:
-                rows.extend((prefix, u, pg) for _, u, pg in chain)
     schema = (
         "prefix string, original string, page int, "
         "statuscode int, mimetype string"
     )
-    return spark.createDataFrame(
-        [(p, u, pg, 200, "text/html") for p, u, pg in rows], schema
+
+    lock = threading.Lock()
+    buf: list[tuple] = []
+    state = {"slice": 0, "peak": 0, "cat": cat, "inited": False}
+
+    def _flush_locked() -> tuple[list[tuple], int] | None:
+        if not buf:
+            return None
+        if not state["inited"]:
+            if state["cat"] is None:
+                state["cat"] = LakeCatalog(
+                    spark, tempfile.mkdtemp(prefix="nr_cdx_live_")
+                )
+            # a fresh discovery run must not union stale slices from a
+            # previous (longer) run against the same catalog
+            state["cat"].drop(table)
+            state["inited"] = True
+        batch, slice_id = list(buf), state["slice"]
+        buf.clear()
+        state["slice"] += 1
+        return batch, slice_id
+
+    def _write(batch: list[tuple], slice_id: int) -> None:
+        state["cat"].write_slice(
+            spark.createDataFrame(batch, schema), table, "slice", slice_id
+        )
+
+    def _sink(join_prefix: str, page_rows: list[tuple[str, str, int]]) -> None:
+        # the chain reports its QUERY string; land the relational JOIN
+        # KEY prefix the caller asked for
+        with lock:
+            buf.extend(
+                (join_prefix, u, pg, 200, "text/html") for _, u, pg in page_rows
+            )
+            state["peak"] = max(state["peak"], len(buf))
+            todo = _flush_locked() if len(buf) >= flush_rows else None
+        if todo is not None:
+            _write(*todo)  # Spark job outside the lock
+
+    def _run_chain(r) -> None:
+        fetch_cdx_chain(
+            base_url,
+            r["query"],
+            limit=limit,
+            gate=gate,
+            sink=lambda rows, p=r["prefix"]: _sink(p, rows),
+        )
+
+    if want:
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(max_workers, len(want)))
+        ) as ex:
+            list(ex.map(_run_chain, want))
+    land_cdx_live.last_peak_buffer_rows = state["peak"]
+    if state["slice"] == 0:
+        # never hit the spill cap: one bounded driver-side DataFrame
+        return spark.createDataFrame(buf, schema)
+    with lock:
+        todo = _flush_locked()
+    if todo is not None:
+        _write(*todo)
+    landed = state["cat"].read_slices(table)
+    return landed.select(
+        "prefix", "original", "page", "statuscode", "mimetype"
     )
 
 

@@ -102,6 +102,19 @@ class _Site(BaseHTTPRequestHandler):
             if off + limit < len(allu):
                 body += f"\n\noff-{off + limit}"
             self._send(body.encode(), "text/plain")
+        elif path == "/cdxdeep":
+            # deep chain: 1000 URLs per prefix → many pages at small
+            # limits (incremental-landing evidence)
+            q = urllib.parse.parse_qs(query)
+            pref = q.get("url", [""])[0]
+            limit = int(q.get("limit", ["1000"])[0])
+            off = int(q.get("resumeKey", ["off-0"])[0].split("-")[1])
+            total = 1000
+            chunk = [f"{pref}deep-{i}" for i in range(off, min(off + limit, total))]
+            body = "\n".join(chunk)
+            if off + limit < total:
+                body += f"\n\noff-{off + limit}"
+            self._send(body.encode(), "text/plain")
         elif path == "/cdx":
             q = urllib.parse.parse_qs(query)
             if not q.get("url", [""])[0].startswith(f"http://localhost:{p}/"):
@@ -181,6 +194,54 @@ def test_cdx_chains_parallel_across_prefixes(spark, site):
             (f"{p}page-2", 1), (f"{p}page-3", 1),
             (f"{p}page-4", 2),
         }
+
+
+def test_cdx_landing_is_incremental(spark, site, tmp_path):
+    """VERDICT r4 #3: a deep chain (2 prefixes × 1000 URLs at limit=50
+    → 40 pages) must land in lake slices as pages arrive, holding at
+    most ~flush_rows rows on the driver — never the full URL union."""
+    from netrunner_spark.tables import LakeCatalog
+
+    prefs = ["http://d0.test/", "http://d1.test/"]
+    pref_df = spark.createDataFrame(
+        [(p, p) for p in prefs], "prefix string, query string"
+    )
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    cdx = land_cdx_live(
+        spark,
+        f"http://127.0.0.1:{site}/cdxdeep",
+        pref_df,
+        limit=50,
+        cat=cat,
+        flush_rows=120,
+    )
+    got = cdx.collect()
+    assert len(got) == 2000
+    # peak driver buffer bounded by flush threshold + one page, far
+    # below the 2000-row union the old code accumulated
+    peak = land_cdx_live.last_peak_buffer_rows
+    assert peak <= 120 + 2 * 50, peak
+    # multiple slices actually landed incrementally
+    assert len(cat._slice_values("cdx_live", "slice")) >= 2000 // 170
+    # per-chain page order preserved in the landed data
+    for p in prefs:
+        mine = sorted(
+            (r["page"], r["original"]) for r in got if r["prefix"] == p
+        )
+        assert len(mine) == 1000
+        assert mine[0] == (0, f"{p}deep-0")
+        assert mine[-1][0] == 19  # 1000 / 50 = 20 pages
+    # a repeat spilling run against the same catalog must drop the
+    # previous run's (more numerous) stale slices, not union them
+    cdx2 = land_cdx_live(
+        spark,
+        f"http://127.0.0.1:{site}/cdxdeep",
+        pref_df,
+        limit=200,
+        cat=cat,
+        flush_rows=500,
+    )
+    assert cdx2.count() == 2000
 
 
 def test_cdx_rate_gate_bounds_aggregate_rps(site):
