@@ -293,24 +293,44 @@ def prepare_colocated_fetcher(
     if "url_hash" not in web.columns:
         web = web.withColumn("url_hash", F.xxhash64("url"))
 
-    def _have(table: str) -> bool:
+    def _fingerprint(df: DataFrame, key_expr: str) -> dict:
+        # one column-pruned single-row aggregate: count + order-free
+        # XOR of the key hashes — cheap, and collision-safe enough to
+        # tell "same corpus" from "stale template" (ADVICE r4)
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr(f"bit_xor(xxhash64({key_expr}))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return {"rows": int(row["n"]), "xor_key_hash": int(row["h"])}
+
+    web_prov = _fingerprint(web, "url")
+
+    def _have(table: str, prov: dict) -> bool:
         # reuse an existing layout (resume, or a lake pre-seeded from a
         # bucketed-store template) instead of re-running the one-time
-        # layout shuffle — valid only if key + bucket count match
+        # layout shuffle — valid only if key + bucket count match AND
+        # the persisted provenance matches the incoming source (a stale
+        # or mismatched pre-seed must rebuild, not silently serve the
+        # wrong corpus)
         m = cat.table_meta(table)
         return (
             m is not None
             and m.get("key") == "url_hash"
             and int(m.get("n_buckets", -1)) == n_buckets
+            and m.get("provenance") == prov
         )
 
-    if not _have("web_store"):
+    if not _have("web_store", web_prov):
         cat.write_table_bucketed(
-            web, "web_store", key="url_hash", n_buckets=n_buckets
+            web, "web_store", key="url_hash", n_buckets=n_buckets,
+            provenance=web_prov,
         )
     ibu = None
     if images is not None:
-        if not _have("images_by_url"):
+        img_prov = {
+            "web": web_prov, **_fingerprint(images, "image_id")
+        }
+        if not _have("images_by_url", img_prov):
             refs = web.select("url_hash", "image_id").filter(
                 F.col("image_id").isNotNull()
             )
@@ -318,7 +338,8 @@ def prepare_colocated_fetcher(
                 "url_hash", "bytes", "w", "h", "phash"
             )
             cat.write_table_bucketed(
-                pairs, "images_by_url", key="url_hash", n_buckets=n_buckets
+                pairs, "images_by_url", key="url_hash", n_buckets=n_buckets,
+                provenance=img_prov,
             )
         ibu = cat.read_table("images_by_url")
     return MockFetcher(
@@ -327,6 +348,32 @@ def prepare_colocated_fetcher(
         colocated=True,
         images_by_url=ibu,
     )
+
+
+def _decode_body(body: bytes, headers: list[dict]) -> str:
+    """Bytes → text with the PINNED charset policy (VERDICT r4 #8):
+    honor an explicit ``charset=`` in the Content-Type response header,
+    then fall back to UTF-8; decoding is always LOSSY-REPLACEMENT,
+    never a row drop — parity with the reference's fetch path, which
+    uses reqwest ``resp.text()`` (charset-aware, U+FFFD substitution;
+    archive.rs:74). The strict-drop convention applies only on WARC
+    archive READ (archive.rs:137, see ``warc.parse_warc_bytes``)."""
+    import re as _re
+
+    charset = None
+    for h in headers:
+        if (h.get("name") or "").lower() == "content-type":
+            m = _re.search(
+                r"charset=[\"']?([A-Za-z0-9_.:-]+)", h.get("value") or "", _re.I
+            )
+            if m:
+                charset = m.group(1)
+    if charset:
+        try:
+            return body.decode(charset, errors="replace")
+        except LookupError:
+            pass  # unknown label → UTF-8 fallback, same as reqwest
+    return body.decode("utf-8", errors="replace")
 
 
 class HttpFetcher:
@@ -534,7 +581,7 @@ class HttpFetcher:
                                 headers,
                                 bytes(body)
                                 if binary
-                                else body.decode("utf-8", errors="replace"),
+                                else _decode_body(body, headers),
                                 attempts,
                             )
                         if status in NO_RETRY_STATUSES:

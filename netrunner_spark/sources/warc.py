@@ -134,12 +134,19 @@ def warc_export(records: DataFrame, out_dir: str, single_file: bool = False) -> 
 
 
 # ----------------------------------------------------------------- reader
-def parse_warc_bytes(data: bytes) -> list[dict]:
+def parse_warc_bytes(data: bytes, non_utf8: str = "drop") -> list[dict]:
     """gzip'd (or raw) WARC bytes → [{url, status, headers, content}].
 
     Records are delimited by the Content-Length written in their own
     WARC header — NOT by scanning for the version string, so a page
     body that itself contains 'WARC/1.1' reads back intact.
+
+    Non-UTF-8 policy (pinned, VERDICT r4 #8): a record whose HTTP block
+    is not valid UTF-8 is DROPPED by default — exact parity with the
+    reference, which silently skips such records on archive read
+    (``if let Ok(body) = String::from_utf8(...)``, archive.rs:137).
+    ``non_utf8="replace"`` keeps them with U+FFFD substitution instead
+    (the fetch-path convention) for pipelines that must not lose rows.
     """
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
@@ -163,10 +170,14 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
                     clen = int(val.strip())
                 except ValueError:
                     clen = 0
-        block = data[head_end + 4 : head_end + 4 + clen].decode(
-            "utf-8", errors="replace"
-        )
+        block_bytes = data[head_end + 4 : head_end + 4 + clen]
         pos = head_end + 4 + clen + 4  # skip the \r\n\r\n record separator
+        try:
+            block = block_bytes.decode("utf-8")
+        except UnicodeDecodeError:
+            if non_utf8 == "drop":
+                continue  # reference parity: skip the record
+            block = block_bytes.decode("utf-8", errors="replace")
         # block = status line + header lines + BLANK LINE + body: split
         # on the first blank line FIRST (an empty header section would
         # otherwise swallow the body into the header part)
@@ -207,11 +218,13 @@ RECORD_SCHEMA = T.StructType(
 )
 
 
-def warc_read(spark, path: str) -> DataFrame:
+def warc_read(spark, path: str, non_utf8: str = "drop") -> DataFrame:
     """Directory (or glob) of .warc.gz → records DataFrame.
 
     binaryFile source streams each file to one task; parse happens
-    batch-wise in mapInPandas (S10).
+    batch-wise in mapInPandas (S10). ``non_utf8``: see
+    ``parse_warc_bytes`` (default drops non-UTF-8 records, reference
+    parity archive.rs:137).
     """
     files = spark.read.format("binaryFile").load(path)
 
@@ -219,7 +232,9 @@ def warc_read(spark, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                rows.extend(parse_warc_bytes(bytes(row["content"])))
+                rows.extend(
+                    parse_warc_bytes(bytes(row["content"]), non_utf8=non_utf8)
+                )
             yield pd.DataFrame(
                 rows, columns=["url", "status", "headers", "content"]
             )

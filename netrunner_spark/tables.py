@@ -282,6 +282,7 @@ class LakeCatalog:
         key: str,
         n_buckets: int,
         partition_by: list[str] | None = None,
+        provenance: dict | None = None,
     ) -> None:
         """Write ``df`` as a Spark bucketed+sorted table. The pre-write
         ``repartition(n_buckets, key)`` uses the same murmur3 pmod as the
@@ -311,6 +312,10 @@ class LakeCatalog:
                 {"name": f.name, "type": f.dataType.simpleString()}
                 for f in df.schema.fields
             ],
+            # caller-supplied source identity (e.g. row count + key xor):
+            # lets reuse checks reject a stale/mismatched pre-seeded
+            # layout instead of silently crawling the wrong corpus
+            "provenance": provenance,
         }
         tmp = self._table_meta_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as f:

@@ -73,3 +73,32 @@ def test_merge_after_unbucketed_rewrite_keeps_rows(spark, tmp_path):
     got = {(r["k"], r["v"]) for r in cat.read("t").collect()}
     assert got == {(1, "a"), (2, "b"), (2, "B"), (3, "c"), (4, "d")}
     cat.drop("t")
+
+
+def test_colocated_store_reuse_verifies_provenance(spark, tmp_path):
+    """ADVICE r4: _have() must not accept a pre-seeded/stale bucketed
+    store on key+bucket-count alone — the persisted provenance
+    (row count + key xor) has to match the incoming web DataFrame, or
+    the layout is rebuilt instead of silently crawling the wrong corpus."""
+    from pyspark.sql import functions as F
+
+    from netrunner_spark.sources.fetcher import prepare_colocated_fetcher
+    from netrunner_spark.synth import gen_web
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    web1 = gen_web(spark, 2, 6)
+    prepare_colocated_fetcher(cat, web1, n_buckets=4)
+    assert cat.read_table("web_store").count() == web1.count()
+    v_meta1 = cat.table_meta("web_store")
+    assert v_meta1["provenance"]["rows"] == web1.count()
+
+    # same corpus again (resume): layout reused, meta unchanged
+    prepare_colocated_fetcher(cat, gen_web(spark, 2, 6), n_buckets=4)
+    assert cat.table_meta("web_store") == v_meta1
+
+    # DIFFERENT corpus, same key + bucket count: must rebuild, and the
+    # store must serve the new corpus, not the stale one
+    web2 = gen_web(spark, 3, 8)
+    prepare_colocated_fetcher(cat, web2, n_buckets=4)
+    assert cat.read_table("web_store").count() == web2.count()
+    assert cat.table_meta("web_store")["provenance"] != v_meta1["provenance"]

@@ -78,6 +78,22 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Location", "/loop")
             self.send_header("Content-Length", "0")
             self.end_headers()
+        elif self.path == "/latin1":
+            # 'café résumé' in ISO-8859-1 — NOT valid UTF-8 bytes
+            body = "caf\xe9 r\xe9sum\xe9".encode("latin-1")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=ISO-8859-1")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/badenc":
+            # raw 0xE9 with NO charset declaration → UTF-8 replacement
+            body = b"caf\xe9!"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path.startswith("/wait"):
             time.sleep(0.5)
             body = b"slow"
@@ -272,3 +288,51 @@ def test_null_status_on_connection_failure(spark):
     row = HttpFetcher(rps=100.0).fetch(batch).collect()[0]
     assert row["status"] is None
     assert row["attempts"] == 3  # full retry budget consumed (W5)
+
+
+def test_non_utf8_body_charset_policy(spark, server):
+    """VERDICT r4 #8 pinned policy, fetch side: a declared charset is
+    honored (latin-1 page decodes exactly); undeclared non-UTF-8 bytes
+    decode with U+FFFD replacement (reqwest resp.text() parity,
+    archive.rs:74) — never a dropped row, never an exception."""
+    batch = spark.createDataFrame(
+        [(f"{server}/latin1", "127.0.0.1", 0), (f"{server}/badenc", "127.0.0.1", 1)],
+        "url string, host string, url_hash long",
+    ).coalesce(1)
+    out = {r["url"].rsplit("/", 1)[1]: r for r in
+           HttpFetcher(rps=100.0).fetch(batch).collect()}
+    assert out["latin1"]["status"] == 200
+    assert out["latin1"]["content"] == "café résumé"
+    assert out["badenc"]["status"] == 200
+    assert out["badenc"]["content"] == "caf�!"
+
+
+def test_non_utf8_warc_records_dropped_by_default():
+    """VERDICT r4 #8 pinned policy, archive side: a WARC record whose
+    HTTP block is not valid UTF-8 is skipped on read (reference parity,
+    archive.rs:137); non_utf8='replace' keeps it lossily instead."""
+    from netrunner_spark.sources.warc import parse_warc_bytes
+
+    def rec(url: str, body: bytes) -> bytes:
+        block = b"HTTP/1.1 200 OK\nX-H: 1\n\n" + body
+        head = (
+            b"WARC/1.1\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"Content-Length: {len(block)}\r\n".encode()
+        )
+        # head lines already end with \r\n; one more blank line ends it
+        return head + b"\r\n" + block + b"\r\n\r\n"
+
+    data = (
+        rec("https://a.test/ok", "café page".encode("utf-8"))
+        + rec("https://a.test/latin", "caf\xe9 page".encode("latin-1"))
+        + rec("https://a.test/ok2", b"plain ascii")
+    )
+    got = parse_warc_bytes(data)
+    assert [r["url"] for r in got] == ["https://a.test/ok", "https://a.test/ok2"]
+    assert got[0]["content"] == "café page"
+    kept = parse_warc_bytes(data, non_utf8="replace")
+    assert [r["url"] for r in kept] == [
+        "https://a.test/ok", "https://a.test/latin", "https://a.test/ok2"
+    ]
+    assert kept[1]["content"] == "caf� page"
