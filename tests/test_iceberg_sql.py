@@ -23,7 +23,10 @@ from netrunner_spark.iceberg import (
     create_namespace_sql,
     current_snapshot_sql,
     drop_sql,
+    expire_snapshots_sql,
+    insert_overwrite_slice_sql,
     merge_sql,
+    rewrite_data_files_sql,
     rollback_sql,
 )
 
@@ -58,6 +61,25 @@ GOLDENS = {
     "drop": (
         drop_sql("nrlake.nr.cache"),
         "DROP TABLE IF EXISTS nrlake.nr.cache",
+    ),
+    # r4 verdict item 6: the remaining LakeCatalog codepaths' twins
+    "slice_overwrite": (
+        insert_overwrite_slice_sql(
+            "nrlake.nr.schedule_ext", "_nr_slice_src_schedule_ext",
+            "sched_round", 7,
+        ),
+        "INSERT OVERWRITE nrlake.nr.schedule_ext "
+        "PARTITION (sched_round = 7) "
+        "SELECT * FROM _nr_slice_src_schedule_ext",
+    ),
+    "rewrite_data_files": (
+        rewrite_data_files_sql("nrlake", "nr", "cache"),
+        "CALL nrlake.system.rewrite_data_files(table => 'nr.cache')",
+    ),
+    "expire_snapshots": (
+        expire_snapshots_sql("nrlake", "nr", "cache", 2),
+        "CALL nrlake.system.expire_snapshots"
+        "(table => 'nr.cache', retain_last => 2)",
     ),
 }
 
@@ -119,4 +141,33 @@ def test_methods_execute_exactly_the_builders(monkeypatch):
         rollback_sql("nrlake", "nr", "cache", 42),
         drop_sql("nrlake.nr.cache"),
         current_snapshot_sql("nrlake.nr.cache"),
+    ]
+
+
+def test_slice_append_and_compaction_wiring():
+    """r4 verdict item 6: schedule_ext per-round appends and cache
+    compaction execute exactly the pinned builders."""
+    cat = _facade_with_recorder()
+    cat.append_slice(_StubDF(), "schedule_ext", "sched_round", 7)
+    cat.compact("cache", retain_last=2)
+    assert cat.spark.executed == [
+        insert_overwrite_slice_sql(
+            "nrlake.nr.schedule_ext", "_nr_slice_src_schedule_ext",
+            "sched_round", 7,
+        ),
+        rewrite_data_files_sql("nrlake", "nr", "cache"),
+        expire_snapshots_sql("nrlake", "nr", "cache", 2),
+    ]
+
+
+def test_restore_after_partial_commit_wiring():
+    """W4 crash recovery: a round that committed cache but died before
+    metrics/bloom rolls EVERY checkpoint table back to the recorded
+    pre-round snapshots — deterministic order, one rollback per table."""
+    cat = _facade_with_recorder()
+    cat.restore({"metrics": 11, "cache": 17, "bloom_shards": 5})
+    assert cat.spark.executed == [
+        rollback_sql("nrlake", "nr", "bloom_shards", 5),
+        rollback_sql("nrlake", "nr", "cache", 17),
+        rollback_sql("nrlake", "nr", "metrics", 11),
     ]
