@@ -40,6 +40,8 @@ HEADLINE = [
     "text_token_stats",
     "doc_fingerprint",
     "minhash_lsh",
+    "minhash_lsh_capped",
+    "dedup_clusters",
     "ann_topk_int",
 ]
 
