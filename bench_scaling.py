@@ -295,27 +295,33 @@ def gated_pair(
     max_rounds: int = 8,
     threshold: float = 15.0,
     wait_s: float = 120.0,
+    max_wall_s: float = 4 * 3600.0,
 ) -> dict:
     """r4 verdict item 4: bus-GATED alternating pair attempts. Each
     iteration first reads the memcopy control; a degraded bus SKIPS the
-    iteration (tagged, after a wait) instead of burning a doomed pair.
-    Healthy windows run small leg → control → large leg → control, all
-    tags recorded. Stops at the first same-iteration pair ≥ 0.8 or when
-    the attempt budget is exhausted; every failed pair then carries its
-    bus tags. Writes BENCH/scaling_<tag>.json."""
+    iteration (tagged, after a wait) WITHOUT consuming the pair budget —
+    ``max_rounds`` counts pairs actually run, ``max_wall_s`` bounds the
+    total waiting. Healthy windows run small leg → control → large leg →
+    control, all tags recorded. Stops at the first same-iteration pair
+    ≥ 0.8; every failed pair then carries its bus tags. Writes
+    BENCH/scaling_<tag>.json."""
     import time
 
     env = dict(os.environ, SCALE_REPEATS="1")
     attempts: list[dict] = []
     best_pair: dict | None = None
     legs_best: dict[int, dict] = {}
-    for i in range(max_rounds):
+    t_start = time.time()
+    pairs_run = 0
+    i = 0
+    while pairs_run < max_rounds and time.time() - t_start < max_wall_s:
+        i += 1
         pre = _bus_gbps()
         if pre < threshold:
             attempts.append(
                 {"iteration": i, "bus_pre_gb_s": pre, "skipped": "bus degraded"}
             )
-            print(json.dumps(attempts[-1]))
+            print(json.dumps(attempts[-1]), flush=True)
             time.sleep(wait_s)
             continue
         att: dict = {"iteration": i, "bus_pre_gb_s": pre, "legs": {}}
@@ -349,13 +355,14 @@ def gated_pair(
             ):
                 legs_best[cores] = res
         if not aborted:
+            pairs_run += 1
             small = att["legs"][str(n_small)]["drain_urls_per_sec"]
             large = att["legs"][str(4 * n_small)]["drain_urls_per_sec"]
             att["pair_efficiency"] = round(large / (4 * small), 3)
             if best_pair is None or att["pair_efficiency"] > best_pair["pair_efficiency"]:
                 best_pair = att
         attempts.append(att)
-        print(json.dumps(att))
+        print(json.dumps(att), flush=True)
         if best_pair is not None and best_pair["pair_efficiency"] >= 0.8:
             break
     # persist best legs so report() folds the best-of over healthy windows
@@ -421,6 +428,7 @@ def main() -> None:
             int(sys.argv[3]) if len(sys.argv) > 3 else 8,
             float(os.environ.get("SCALE_BUS_THRESHOLD", "15.0")),
             float(os.environ.get("SCALE_BUS_WAIT", "120")),
+            float(os.environ.get("SCALE_MAX_WALL", str(4 * 3600))),
         )
     elif cmd == "leg":
         leg(int(sys.argv[2]))
