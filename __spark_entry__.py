@@ -287,6 +287,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_ivf_topk(spark, sf):
         return vectors.ivf_topk(_t(spark, sf, "embeddings"))
 
+    def embedding_dedup_clusters(spark, sf):
+        # bits pinned to 8 for the same oracle-parity reason as
+        # embedding_near_dups above; scale default is auto
+        return vectors.embedding_dedup_clusters(
+            _t(spark, sf, "embeddings"), bits=8
+        )
+
     def media_video_sample(spark, sf):
         # multimodal: build deterministic NRVD1 videos, frame-sample
         # every 2nd frame via mapInPandas; oracle derives the expected
@@ -587,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "lsh_bucket_sizes": lsh_bucket_sizes,
         "embedding_near_dups": embedding_near_dups,
+        "embedding_dedup_clusters": embedding_dedup_clusters,
         "ann_ivf_topk": ann_ivf_topk,
         "media_video_sample": media_video_sample,
         "media_audio_features": media_audio_features,
@@ -1033,6 +1041,44 @@ WITH base AS (
               JOIN q qa ON qa.vec_id = vec_a
               JOIN q qb ON qb.vec_id = vec_b
             ) WHERE dot_q >= 500000
+        """,
+        "embedding_dedup_clusters": """
+            WITH RECURSIVE q AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), proj AS (
+              SELECT vec_id, b,
+                     list_reduce(list_transform(generate_series(1, len(qe)),
+                         i -> qe[i] * (((b * 1009) + (i - 1) * 9176 + 7) % 2003 - 1001)),
+                         (x, y) -> x + y) AS p
+              FROM q, generate_series(0, 7) AS t(b)
+            ), buckets AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+              FROM proj GROUP BY vec_id
+            ), cands AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM buckets a JOIN buckets b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ), pairs AS (
+              SELECT vec_a, vec_b FROM (
+                SELECT vec_a, vec_b,
+                       CAST(list_reduce(list_transform(generate_series(1, len(qa.qe)),
+                            i -> qa.qe[i] * qb.qe[i]), (x, y) -> x + y) AS BIGINT) AS dot_q
+                FROM cands
+                JOIN q qa ON qa.vec_id = vec_a
+                JOIN q qb ON qb.vec_id = vec_b
+              ) WHERE dot_q >= 500000
+            ), edges AS (
+              SELECT vec_a AS u, vec_b AS v FROM pairs
+              UNION SELECT vec_b, vec_a FROM pairs
+            ), reach(u, v) AS (
+              SELECT vec_id, vec_id FROM q
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS vec_id, min(v) AS cluster_id, min(v) = u AS is_keeper
+            FROM reach GROUP BY u
         """,
         "jaccard_pairs_capped": grams_cte
         + """

@@ -293,3 +293,28 @@ def embedding_near_dups(
             lambda acc, x: acc + x,
         ).alias("dot_q"),
     ).filter(F.col("dot_q") >= min_dot_q)
+
+
+def embedding_dedup_clusters(
+    embeddings: DataFrame, bits: int | None = None, min_dot_q: int = 500_000
+) -> DataFrame:
+    """Embedding near-dup CLUSTERS with a deterministic keeper:
+    ``embedding_near_dups`` pairs → large-star/small-star connected
+    components → ``(vec_id, cluster_id, is_keeper)``, cluster_id = the
+    component's min vec_id. The embedding-side twin of
+    ``textops.dedup_clusters`` — a training pipeline keeps the keeper
+    row of each cluster and drops the rest."""
+    from netrunner_spark.operators.textops import connected_components
+
+    pairs = embedding_near_dups(embeddings, bits=bits, min_dot_q=min_dot_q)
+    comp = connected_components(
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        ),
+        nodes=embeddings.select(F.col("vec_id").alias("doc_id")),
+    )
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
