@@ -411,12 +411,153 @@ def prep() -> None:
     print(f"template ready at {tpl} (buckets={n_buckets})")
 
 
+def cpu_leg(cores: int, base_cpu: int) -> dict:
+    """CPU-bound engine control leg (bus-insensitive): the X2 parse
+    stage — the Arrow-batched pandas-UDF hot path of the archive tail —
+    over a CACHED ~12 KB-page corpus. No lake writes, no image bytes,
+    no shuffle beyond the initial repartition: per-core bandwidth need
+    is ~15 MB/s (1.4 k pages/s/core × 11 KB), so unlike the drain this
+    leg keeps scaling when the VM's shared bus collapses. It evidences
+    that the ENGINE's parallel plan (not just a synthetic busyloop)
+    scales on the resource that is actually available."""
+    import time
+
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from netrunner_spark.parser.udf import parse_html_udf
+    from netrunner_spark.session import get_spark
+
+    repeats = int(os.environ.get("SCALE_REPEATS", "3"))
+    spark = get_spark(f"cpu_{cores}", master=f"local[{cores}]")
+    df = (
+        spark.read.parquet(WEB_PATH)
+        .select("url", "content")
+        .repartition(cores * 4)
+        .cache()
+    )
+    n = df.count()  # materialize the cache — warm-up, untimed
+    best = None
+    for rep in range(repeats):
+        t0 = time.time()
+        parsed = df.select(parse_html_udf("url", "content").alias("p"))
+        row = parsed.select(
+            F.count("p.content_hash").alias("n"),
+            F.sum(F.length("p.content")).alias("chars"),
+        ).collect()[0]
+        dt = time.time() - t0
+        res = {
+            "cores": cores,
+            "pages": n,
+            "parsed": int(row["n"]),
+            "seconds": round(dt, 3),
+            "pages_per_sec": round(n / dt, 1),
+            "repeat": rep,
+        }
+        print(json.dumps(res), flush=True)
+        if best is None or res["pages_per_sec"] > best["pages_per_sec"]:
+            best = res
+    best["repeats"] = repeats
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    tag = os.environ.get("SCALE_TAG", "")
+    with open(
+        os.path.join(BENCH_DIR, f"cpu_leg_{tag + '_' if tag else ''}{cores}.json"),
+        "w",
+    ) as f:
+        json.dump(best, f, indent=2)
+    return best
+
+
+def cpu_pair(n_small: int, base_cpu: int = 24) -> dict:
+    """N→4N pair on the CPU-bound parse leg, same interleaved
+    best-of protocol as the drain pair, pinned to HIGH cores (default
+    24..) so a concurrently waiting drain experiment on cores 0-7 is
+    never polluted. Memcopy tags are recorded for context but do NOT
+    gate: the point of this pair is that it runs clean in windows where
+    the drain pair cannot."""
+    import time
+
+    env = dict(os.environ)
+    rounds = int(os.environ.get("SCALE_CPU_ROUNDS", "2"))
+    attempts: list[dict] = []
+    best: dict[int, dict] = {}
+    for i in range(rounds):
+        for cores in (n_small, 4 * n_small):
+            cpus = f"{base_cpu}-{base_cpu + cores - 1}"
+            pre = _bus_gbps(cpus=cpus, n_procs=min(cores, 8))
+            t0 = time.time()
+            subprocess.run(
+                [
+                    "taskset", "-c", cpus, sys.executable, __file__,
+                    "cpu_leg", str(cores), str(base_cpu),
+                ],
+                check=True,
+                env=env,
+            )
+            tag = os.environ.get("SCALE_TAG", "")
+            with open(
+                os.path.join(
+                    BENCH_DIR, f"cpu_leg_{tag + '_' if tag else ''}{cores}.json"
+                )
+            ) as f:
+                res = json.load(f)
+            attempts.append(
+                {
+                    "iteration": i + 1,
+                    "cores": cores,
+                    "pages_per_sec": res["pages_per_sec"],
+                    "bus_pre_gb_s": pre,
+                    "wall_s": round(time.time() - t0, 1),
+                }
+            )
+            print(json.dumps(attempts[-1]), flush=True)
+            if (
+                cores not in best
+                or res["pages_per_sec"] > best[cores]["pages_per_sec"]
+            ):
+                best[cores] = res
+    eff = round(
+        best[4 * n_small]["pages_per_sec"]
+        / (4 * best[n_small]["pages_per_sec"]),
+        3,
+    )
+    out = {
+        "experiment": (
+            "CPU-bound engine scaling control: X2 parse (pandas-UDF hot "
+            "path) over a cached corpus — per-core bandwidth ~15 MB/s, "
+            "insensitive to the VM's bimodal shared bus"
+        ),
+        "n_cores": n_small,
+        "4n_cores": 4 * n_small,
+        "pages": best[n_small]["pages"],
+        "pages_per_sec_n": best[n_small]["pages_per_sec"],
+        "pages_per_sec_4n": best[4 * n_small]["pages_per_sec"],
+        "scaling_efficiency": eff,
+        "attempts": attempts,
+    }
+    tag = os.environ.get("SCALE_TAG", "cpu")
+    with open(os.path.join(BENCH_DIR, f"scaling_{tag}.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return out
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
     if cmd == "gen":
         gen()
     elif cmd == "prep":
         prep()
+    elif cmd == "cpu_leg":
+        cpu_leg(
+            int(sys.argv[2]),
+            int(sys.argv[3]) if len(sys.argv) > 3 else 24,
+        )
+    elif cmd == "cpu_pair":
+        cpu_pair(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 2,
+            int(os.environ.get("SCALE_CPU_BASE", "24")),
+        )
     elif cmd == "pair":
         pair(
             int(sys.argv[2]) if len(sys.argv) > 2 else 8,
