@@ -246,6 +246,8 @@ def main() -> None:
     for name, key in (
         ("scaling.json", "scaling"),
         ("scaling_10x.json", "scaling_10x"),
+        ("scaling_cpu_r5.json", "scaling_cpu"),
+        ("scaling_10x_r5.json", "scaling_10x_gated"),
         ("controls.json", "controls"),
     ):
         path = os.path.join(REPO, "BENCH", name)
@@ -294,7 +296,7 @@ def main() -> None:
         "protocol": out["protocol"],
         "full_record": out["full_record"],
     }
-    for key in ("scaling", "scaling_10x"):
+    for key in ("scaling", "scaling_10x", "scaling_cpu", "scaling_10x_gated"):
         if key in out and isinstance(out[key], dict):
             summary = {
                 k: out[key][k]
@@ -303,6 +305,9 @@ def main() -> None:
                     "pass",
                     "drain_throughput_n",
                     "drain_throughput_4n",
+                    "pages_per_sec_n",
+                    "pages_per_sec_4n",
+                    "best_pair_efficiency",
                 )
                 if k in out[key]
             }
