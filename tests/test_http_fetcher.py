@@ -94,6 +94,16 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/chunked":
+            # Transfer-Encoding: chunked, no Content-Length — the other
+            # HTTP/1.1 body framing. Three chunks, sizes in hex.
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for part in (b"<html>chu", b"nked bo", b"dy</html>"):
+                self.wfile.write(b"%x\r\n%s\r\n" % (len(part), part))
+            self.wfile.write(b"0\r\n\r\n")
         elif self.path.startswith("/wait"):
             time.sleep(0.5)
             body = b"slow"
@@ -305,6 +315,29 @@ def test_non_utf8_body_charset_policy(spark, server):
     assert out["latin1"]["content"] == "café résumé"
     assert out["badenc"]["status"] == 200
     assert out["badenc"]["content"] == "caf�!"
+
+
+def test_chunked_transfer_encoding(spark, server):
+    """HTTP/1.1 chunked body framing (the reference's reqwest handles
+    it inside resp.text(); ours rides http.client's de-chunking): the
+    body arrives WITHOUT chunk-size framing, and — because chunked
+    framing must be consumed exactly for keep-alive to survive — a
+    second request on the SAME kept-alive connection still parses.
+    Both URLs share one host and run in one partition task, so they
+    reuse one connection in sequence."""
+    batch = spark.createDataFrame(
+        [(f"{server}/chunked", "127.0.0.1", 0), (f"{server}/ok?after=chunked", "127.0.0.1", 1)],
+        "url string, host string, url_hash long",
+    ).coalesce(1)
+    out = {r["url"].rsplit("/", 1)[1].partition("?")[0]: r for r in
+           HttpFetcher(rps=100.0).fetch(batch).collect()}
+    assert out["chunked"]["status"] == 200
+    assert out["chunked"]["content"] == "<html>chunked body</html>"
+    hdrs = {h["name"].lower(): h["value"] for h in out["chunked"]["headers"]}
+    assert hdrs.get("transfer-encoding") == "chunked"
+    # keep-alive survived the chunked framing: the follow-up is intact
+    assert out["ok"]["status"] == 200
+    assert out["ok"]["content"] == "hello world"
 
 
 def test_non_utf8_warc_records_dropped_by_default():
