@@ -247,6 +247,7 @@ def main() -> None:
         ("scaling.json", "scaling"),
         ("scaling_10x.json", "scaling_10x"),
         ("scaling_cpu_r5.json", "scaling_cpu"),
+        ("scaling_cpu10x_r5.json", "scaling_cpu_10x"),
         ("scaling_10x_r5.json", "scaling_10x_gated"),
         ("controls.json", "controls"),
     ):
@@ -296,7 +297,13 @@ def main() -> None:
         "protocol": out["protocol"],
         "full_record": out["full_record"],
     }
-    for key in ("scaling", "scaling_10x", "scaling_cpu", "scaling_10x_gated"):
+    for key in (
+        "scaling",
+        "scaling_10x",
+        "scaling_cpu",
+        "scaling_cpu_10x",
+        "scaling_10x_gated",
+    ):
         if key in out and isinstance(out[key], dict):
             summary = {
                 k: out[key][k]
