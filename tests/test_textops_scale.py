@@ -124,3 +124,44 @@ def test_near_dup_default_bounds_bucket_size(spark, sf_dir):
     out = vectors.embedding_near_dups(emb)
     assert out.columns == ["vec_a", "vec_b", "dot_q"]
     out.count()
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized differential check: large-star/small-star labels must
+    equal a plain union-find's component minima on arbitrary pair
+    graphs (merge order, star shapes, cross-links between big and small
+    components — topologies the chain test can't cover). Seeded, so
+    failures reproduce."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(4):
+        n = rng.randrange(10, 80)
+        m = rng.randrange(0, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # union-find oracle
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in textops.connected_components(pairs, nodes=nodes).collect()
+        }
+        assert got == want, f"trial {trial}: n={n} edges={edges}"
