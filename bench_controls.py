@@ -3,7 +3,18 @@
 establish what THIS box can evidence before interpreting N→4N pairs.
 
   busyloop  — pure-CPU (no memory traffic): do the cores exist?
-  memcopy   — 50 MB numpy copies: where does the memory bus saturate?
+  memcopy   — 50 MB numpy copies into FRESH allocations: bus bandwidth
+              PLUS the kernel's cost of faulting-in new pages each copy.
+  memcopy_resident — 50 MB copies into a PREALLOCATED warm buffer: pure
+              bus bandwidth with zero page faults.
+
+The alloc/resident split matters on this VM: round-5 measurement caught
+a window where fresh-alloc copy read 0.2 GB/s aggregate (8 procs) while
+resident copy read 70 GB/s — i.e. host-side page-fault servicing
+(ballooning/EPT), not the bus, had collapsed.  A JVM-heavy Spark drain
+reuses pooled heap/Arrow memory, so RESIDENT bandwidth is the control
+that predicts whether a scaling leg measures the plan or the co-tenant;
+the alloc number is still recorded for startup/allocation-heavy phases.
 
 Writes BENCH/controls.json. Run with the box otherwise idle.
 """
@@ -34,6 +45,18 @@ while time.time() < t_end:
 print(n)
 """
 
+MEM_RESIDENT = """
+import numpy as np, time
+a = np.ones(50_000_000, dtype=np.uint8)
+b = np.empty_like(a)
+np.copyto(b, a)
+t_end = time.time() + %f
+n = 0
+while time.time() < t_end:
+    np.copyto(b, a); n += 1
+print(n)
+"""
+
 
 def run(n_procs: int, cpus: str, code: str) -> int:
     procs = [
@@ -48,14 +71,16 @@ def run(n_procs: int, cpus: str, code: str) -> int:
 
 def main() -> None:
     secs = float(os.environ.get("CTL_SECONDS", "5"))
-    busy, mem = BUSY % secs, MEM % secs
+    busy, mem, memres = BUSY % secs, MEM % secs, MEM_RESIDENT % secs
     out: dict = {"seconds_per_leg": secs, "points": {}}
     for n, cpus in ((2, "0-1"), (4, "0-3"), (8, "0-7"), (16, "0-15"), (32, "0-31")):
         b = run(n, cpus, busy)
         m = run(n, cpus, mem)
+        mr = run(n, cpus, memres)
         out["points"][str(n)] = {
             "busyloop_iters": b,
             "memcopy_gb_per_s": round(m * 0.05 / secs, 2),
+            "memcopy_resident_gb_per_s": round(mr * 0.05 / secs, 2),
         }
     p = out["points"]
     out["busyloop_eff_8_to_32"] = round(
@@ -66,6 +91,11 @@ def main() -> None:
     )
     out["memcopy_eff_2_to_8"] = round(
         p["8"]["memcopy_gb_per_s"] / (4 * p["2"]["memcopy_gb_per_s"]), 2
+    )
+    out["memcopy_resident_eff_2_to_8"] = round(
+        p["8"]["memcopy_resident_gb_per_s"]
+        / (4 * p["2"]["memcopy_resident_gb_per_s"]),
+        2,
     )
     os.makedirs(os.path.join(os.path.dirname(__file__), "BENCH"), exist_ok=True)
     with open(

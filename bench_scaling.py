@@ -280,10 +280,27 @@ def pair(n_small: int, rounds: int = 3) -> None:
 
 
 def _bus_gbps(n_procs: int = 8, cpus: str = "0-7", secs: float = 2.0) -> float:
-    """Quick memcopy control: aggregate copy bandwidth of ``n_procs``
-    pinned processes — the same probe bench_controls.py records. This
-    VM's bus is bimodal (0.03–56 GB/s flips minute-to-minute); legs run
-    in a degraded window measure the co-tenant, not the plan."""
+    """Quick RESIDENT-memcopy control: aggregate copy bandwidth of
+    ``n_procs`` pinned processes copying into preallocated warm buffers
+    (bench_controls.MEM_RESIDENT).  Round 5 found the previous
+    fresh-alloc probe (bc.MEM) conflated bus bandwidth with host
+    page-fault servicing: in one window fresh-alloc read 0.2 GB/s while
+    resident read 70 GB/s aggregate, and the Spark drain (pooled JVM
+    heap + reused Arrow buffers) tracked the RESIDENT number.  65 gated
+    attempts were skipped on that false signal (scaling_10x_r5.json).
+    Gate on resident; callers wanting the alloc figure use
+    _bus_alloc_gbps."""
+    import bench_controls as bc
+
+    m = bc.run(n_procs, cpus, bc.MEM_RESIDENT % secs)
+    return round(m * 0.05 / secs, 2)
+
+
+def _bus_alloc_gbps(n_procs: int = 8, cpus: str = "0-7", secs: float = 2.0) -> float:
+    """Fresh-allocation memcopy (the pre-r5 probe): bus bandwidth PLUS
+    page-fault cost of a new 50 MB buffer per copy.  Recorded alongside
+    the resident gate so degraded-allocation windows stay visible in the
+    attempt tags."""
     import bench_controls as bc
 
     m = bc.run(n_procs, cpus, bc.MEM % secs)
@@ -317,14 +334,25 @@ def gated_pair(
     while pairs_run < max_rounds and time.time() - t_start < max_wall_s:
         i += 1
         pre = _bus_gbps()
+        pre_alloc = _bus_alloc_gbps()
         if pre < threshold:
             attempts.append(
-                {"iteration": i, "bus_pre_gb_s": pre, "skipped": "bus degraded"}
+                {
+                    "iteration": i,
+                    "bus_pre_gb_s": pre,
+                    "bus_pre_alloc_gb_s": pre_alloc,
+                    "skipped": "bus degraded",
+                }
             )
             print(json.dumps(attempts[-1]), flush=True)
             time.sleep(wait_s)
             continue
-        att: dict = {"iteration": i, "bus_pre_gb_s": pre, "legs": {}}
+        att: dict = {
+            "iteration": i,
+            "bus_pre_gb_s": pre,
+            "bus_pre_alloc_gb_s": pre_alloc,
+            "legs": {},
+        }
         aborted = False
         for cores in (n_small, 4 * n_small):
             cpus = f"0-{cores - 1}"
@@ -371,9 +399,11 @@ def gated_pair(
             json.dump(res, f, indent=2)
     out: dict = {
         "protocol": (
-            f"bus-gated alternating pairs: memcopy control ≥ {threshold} GB/s "
-            "(8 procs) required before each iteration AND each leg; "
-            "degraded windows skipped+tagged; stop at first pair ≥ 0.8"
+            f"bus-gated alternating pairs: RESIDENT memcopy control ≥ {threshold} "
+            "GB/s (8 procs, preallocated warm buffers — excludes host page-fault "
+            "cost, which bench_controls records separately as the alloc figure) "
+            "required before each iteration AND each leg; degraded windows "
+            "skipped+tagged; stop at first pair ≥ 0.8"
         ),
         "threshold_gb_s": threshold,
         "attempts": attempts,
