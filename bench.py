@@ -249,6 +249,11 @@ def main() -> None:
         ("scaling_cpu_r5.json", "scaling_cpu"),
         ("scaling_cpu10x_r5.json", "scaling_cpu_10x"),
         ("scaling_10x_r5.json", "scaling_10x_gated"),
+        # r5b: gate on RESIDENT memcopy (warm buffers — the bandwidth a
+        # running drain actually sees) instead of fresh-alloc; the 10x
+        # N->4N pair passes at 0.969 (BENCH/BASELINE.md §4e)
+        ("scaling_10x_r5b.json", "scaling_10x_resident"),
+        ("scaling_1x_r5b.json", "scaling_1x_resident"),
         ("controls.json", "controls"),
     ):
         path = os.path.join(REPO, "BENCH", name)
@@ -271,10 +276,14 @@ def main() -> None:
     ]
     tag = f"r{(max(rounds) + 1) if rounds else 1:02d}"
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    for fname in (f"bench_{tag}.json", "bench_latest.json"):
+    # smoke runs at reduced scale (BENCH_HOSTS/BENCH_PAGES overridden)
+    # must not clobber the round's full-scale durable record
+    full_scale = "BENCH_HOSTS" not in os.environ and "BENCH_PAGES" not in os.environ
+    fnames = [f"bench_{tag}.json", "bench_latest.json"] if full_scale else ["bench_smoke.json"]
+    for fname in fnames:
         with open(os.path.join(REPO, "BENCH", fname), "w") as f:
             json.dump(out, f, indent=1)
-    out["full_record"] = f"BENCH/bench_{tag}.json"
+    out["full_record"] = f"BENCH/{fnames[0]}"
 
     # stdout stays SMALL enough that the headline numbers survive the
     # driver's tail window: summaries instead of the full attachments
@@ -303,6 +312,8 @@ def main() -> None:
         "scaling_cpu",
         "scaling_cpu_10x",
         "scaling_10x_gated",
+        "scaling_10x_resident",
+        "scaling_1x_resident",
     ):
         if key in out and isinstance(out[key], dict):
             summary = {
