@@ -268,6 +268,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash(spark, sf):
         return textops.simhash(_t(spark, sf, "documents"), max_doc_id=150)
 
+    def hamming_near_dups(spark, sf):
+        # pigeonhole hamming LSH over the 16-bit SimHash (perfect
+        # recall for max_hamming < bands) + exact bit_count verify;
+        # same operator runs over the image phash in the crawl cache
+        sigs = textops.simhash(_t(spark, sf, "documents"), max_doc_id=150)
+        return textops.hamming_near_dups(
+            sigs, bits=16, bands=4, max_hamming=2
+        ).withColumn("hamming", F.col("hamming").cast("int"))
+
     def ann_topk_int(spark, sf):
         return vectors.brute_topk_int(_t(spark, sf, "embeddings"))
 
@@ -590,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": jaccard_pairs,
         "minhash_lsh": minhash_lsh,
         "simhash": simhash,
+        "hamming_near_dups": hamming_near_dups,
         "ann_topk_int": ann_topk_int,
         "ann_cosine_topk": ann_cosine_topk,
         "lsh_bucket_sizes": lsh_bucket_sizes,
@@ -900,6 +910,27 @@ WITH base AS (
             SELECT doc_id,
                    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
             FROM bitsum GROUP BY doc_id
+        """,
+        "hamming_near_dups": grams_cte
+        + """
+            , bitsum AS (
+              SELECT doc_id, b, sum(CASE WHEN (g >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM grams, generate_series(0, 15) AS t(b)
+              GROUP BY doc_id, b
+            ), sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bitsum GROUP BY doc_id
+            ), banded AS (
+              SELECT doc_id, simhash, b AS band, (simhash >> (b * 4)) & 15 AS band_key
+              FROM sh, generate_series(0, 3) AS t(b)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         """,
         "ann_topk_int": """
             WITH q AS (

@@ -294,6 +294,104 @@ def minhash_lsh_pairs(
     return small_pairs.unionByName(big_pairs).dropDuplicates()
 
 
+def hamming_near_dups(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs under Hamming distance over a ≤64-bit integer
+    signature column → ``(doc_a, doc_b, hamming)``. Works on any such
+    signature: text SimHash (:func:`simhash`) or the image perceptual
+    hash the crawl cache stamps per row (``images.phash64``).
+
+    Pigeonhole LSH: the signature splits into ``bands`` contiguous
+    bit-bands; two signatures with hamming distance d < ``bands`` must
+    agree on at least one full band, so banding has PERFECT recall for
+    ``max_hamming`` < ``bands``. Candidates (equal band value at the
+    same band index) are then verified exactly with
+    ``bit_count(a XOR b) <= max_hamming`` — exact precision in every
+    mode. Both stages are pure JVM (shift/mask/bit_count, codegen); the
+    only shuffle is the band-key equi-join.
+
+    ``max_band_df`` mirrors :func:`minhash_lsh_pairs`: a band bucket of
+    m ids emits C(m,2) candidate pairs, and a corpus of 10^8 images
+    where one logo/banner dominates produces mega-buckets. Buckets over
+    the cap switch to hub-star emission (min-id hub, O(m) rows) so
+    downstream :func:`connected_components` still sees the bucket as
+    one component; star candidates are hamming-verified too.
+    """
+    assert bits % bands == 0 and 0 < bits <= 64
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).cast("bigint").alias("_sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        # arithmetic >> then mask: the mask drops sign-extension bits,
+        # so the top band of a negative signature keys correctly
+        "band_key",
+        F.expr(f"shiftright(_sig, band * {width}) & {mask}L"),
+    )
+
+    def _verify(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn(
+                "hamming",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+
+    if max_band_df is None:
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("doc_a"),
+                F.col("b._id").alias("doc_b"),
+                F.col("a._sig").alias("sig_a"),
+                F.col("b._sig").alias("sig_b"),
+            )
+        )
+        return _verify(cand)
+    # bucket stats in one pass; the join back shares the groupBy keys
+    # (no extra exchange). Hub carries its sig so star pairs verify too.
+    stats = banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bdf"),
+        F.min(F.struct("_id", "_sig")).alias("hub"),
+    )
+    keyed = banded.join(stats, ["band", "band_key"])
+    small = keyed.filter(F.col("bdf") <= max_band_df)
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+    )
+    big_pairs = keyed.filter(
+        (F.col("bdf") > max_band_df) & (F.col("_id") != F.col("hub._id"))
+    ).select(
+        F.col("hub._id").alias("doc_a"),
+        F.col("_id").alias("doc_b"),
+        F.col("hub._sig").alias("sig_a"),
+        F.col("_sig").alias("sig_b"),
+    )
+    return _verify(small_pairs.unionByName(big_pairs))
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,

@@ -16,6 +16,9 @@ class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"  # keep-alive: exercises connection reuse
     hits: dict = {}
     times: dict = {}
+    lock = threading.Lock()
+    inflight = 0
+    max_inflight = 0
 
     def log_message(self, *a):  # silence
         pass
@@ -105,7 +108,12 @@ class _Handler(BaseHTTPRequestHandler):
                 self.wfile.write(b"%x\r\n%s\r\n" % (len(part), part))
             self.wfile.write(b"0\r\n\r\n")
         elif self.path.startswith("/wait"):
+            with _Handler.lock:
+                _Handler.inflight += 1
+                _Handler.max_inflight = max(_Handler.max_inflight, _Handler.inflight)
             time.sleep(0.5)
+            with _Handler.lock:
+                _Handler.inflight -= 1
             body = b"slow"
             self.send_response(200)
             self.send_header("Content-Length", str(len(body)))
@@ -218,13 +226,16 @@ def test_cross_host_concurrency_with_pacing(spark, server):
         [(u, h, i) for i, (u, h) in enumerate(zip(urls, hosts))],
         "url string, host string, url_hash long",
     ).coalesce(1)
-    t0 = time.monotonic()
+    with _Handler.lock:
+        _Handler.inflight, _Handler.max_inflight = 0, 0
     rows = HttpFetcher(rps=100.0, pool_size=8).fetch(batch).collect()
-    wall = time.monotonic() - t0
     assert all(r["status"] == 200 for r in rows)
-    # serial would be ≥ 4 × 0.5 s; concurrent across hosts + pool ≈ 1 s.
-    # Generous bound still proves >1 request in flight.
-    assert wall < 1.9, f"no cross-host concurrency: wall={wall:.2f}s"
+    # server-side overlap proves >1 request in flight regardless of
+    # host CPU contention (a wall-time bound flaked under co-tenant
+    # load: collect() latency is not the fetcher's concurrency)
+    assert _Handler.max_inflight >= 2, (
+        f"no cross-host concurrency: max_inflight={_Handler.max_inflight}"
+    )
 
 
 def test_salted_single_host_spreads_across_tasks(spark, server):

@@ -165,3 +165,107 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in textops.connected_components(pairs, nodes=nodes).collect()
         }
         assert got == want, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_hamming_near_dups_known_distances(spark):
+    """Pigeonhole hamming LSH: exact pair set for max_hamming < bands,
+    including a negative signature (bit 63 set — arithmetic-shift band
+    extraction must still key correctly)."""
+    import numpy as np
+
+    base = 0x0123456789ABCDEF
+    sigs = {
+        1: base,
+        2: base ^ 0b1,                         # d=1
+        3: base ^ 0b110000,                    # d=2
+        4: base ^ (1 << 63),                   # d=1, negative int64
+        5: ~base & 0xFFFFFFFFFFFFFFFF,         # d=64
+        6: base ^ 0b10101,                     # d=3
+    }
+    rows = [(i, int(np.uint64(s).astype(np.int64))) for i, s in sigs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in textops.hamming_near_dups(df, bits=64, bands=4, max_hamming=3).collect()
+    }
+    # expected: every pair within hamming 3, computed independently
+    want = {}
+    for a in sigs:
+        for b in sigs:
+            if a < b:
+                d = bin(sigs[a] ^ sigs[b]).count("1")
+                if d <= 3:
+                    want[(a, b)] = d
+    assert got == want
+
+
+def test_hamming_band_cap_bounds_pairs(spark):
+    """A corpus of m identical signatures (one mega-bucket in every
+    band) must emit a hub star — O(m) verified rows — under
+    ``max_band_df``, not C(m,2); clustering connectivity survives."""
+    m = 50
+    df = spark.createDataFrame(
+        [(i, 0x7EADBEEF) for i in range(m)], "doc_id long, simhash long"
+    )
+    uncapped = textops.hamming_near_dups(df, bits=64, bands=4, max_hamming=0)
+    assert uncapped.count() == m * (m - 1) // 2
+    capped = textops.hamming_near_dups(
+        df, bits=64, bands=4, max_hamming=0, max_band_df=8
+    )
+    rows = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert rows == {(0, i) for i in range(1, m)}
+    comp = textops.connected_components(capped)
+    assert {(r["doc_id"], r["cluster_id"]) for r in comp.collect()} == {
+        (i, 0) for i in range(m)
+    }
+    # star candidates are STILL hamming-verified: a far signature that
+    # shares no band emits nothing even in star mode
+    far = df.unionByName(
+        spark.createDataFrame([(99, -0x7EADBEF0)], "doc_id long, simhash long")
+    )
+    capped2 = textops.hamming_near_dups(
+        far, bits=64, bands=4, max_hamming=0, max_band_df=8
+    )
+    assert {r["doc_b"] for r in capped2.collect()} == set(range(1, m))
+
+
+def test_phash_near_dups_images(spark):
+    """The same operator over the image perceptual hash: exact copies
+    pair at hamming 0, a lightly perturbed image pairs at small
+    distance, an unrelated image does not pair. Differential against
+    numpy popcount on the actual phash values."""
+    import numpy as np
+
+    from netrunner_spark.images import phash64
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    b = a.copy()                                  # exact dup
+    c = a.copy()
+    c[:8, :8] = 255                               # one block blown out
+    d = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    hashes = {1: phash64(a), 2: phash64(b), 3: phash64(c), 4: phash64(d)}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()], "image_id long, phash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in textops.hamming_near_dups(
+            df, id_col="image_id", sig_col="phash", bits=64, bands=4, max_hamming=8
+        ).collect()
+    }
+    def pop(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+    want = {
+        (i, j): pop(hashes[i], hashes[j])
+        for i in hashes
+        for j in hashes
+        if i < j and pop(hashes[i], hashes[j]) <= 8
+        and any(
+            (hashes[i] >> (band * 16)) & 0xFFFF == (hashes[j] >> (band * 16)) & 0xFFFF
+            for band in range(4)
+        )
+    }
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0     # exact dup found
+    assert all(4 not in pair for pair in got)     # unrelated image excluded
