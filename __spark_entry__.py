@@ -357,6 +357,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), max_doc_id=150, max_band_df=8
         )
 
+    def sample_split(spark, sf):
+        # deterministic md5-hash train/val/test split — map-only, zero
+        # shuffle; membership depends only on (salt, doc_id)
+        from netrunner_spark.operators.sampling import hash_split
+
+        return hash_split(_t(spark, sf, "documents"), "doc_id").select(
+            "doc_id", "split"
+        )
+
+    def stratified_sample(spark, sf):
+        # per-language quota sample: ≤25 docs per lang by hash order
+        from netrunner_spark.operators import sampling
+
+        return sampling.stratified_sample(
+            _t(spark, sf, "documents"), "lang", "doc_id", 25
+        ).select("doc_id", "lang", "rk")
+
+    def vocab_topk(spark, sf):
+        # tokenizer-training first step: corpus top-100 token frequencies
+        return textops.vocab_topk(_t(spark, sf, "documents"), k=100)
+
+    def link_pagerank(spark, sf):
+        # crawl-priority authority signal: integer fixed-point PageRank
+        # (exact int64 arithmetic → bit-identical re-runs, exact oracle)
+        # over the customer→supplier purchase graph as the test topology
+        from netrunner_spark.operators.graph import pagerank_int
+
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        return pagerank_int(edges, iters=3)
+
     def robots_parse(spark, sf):
         # S3 front half: REAL robots.txt text (built deterministically
         # from the nation table) through the relational parser; the
@@ -611,6 +646,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_capped": jaccard_pairs_capped,
         "minhash_lsh_capped": minhash_lsh_capped,
         "dedup_clusters": dedup_clusters,
+        "sample_split": sample_split,
+        "stratified_sample": stratified_sample,
+        "vocab_topk": vocab_topk,
+        "link_pagerank": link_pagerank,
         "robots_parse": robots_parse,
         "x2_html_parse": x2_html_parse,
         "f3_seed_classification": f3_seed_classification,
@@ -642,7 +681,86 @@ WITH base AS (
   WHERE length(g) = 3
 )
 """
+
+    # sample_split: thresholds from the SAME helper the operator uses,
+    # so the oracle cannot drift from the implementation
+    from netrunner_spark.operators.sampling import split_thresholds
+
+    _th = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    _pos = "substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 12)"
+    _case = "CASE"
+    for _name, _upper in _th:
+        if _upper is None:
+            _case += f" ELSE '{_name}' END"
+        else:
+            _case += f" WHEN {_pos} < '{_upper}' THEN '{_name}'"
+    sample_split_sql = f"SELECT doc_id, {_case} AS split FROM documents"
+
+    # link_pagerank: the IDENTICAL integer fixed-point recurrence as
+    # operators/graph.py:pagerank_int (floor division, damping as an
+    # integer percent, uniform dangling redistribution) unrolled as
+    # chained CTEs — exact int64 arithmetic means EXACT equality, no
+    # float tolerance
+    _scale, _damp, _iters = 10**12, 85, 3
+    _pr = """
+WITH edges AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+  UNION
+  SELECT DISTINCT dst AS id FROM edges
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+), ncount AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes
+), r0 AS (
+  SELECT id, CAST({scale} // nc.n_nodes AS BIGINT) AS rank_e12
+  FROM nodes CROSS JOIN ncount nc
+)""".format(scale=_scale)
+    for _i in range(1, _iters + 1):
+        _pr += """, r{i} AS (
+  SELECT nodes.id AS id,
+         CAST(((100 - {damp}) * {scale}) // (100 * nc.n_nodes)
+              + ({damp} * (COALESCE(c.contrib, 0) + d.dang // nc.n_nodes)) // 100
+              AS BIGINT) AS rank_e12
+  FROM nodes
+  CROSS JOIN ncount nc
+  CROSS JOIN (SELECT CAST(COALESCE(SUM(r.rank_e12), 0) AS BIGINT) AS dang
+              FROM r{p} r LEFT JOIN deg dg ON dg.src = r.id
+              WHERE dg.src IS NULL) d
+  LEFT JOIN (SELECT e.dst AS id,
+                    CAST(SUM(r.rank_e12 // dg.outdeg) AS BIGINT) AS contrib
+             FROM edges e
+             JOIN r{p} r ON r.id = e.src
+             JOIN deg dg ON dg.src = e.src
+             GROUP BY e.dst) c ON c.id = nodes.id
+)""".format(i=_i, p=_i - 1, damp=_damp, scale=_scale)
+    link_pagerank_sql = _pr + f"\nSELECT id, rank_e12 FROM r{_iters}"
+
     return {
+        "sample_split": sample_split_sql,
+        "stratified_sample": """
+            SELECT doc_id, lang, rk FROM (
+              SELECT doc_id, lang,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 12) ASC,
+                                doc_id ASC) AS INT) AS rk
+              FROM documents
+            ) WHERE rk <= 25
+        """,
+        "vocab_topk": """
+            SELECT token, cnt FROM (
+              SELECT token, count(*) AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+                FROM documents
+              ) WHERE token <> ''
+              GROUP BY token
+            ) ORDER BY cnt DESC, token ASC LIMIT 100
+        """,
+        "link_pagerank": link_pagerank_sql,
         "w1_politeness_quota": """
             SELECT event_id, user_id, event_type, rn FROM (
               SELECT event_id, user_id, event_type,

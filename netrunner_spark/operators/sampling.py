@@ -1,0 +1,129 @@
+"""Deterministic sampling & split operators for training-data curation.
+
+A 100 TB corpus is never trained on whole: pipelines carve train/val/
+test splits, downsample over-represented sources, and cap per-domain /
+per-language contributions. Everything here is HASH-deterministic —
+membership depends only on the row's own key (never on partitioning,
+row order, or cluster size), so a re-run, a resume, or a 4N-executor
+re-shard produces the identical sample. That is the property random()
+sampling cannot give and the reason `df.sample()` is not used.
+
+The hash is md5 over (salt || key): portable (identical lowercase hex
+in Spark, DuckDB, Python hashlib — the oracle twins rely on this),
+uniform, and cheap JVM-side. Positions in [0, 1) are realized as the
+first 12 hex chars compared LEXICOGRAPHICALLY against precomputed
+thresholds — fixed-width lowercase hex compares identically to its
+numeric value, so no engine-specific hex→int conversion is needed.
+
+All pure `pyspark.sql.functions` — no UDFs, no shuffles except the
+single window partition-by-stratum in `stratified_sample` (one
+exchange on the stratum key, the minimum possible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 12 hex chars = 48 bits of md5: collision-free thresholds down to
+# sampling rates of 2^-48, far below any practical split fraction
+_HEX_WIDTH = 12
+_HEX_SPACE = 16**_HEX_WIDTH
+
+
+def _pos_hex(key_col: str, salt: str):
+    """First 12 hex chars of md5(salt || key) — the row's deterministic
+    position in [0, 1) as a fixed-width lowercase-hex string."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, _HEX_WIDTH
+    )
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """Cumulative [0,1) thresholds as fixed-width hex strings. The LAST
+    split is the catch-all (no threshold) so float rounding can never
+    drop a row. Returns [(name, upper_hex_or_None), ...] in order."""
+    names = list(fractions)
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, format(min(int(cum * _HEX_SPACE), _HEX_SPACE - 1), f"0{_HEX_WIDTH}x")))
+    out.append((names[-1], None))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label (train/val/test by
+    default). Pure projection — zero shuffles, fully pushdown-friendly;
+    at 100 TB this is a map-only pass. A row's split depends only on
+    (salt, key): stable under re-runs, resumes, and corpus growth
+    (new rows never move old rows between splits).
+
+    Reference parity note: the reference has no sampling layer; this is
+    part of the training-data-pipeline surface the Spark engine adds.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    pos = _pos_hex(key_col, salt)
+    expr = None
+    for name, upper in split_thresholds(fractions):
+        if upper is None:
+            expr = expr.otherwise(F.lit(name)) if expr is not None else F.lit(name)
+        elif expr is None:
+            expr = F.when(pos < upper, F.lit(name))
+        else:
+            expr = expr.when(pos < upper, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+def rate_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic `rate` fraction of rows by key hash.
+    Map-only (filter pushes to the scan); membership is stable across
+    runs and monotone in `rate` (raising the rate only ADDS rows —
+    nested samples for scaling-law curves come free)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    thr = format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), f"0{_HEX_WIDTH}x")
+    if rate >= 1.0:
+        return df
+    return df.filter(_pos_hex(key_col, salt) < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """At most `n_per_stratum` rows per stratum (language, domain,
+    source...), chosen by hash order with the key as tie-break — a
+    deterministic uniform sample within each stratum, exact quota.
+
+    One shuffle (window partitioned by stratum). Skew note: a hot
+    stratum (one language = 40% of a 100 TB corpus) lands on one
+    task for ranking — but only the TOP-n_per_stratum of each partition
+    survive, so pre-aggregation via a per-partition rank-and-prune
+    would be the next step if a stratum's raw rows overflow a task;
+    for quota ≪ stratum size the window's sort is the cost, and AQE
+    skew-split handles the imbalance. Adds `rk` (1-based rank within
+    stratum) so callers can post-filter to smaller quotas for free.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        _pos_hex(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per_stratum)
+    )

@@ -508,6 +508,30 @@ def dedup_clusters(
     )
 
 
+def vocab_topk(docs: DataFrame, k: int = 100, pattern: str = "[^a-z]+") -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency → ``(token, cnt)``.
+
+    The first step of tokenizer training / frequency-based filtering
+    over a training corpus. Tokens = lowercase text split on `pattern`
+    (a character-class regex both Spark's Java regex and DuckDB's RE2
+    evaluate identically — keep it to plain classes for oracle parity).
+
+    Shape at 100 TB: explode → partial map-side count → one shuffle on
+    token (vocabulary-sized, Zipf-headed; partial aggregation absorbs
+    the hot head so no salt needed) → global top-k. Ordering is TOTAL
+    (cnt desc, token asc) so the k-boundary is deterministic.
+    """
+    toks = F.explode(F.split(F.lower(F.col("text")), pattern)).alias("token")
+    return (
+        docs.select(toks)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16, n: int = 3, max_doc_id: int | None = None) -> DataFrame:
     """SimHash over gram hashes: bit b set iff Σ_grams (±1 by gram bit b)
     > 0. → (doc_id, simhash) exact int64."""

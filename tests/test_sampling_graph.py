@@ -1,0 +1,130 @@
+"""Unit tests for the training-data sampling operators and the
+integer fixed-point PageRank (operators/sampling.py, operators/graph.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from netrunner_spark.operators.graph import pagerank_int
+from netrunner_spark.operators.sampling import (
+    hash_split,
+    rate_sample,
+    split_thresholds,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+    )
+
+
+def _py_split(key, thresholds, salt="split"):
+    pos = hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:12]
+    for name, upper in thresholds:
+        if upper is None or pos < upper:
+            return name
+    raise AssertionError("unreachable")
+
+
+def test_hash_split_matches_python_md5(spark, docs):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    th = split_thresholds(fr)
+    got = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", fr).collect()}
+    for k, v in got.items():
+        assert v == _py_split(k, th)
+    # fractions approximately honored (hash-uniformity; 2000 keys)
+    n = len(got)
+    for name, frac in fr.items():
+        share = sum(1 for v in got.values() if v == name) / n
+        assert abs(share - frac) < 0.04, (name, share)
+
+
+def test_hash_split_stable_under_corpus_growth(spark, docs):
+    # adding rows must never move an existing row between splits
+    small = {r["doc_id"]: r["split"] for r in hash_split(docs.limit(500), "doc_id").collect()}
+    big = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_rate_sample_nested_and_deterministic(spark, docs):
+    s10 = {r["doc_id"] for r in rate_sample(docs, "doc_id", 0.1).collect()}
+    s30 = {r["doc_id"] for r in rate_sample(docs, "doc_id", 0.3).collect()}
+    again = {r["doc_id"] for r in rate_sample(docs, "doc_id", 0.1).collect()}
+    assert s10 == again  # deterministic
+    assert s10 <= s30  # monotone: raising the rate only adds rows
+    assert 0.06 < len(s10) / 2000 < 0.14
+    assert rate_sample(docs, "doc_id", 1.0).count() == 2000
+
+
+def test_rate_sample_rejects_bad_rate(spark, docs):
+    with pytest.raises(ValueError):
+        rate_sample(docs, "doc_id", 1.5)
+
+
+def test_split_thresholds_reject_non_unit_sum():
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.1})
+
+
+def test_stratified_sample_exact_quota(spark, docs):
+    out = stratified_sample(docs, "lang", "doc_id", 7).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["rk"])
+    assert set(by_lang) == {"0", "1", "2", "3", "4"}
+    for lang, rks in by_lang.items():
+        assert sorted(rks) == list(range(1, 8)), lang
+    # deterministic membership across runs
+    again = stratified_sample(docs, "lang", "doc_id", 7).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def _numpy_pagerank_int(edges, iters=3, damp=85, scale=10**12):
+    """Reference implementation of the SAME integer recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    r = {x: scale // n for x in nodes}
+    base = ((100 - damp) * scale) // (100 * n)
+    for _ in range(iters):
+        contrib = {x: 0 for x in nodes}
+        for u, v in edges:
+            contrib[v] += r[u] // out[u]
+        dang = sum(r[x] for x in nodes if x not in out)
+        r = {x: base + (damp * (contrib[x] + dang // n)) // 100 for x in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reference_exactly(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(160)})
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["id"]: r["rank_e12"] for r in pagerank_int(e, iters=3).collect()}
+    want = _numpy_pagerank_int(edges)
+    assert got == want  # EXACT int equality — the operator's contract
+
+
+def test_pagerank_star_ranks_center_highest_and_conserves_mass(spark):
+    # star: 1..10 -> 0; 0 dangles
+    edges = [(i, 0) for i in range(1, 11)]
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["id"]: r["rank_e12"] for r in pagerank_int(e, iters=5).collect()}
+    assert max(got, key=got.get) == 0
+    total = sum(got.values())
+    # floor division leaks < n ranks-units per iteration
+    assert 10**12 * 0.999 < total <= 10**12
+
+
+def test_pagerank_empty_graph(spark):
+    e = spark.createDataFrame([], "src: long, dst: long")
+    assert pagerank_int(e).count() == 0
