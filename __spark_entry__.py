@@ -392,6 +392,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank_int(edges, iters=3)
 
+    def user_sessions(spark, sf):
+        # gap-based sessionization (30-min): per-session aggregates in
+        # exact ints (epoch micros, cents) for oracle parity
+        from netrunner_spark.operators.temporal import sessionize
+
+        s = sessionize(_t(spark, sf, "events"), gap_minutes=30)
+        return s.groupBy("user_id", "session_no").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros(F.col("ts"))).alias("first_us"),
+            F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+
+    def asof_view_before_purchase(spark, sf):
+        # as-of join from composition (union-tag + last ignorenulls):
+        # each purchase gets the most recent view at ts <= purchase ts;
+        # oracle is DuckDB's NATIVE ASOF LEFT JOIN — a true differential
+        from netrunner_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("view_event_id"))
+        )
+        out = asof_join(
+            purchases, views, on="user_id", ts_col="ts",
+            right_value_cols=["view_event_id"],
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "view_event_id",
+        )
+
+    def value_interval_join(spark, sf):
+        # bucketed range join (points in [lo, hi)) vs the naive
+        # inequality join the oracle runs — same rows, O(2x) not O(n*m)
+        from netrunner_spark.operators.temporal import interval_join
+
+        ev = _t(spark, sf, "events").select("event_id", "value")
+        nat = _t(spark, sf, "nation").select(
+            "n_nationkey",
+            (F.col("n_nationkey") * 15.0).alias("lo"),
+            (F.col("n_nationkey") * 15.0 + 25.0).alias("hi"),
+        )
+        return interval_join(ev, nat, "value", "lo", "hi", bucket_width=25.0).select(
+            "event_id", "n_nationkey"
+        )
+
     def robots_parse(spark, sf):
         # S3 front half: REAL robots.txt text (built deterministically
         # from the nation table) through the relational parser; the
@@ -650,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample,
         "vocab_topk": vocab_topk,
         "link_pagerank": link_pagerank,
+        "user_sessions": user_sessions,
+        "asof_view_before_purchase": asof_view_before_purchase,
+        "value_interval_join": value_interval_join,
         "robots_parse": robots_parse,
         "x2_html_parse": x2_html_parse,
         "f3_seed_classification": f3_seed_classification,
@@ -761,6 +818,48 @@ WITH edges AS (
             ) ORDER BY cnt DESC, token ASC LIMIT 100
         """,
         "link_pagerank": link_pagerank_sql,
+        "user_sessions": """
+            WITH s AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s2 AS (
+              SELECT *, CAST(SUM(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS INT) AS session_no
+              FROM s
+            )
+            SELECT user_id, session_no,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM s2 GROUP BY user_id, session_no
+        """,
+        # native ASOF LEFT JOIN as the differential for our union-tag
+        # composition (operators/temporal.py:asof_join)
+        "asof_view_before_purchase": """
+            WITH purch AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), views AS (
+              SELECT user_id, ts, max(event_id) AS view_event_id
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+                   v.view_event_id
+            FROM purch p ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "value_interval_join": """
+            SELECT e.event_id, n.n_nationkey
+            FROM events e JOIN nation n
+              ON e.value >= n.n_nationkey * 15.0
+             AND e.value <  n.n_nationkey * 15.0 + 25.0
+        """,
         "w1_politeness_quota": """
             SELECT event_id, user_id, event_type, rn FROM (
               SELECT event_id, user_id, event_type,

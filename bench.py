@@ -43,6 +43,9 @@ HEADLINE = [
     "minhash_lsh_capped",
     "dedup_clusters",
     "ann_topk_int",
+    "stratified_sample",
+    "vocab_topk",
+    "link_pagerank",
 ]
 
 

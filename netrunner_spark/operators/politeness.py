@@ -208,17 +208,47 @@ def schedule_rounds(
     ).drop("_rk", "budget", "_salt")
 
 
-def with_priority(frontier: DataFrame) -> DataFrame:
+def with_priority(
+    frontier: DataFrame,
+    authority: DataFrame | None = None,
+    authority_weight: float = 1.0,
+) -> DataFrame:
     """priority = depth + host-budget score (north_rule formula).
 
     The host-budget score penalizes hosts with many queued URLs so small
     hosts drain early: score = log10(host_queue_len)/10, computed with a
     count window (no extra shuffle beyond the host partitioning the
     round-rank needs anyway — Spark reuses the exchange).
+
+    ``authority`` (optional): a ``(host, rank_e12)`` DataFrame — e.g.
+    host-aggregated `operators.graph.pagerank_int` output over the
+    discovered link graph — broadcast-joined so authoritative hosts
+    drain earlier. The boost is log-compressed to [0, ~0.75·weight]
+    (log10 of a ≤10^12 fixed-point rank / 16), so it reorders within a
+    depth tier but never outranks a full depth level at weight ≤ 1.
+    Host-count is bounded (≪ URL count) → always broadcastable; the
+    default path is untouched, so plan-shape pins on the scheduler
+    (tests/test_plan_shape.py) hold.
     """
     w = Window.partitionBy("host")
-    return frontier.withColumn(
+    out = frontier.withColumn(
         "priority",
         F.col("depth").cast("double")
         + F.log10(F.count(F.lit(1)).over(w).cast("double") + F.lit(1.0)) / F.lit(10.0),
     )
+    if authority is not None:
+        auth = authority.select(
+            F.col("host"), F.col("rank_e12").cast("double").alias("_auth_rank")
+        )
+        out = (
+            out.join(F.broadcast(auth), "host", "left")
+            .withColumn(
+                "priority",
+                F.col("priority")
+                - F.lit(authority_weight)
+                * F.log10(F.coalesce(F.col("_auth_rank"), F.lit(0.0)) + F.lit(1.0))
+                / F.lit(16.0),
+            )
+            .drop("_auth_rank")
+        )
+    return out

@@ -1,0 +1,148 @@
+"""Temporal operators Spark lacks as built-ins: gap sessionization,
+as-of join, and a bucketed interval (range) join.
+
+These are the time-series half of a log/training-data pipeline
+(sessionize clickstreams, stitch each event to the most recent
+profile/model snapshot, bucket measurements into windows). All three
+are compositions of built-in DataFrame ops — windows, unions, explode
+— no UDFs, so Catalyst sees through them (pushdown, AQE, codegen).
+
+Determinism notes (the repo-wide contract): every window orders by
+(ts, id) so equal timestamps can never make results run-dependent;
+interval arithmetic uses native timestamp + INTERVAL comparison — no
+epoch truncation, which engines round differently (that is the parity
+bug class the oracle twins would otherwise hit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the inter-event
+    gap within a key exceeds `gap_minutes`. Adds ``session_no``
+    (1-based per key).
+
+    One shuffle (window on key). At 100 TB the key cardinality (users)
+    dwarfs the per-key row count, so the window partitions are small
+    and AQE coalesces; a single mega-key (bot traffic) is the skew
+    case — cap it upstream with `stratified_sample` or a per-key row
+    limit, the same remedy the politeness scheduler applies to hot
+    hosts. Streaming twin: `session_window` in Structured Streaming
+    gives the same semantics with watermarked state.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    prev = F.lag(ts_col).over(w)
+    brk = (
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {int(gap_minutes)} MINUTE"))
+    ).cast("int")
+    return events.withColumn(
+        "session_no",
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_value_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for every left row, attach the right
+    row with the greatest ``right.ts <= left.ts`` for the same key —
+    the "most recent snapshot as of this event" join (DuckDB/kdb
+    ASOF JOIN; Spark has no built-in).
+
+    Single-shuffle composition: tag right rows 0 / left rows 1, union,
+    one window per key ordered by (ts, tag), and carry the last
+    non-null right payload forward (`last(..., ignorenulls=True)` over
+    an unbounded-preceding frame). Equal timestamps: right sorts
+    before left, so a same-instant snapshot IS visible to the event —
+    the inclusive (<=) convention, matching DuckDB's ``ASOF JOIN ON
+    l.ts >= r.ts``. The right side should be unique per (key, ts)
+    (pre-aggregate if not) — otherwise "the" row at a timestamp is
+    ill-defined in any engine.
+
+    Scale shape: ONE shuffle on the key for both inputs, no range
+    explosion, no broadcast requirement — strictly better than the
+    naive inequality join (O(n·m) per key) at any size. Left rows
+    with no prior right row keep NULL payloads (left-join semantics).
+    """
+    rcols = right_value_cols or [
+        c for c in right.columns if c not in (on, ts_col)
+    ]
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_tag"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_payload"),
+    )
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols, F.lit(1).alias("_tag"), F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload")
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "_asof", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_tag") == 1).select(
+        *lcols, *[F.col(f"_asof.{c}").alias(c) for c in rcols]
+    )
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range join: point ∈ [lo, hi) — via the bucketed equi-join
+    strategy, not the O(|points|·|intervals|) theta-join Spark would
+    otherwise plan (BroadcastNestedLoopJoin).
+
+    Each interval explodes into the coarse buckets it overlaps; each
+    point hashes to one bucket; the join is a plain equi-join on
+    bucket + a residual filter. With `bucket_width` ≈ the typical
+    interval length, each interval lands in ~2 buckets, so the join
+    input grows by ~2× instead of cross-product — the standard
+    bucketed range-join (what Databricks' range-join hint does under
+    the hood). Correct for any width; width only tunes duplication
+    vs per-bucket fan-in.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    wlit = F.lit(float(bucket_width))
+    pb = points.withColumn("_b", F.floor(F.col(point_col) / wlit).cast("long"))
+    ib = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / wlit).cast("long"),
+                F.floor(F.col(hi_col) / wlit).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "_b")
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("_b")
+    )

@@ -1,0 +1,122 @@
+"""Temporal operators (operators/temporal.py): sessionize / asof_join /
+interval_join — differential-tested against brute-force references on
+seeded random data."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from netrunner_spark.operators.temporal import asof_join, interval_join, sessionize
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        # user 1: gaps 10, 40 (break), 5 → sessions 1,1,2,2
+        (1, 1, _ts(0)),
+        (2, 1, _ts(10)),
+        (3, 1, _ts(50)),
+        (4, 1, _ts(55)),
+        # user 2: single event
+        (5, 2, _ts(0)),
+        # user 3: exactly-30-min gap is NOT a break (strict >)
+        (6, 3, _ts(0)),
+        (7, 3, _ts(30)),
+        (8, 3, _ts(60, )),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_no"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1, 7: 1, 8: 1}
+
+
+def test_asof_join_matches_bruteforce(spark):
+    rng = random.Random(11)
+    rights = [
+        (u, _ts(rng.randrange(0, 500)), rng.randrange(1000))
+        for u in range(8)
+        for _ in range(6)
+    ]
+    # unique per (key, ts): keep max payload like the driver query does
+    dedup = {}
+    for u, ts, p in rights:
+        dedup[(u, ts)] = max(dedup.get((u, ts), -1), p)
+    rights = [(u, ts, p) for (u, ts), p in dedup.items()]
+    lefts = [(i, rng.randrange(8), _ts(rng.randrange(0, 500))) for i in range(120)]
+
+    l = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp")
+    r = spark.createDataFrame(rights, "user_id long, ts timestamp, payload long")
+    got = {
+        row["event_id"]: row["payload"]
+        for row in asof_join(l, r, on="user_id", ts_col="ts").collect()
+    }
+    assert len(got) == 120  # left-join: every left row survives
+    for eid, u, ts in lefts:
+        cand = [(rts, p) for (ru, rts, p) in rights if ru == u and rts <= ts]
+        want = max(cand)[1] if cand else None
+        assert got[eid] == want, (eid, u, ts)
+
+
+def test_interval_join_matches_bruteforce_any_width(spark):
+    rng = random.Random(23)
+    pts = [(i, rng.uniform(-10, 110)) for i in range(300)]
+    ivs = []
+    for j in range(40):
+        lo = rng.uniform(-10, 100)
+        ivs.append((j, lo, lo + rng.uniform(0.1, 30)))
+    p = spark.createDataFrame(pts, "pid long, x double")
+    iv = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+    want = sorted(
+        (pid, iid) for pid, x in pts for iid, lo, hi in ivs if lo <= x < hi
+    )
+    for width in (1.0, 7.3, 30.0, 200.0):  # correct for ANY width
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in interval_join(p, iv, "x", "lo", "hi", bucket_width=width).collect()
+        )
+        assert got == want, width
+    assert len(want) > 100  # non-vacuous
+
+
+def test_interval_join_plan_is_equijoin_not_nested_loop(spark):
+    p = spark.range(10).select(F.col("id").alias("pid"), (F.col("id") * 1.0).alias("x"))
+    iv = spark.range(5).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 2.0).alias("lo"),
+        (F.col("id") * 2.0 + 3.0).alias("hi"),
+    )
+    plan = interval_join(p, iv, "x", "lo", "hi", bucket_width=3.0)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+
+
+def test_asof_join_is_single_shuffle(spark):
+    # the whole point vs an inequality join: ONE exchange on the key
+    l = spark.range(100).select(
+        (F.col("id") % 10).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    r = spark.range(20).select(
+        (F.col("id") % 10).alias("k"),
+        F.timestamp_seconds(F.col("id") * 300).alias("ts"),
+        F.col("id").alias("payload"),
+    )
+    out = asof_join(l, r, on="k", ts_col="ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "NestedLoop" not in plan
+
+
+def test_interval_join_rejects_bad_width(spark):
+    p = spark.range(1).select(F.col("id").alias("x"))
+    with pytest.raises(ValueError):
+        interval_join(p, p, "x", "x", "x", bucket_width=0)
