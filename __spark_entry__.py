@@ -400,8 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = sessionize(_t(spark, sf, "events"), gap_minutes=30)
         return s.groupBy("user_id", "session_no").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min(F.unix_micros(F.col("ts"))).alias("first_us"),
-            F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("first_us"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         )
 
@@ -427,7 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(
             "event_id",
             "user_id",
-            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
             "view_event_id",
         )
 
