@@ -392,6 +392,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank_int(edges, iters=3)
 
+    def doc_top_terms(spark, sf):
+        # rank-based TF-IDF (exact ints, no log floats): top-3 tokens
+        # per doc by (tf desc, global df asc, token asc)
+        return textops.doc_top_terms(_t(spark, sf, "documents"), k=3)
+
+    def length_percentiles(spark, sf):
+        # exact linear-interpolation percentiles of doc length per lang
+        # (F.percentile is the EXACT aggregate; approx_percentile is the
+        # sketch path for when a single-pass estimate suffices at scale)
+        d = _t(spark, sf, "documents")
+        return d.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile(F.col("n_chars"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("n_chars"), F.lit(0.9)).alias("p90"),
+            F.percentile(F.col("n_chars"), F.lit(0.99)).alias("p99"),
+        )
+
+    def table_profile(spark, sf):
+        # single-pass data-quality profile of the documents table
+        d = _t(spark, sf, "documents")
+        return d.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
     def user_sessions(spark, sf):
         # gap-based sessionization (30-min): per-session aggregates in
         # exact ints (epoch micros, cents) for oracle parity
@@ -707,6 +737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": user_sessions,
         "asof_view_before_purchase": asof_view_before_purchase,
         "value_interval_join": value_interval_join,
+        "doc_top_terms": doc_top_terms,
+        "length_percentiles": length_percentiles,
+        "table_profile": table_profile,
         "robots_parse": robots_parse,
         "x2_html_parse": x2_html_parse,
         "f3_seed_classification": f3_seed_classification,
@@ -859,6 +892,42 @@ WITH edges AS (
             FROM events e JOIN nation n
               ON e.value >= n.n_nationkey * 15.0
              AND e.value <  n.n_nationkey * 15.0 + 25.0
+        """,
+        "doc_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM toks WHERE token <> '' GROUP BY doc_id, token
+            ), dft AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+            )
+            SELECT doc_id, token, tf, df, rk FROM (
+              SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+                     CAST(row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dft.df ASC, tf.token ASC) AS INT) AS rk
+              FROM tf JOIN dft USING (token)
+            ) WHERE rk <= 3
+        """,
+        "length_percentiles": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   quantile_cont(n_chars, 0.5) AS p50,
+                   quantile_cont(n_chars, 0.9) AS p90,
+                   quantile_cont(n_chars, 0.99) AS p99
+            FROM documents GROUP BY lang
+        """,
+        "table_profile": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
         """,
         "w1_politeness_quota": """
             SELECT event_id, user_id, event_type, rn FROM (

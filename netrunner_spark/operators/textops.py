@@ -532,6 +532,38 @@ def vocab_topk(docs: DataFrame, k: int = 100, pattern: str = "[^a-z]+") -> DataF
     )
 
 
+def doc_top_terms(docs: DataFrame, k: int = 3, pattern: str = "[^a-z]+") -> DataFrame:
+    """Per-document distinctive terms — the rank-based TF-IDF variant:
+    top-k tokens per doc ordered by (tf DESC, global df ASC, token ASC).
+    Rank arithmetic stays in exact integers (no log-idf floats), so the
+    result is engine-reproducible and oracle-checkable exactly.
+
+    → (doc_id, token, tf, df, rk). Shape at scale: explode → two hash
+    aggregations (doc-term tf, then term df — both map-side combined)
+    → join on token (vocabulary-sized right side, broadcastable for
+    real corpora) → per-doc window (small partitions: one doc's
+    distinct terms). No unbounded intermediate.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), pattern)).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf rows are distinct (doc, token) pairs → df = row count per token
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dft, "token")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "token", "tf", "df", "rk")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16, n: int = 3, max_doc_id: int | None = None) -> DataFrame:
     """SimHash over gram hashes: bit b set iff Σ_grams (±1 by gram bit b)
     > 0. → (doc_id, simhash) exact int64."""
