@@ -422,6 +422,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("n_chars").alias("total_chars"),
         )
 
+    def repetition_signals(spark, sf):
+        # Gopher-style repeated-bigram mass per doc (exact ints)
+        return textops.repetition_stats(_t(spark, sf, "documents"), n=2)
+
+    def benchmark_contamination(spark, sf):
+        # decontamination scan: train side vs a deterministic held-out
+        # benchmark slice (doc_id % 10 == 0), 3-token-gram overlap
+        d = _t(spark, sf, "documents")
+        bench = d.filter(F.col("doc_id") % 10 == 0)
+        train = d.filter(F.col("doc_id") % 10 != 0)
+        return textops.contamination(train, bench, n=3)
+
     def user_sessions(spark, sf):
         # gap-based sessionization (30-min): per-session aggregates in
         # exact ints (epoch micros, cents) for oracle parity
@@ -740,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": doc_top_terms,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
+        "repetition_signals": repetition_signals,
+        "benchmark_contamination": benchmark_contamination,
         "robots_parse": robots_parse,
         "x2_html_parse": x2_html_parse,
         "f3_seed_classification": f3_seed_classification,
@@ -918,6 +932,63 @@ WITH edges AS (
                    quantile_cont(n_chars, 0.9) AS p90,
                    quantile_cont(n_chars, 0.99) AS p99
             FROM documents GROUP BY lang
+        """,
+        "repetition_signals": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE len(t) >= 2
+            ), grams AS (
+              SELECT doc_id,
+                     array_to_string(t[CAST(i AS INT):CAST(i+1 AS INT)], ' ') AS gram
+              FROM idx
+            ), per AS (
+              SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+              FROM grams GROUP BY doc_id, gram
+            ), stats AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_grams,
+                     CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                     CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                       AS n_rep_grams,
+                     max(cnt) AS max_gram_reps
+              FROM per GROUP BY doc_id
+            ), top AS (
+              SELECT doc_id, gram AS top_gram, cnt AS top_gram_count FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rk
+                FROM per
+              ) WHERE rk = 1
+            )
+            SELECT s.doc_id, s.n_grams, s.n_distinct_grams, s.n_rep_grams,
+                   s.max_gram_reps, t.top_gram, t.top_gram_count
+            FROM stats s JOIN top t USING (doc_id)
+        """,
+        "benchmark_contamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i
+              FROM toks WHERE len(t) >= 3
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS gram
+              FROM idx
+            ),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+            train AS (SELECT * FROM grams WHERE doc_id % 10 <> 0)
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits
+            FROM train t LEFT JOIN bench b USING (gram)
+            GROUP BY t.doc_id
         """,
         "table_profile": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -564,6 +564,117 @@ def doc_top_terms(docs: DataFrame, k: int = 3, pattern: str = "[^a-z]+") -> Data
     )
 
 
+def token_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    pattern: str = "[^a-z]+",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs → ``(doc_id, gram)`` — one row per word n-gram OCCURRENCE
+    (space-joined lowercase tokens). All JVM-side higher-order array
+    functions: split → filter empties → per-position slice → explode.
+
+    Guarded for short docs: ``F.sequence(1, hi)`` with hi < 1 would
+    generate a DESCENDING sequence in Spark, so docs with fewer than n
+    tokens emit zero grams via the `when` branch, not garbage slices.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), pattern), lambda t: t != ""
+    )
+    hi = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        hi >= 1,
+        F.transform(
+            F.sequence(F.lit(1), hi),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(id_col, F.explode(grams).alias("gram"))
+
+
+def repetition_stats(docs: DataFrame, n: int = 2, pattern: str = "[^a-z]+") -> DataFrame:
+    """Gopher-style within-document repetition signals over word
+    n-grams — the quality filter a training pipeline applies before
+    mixing (high repeated-n-gram mass ⇒ boilerplate/spam page).
+
+    → (doc_id, n_grams, n_distinct_grams, n_rep_grams, max_gram_reps,
+    top_gram, top_gram_count), all exact ints/strings so the DuckDB
+    oracle matches bit-for-bit (callers derive the fractional scores).
+
+    Shape at 100 TB: explode → ONE shuffle on (doc_id, gram) with
+    map-side partial counts → per-doc aggregate + window, both over
+    doc-local partitions (a doc's distinct grams — bounded by doc
+    length, never corpus-sized). The top-gram window's tie-break
+    (cnt DESC, gram ASC) is total, so results are deterministic.
+    """
+    per = token_ngrams(docs, n, pattern).groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "n_rep_grams"
+        ),
+        F.max("cnt").alias("max_gram_reps"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    top = (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_gram_count"),
+        )
+    )
+    return stats.join(top, "doc_id")
+
+
+def contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    pattern: str = "[^a-z]+",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination scan: word n-gram overlap of every
+    training doc against a held-out benchmark set (the pass a training
+    pipeline runs before mixing, to drop eval-set leakage).
+
+    → (doc_id, n_grams, n_hits): distinct grams in the doc, and how
+    many of them also appear anywhere in the benchmark. Callers filter
+    n_hits thresholds; emitting counts keeps the operator policy-free.
+
+    Shape at 100 TB: the benchmark gram set is DISTINCT and tiny
+    relative to the corpus (eval suites are ~10^5 docs → ~10^7 grams)
+    → broadcast left-join against the exploded train grams: the 100 TB
+    side never shuffles. Set ``broadcast_benchmark=False`` to fall back
+    to a shuffle equi-join on gram when the benchmark is genuinely
+    large; Catalyst's partial aggregation still bounds the per-doc agg.
+    """
+    tg = token_ngrams(train, n, pattern).distinct()
+    bg = (
+        token_ngrams(benchmark, n, pattern)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    return (
+        tg.join(bg, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0).cast("long"))).alias("n_hits"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16, n: int = 3, max_doc_id: int | None = None) -> DataFrame:
     """SimHash over gram hashes: bit b set iff Σ_grams (±1 by gram bit b)
     > 0. → (doc_id, simhash) exact int64."""

@@ -269,3 +269,57 @@ def test_phash_near_dups_images(spark):
     assert got == want
     assert (1, 2) in got and got[(1, 2)] == 0     # exact dup found
     assert all(4 not in pair for pair in got)     # unrelated image excluded
+
+
+# --------------------------------------------------- repetition/contamination
+def test_token_ngrams_short_doc_guard(spark):
+    # docs shorter than n emit ZERO grams (the F.sequence descending
+    # pitfall: sequence(1, 0) would yield [1, 0] without the guard)
+    docs = spark.createDataFrame(
+        [(0, "one"), (1, "a b"), (2, ""), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["gram"])
+        for r in textops.token_ngrams(docs, n=2).collect()
+    }
+    assert out == {(1, "a b"), (3, "x y"), (3, "y z")}
+    # n=3: only doc 3 qualifies
+    out3 = [r["gram"] for r in textops.token_ngrams(docs, n=3).collect()]
+    assert out3 == ["x y z"]
+
+
+def test_repetition_stats_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x y z")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in textops.repetition_stats(docs, n=2).collect()}
+    # doc 0 bigrams: "a b" x2, "b a" x2 → all 4 occurrences repeated
+    r0 = rows[0]
+    assert (r0["n_grams"], r0["n_distinct_grams"], r0["n_rep_grams"]) == (4, 2, 4)
+    assert r0["max_gram_reps"] == 2 and r0["top_gram"] == "a b"
+    r1 = rows[1]
+    assert (r1["n_grams"], r1["n_rep_grams"], r1["top_gram"]) == (2, 0, "x y")
+
+
+def test_contamination_counts_and_broadcast(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "foo bar baz")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"])
+        for r in textops.contamination(train, bench, n=3).collect()
+    }
+    # doc 1 grams: {alpha beta gamma, beta gamma delta} — 1 hit
+    assert out[1] == (2, 1)
+    assert out[2] == (1, 0)
+    # the scale path broadcasts the benchmark gram set: the 100 TB
+    # train side must never shuffle for this join
+    df = textops.contamination(train, bench, n=3)
+    sc = spark.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
