@@ -374,6 +374,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), "lang", "doc_id", 25
         ).select("doc_id", "lang", "rk")
 
+    def stratified_skewsafe(spark, sf):
+        # hot-stratum-safe two-phase quota sample: per-(stratum,bucket)
+        # prune before the global rank — output provably identical to
+        # the single-window form, so the plain-SQL oracle checks it
+        from netrunner_spark.operators import sampling
+
+        return sampling.stratified_sample_skewsafe(
+            _t(spark, sf, "documents"), "lang", "doc_id", 10, n_buckets=8
+        ).select("doc_id", "lang", "rk")
+
+    def source_budget_cap(spark, sf):
+        # per-source token-budget cap (domain mixing): admit docs in
+        # deterministic hash order while cumulative n_chars ≤ 5000
+        from netrunner_spark.operators import sampling
+
+        return sampling.budget_cap(
+            _t(spark, sf, "documents"), "source", "doc_id", "n_chars", budget=5000
+        ).select("doc_id", "source", "cum_cost", "rk")
+
+    def cross_source_dups(spark, sf):
+        # inter-source contamination scan; the synthetic corpus has no
+        # cross-source copies, so mirror every 7th doc into a second
+        # source deterministically (both sides build the same union)
+        d = _t(spark, sf, "documents")
+        mirror = d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text",
+            "lang",
+            F.lit("mirror").alias("source"),
+            "n_chars",
+        )
+        return textops.cross_source_dups(d.unionByName(mirror))
+
+    def pii_pattern_scan(spark, sf):
+        # scrub-signal counts; the synthetic docs carry no PII, so affix
+        # deterministic contact strings to every 5th doc in both engines
+        d = _t(spark, sf, "documents")
+        sid = F.col("doc_id").cast("string")
+        enriched = d.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact a"), sid, F.lit("@example.com or see "),
+                    F.lit("https://ex.org/p/"), sid,
+                    F.lit(" ref 123456789"), sid,
+                ),
+            ).otherwise(F.col("text")),
+        )
+        return textops.pattern_scan(enriched)
+
     def vocab_topk(spark, sf):
         # tokenizer-training first step: corpus top-100 token frequencies
         return textops.vocab_topk(_t(spark, sf, "documents"), k=100)
@@ -744,6 +796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "sample_split": sample_split,
         "stratified_sample": stratified_sample,
+        "stratified_skewsafe": stratified_skewsafe,
+        "source_budget_cap": source_budget_cap,
+        "cross_source_dups": cross_source_dups,
+        "pii_pattern_scan": pii_pattern_scan,
         "vocab_topk": vocab_topk,
         "link_pagerank": link_pagerank,
         "user_sessions": user_sessions,
@@ -854,6 +910,68 @@ WITH edges AS (
                                 doc_id ASC) AS INT) AS rk
               FROM documents
             ) WHERE rk <= 25
+        """,
+        "stratified_skewsafe": """
+            SELECT doc_id, lang, rk FROM (
+              SELECT doc_id, lang,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 12) ASC,
+                                doc_id ASC) AS INT) AS rk
+              FROM documents
+            ) WHERE rk <= 10
+        """,
+        "source_budget_cap": """
+            SELECT doc_id, source, cum_cost, rk FROM (
+              SELECT doc_id, source,
+                     CAST(sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5('budget' || CAST(doc_id AS VARCHAR)), 1, 12) ASC,
+                                doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_cost,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5('budget' || CAST(doc_id AS VARCHAR)), 1, 12) ASC,
+                                doc_id ASC) AS INT) AS rk
+              FROM documents
+            ) WHERE cum_cost <= 5000
+        """,
+        "cross_source_dups": """
+            WITH corpus AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text, 'mirror' FROM documents
+              WHERE doc_id % 7 = 0
+            )
+            SELECT md5(text) AS text_hash,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   min(doc_id) AS keep_id,
+                   min_by(source, doc_id) AS keep_source
+            FROM corpus GROUP BY md5(text)
+            HAVING count(DISTINCT source) > 1
+        """,
+        "pii_pattern_scan": """
+            WITH enriched AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       text || ' contact a' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or see https://ex.org/p/'
+                            || CAST(doc_id AS VARCHAR)
+                            || ' ref 123456789' || CAST(doc_id AS VARCHAR)
+                     ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                     AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(text, '[0-9]{9,}'))
+                     AS BIGINT) AS n_long_digits
+            FROM enriched
         """,
         "vocab_topk": """
             SELECT token, cnt FROM (

@@ -127,3 +127,86 @@ def stratified_sample(
         df.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= n_per_stratum)
     )
+
+
+def stratified_sample_skewsafe(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "strat",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """`stratified_sample` with the hot-stratum fix its docstring
+    promises: per-partition rank-and-prune BEFORE the global rank.
+
+    Phase 1 ranks within (stratum, hash-bucket) — n_buckets ways — and
+    keeps only the top n_per_stratum of each, so the phase-2 global
+    rank per stratum sees at most n_buckets × n_per_stratum rows
+    instead of the raw stratum. A 40%-of-corpus language that would
+    dump 10^10 rows on one window task is pruned 10^10 → ≤ 32·n in a
+    salted (skew-free) first pass.
+
+    Output is IDENTICAL to `stratified_sample` (asserted in tests):
+    every global top-n row ranks ≤ n inside its own bucket, so phase 1
+    never drops a survivor, and phase 2 recomputes the same total
+    order (hash position, then key). Same oracle SQL applies.
+    """
+    from pyspark.sql import Window
+
+    pos = _pos_hex(key_col, salt)
+    bucket = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    w_local = Window.partitionBy(stratum_col, bucket).orderBy(
+        pos.asc(), F.col(key_col).asc()
+    )
+    pruned = (
+        df.withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= n_per_stratum)
+        .drop("_lrk")
+    )
+    w_global = Window.partitionBy(stratum_col).orderBy(
+        pos.asc(), F.col(key_col).asc()
+    )
+    return (
+        pruned.withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= n_per_stratum)
+    )
+
+
+def budget_cap(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    cost_col: str,
+    budget: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """Cap each stratum's total COST (tokens, chars, bytes) at `budget`
+    instead of its row count — the per-domain token cap a training mix
+    applies so no single host dominates (C4/RefinedWeb-style).
+
+    Rows are admitted in deterministic hash order (position, then key —
+    the same total order as `stratified_sample`, so re-runs and
+    resumes admit the identical prefix) while the INCLUSIVE running
+    sum of `cost_col` stays ≤ budget. A single over-budget first row
+    is dropped, never truncated — document atomicity.
+
+    → input columns + (cum_cost, rk). One shuffle (window on the
+    stratum). Monotone in `budget`: raising it only ADDS rows, so
+    nested mixes for scaling-law ladders reuse the same pass.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        _pos_hex(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn(
+            "cum_cost",
+            F.sum(F.col(cost_col).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("cum_cost") <= budget)
+    )

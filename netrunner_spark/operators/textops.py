@@ -77,6 +77,62 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def cross_source_dups(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Exact-duplicate groups that span MULTIPLE sources — the signal a
+    training mix uses to pick which source keeps a shared document (and
+    to measure inter-source contamination, e.g. the same page arriving
+    via two crawls). Extends `dedup_exact` with the source dimension.
+
+    → (text_hash, n_copies, n_sources, keep_id, keep_source) for groups
+    with n_sources > 1; keeper = min doc_id, keep_source = that doc's
+    source via min_by (single aggregate, no second join).
+
+    Shape at 100 TB: one hash aggregate on md5(text) with map-side
+    partial combine; the n_sources > 1 filter runs post-agg on the
+    already-tiny group table. No window, no self-join.
+    """
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct(F.col(source_col)).alias("n_sources"),
+            F.min("doc_id").alias("keep_id"),
+            F.min_by(F.col(source_col), F.col("doc_id")).alias("keep_source"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+
+
+# PII-ish patterns kept to syntax both Java regex (Spark) and RE2
+# (DuckDB) evaluate identically: plain classes + quantifiers, no
+# lookaround/backrefs. Counts are signals for a scrubbing pass, not a
+# redactor — the engine stays policy-free.
+PATTERN_SCAN = (
+    ("n_emails", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("n_urls", r"https?://[^\s]+"),
+    ("n_long_digits", r"[0-9]{9,}"),
+)
+
+
+def pattern_scan(docs: DataFrame, patterns=PATTERN_SCAN) -> DataFrame:
+    """Per-document occurrence counts of scrub-relevant patterns
+    (emails, URLs, long digit runs ≈ phone/ID/card candidates) — the
+    pre-filter a pipeline runs to route documents to PII review or
+    drop them outright.
+
+    → (doc_id, n_emails, n_urls, n_long_digits) exact ints. Pure
+    projection (regexp_count is JVM codegen): map-only at 100 TB,
+    zero shuffles, column-pruned to (doc_id, text).
+    """
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col("text"), F.lit(rx)).cast("long").alias(name)
+            for name, rx in patterns
+        ],
+    )
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token/char counting + quality counters, all exact ints:
     n_tokens (whitespace split), n_alpha, n_digit, n_stopwords."""
@@ -602,36 +658,29 @@ def repetition_stats(docs: DataFrame, n: int = 2, pattern: str = "[^a-z]+") -> D
     top_gram, top_gram_count), all exact ints/strings so the DuckDB
     oracle matches bit-for-bit (callers derive the fractional scores).
 
-    Shape at 100 TB: explode → ONE shuffle on (doc_id, gram) with
-    map-side partial counts → per-doc aggregate + window, both over
-    doc-local partitions (a doc's distinct grams — bounded by doc
-    length, never corpus-sized). The top-gram window's tie-break
-    (cnt DESC, gram ASC) is total, so results are deterministic.
+    Shape at 100 TB: explode → shuffle on (doc_id, gram) with map-side
+    partial counts → ONE per-doc hash aggregate. The top gram is fused
+    into that aggregate via ``min_by(gram, struct(-cnt, gram))`` —
+    struct comparison is lexicographic, so -cnt ASC = cnt DESC with
+    gram ASC as a total tie-break (deterministic) — instead of a
+    row_number window + self-join, which would cost an extra shuffle
+    + sort + join over the same corpus-sized intermediate. Its count
+    equals max(cnt) by construction, so no second pass is needed.
     """
     per = token_ngrams(docs, n, pattern).groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    stats = per.groupBy("doc_id").agg(
+    order = F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("gram").alias("g"))
+    return per.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_grams"),
         F.count(F.lit(1)).alias("n_distinct_grams"),
         F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
             "n_rep_grams"
         ),
         F.max("cnt").alias("max_gram_reps"),
+        F.min_by("gram", order).alias("top_gram"),
+        F.max("cnt").alias("top_gram_count"),
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("cnt").desc(), F.col("gram").asc()
-    )
-    top = (
-        per.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "doc_id",
-            F.col("gram").alias("top_gram"),
-            F.col("cnt").alias("top_gram_count"),
-        )
-    )
-    return stats.join(top, "doc_id")
 
 
 def contamination(

@@ -128,3 +128,41 @@ def test_pagerank_star_ranks_center_highest_and_conserves_mass(spark):
 def test_pagerank_empty_graph(spark):
     e = spark.createDataFrame([], "src: long, dst: long")
     assert pagerank_int(e).count() == 0
+
+def test_skewsafe_matches_plain_stratified(spark, docs):
+    from netrunner_spark.operators.sampling import stratified_sample_skewsafe
+
+    plain = stratified_sample(docs, "lang", "doc_id", 7)
+    safe = stratified_sample_skewsafe(docs, "lang", "doc_id", 7, n_buckets=8)
+    a = sorted((r["lang"], r["doc_id"], r["rk"]) for r in plain.collect())
+    b = sorted((r["lang"], r["doc_id"], r["rk"]) for r in safe.collect())
+    assert a == b  # identical output, skew-pruned plan
+    # the local prune really bounds phase-2 input: with 1 bucket it
+    # degenerates to the plain single-window result too
+    one = stratified_sample_skewsafe(docs, "lang", "doc_id", 7, n_buckets=1)
+    assert sorted((r["lang"], r["doc_id"], r["rk"]) for r in one.collect()) == a
+
+
+def test_budget_cap_inclusive_running_sum(spark):
+    from netrunner_spark.operators.sampling import budget_cap
+
+    df = spark.createDataFrame(
+        [(i, "h", 40) for i in range(10)] + [(100, "tiny", 9999)],
+        "doc_id long, host string, n_chars long",
+    )
+    out = budget_cap(df, "host", "doc_id", "n_chars", budget=100).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    # host "h": 40-cost rows -> exactly 2 admitted (cum 40, 80; 3rd hits 120)
+    assert len(by_host["h"]) == 2
+    assert sorted(r["cum_cost"] for r in by_host["h"]) == [40, 80]
+    # an over-budget FIRST row is dropped whole, never truncated
+    assert "tiny" not in by_host
+    # monotone: raising the budget only adds rows
+    small = {r["doc_id"] for r in out}
+    big = {
+        r["doc_id"]
+        for r in budget_cap(df, "host", "doc_id", "n_chars", budget=200).collect()
+    }
+    assert small <= big and len(big) > len(small)

@@ -300,6 +300,12 @@ def test_repetition_stats_counts(spark):
     assert r0["max_gram_reps"] == 2 and r0["top_gram"] == "a b"
     r1 = rows[1]
     assert (r1["n_grams"], r1["n_rep_grams"], r1["top_gram"]) == (2, 0, "x y")
+    # plan pin: top-gram is fused into the per-doc aggregate via
+    # min_by — exactly 2 shuffles ((doc_id,gram) then doc_id), no
+    # window or self-join over the corpus-sized per-gram counts
+    plan = textops.repetition_stats(docs, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
+    assert "Window" not in plan and "Join" not in plan
 
 
 def test_contamination_counts_and_broadcast(spark):
@@ -323,3 +329,43 @@ def test_contamination_counts_and_broadcast(spark):
     sc = spark.sparkContext
     plan = sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "BroadcastHashJoin" in plan
+
+
+def test_cross_source_dups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "crawlA"),
+            (2, "same text", "crawlB"),
+            (3, "same text", "crawlA"),
+            (4, "only in A", "crawlA"),
+            (5, "only in A", "crawlA"),
+            (6, "unique", "crawlB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = textops.cross_source_dups(docs).collect()
+    # only the group spanning two sources survives; keeper is min doc_id
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_copies"], r["n_sources"], r["keep_id"], r["keep_source"]) == (
+        3, 2, 1, "crawlA",
+    )
+    # single hash aggregate: no window, no join in the plan
+    plan = textops.cross_source_dups(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_pattern_scan_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@test.org or c@d.io via https://x.y/z"),
+            (2, "card 1234567890123456 and id 987654321"),
+            (3, "clean text, no signals"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_urls"], r["n_long_digits"])
+        for r in textops.pattern_scan(docs).collect()
+    }
+    assert got == {1: (2, 1, 0), 2: (0, 0, 2), 3: (0, 0, 0)}
