@@ -357,6 +357,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), max_doc_id=150, max_band_df=8
         )
 
+    def cluster_keepers(spark, sf):
+        # the dedup decision: per near-dup cluster keep the longest
+        # copy (tie → min doc_id), list the rest for dropping
+        d = _t(spark, sf, "documents")
+        cl = textops.dedup_clusters(d, max_doc_id=150, max_band_df=8)
+        return textops.cluster_keepers(cl, d)
+
     def sample_split(spark, sf):
         # deterministic md5-hash train/val/test split — map-only, zero
         # shuffle; membership depends only on (salt, doc_id)
@@ -794,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_capped": jaccard_pairs_capped,
         "minhash_lsh_capped": minhash_lsh_capped,
         "dedup_clusters": dedup_clusters,
+        "cluster_keepers": cluster_keepers,
         "sample_split": sample_split,
         "stratified_sample": stratified_sample,
         "stratified_skewsafe": stratified_skewsafe,
@@ -841,6 +849,44 @@ WITH base AS (
   WHERE length(g) = 3
 )
 """
+
+    # shared MinHash→LSH→connected-components chain (ends at `reach`);
+    # dedup_clusters and cluster_keepers append different final selects
+    clusters_cte = grams_cte.replace("WITH base", "WITH RECURSIVE base", 1) + """
+            , sig AS (
+              SELECT doc_id, j,
+                     min(((j * 2 + 1) * 104729 % 2147483647 * g + j * 7919 + 1) % 2147483647) AS minhash
+              FROM grams, generate_series(0, 15) AS s(j)
+              GROUP BY doc_id, j
+            ), bands AS (
+              SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                     string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j) AS band_key
+              FROM sig GROUP BY doc_id, CAST(j // 4 AS INT)
+            ), bcnt AS (
+              SELECT band, band_key, count(*) AS bdf, min(doc_id) AS hub
+              FROM bands GROUP BY band, band_key
+            ), keyed AS (
+              SELECT bands.doc_id, bands.band, bands.band_key, bcnt.bdf, bcnt.hub
+              FROM bands JOIN bcnt USING (band, band_key)
+            ), pairs AS (
+              SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM keyed a JOIN keyed b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                WHERE a.bdf <= 8
+                UNION ALL
+                SELECT hub AS doc_a, doc_id AS doc_b
+                FROM keyed WHERE bdf > 8 AND doc_id != hub
+              )
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), reach(u, v) AS (
+              SELECT doc_id, doc_id FROM base
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+    """
 
     # sample_split: thresholds from the SAME helper the operator uses,
     # so the oracle cannot drift from the implementation
@@ -1337,43 +1383,29 @@ WITH edges AS (
               FROM keyed WHERE bdf > 8 AND doc_id != hub
             )
         """,
-        "dedup_clusters": grams_cte.replace("WITH base", "WITH RECURSIVE base", 1)
+        "dedup_clusters": clusters_cte
         + """
-            , sig AS (
-              SELECT doc_id, j,
-                     min(((j * 2 + 1) * 104729 % 2147483647 * g + j * 7919 + 1) % 2147483647) AS minhash
-              FROM grams, generate_series(0, 15) AS s(j)
-              GROUP BY doc_id, j
-            ), bands AS (
-              SELECT doc_id, CAST(j // 4 AS INT) AS band,
-                     string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j) AS band_key
-              FROM sig GROUP BY doc_id, CAST(j // 4 AS INT)
-            ), bcnt AS (
-              SELECT band, band_key, count(*) AS bdf, min(doc_id) AS hub
-              FROM bands GROUP BY band, band_key
-            ), keyed AS (
-              SELECT bands.doc_id, bands.band, bands.band_key, bcnt.bdf, bcnt.hub
-              FROM bands JOIN bcnt USING (band, band_key)
-            ), pairs AS (
-              SELECT DISTINCT doc_a, doc_b FROM (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM keyed a JOIN keyed b
-                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-                WHERE a.bdf <= 8
-                UNION ALL
-                SELECT hub AS doc_a, doc_id AS doc_b
-                FROM keyed WHERE bdf > 8 AND doc_id != hub
-              )
-            ), edges AS (
-              SELECT doc_a AS u, doc_b AS v FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs
-            ), reach(u, v) AS (
-              SELECT doc_id, doc_id FROM base
-              UNION
-              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-            )
             SELECT u AS doc_id, min(v) AS cluster_id, min(v) = u AS is_keeper
             FROM reach GROUP BY u
+        """,
+        "cluster_keepers": clusters_cte
+        + """
+            , cl AS (
+              SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+            ), scored AS (
+              SELECT cl.doc_id, cl.cluster_id, d.n_chars
+              FROM cl JOIN documents d USING (doc_id)
+            ), ranked AS (
+              SELECT cluster_id, doc_id AS keeper_id,
+                     row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM scored
+            )
+            SELECT s.doc_id, s.cluster_id, k.keeper_id,
+                   s.doc_id = k.keeper_id AS keep
+            FROM scored s
+            JOIN ranked k ON s.cluster_id = k.cluster_id AND k.rk = 1
         """,
         "simhash": grams_cte
         + """

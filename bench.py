@@ -44,8 +44,11 @@ HEADLINE = [
     "dedup_clusters",
     "ann_topk_int",
     "stratified_sample",
+    "source_budget_cap",
     "vocab_topk",
     "link_pagerank",
+    "repetition_signals",
+    "benchmark_contamination",
 ]
 
 

@@ -564,6 +564,40 @@ def dedup_clusters(
     )
 
 
+def cluster_keepers(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup DECISION a training mix actually consumes: per
+    near-dup cluster, keep the highest-quality copy and list the rest
+    for dropping. Policy: max `quality_col` (default: longest text),
+    tie → min doc_id — deterministic total order.
+
+    → (doc_id, cluster_id, keeper_id, keep). Composes with
+    :func:`dedup_clusters`, :func:`hamming_near_dups` +
+    :func:`connected_components`, or the embedding-side clusters.
+
+    Shape at 100 TB: one join on doc_id (clusters ⨝ quality — both
+    corpus-keyed, co-partitionable) then ONE window on cluster_id;
+    partitions are cluster-sized (mostly singletons, bounded by the
+    largest near-dup family — already capped upstream by max_band_df's
+    hub-star emission). No corpus-sized aggregate-and-join-back.
+    """
+    scored = clusters.select(id_col, "cluster_id").join(
+        docs.select(id_col, quality_col), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("keeper_id", F.first(id_col).over(w))
+        .withColumn("keep", F.col(id_col) == F.col("keeper_id"))
+        .select(id_col, "cluster_id", "keeper_id", "keep")
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 100, pattern: str = "[^a-z]+") -> DataFrame:
     """Corpus vocabulary: top-k tokens by frequency → ``(token, cnt)``.
 

@@ -369,3 +369,27 @@ def test_pattern_scan_counts(spark):
         for r in textops.pattern_scan(docs).collect()
     }
     assert got == {1: (2, 1, 0), 2: (0, 0, 2), 3: (0, 0, 0)}
+
+
+def test_cluster_keepers_policy(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, cluster_id long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text"), (3, "medium txt"), (9, "x")],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    rows = {r["doc_id"]: r for r in textops.cluster_keepers(clusters, docs).collect()}
+    assert rows[2]["keep"] and rows[2]["keeper_id"] == 2     # longest wins
+    assert not rows[1]["keep"] and rows[1]["keeper_id"] == 2
+    assert not rows[3]["keep"]
+    assert rows[9]["keep"] and rows[9]["keeper_id"] == 9     # singleton keeps
+    # tie on quality → min doc_id wins
+    tie = spark.createDataFrame(
+        [(5, 7), (4, 7)], "doc_id long, cluster_id long"
+    )
+    tdocs = spark.createDataFrame(
+        [(4, "aaaa"), (5, "bbbb")], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text"))
+    trows = {r["doc_id"]: r for r in textops.cluster_keepers(tie, tdocs).collect()}
+    assert trows[4]["keep"] and not trows[5]["keep"]
