@@ -54,6 +54,50 @@ _EVENT_URL_SQL = (
 )
 
 
+# Deterministic image-metadata view over documents — the input_hint's
+# (image_id, w, h, fmt, caption, n_bytes) shape, derived via md5 so the
+# DuckDB twin (_IMG_CTE) reproduces it bit-exactly. Captions are the
+# document texts (exact caption dups exist by construction).
+def _image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+
+    def hx(salt: str, width: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, width
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    fmt_sel = hx("imf", 1) % 3
+    return d.select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(32) + hx("imw", 2) * 8).cast("int").alias("w"),
+        (F.lit(32) + hx("imh", 2) * 8).cast("int").alias("h"),
+        F.when(fmt_sel == 0, "png")
+        .when(fmt_sel == 1, "jpeg")
+        .otherwise("gif")
+        .alias("fmt"),
+        (F.col("n_chars") * 19 + hx("imb", 2)).alias("n_bytes"),
+        F.col("text").alias("caption"),
+    )
+
+
+_IMG_CTE = """
+WITH img AS (
+  SELECT doc_id AS image_id,
+         CAST(32 + CAST('0x' || substr(md5('imw' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) * 8 AS INT) AS w,
+         CAST(32 + CAST('0x' || substr(md5('imh' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) * 8 AS INT) AS h,
+         CASE CAST('0x' || substr(md5('imf' || CAST(doc_id AS VARCHAR)), 1, 1) AS BIGINT) % 3
+              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
+         n_chars * 19 + CAST('0x' || substr(md5('imb' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS n_bytes,
+         text AS caption
+  FROM documents
+)
+"""
+
+
 # --------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one frontier scheduling round over the event-frontier —
@@ -363,6 +407,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         cl = textops.dedup_clusters(d, max_doc_id=150, max_band_df=8)
         return textops.cluster_keepers(cl, d)
+
+    def image_quality_gate(spark, sf):
+        # LAION-style metadata admission gate over the image+caption
+        # table (input_hint shape); map-only, bytes column never read
+        from netrunner_spark.operators import imageops
+
+        return imageops.quality_gate(_image_meta(spark, sf)).select(
+            "image_id",
+            "w",
+            "h",
+            "fmt",
+            "n_bytes",
+            F.col("pass").alias("admitted"),
+            "reject_reason",
+        )
+
+    def image_aspect_buckets(spark, sf):
+        # nearest SDXL-style multi-AR training bucket, integer-exact
+        from netrunner_spark.operators import imageops
+
+        return imageops.aspect_bucket(_image_meta(spark, sf)).select(
+            "image_id", "w", "h", "bucket_w", "bucket_h"
+        )
+
+    def image_shard_pack(spark, sf):
+        # WebDataset-style size-bounded shard assignment via the
+        # distributed (bucket-major) prefix sum — no global window
+        from netrunner_spark.operators import imageops
+
+        meta = _image_meta(spark, sf).select("image_id", "n_bytes")
+        return imageops.shard_pack(
+            meta, "image_id", "n_bytes", shard_bytes=100_000, n_buckets=16
+        ).select("image_id", "n_bytes", "pack_pos", "shard_id")
+
+    def caption_boilerplate(spark, sf):
+        # captions repeated corpus-wide carry no supervision signal
+        from netrunner_spark.operators import imageops
+
+        return imageops.boilerplate_captions(
+            _image_meta(spark, sf), max_caption_df=2
+        ).select("image_id", "caption_df", "boilerplate")
+
+    def image_pair_alignment(spark, sf):
+        # CLIP-style image↔caption cosine gate in quantized int64 —
+        # even vec_ids are image embeddings, odd are caption embeddings
+        from netrunner_spark.operators import imageops
+
+        e = _t(spark, sf, "embeddings")
+        img = e.filter(F.col("vec_id") % 2 == 0).select(
+            (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+            F.col("embedding").alias("img_vec"),
+        )
+        cap = e.filter(F.col("vec_id") % 2 == 1).select(
+            F.floor(F.col("vec_id") / 2).cast("long").alias("pair_id"),
+            F.col("embedding").alias("cap_vec"),
+        )
+        return imageops.pair_alignment(
+            img.join(cap, "pair_id"), threshold_pct=30, scale=1000
+        ).select("pair_id", "dot_q", "img_norm2", "cap_norm2", "aligned")
+
+    def image_cluster_keepers(spark, sf):
+        # the image-side dedup decision: phash-class signature →
+        # hamming LSH → connected components → keep the highest-
+        # resolution copy per cluster
+        d = _t(spark, sf, "documents")
+        sigs = textops.simhash(d, max_doc_id=150)
+        prs = textops.hamming_near_dups(sigs, bits=16, bands=4, max_hamming=2)
+        nodes = d.filter(F.col("doc_id") < 150).select("doc_id")
+        cl = textops.connected_components(
+            prs.select("doc_a", "doc_b"), nodes=nodes
+        )
+        quality = _image_meta(spark, sf).select(
+            F.col("image_id").alias("doc_id"),
+            (F.col("w").cast("bigint") * F.col("h")).alias("resolution"),
+        )
+        return textops.cluster_keepers(cl, quality, quality_col="resolution")
 
     def sample_split(spark, sf):
         # deterministic md5-hash train/val/test split — map-only, zero
@@ -802,6 +922,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_capped": minhash_lsh_capped,
         "dedup_clusters": dedup_clusters,
         "cluster_keepers": cluster_keepers,
+        "image_quality_gate": image_quality_gate,
+        "image_aspect_buckets": image_aspect_buckets,
+        "image_shard_pack": image_shard_pack,
+        "caption_boilerplate": caption_boilerplate,
+        "image_pair_alignment": image_pair_alignment,
+        "image_cluster_keepers": image_cluster_keepers,
         "sample_split": sample_split,
         "stratified_sample": stratified_sample,
         "stratified_skewsafe": stratified_skewsafe,
@@ -887,6 +1013,12 @@ WITH base AS (
               SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
             )
     """
+
+    # aspect-bucket argmin from the SAME bucket table + comparison the
+    # Spark ladder uses (imageops.AR_BUCKETS), so the twin cannot drift
+    from netrunner_spark.operators.imageops import aspect_bucket_sql_case
+
+    _ar_case = aspect_bucket_sql_case()
 
     # sample_split: thresholds from the SAME helper the operator uses,
     # so the oracle cannot drift from the implementation
@@ -1400,6 +1532,126 @@ WITH edges AS (
                      row_number() OVER (
                        PARTITION BY cluster_id
                        ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM scored
+            )
+            SELECT s.doc_id, s.cluster_id, k.keeper_id,
+                   s.doc_id = k.keeper_id AS keep
+            FROM scored s
+            JOIN ranked k ON s.cluster_id = k.cluster_id AND k.rk = 1
+        """,
+        "image_quality_gate": _IMG_CTE
+        + """
+            SELECT image_id, w, h, fmt, n_bytes,
+                   reject_reason IS NULL AS admitted, reject_reason
+            FROM (
+              SELECT *,
+                CASE WHEN fmt NOT IN ('png', 'jpeg') THEN 'format'
+                     WHEN NOT (w >= 64 AND h >= 64) THEN 'too_small'
+                     WHEN n_bytes < 256 THEN 'too_few_bytes'
+                     WHEN NOT (w * 4 >= h * 1 AND w * 1 <= h * 4) THEN 'aspect'
+                     WHEN NOT (caption IS NOT NULL AND length(caption) >= 5
+                               AND length(caption) <= 2048) THEN 'caption'
+                     ELSE NULL END AS reject_reason
+              FROM img
+            )
+        """,
+        "image_aspect_buckets": _IMG_CTE
+        + f"""
+            SELECT image_id, w, h,
+                   ({_ar_case}).bw AS bucket_w, ({_ar_case}).bh AS bucket_h
+            FROM img
+        """,
+        "image_shard_pack": _IMG_CTE
+        + """
+            , pos AS (
+              SELECT image_id, n_bytes,
+                     coalesce(sum(n_bytes) OVER (
+                       ORDER BY substr(md5('shard.b' || CAST(image_id AS VARCHAR)), 1, 1),
+                                substr(md5('shard' || CAST(image_id AS VARCHAR)), 1, 12),
+                                image_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_pos
+              FROM img
+            )
+            SELECT image_id, n_bytes, pack_pos, pack_pos // 100000 AS shard_id
+            FROM pos
+        """,
+        "caption_boilerplate": _IMG_CTE
+        + """
+            , hot AS (
+              SELECT caption, count(*) AS c FROM img
+              GROUP BY caption HAVING count(*) > 2
+            )
+            SELECT image_id, coalesce(c, 1) AS caption_df, c IS NOT NULL AS boilerplate
+            FROM img LEFT JOIN hot USING (caption)
+        """,
+        "image_pair_alignment": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+              FROM embeddings
+            ), pr AS (
+              SELECT a.vec_id // 2 AS pair_id, a.q AS qa, b.q AS qb
+              FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+              WHERE a.vec_id % 2 = 0
+            ), dots AS (
+              SELECT pair_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(qa)), i -> qa[i] * qb[i])),
+                       (x, y) -> x + y) AS dot_q,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(qa)), i -> qa[i] * qa[i])),
+                       (x, y) -> x + y) AS img_norm2,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(qb)), i -> qb[i] * qb[i])),
+                       (x, y) -> x + y) AS cap_norm2
+              FROM pr
+            )
+            SELECT pair_id, dot_q, img_norm2, cap_norm2,
+                   (dot_q >= 0 AND
+                    dot_q * dot_q * 10000 >= 900 * img_norm2 * cap_norm2) AS aligned
+            FROM dots
+        """,
+        "image_cluster_keepers": grams_cte.replace("WITH base", "WITH RECURSIVE base", 1)
+        + """
+            , bitsum AS (
+              SELECT doc_id, b, sum(CASE WHEN (g >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM grams, generate_series(0, 15) AS t(b)
+              GROUP BY doc_id, b
+            ), sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bitsum GROUP BY doc_id
+            ), banded AS (
+              SELECT doc_id, simhash, b AS band, (simhash >> (b * 4)) & 15 AS band_key
+              FROM sh, generate_series(0, 3) AS t(b)
+            ), hpairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                           AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM hpairs
+              UNION SELECT doc_b, doc_a FROM hpairs
+            ), reach(u, v) AS (
+              SELECT doc_id, doc_id FROM base
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), cl AS (
+              SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+            ), res AS (
+              SELECT doc_id,
+                     CAST(32 + CAST('0x' || substr(md5('imw' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) * 8 AS BIGINT)
+                     * (32 + CAST('0x' || substr(md5('imh' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) * 8) AS resolution
+              FROM base
+            ), scored AS (
+              SELECT cl.doc_id, cl.cluster_id, res.resolution
+              FROM cl JOIN res USING (doc_id)
+            ), ranked AS (
+              SELECT cluster_id, doc_id AS keeper_id,
+                     row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY resolution DESC, doc_id ASC) AS rk
               FROM scored
             )
             SELECT s.doc_id, s.cluster_id, k.keeper_id,

@@ -49,6 +49,8 @@ HEADLINE = [
     "link_pagerank",
     "repetition_signals",
     "benchmark_contamination",
+    "image_shard_pack",
+    "image_pair_alignment",
 ]
 
 

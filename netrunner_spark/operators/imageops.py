@@ -1,0 +1,321 @@
+"""Relational image-corpus curation: the JVM-side half of the image
+payload (codec/pixel UDFs live in ``netrunner_spark.images``).
+
+A 100 TB image+caption crawl (BASELINE.json input_hint: image_id,
+bytes, w, h, fmt, caption, phash) is curated almost entirely on the
+METADATA columns — resolution/aspect/format gates, caption hygiene,
+shard packing, phash dedup keepers. None of that needs pixel access,
+so every operator here is a pure ``pyspark.sql.functions`` plan
+(zero Python in the hot path); the binary column is never read.
+
+Role analogs, not ports: the reference crawler caches image bytes +
+captions (netrunner stores page/media payloads per URL hash) but has
+no curation layer — these are the LAION/DataComp-style operators a
+training mix applies downstream of the crawl cache.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from netrunner_spark.operators.sampling import _pos_hex
+
+# Canonical aspect-ratio ladder (SDXL-style multi-AR training buckets,
+# (w, h) at ~1 MPx). Shared with the DuckDB oracle via
+# `aspect_bucket_sql_case` so both engines pick from the SAME table.
+AR_BUCKETS: list[tuple[int, int]] = [
+    (512, 2048),
+    (640, 1536),
+    (768, 1344),
+    (896, 1152),
+    (1024, 1024),
+    (1152, 896),
+    (1344, 768),
+    (1536, 640),
+    (2048, 512),
+]
+
+
+def quality_gate(
+    images: DataFrame,
+    min_w: int = 64,
+    min_h: int = 64,
+    min_bytes: int = 256,
+    ar_min: float = 0.25,
+    ar_max: float = 4.0,
+    formats: tuple[str, ...] = ("png", "jpeg"),
+    min_caption_chars: int = 5,
+    max_caption_chars: int = 2048,
+) -> DataFrame:
+    """LAION-style admission gate over image METADATA → input columns +
+    ``(pass, reject_reason)``.
+
+    ``reject_reason`` is the FIRST failing gate in a fixed precedence
+    (format > too_small > too_few_bytes > aspect > caption) so the
+    tally is deterministic and re-runs bucket rejects identically.
+
+    Aspect bounds are evaluated as integer cross-products
+    (``w * ar_den ≥/≤ h * ar_num``) — no float division, so the DuckDB
+    twin computes bit-identical booleans. `ar_min`/`ar_max` must be
+    exactly representable as small rationals (they are: 1/4 and 4/1
+    by default); pass custom bounds as floats that are n/d with d ≤ 100.
+
+    Map-only: one projection, no shuffle, pushes the scan down to the
+    metadata columns (the multi-GB ``bytes`` column is pruned).
+    """
+    ar_min_n, ar_min_d = _as_ratio(ar_min)
+    ar_max_n, ar_max_d = _as_ratio(ar_max)
+    fmt_ok = F.col("fmt").isin(*formats)
+    size_ok = (F.col("w") >= min_w) & (F.col("h") >= min_h)
+    bytes_ok = F.col("n_bytes") >= min_bytes
+    # ar = w/h;  ar >= ar_min  ⟺  w * ar_min_d >= h * ar_min_n
+    ar_ok = (F.col("w") * ar_min_d >= F.col("h") * ar_min_n) & (
+        F.col("w") * ar_max_d <= F.col("h") * ar_max_n
+    )
+    cap_len = F.length(F.col("caption"))
+    cap_ok = (
+        F.col("caption").isNotNull()
+        & (cap_len >= min_caption_chars)
+        & (cap_len <= max_caption_chars)
+    )
+    reason = (
+        F.when(~fmt_ok, F.lit("format"))
+        .when(~size_ok, F.lit("too_small"))
+        .when(~bytes_ok, F.lit("too_few_bytes"))
+        .when(~ar_ok, F.lit("aspect"))
+        .when(~cap_ok, F.lit("caption"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return images.withColumn("reject_reason", reason).withColumn(
+        "pass", F.col("reject_reason").isNull()
+    )
+
+
+def _as_ratio(x: float, max_den: int = 100) -> tuple[int, int]:
+    """Exact small-rational form of an aspect bound (n, d)."""
+    from fractions import Fraction
+
+    f = Fraction(x).limit_denominator(max_den)
+    if float(f) != x:
+        raise ValueError(f"aspect bound {x} is not a small rational")
+    return f.numerator, f.denominator
+
+
+def _bucket_cost_sq(w_col, h_col, bw: int, bh: int):
+    """Integer-exact squared log-AR distance surrogate.
+
+    argmin |log(w/h) - log(bw/bh)| = argmin over buckets of the
+    cross-ratio max(w*bh, h*bw) / min(w*bh, h*bw)  (both sides of the
+    log are monotone). Comparing two buckets i, j:
+        max_i/min_i < max_j/min_j  ⟺  max_i * min_j < max_j * min_i
+    — pure int64 products, no floats, so Spark and DuckDB agree
+    exactly. Ties break to the SMALLER bucket index (fixed iteration
+    order below).
+    """
+    a = w_col * bh
+    b = h_col * bw
+    return F.greatest(a, b), F.least(a, b)
+
+
+def aspect_bucket(images: DataFrame, buckets: list[tuple[int, int]] | None = None) -> DataFrame:
+    """Assign every image to its nearest aspect-ratio training bucket →
+    input columns + ``(bucket_w, bucket_h)``.
+
+    Multi-AR training (SDXL-style) batches images of like aspect so the
+    resize-to-bucket crop is minimal; the assignment is the curation
+    step, the resize itself is :func:`netrunner_spark.images.resize_to`.
+
+    Nearest = min |log AR ratio|, computed with integer cross-products
+    only (see ``_bucket_cost_sq``) so the DuckDB twin
+    (:func:`aspect_bucket_sql_case`) is bit-identical. Map-only
+    projection — the CASE ladder is O(len(buckets)) comparisons per
+    row, whole-stage-codegen'd, no shuffle.
+    """
+    bks = buckets or AR_BUCKETS
+    w_col, h_col = F.col("w").cast("bigint"), F.col("h").cast("bigint")
+    best_w, best_h = F.lit(bks[0][0]), F.lit(bks[0][1])
+    best_max, best_min = _bucket_cost_sq(w_col, h_col, *bks[0])
+    for bw, bh in bks[1:]:
+        cand_max, cand_min = _bucket_cost_sq(w_col, h_col, bw, bh)
+        better = cand_max * best_min < best_max * cand_min
+        best_w = F.when(better, F.lit(bw)).otherwise(best_w)
+        best_h = F.when(better, F.lit(bh)).otherwise(best_h)
+        new_max = F.when(better, cand_max).otherwise(best_max)
+        new_min = F.when(better, cand_min).otherwise(best_min)
+        best_max, best_min = new_max, new_min
+    return images.withColumn("bucket_w", best_w).withColumn("bucket_h", best_h)
+
+
+def aspect_bucket_sql_case(buckets: list[tuple[int, int]] | None = None) -> str:
+    """The DuckDB twin of :func:`aspect_bucket`'s argmin ladder, built
+    from the SAME bucket table so the two engines cannot drift.
+
+    Emits a ``list_reduce`` left-fold over (bmax, bmin, bw, bh) structs
+    using the identical strict integer cross-product comparison (and
+    the identical iteration order) as the Spark ladder — ties keep the
+    earlier bucket in both engines. The expression references columns
+    ``w`` and ``h``; select ``(...).bw, (...).bh`` from it.
+    """
+    bks = buckets or AR_BUCKETS
+    rows = ", ".join(
+        "{bmax: greatest(w * %d, h * %d), bmin: least(w * %d, h * %d), "
+        "bw: %d, bh: %d, i: %d}" % (bh, bw, bh, bw, bw, bh, i)
+        for i, (bw, bh) in enumerate(bks)
+    )
+    # exact rational comparison via cross-multiplied sort key is not a
+    # single scalar; DuckDB's list_sort is lexicographic on struct
+    # fields, so sort on (bmax * <lcm-free> ...) cannot be exact.
+    # Instead: argmin over the list with list_reduce and the SAME
+    # integer cross-product comparison the Spark ladder uses.
+    return (
+        "list_reduce([" + rows + "], (acc, x) -> CASE WHEN "
+        "x.bmax * acc.bmin < acc.bmax * x.bmin THEN x ELSE acc END)"
+    )
+
+
+def boilerplate_captions(images: DataFrame, max_caption_df: int = 100) -> DataFrame:
+    """Flag images whose EXACT caption repeats more than
+    ``max_caption_df`` times corpus-wide → input + ``(caption_df,
+    boilerplate)``.
+
+    LAION-style hygiene: "image", "logo", "photo" captions carry no
+    supervision signal; a caption shared by 10^6 images is navigation
+    boilerplate, not a description. One hash aggregate on a 64-bit
+    caption digest + a join back that REUSES the aggregate's
+    partitioning (same key) — one shuffle total, and the join side is
+    the tiny over-threshold set, broadcast.
+    """
+    digest = F.xxhash64(F.col("caption")).alias("cap_key")
+    hot = (
+        images.select(digest)
+        .groupBy("cap_key")
+        .agg(F.count(F.lit(1)).alias("caption_df"))
+        .filter(F.col("caption_df") > max_caption_df)
+    )
+    return (
+        images.withColumn("cap_key", F.xxhash64(F.col("caption")))
+        .join(F.broadcast(hot), "cap_key", "left")
+        .withColumn("boilerplate", F.col("caption_df").isNotNull())
+        .withColumn("caption_df", F.coalesce(F.col("caption_df"), F.lit(1)))
+        .drop("cap_key")
+    )
+
+
+def shard_pack(
+    df: DataFrame,
+    key_col: str,
+    cost_col: str,
+    shard_bytes: int,
+    n_buckets: int = 256,
+    salt: str = "shard",
+) -> DataFrame:
+    """WebDataset-style shard assignment: pack rows into consecutive
+    size-bounded shards in a deterministic global order → input +
+    ``(pack_pos, shard_id)``.
+
+    The training-side consumer of this corpus reads fixed-size tar
+    shards; the packing rule is the standard straddle-free running
+    split: rows ordered by a deterministic hash position, shard_id =
+    floor(exclusive_prefix_sum(cost) / shard_bytes). A shard may
+    overrun by < one row's cost (rows are atomic), never underfill
+    except the tail.
+
+    100 TB shape — the naive form is ONE global window (a single
+    partition doing a 10^10-row running sum: driver-killer). This
+    implementation is the distributed prefix-sum:
+
+      1. bucket = a short md5-hex prefix of (salt.b || key) — up to 256
+         values; the canonical global order is (bucket, pos_in_bucket),
+         bucket-major, so a global prefix decomposes into per-bucket
+         offsets + local sums. md5-hex (not xxhash64) so the DuckDB
+         oracle twin computes the identical order.
+      2. per-bucket totals: one B-row aggregate, cumulated into
+         exclusive offsets with a tiny B-row window, broadcast back.
+      3. local exclusive prefix via a window PARTITIONED by bucket
+         (B-way parallel, each partition 1/B of the data).
+
+    Equality with the single-window form over the same (bucket, pos)
+    order is asserted in tests — the skew-safe plan IS the spec.
+    """
+    if n_buckets not in (16, 256):
+        raise ValueError("n_buckets must be 16 or 256 (md5-hex prefix width)")
+    hex_width = 1 if n_buckets == 16 else 2
+    pos = _pos_hex(key_col, salt)
+    keyed = df.withColumn("_pos", pos).withColumn(
+        "_bucket",
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ".b"), F.col(key_col).cast("string"))),
+            1,
+            hex_width,
+        ),
+    )
+    totals = keyed.groupBy("_bucket").agg(F.sum(cost_col).alias("_btotal"))
+    # B rows: exclusive running offset per bucket (tiny window — B ≤ 256)
+    off_w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_boffset", F.coalesce(F.sum("_btotal").over(off_w), F.lit(0))
+    ).select("_bucket", "_boffset")
+    local_w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("_pos").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "pack_pos",
+            F.col("_boffset") + F.coalesce(F.sum(cost_col).over(local_w), F.lit(0)),
+        )
+        .withColumn("shard_id", F.floor(F.col("pack_pos") / shard_bytes))
+        .drop("_pos", "_bucket", "_boffset")
+    )
+
+
+def pair_alignment(
+    pairs: DataFrame,
+    threshold_pct: int = 30,
+    img_col: str = "img_vec",
+    cap_col: str = "cap_vec",
+    scale: int = 100,
+) -> DataFrame:
+    """CLIP-style image↔caption alignment gate over embedding pairs →
+    ``(pair columns) + (dot_q, img_norm2, cap_norm2, aligned)``.
+
+    The DataComp/LAION admission rule "keep pairs with CLIP cosine ≥ t"
+    — here over pre-computed embedding columns (the encoder itself is
+    a model-serving concern, out of engine scope). Works entirely in
+    quantized int64 arithmetic so the oracle is hash-exact:
+
+        cos ≥ t  ⟺  dot ≥ 0  ∧  dot² · 100² ≥ t_pct² · |a|² · |b|²
+
+    with a, b quantized to int(round(x · scale)). No sqrt, no floats.
+    Overflow check: dim 64, |x| ≤ ~3 → dot ≤ 64·(3·100)² ≈ 5.8e6;
+    dot²·10⁴ ≈ 3.3e17 < 2⁶³. Keep `scale` ≤ 100 for dim ≤ 128.
+
+    Plan: zip_with + aggregate (JVM higher-order functions, no UDF) —
+    map-only over the joined pair table.
+    """
+    q = lambda c: F.transform(F.col(c), lambda x: F.round(x * scale).cast("bigint"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda s, v: s + v
+        )
+
+    with_q = pairs.withColumn("_qa", q(img_col)).withColumn("_qb", q(cap_col))
+    out = (
+        with_q.withColumn("dot_q", dot(F.col("_qa"), F.col("_qb")))
+        .withColumn("img_norm2", dot(F.col("_qa"), F.col("_qa")))
+        .withColumn("cap_norm2", dot(F.col("_qb"), F.col("_qb")))
+        .withColumn(
+            "aligned",
+            (F.col("dot_q") >= 0)
+            & (
+                F.col("dot_q") * F.col("dot_q") * (100 * 100)
+                >= F.lit(threshold_pct * threshold_pct) * F.col("img_norm2") * F.col("cap_norm2")
+            ),
+        )
+        .drop("_qa", "_qb")
+    )
+    return out
