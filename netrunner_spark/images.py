@@ -142,6 +142,59 @@ def decode_check_udf(blobs: pd.Series) -> pd.DataFrame:
     )
 
 
+def resize_to(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize (h, w, 3) → (th, tw, 3), from scratch.
+
+    Deterministic index mapping: source index = floor(i * src / dst)
+    (the standard NN grid, no half-pixel offset) — pure integer
+    arithmetic, identical across platforms. Real bilinear/Lanczos
+    resampling needs an image library (PIL path gated elsewhere);
+    NN is the honest from-scratch baseline and is what the aspect-
+    bucket trainer prep uses for the synthetic corpus.
+    """
+    h, w, _ = arr.shape
+    rows = (np.arange(th, dtype=np.int64) * h) // th
+    cols = (np.arange(tw, dtype=np.int64) * w) // tw
+    return arr[rows][:, cols]
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("bytes_resized", T.BinaryType()),
+        T.StructField("resize_ok", T.BooleanType()),
+    ]
+)
+
+
+@pandas_udf(RESIZE_SCHEMA)
+def resize_udf(blobs: pd.Series, tws: pd.Series, ths: pd.Series) -> pd.DataFrame:
+    """Batch resize-to-bucket: (bytes, target_w, target_h) →
+    (bytes_resized, resize_ok). Pairs with
+    ``imageops.aspect_bucket`` — the relational pass assigns
+    (bucket_w, bucket_h), this Arrow-batched pass materializes the
+    pixels. Output re-encodes with the INPUT's container (lossless
+    stays lossless). Decode failures → (NULL, false), never a thrown
+    batch.
+    """
+    out_bytes, out_ok = [], []
+    for blob, tw, th in zip(blobs, tws, ths):
+        try:
+            raw = bytes(blob)
+            fmt = "png" if raw[:4] == _MAGIC_RAW else "jpeg"
+            resized = resize_to(decode_image(raw), int(tw), int(th))
+            out_bytes.append(encode_image(resized, fmt))
+            out_ok.append(True)
+        except Exception:
+            out_bytes.append(None)
+            out_ok.append(False)
+    return pd.DataFrame(
+        {
+            "bytes_resized": pd.Series(out_bytes, dtype="object"),
+            "resize_ok": pd.array(out_ok, dtype="boolean"),
+        }
+    )
+
+
 @pandas_udf(T.DoubleType())
 def psnr_udf(blobs_a: pd.Series, blobs_b: pd.Series) -> pd.Series:
     out = []
