@@ -408,6 +408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cl = textops.dedup_clusters(d, max_doc_id=150, max_band_df=8)
         return textops.cluster_keepers(cl, d)
 
+    def chunk_dedup(spark, sf):
+        # sub-document exact dedup: 10-word chunks, keep globally-first
+        # occurrence, reassemble (Lee et al.-style substring dedup)
+        return textops.chunk_dedup(_t(spark, sf, "documents"), chunk_words=10)
+
     def image_quality_gate(spark, sf):
         # LAION-style metadata admission gate over the image+caption
         # table (input_hint shape); map-only, bytes column never read
@@ -922,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_capped": minhash_lsh_capped,
         "dedup_clusters": dedup_clusters,
         "cluster_keepers": cluster_keepers,
+        "chunk_dedup": chunk_dedup,
         "image_quality_gate": image_quality_gate,
         "image_aspect_buckets": image_aspect_buckets,
         "image_shard_pack": image_shard_pack,
@@ -1538,6 +1544,27 @@ WITH edges AS (
                    s.doc_id = k.keeper_id AS keep
             FROM scored s
             JOIN ranked k ON s.cluster_id = k.cluster_id AND k.rk = 1
+        """,
+        "chunk_dedup": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ), p AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(words[(i * 10 + 1):(i * 10 + 10)], ' ') AS chunk,
+                     doc_id * 100000 + i AS occ_key
+              FROM w, generate_series(0, 399) AS t(i)
+              WHERE i < least(ceil(len(words) / 10.0), 400)
+            ), first AS (
+              SELECT chunk, min(occ_key) AS first_key FROM p GROUP BY chunk
+            ), j AS (
+              SELECT p.doc_id, p.pos, p.chunk, p.occ_key = f.first_key AS kept
+              FROM p JOIN first f USING (chunk)
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY pos), '') AS text_dedup,
+                   count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+            FROM j GROUP BY doc_id
         """,
         "image_quality_gate": _IMG_CTE
         + """

@@ -564,6 +564,64 @@ def dedup_clusters(
     )
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chunks: int = 400,
+) -> DataFrame:
+    """Sub-document EXACT dedup at word-chunk granularity (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): split
+    every document into consecutive ``chunk_words``-word chunks, keep
+    only the globally FIRST occurrence of each distinct chunk, and
+    reassemble → ``(doc_id, text_dedup, n_chunks, n_dropped)``.
+
+    Doc-level dedup misses the dominant duplication mode in web
+    corpora — boilerplate paragraphs repeated across otherwise-distinct
+    pages. First occurrence = min(doc_id · 100000 + pos), a single
+    int64 key so the DuckDB twin computes the identical keeper without
+    struct-ordering subtleties. Documents are truncated to
+    ``max_chunks`` chunks (must stay < 100000 for the key packing) —
+    state the cap, don't silently assume short docs.
+
+    100 TB shape: explode is map-side; then exactly two shuffles —
+    one hash aggregate on the chunk (min first-key; hot boilerplate
+    chunks are just big COUNTing groups, never a pair join), and the
+    doc_id regroup for reassembly. The chunk→keeper join back reuses
+    the aggregate's hash partitioning. No windows, no self-joins.
+    """
+    assert 0 < max_chunks < 100000
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.least(
+        F.ceil(F.size(words) / F.lit(chunk_words)).cast("int"), F.lit(max_chunks)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * chunk_words + 1, chunk_words), " "),
+    )
+    occ = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    ).withColumn("occ_key", F.col(id_col) * 100000 + F.col("pos"))
+    first = occ.groupBy("chunk").agg(F.min("occ_key").alias("first_key"))
+    kept = occ.join(first, "chunk").withColumn(
+        "kept", F.col("occ_key") == F.col("first_key")
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("pos", "chunk")))
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+    )
+
+
 def cluster_keepers(
     clusters: DataFrame,
     docs: DataFrame,

@@ -393,3 +393,41 @@ def test_cluster_keepers_policy(spark):
     ).withColumn("n_chars", F.length("text"))
     trows = {r["doc_id"]: r for r in textops.cluster_keepers(tie, tdocs).collect()}
     assert trows[4]["keep"] and not trows[5]["keep"]
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    ws = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    shared = ws(10, "s")                      # one exact 10-word chunk
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + ws(10, "a")),  # first occurrence of `shared`
+            (2, shared + " " + ws(10, "b")),  # later doc: `shared` dropped
+            (3, ws(10, "c") + " " + shared),  # later pos: dropped too
+            (4, shared + " " + shared),       # both are global dups of doc 1
+            (5, ws(10, "d") + " " + ws(10, "d")),  # in-doc repeat only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.chunk_dedup(docs).collect()}
+    assert got[1]["text_dedup"] == shared + " " + ws(10, "a")
+    assert got[1]["n_dropped"] == 0
+    assert got[2]["text_dedup"] == ws(10, "b") and got[2]["n_dropped"] == 1
+    assert got[3]["text_dedup"] == ws(10, "c") and got[3]["n_dropped"] == 1
+    # doc 4 holds no first occurrence at all → fully deduped away
+    assert got[4]["text_dedup"] == "" and got[4]["n_dropped"] == 2
+    # in-doc repeat: first copy kept, second dropped
+    assert got[5]["text_dedup"] == ws(10, "d") and got[5]["n_dropped"] == 1
+    assert all(r["n_chunks"] == 2 for r in got.values())
+
+
+def test_chunk_dedup_trailing_partial_and_truncation(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(25)))], "doc_id long, text string"
+    )
+    r = textops.chunk_dedup(docs).collect()[0]
+    assert r["n_chunks"] == 3 and r["n_dropped"] == 0
+    assert r["text_dedup"] == docs.collect()[0]["text"]
+    # max_chunks truncates deterministically
+    r2 = textops.chunk_dedup(docs, max_chunks=2).collect()[0]
+    assert r2["n_chunks"] == 2
+    assert r2["text_dedup"] == " ".join(f"w{i}" for i in range(20))
