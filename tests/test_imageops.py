@@ -190,3 +190,36 @@ def test_pair_alignment_gate(spark):
         for r in imageops.pair_alignment(df, threshold_pct=80).collect()
     }
     assert strict == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_metadata_ops_prune_bytes_at_scan(spark, tmp_path):
+    """The 100 TB claim: curation over an image+caption lake must never
+    read the multi-TB `data` (bytes) column. Pin ReadSchema at the
+    parquet scan for the gate and the shard packer."""
+    src = spark.createDataFrame(
+        [(i, bytearray(b"\x00" * 64), 128, 128, "png", 4096, f"caption {i}")
+         for i in range(20)],
+        "image_id long, data binary, w int, h int, fmt string, n_bytes long, caption string",
+    )
+    path = str(tmp_path / "imglake")
+    src.write.parquet(path)
+    lake = spark.read.parquet(path)
+
+    import re
+
+    def read_schemas(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+
+    gated = imageops.quality_gate(lake).select("image_id", "pass", "reject_reason")
+    schemas = read_schemas(gated)
+    assert schemas and all("data" not in s for s in schemas), schemas
+
+    packed = imageops.shard_pack(
+        lake.select("image_id", "n_bytes"), "image_id", "n_bytes",
+        shard_bytes=10_000, n_buckets=16,
+    )
+    schemas2 = read_schemas(packed)
+    assert schemas2 and all(
+        "data" not in s and "caption" not in s for s in schemas2
+    ), schemas2
