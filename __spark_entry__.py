@@ -53,6 +53,14 @@ _EVENT_URL_SQL = (
     "event_type, '/', CAST(event_id AS VARCHAR))"
 )
 
+# Pinned query batch for bm25_search — mirrored literally in the
+# oracle's VALUES clause; terms drawn from the synthetic corpus vocab.
+_BM25_QUERIES = [
+    (1, "spark join window"),
+    (2, "merge sort batch"),
+    (3, "customer table scan"),
+]
+
 
 # Deterministic image-metadata view over documents — the input_hint's
 # (image_id, w, h, fmt, caption, n_bytes) shape, derived via md5 so the
@@ -581,6 +589,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per doc by (tf desc, global df asc, token asc)
         return textops.doc_top_terms(_t(spark, sf, "documents"), k=3)
 
+    def bm25_search(spark, sf):
+        # BM25 ranked retrieval (quantized exact-int scoring, k1=1.2
+        # b=0.75 as rationals) for a pinned 3-query batch: query-term
+        # weights broadcast into the postings join
+        from netrunner_spark.operators import retrieval
+
+        queries = spark.createDataFrame(
+            _BM25_QUERIES, "query_id long, query string"
+        )
+        return retrieval.bm25_topk(_t(spark, sf, "documents"), queries, k=10)
+
     def length_percentiles(spark, sf):
         # exact linear-interpolation percentiles of doc length per lang
         # (F.percentile is the EXACT aggregate; approx_percentile is the
@@ -946,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view_before_purchase": asof_view_before_purchase,
         "value_interval_join": value_interval_join,
         "doc_top_terms": doc_top_terms,
+        "bm25_search": bm25_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
         "repetition_signals": repetition_signals,
@@ -1227,6 +1247,60 @@ WITH edges AS (
                        ORDER BY tf.tf DESC, dft.df ASC, tf.token ASC) AS INT) AS rk
               FROM tf JOIN dft USING (token)
             ) WHERE rk <= 3
+        """,
+        # bm25_search: every arithmetic step is int64 (quantized
+        # rational idf, cross-multiplied BM25 saturation) — Spark `div`
+        # and DuckDB `//` agree on positive operands, so score_q is
+        # bit-identical across engines.
+        "bm25_search": """
+            WITH q(query_id, query) AS (
+              VALUES (1, 'spark join window'),
+                     (2, 'merge sort batch'),
+                     (3, 'customer table scan')
+            ), tok AS (
+              SELECT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+                FROM documents
+              ) WHERE token <> ''
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, token
+            ), dl AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM tok GROUP BY doc_id
+            ), stats AS (
+              SELECT CAST(sum(dl) AS BIGINT) AS tt,
+                     CAST(count(*) AS BIGINT) AS nd FROM dl
+            ), dft AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+            ), qt AS (
+              SELECT DISTINCT query_id, token FROM (
+                SELECT query_id,
+                       unnest(regexp_split_to_array(lower(query), '[^a-z]+')) AS token
+                FROM q
+              ) WHERE token <> ''
+            ), qw AS (
+              SELECT qt.query_id, qt.token,
+                     ((s.nd - d.df) * 2000 + 1000) // (2 * d.df + 1) AS idf_q,
+                     s.tt, s.nd
+              FROM qt JOIN dft d USING (token) CROSS JOIN stats s
+            ), contrib AS (
+              SELECT qw.query_id, tf.doc_id,
+                     (qw.idf_q * 44 * tf.tf * qw.tt)
+                       // (20 * tf.tf * qw.tt + 6 * qw.tt + 18 * dl.dl * qw.nd) AS c
+              FROM tf JOIN qw USING (token) JOIN dl USING (doc_id)
+            ), scored AS (
+              SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+              FROM contrib GROUP BY query_id, doc_id
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q, rk
+            FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_q DESC, doc_id ASC) AS INT) AS rk
+              FROM scored
+            ) WHERE rk <= 10
         """,
         "length_percentiles": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

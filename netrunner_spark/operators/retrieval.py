@@ -1,0 +1,162 @@
+"""Ranked retrieval over the crawled corpus — the "search" the crawl
+feeds. The reference repo is the *crawler* crate of a search engine;
+the corpus it lands exists to be queried. This module adds the query
+side as Spark-first relational plans: an inverted-postings build and
+BM25 top-k scoring for a (small) query set.
+
+Beyond-reference training-pipeline operator (like textops' dedup
+family): no reference twin exists; semantics follow Robertson &
+Zaragoza, "The Probabilistic Relevance Framework: BM25 and Beyond"
+(2009), with one deliberate twist — ALL scoring arithmetic is exact
+int64 (quantized rational idf, cross-multiplied saturation term) so
+Spark and the DuckDB oracle produce bit-identical scores and the
+driver's value-hash check is meaningful. A float BM25 can differ in
+the last ulp across engines and flip tie-adjacent ranks.
+
+Quantization (k1 = 6/5, b = 3/4 — the classic 1.2 / 0.75 as exact
+rationals):
+
+    idf_q(t)   = floor( (N - df + 0.5) * 1000 / (df + 0.5) )
+               = ((N - df) * 2000 + 1000) div (2*df + 1)
+    contrib(t) = floor( idf_q * tf * (k1+1) /
+                        (tf + k1 * (1 - b + b * dl/avgdl)) )
+               = (idf_q * 44 * tf * T) div (20*tf*T + 6*T + 18*dl*N)
+      (both sides multiplied by 20·T; avgdl = T/N stays exact)
+    score_q    = sum(contrib) over query terms
+
+int64 bound: idf_q*44*tf*T < 2^63 → holds while N·T ≲ 2e14
+(e.g. 1e6 docs × 1e8 tokens). Past that, production ranking drops the
+quantization for float64 (ranking tolerates ulp noise; only the
+oracle needs exactness) — the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["postings", "bm25_topk"]
+
+TOKEN_PATTERN = "[^a-z]+"
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str, pattern: str) -> DataFrame:
+    return docs.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), pattern)).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = TOKEN_PATTERN,
+) -> DataFrame:
+    """Inverted postings: one row per (token, doc) with term frequency
+    → ``(token, doc_id, tf)``. The materialization a search index is
+    built from; also the left side of :func:`bm25_topk`.
+
+    Shape at 100 TB: explode is map-side; ONE shuffle (hash aggregate
+    on (doc_id, token) — partial map-side combine absorbs within-doc
+    repetition before the exchange). Zipf-hot tokens are aggregate
+    groups, never a join fan-out.
+    """
+    return (
+        _tokens(docs, id_col, text_col, pattern)
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = TOKEN_PATTERN,
+    rank_buckets: int = 0,
+) -> DataFrame:
+    """BM25 top-k docs per query → ``(query_id, doc_id, score_q, rk)``,
+    exact-integer scoring (module docstring), total order
+    (score_q DESC, doc_id ASC) so the k-boundary is deterministic.
+
+    ``queries`` is ``(query_id, query)`` and is assumed SMALL (a query
+    batch, not a table): its term set is broadcast into the postings
+    join, so the corpus-sized side never shuffles on token.
+
+    Shape at 100 TB:
+      * postings + doc lengths: the explode feeds two hash aggregates
+        (map-side combined); corpus stats (N, T) come from a 1-row agg
+        cross-joined back (no driver collect).
+      * candidate generation: postings ⨝ broadcast(query-term weights)
+        — filters the corpus to docs containing ≥1 query term BEFORE
+        any shuffle on doc.
+      * per-(query, doc) score: one hash aggregate over candidates.
+      * top-k: with ``rank_buckets = B > 0``, a two-level rank — per
+        (query, pmod(hash(doc), B)) row_number ≤ k, THEN the global
+        per-query rank — bounds every window partition at ~|cand|/B
+        (same skew treatment as sampling.stratified_sample_skewsafe);
+        the pruned global window sees ≤ B·k rows per query. Identical
+        output to the plain rank (each bucket keeps ≥ its global-top-k
+        members). Default 0 = single window, fine for query batches
+        against bench-scale corpora.
+    """
+    toks = _tokens(docs, id_col, text_col, pattern)
+    tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("tt"), F.count(F.lit(1)).alias("nd")
+    )  # 1 row, stays lazy
+
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(F.split(F.lower(F.col("query")), pattern)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    # query-term idf weights: tiny (|terms in query batch|) → broadcast
+    qweights = (
+        qterms.join(dft, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "token",
+            F.expr("((nd - df) * 2000 + 1000) div (2 * df + 1)").alias("idf_q"),
+            "tt",
+            "nd",
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(qweights), "token")
+        .join(dl, id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.expr(
+                "(idf_q * 44 * tf * tt) div (20 * tf * tt + 6 * tt + 18 * dl * nd)"
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", id_col).agg(F.sum("c").alias("score_q"))
+
+    order = [F.col("score_q").desc(), F.col(id_col).asc()]
+    if rank_buckets > 0:
+        wb = Window.partitionBy(
+            "query_id", F.pmod(F.xxhash64(id_col), F.lit(rank_buckets))
+        ).orderBy(*order)
+        scored = (
+            scored.withColumn("brk", F.row_number().over(wb))
+            .filter(F.col("brk") <= k)
+            .drop("brk")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "score_q", "rk")
+    )
