@@ -61,6 +61,57 @@ _BM25_QUERIES = [
     (3, "customer table scan"),
 ]
 
+# Shared oracle CTE: exact-int BM25 over documents for _BM25_QUERIES,
+# ending in `ranked(query_id, doc_id, score_q, rk)` (+ `q` for reuse).
+_BM25_CTE = """
+    WITH q(query_id, query) AS (
+      VALUES (1, 'spark join window'),
+             (2, 'merge sort batch'),
+             (3, 'customer table scan')
+    ), tok AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS tt,
+             CAST(count(*) AS BIGINT) AS nd FROM dl
+    ), dft AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), qt AS (
+      SELECT DISTINCT query_id, token FROM (
+        SELECT query_id,
+               unnest(regexp_split_to_array(lower(query), '[^a-z]+')) AS token
+        FROM q
+      ) WHERE token <> ''
+    ), qw AS (
+      SELECT qt.query_id, qt.token,
+             ((s.nd - d.df) * 2000 + 1000) // (2 * d.df + 1) AS idf_q,
+             s.tt, s.nd
+      FROM qt JOIN dft d USING (token) CROSS JOIN stats s
+    ), contrib AS (
+      SELECT qw.query_id, tf.doc_id,
+             (qw.idf_q * 44 * tf.tf * qw.tt)
+               // (20 * tf.tf * qw.tt + 6 * qw.tt + 18 * dl.dl * qw.nd) AS c
+      FROM tf JOIN qw USING (token) JOIN dl USING (doc_id)
+    ), scored AS (
+      SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+      FROM contrib GROUP BY query_id, doc_id
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY score_q DESC, doc_id ASC) AS INT) AS rk
+      FROM scored
+    )
+"""
+
 
 # Deterministic image-metadata view over documents — the input_hint's
 # (image_id, w, h, fmt, caption, n_bytes) shape, derived via md5 so the
@@ -600,6 +651,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return retrieval.bm25_topk(_t(spark, sf, "documents"), queries, k=10)
 
+    def search_snippets(spark, sf):
+        # result assembly: BM25 top-5 per query + ±5-token snippet
+        # around the earliest query-term hit (JVM higher-order fns,
+        # broadcast hits into the corpus scan)
+        from netrunner_spark.operators import retrieval
+
+        docs = _t(spark, sf, "documents")
+        queries = spark.createDataFrame(
+            _BM25_QUERIES, "query_id long, query string"
+        )
+        hits = retrieval.bm25_topk(docs, queries, k=5)
+        return retrieval.snippets(hits, docs, queries, window=5)
+
     def length_percentiles(spark, sf):
         # exact linear-interpolation percentiles of doc length per lang
         # (F.percentile is the EXACT aggregate; approx_percentile is the
@@ -966,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_interval_join": value_interval_join,
         "doc_top_terms": doc_top_terms,
         "bm25_search": bm25_search,
+        "search_snippets": search_snippets,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
         "repetition_signals": repetition_signals,
@@ -1252,55 +1317,37 @@ WITH edges AS (
         # rational idf, cross-multiplied BM25 saturation) — Spark `div`
         # and DuckDB `//` agree on positive operands, so score_q is
         # bit-identical across engines.
-        "bm25_search": """
-            WITH q(query_id, query) AS (
-              VALUES (1, 'spark join window'),
-                     (2, 'merge sort batch'),
-                     (3, 'customer table scan')
-            ), tok AS (
-              SELECT doc_id, token FROM (
-                SELECT doc_id,
-                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
-                FROM documents
-              ) WHERE token <> ''
-            ), tf AS (
-              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-              FROM tok GROUP BY doc_id, token
-            ), dl AS (
-              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-              FROM tok GROUP BY doc_id
-            ), stats AS (
-              SELECT CAST(sum(dl) AS BIGINT) AS tt,
-                     CAST(count(*) AS BIGINT) AS nd FROM dl
-            ), dft AS (
-              SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
-            ), qt AS (
-              SELECT DISTINCT query_id, token FROM (
-                SELECT query_id,
-                       unnest(regexp_split_to_array(lower(query), '[^a-z]+')) AS token
-                FROM q
-              ) WHERE token <> ''
-            ), qw AS (
-              SELECT qt.query_id, qt.token,
-                     ((s.nd - d.df) * 2000 + 1000) // (2 * d.df + 1) AS idf_q,
-                     s.tt, s.nd
-              FROM qt JOIN dft d USING (token) CROSS JOIN stats s
-            ), contrib AS (
-              SELECT qw.query_id, tf.doc_id,
-                     (qw.idf_q * 44 * tf.tf * qw.tt)
-                       // (20 * tf.tf * qw.tt + 6 * qw.tt + 18 * dl.dl * qw.nd) AS c
-              FROM tf JOIN qw USING (token) JOIN dl USING (doc_id)
-            ), scored AS (
-              SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
-              FROM contrib GROUP BY query_id, doc_id
-            )
+        "bm25_search": _BM25_CTE
+        + """
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q, rk
-            FROM (
-              SELECT *, CAST(row_number() OVER (
-                PARTITION BY query_id
-                ORDER BY score_q DESC, doc_id ASC) AS INT) AS rk
-              FROM scored
-            ) WHERE rk <= 10
+            FROM ranked WHERE rk <= 10
+        """,
+        # search_snippets: ±5-token context around the earliest
+        # query-term hit; Spark slice(w, s, 11) ↔ DuckDB
+        # list_slice(w, s, s+10); both engines' greatest() skips nulls.
+        "search_snippets": _BM25_CTE
+        + """
+            , snip AS (
+              SELECT r.query_id, r.doc_id, r.score_q, r.rk, d.text, q.query
+              FROM ranked r JOIN documents d USING (doc_id)
+              JOIN q USING (query_id)
+              WHERE r.rk <= 5
+            ), toked AS (
+              SELECT query_id, doc_id, score_q, rk,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 t -> t <> '') AS words,
+                     list_filter(regexp_split_to_array(lower(query), '[^a-z]+'),
+                                 t -> t <> '') AS qwords
+              FROM snip
+            ), pos AS (
+              SELECT *, greatest(1, list_min(list_filter(
+                       list_transform(qwords, t -> list_position(words, t)),
+                       p -> p IS NOT NULL AND p > 0)) - 5) AS s
+              FROM toked
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q, rk,
+                   array_to_string(list_slice(words, s, s + 10), ' ') AS snippet
+            FROM pos
         """,
         "length_percentiles": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -51,6 +51,7 @@ HEADLINE = [
     "benchmark_contamination",
     "image_shard_pack",
     "image_pair_alignment",
+    "bm25_search",
 ]
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["postings", "bm25_topk"]
+__all__ = ["postings", "bm25_topk", "snippets"]
 
 TOKEN_PATTERN = "[^a-z]+"
 
@@ -160,3 +160,45 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", id_col, "score_q", "rk")
     )
+
+
+def snippets(
+    hits: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = TOKEN_PATTERN,
+) -> DataFrame:
+    """Search-result snippet per hit: the ±``window``-token context
+    around the EARLIEST query-term occurrence in the doc →
+    ``hits`` columns + ``snippet`` (null when no term matches — can't
+    happen for BM25 hits, whose score requires ≥1 matching term).
+
+    Entirely JVM-side higher-order functions (transform / filter /
+    array_min / slice) over the tokenized doc — no Python UDF, no
+    extra shuffle beyond the two joins:
+
+      * hits (k·|queries| rows — SMALL) broadcast into the corpus scan
+        on ``id_col``: only hit docs survive the join, so the
+        tokenize+slice work is O(hits), not O(corpus).
+      * queries joined in the same broadcast (tiny).
+    """
+    small = F.broadcast(hits.join(queries, "query_id"))
+    joined = docs.select(id_col, text_col).join(small, id_col)
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), pattern), lambda t: t != F.lit("")
+    )
+    qtoks = F.filter(
+        F.split(F.lower(F.col("query")), pattern), lambda t: t != F.lit("")
+    )
+    first_pos = F.array_min(
+        F.filter(
+            F.transform(qtoks, lambda t: F.array_position(words, t)),
+            lambda p: p > 0,
+        )
+    )
+    start = F.greatest(F.lit(1), (first_pos - window).cast("int"))
+    snippet = F.array_join(F.slice(words, start, 2 * window + 1), " ")
+    return joined.withColumn("snippet", snippet).drop(text_col, "query")

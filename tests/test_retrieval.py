@@ -89,6 +89,22 @@ def test_postings_tf(spark, frames):
     assert ("", 1) not in p
 
 
+def test_snippets_window_and_edges(spark, frames):
+    docs, queries = frames
+    hits = retrieval.bm25_topk(docs, queries, k=3)
+    snips = {
+        (r.query_id, r.doc_id): r.snippet
+        for r in retrieval.snippets(hits, docs, queries, window=2).collect()
+    }
+    # doc 8 = "merge sort merge sort merge sort"; query 2 first term hit
+    # at pos 1 → window clamps to doc start, 5 tokens max
+    assert snips[(2, 8)] == "merge sort merge sort merge"
+    # every snippet contains at least one query term
+    qterms = {qid: set(q.split()) for qid, q in QUERIES}
+    for (qid, _), s in snips.items():
+        assert qterms[qid] & set(s.split()), (qid, s)
+
+
 def test_query_weights_are_broadcast(spark, frames):
     """The corpus-sized postings must never shuffle on token: the
     query-term weight side joins in as a BroadcastHashJoin."""
