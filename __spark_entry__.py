@@ -61,25 +61,29 @@ _BM25_QUERIES = [
     (3, "customer table scan"),
 ]
 
-# Shared oracle CTE: exact-int BM25 over documents for _BM25_QUERIES,
-# ending in `ranked(query_id, doc_id, score_q, rk)` (+ `q` for reuse).
-_BM25_CTE = """
-    WITH q(query_id, query) AS (
+# Shared oracle CTE pieces: exact-int BM25 for _BM25_QUERIES,
+# parameterized over (source CTE, id column, text column); the body
+# ends in `ranked(query_id, <idc>, score_q, rk)`.
+_BM25_Q_VALUES = """q(query_id, query) AS (
       VALUES (1, 'spark join window'),
              (2, 'merge sort batch'),
              (3, 'customer table scan')
-    ), tok AS (
-      SELECT doc_id, token FROM (
-        SELECT doc_id,
-               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
-        FROM documents
+    )"""
+
+
+def _bm25_body(src: str, idc: str, txt: str) -> str:
+    return f"""tok AS (
+      SELECT {idc}, token FROM (
+        SELECT {idc},
+               unnest(regexp_split_to_array(lower({txt}), '[^a-z]+')) AS token
+        FROM {src}
       ) WHERE token <> ''
     ), tf AS (
-      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-      FROM tok GROUP BY doc_id, token
+      SELECT {idc}, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY {idc}, token
     ), dl AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-      FROM tok GROUP BY doc_id
+      SELECT {idc}, CAST(count(*) AS BIGINT) AS dl
+      FROM tok GROUP BY {idc}
     ), stats AS (
       SELECT CAST(sum(dl) AS BIGINT) AS tt,
              CAST(count(*) AS BIGINT) AS nd FROM dl
@@ -97,20 +101,28 @@ _BM25_CTE = """
              s.tt, s.nd
       FROM qt JOIN dft d USING (token) CROSS JOIN stats s
     ), contrib AS (
-      SELECT qw.query_id, tf.doc_id,
+      SELECT qw.query_id, tf.{idc},
              (qw.idf_q * 44 * tf.tf * qw.tt)
                // (20 * tf.tf * qw.tt + 6 * qw.tt + 18 * dl.dl * qw.nd) AS c
-      FROM tf JOIN qw USING (token) JOIN dl USING (doc_id)
+      FROM tf JOIN qw USING (token) JOIN dl USING ({idc})
     ), scored AS (
-      SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
-      FROM contrib GROUP BY query_id, doc_id
+      SELECT query_id, {idc}, CAST(sum(c) AS BIGINT) AS score_q
+      FROM contrib GROUP BY query_id, {idc}
     ), ranked AS (
       SELECT *, CAST(row_number() OVER (
         PARTITION BY query_id
-        ORDER BY score_q DESC, doc_id ASC) AS INT) AS rk
+        ORDER BY score_q DESC, {idc} ASC) AS INT) AS rk
       FROM scored
-    )
-"""
+    )"""
+
+
+_BM25_CTE = (
+    "WITH "
+    + _BM25_Q_VALUES
+    + ", "
+    + _bm25_body("documents", "doc_id", "text")
+    + "\n"
+)
 
 
 # Deterministic image-metadata view over documents — the input_hint's
@@ -664,6 +676,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = retrieval.bm25_topk(docs, queries, k=5)
         return retrieval.snippets(hits, docs, queries, window=5)
 
+    def image_caption_search(spark, sf):
+        # the image-axis result page: LAION-style quality gate →
+        # caption BM25 top-5 per query → join back (w, h) for display;
+        # the same retrieval operator, keyed on image_id/caption
+        from netrunner_spark.operators import imageops, retrieval
+
+        img = _image_meta(spark, sf)
+        adm = imageops.quality_gate(img).filter("pass").select(
+            "image_id", "caption"
+        )
+        queries = spark.createDataFrame(
+            _BM25_QUERIES, "query_id long, query string"
+        )
+        hits = retrieval.bm25_topk(
+            adm, queries, k=5, id_col="image_id", text_col="caption"
+        )
+        return hits.join(img.select("image_id", "w", "h"), "image_id").select(
+            "query_id", "image_id", "score_q", "rk", "w", "h"
+        )
+
     def length_percentiles(spark, sf):
         # exact linear-interpolation percentiles of doc length per lang
         # (F.percentile is the EXACT aggregate; approx_percentile is the
@@ -1031,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": doc_top_terms,
         "bm25_search": bm25_search,
         "search_snippets": search_snippets,
+        "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
         "repetition_signals": repetition_signals,
@@ -1321,6 +1354,26 @@ WITH edges AS (
         + """
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q, rk
             FROM ranked WHERE rk <= 10
+        """,
+        # image_caption_search: quality gate (mirrors image_quality_gate
+        # admission) → exact-int caption BM25 → (w, h) join-back.
+        "image_caption_search": _IMG_CTE
+        + ", "
+        + _BM25_Q_VALUES
+        + """, adm AS (
+              SELECT image_id, caption FROM img
+              WHERE fmt IN ('png', 'jpeg')
+                AND w >= 64 AND h >= 64 AND n_bytes >= 256
+                AND w * 4 >= h * 1 AND w * 1 <= h * 4
+                AND caption IS NOT NULL
+                AND length(caption) >= 5 AND length(caption) <= 2048
+            ), """
+        + _bm25_body("adm", "image_id", "caption")
+        + """
+            SELECT CAST(r.query_id AS BIGINT) AS query_id, r.image_id,
+                   r.score_q, r.rk, i.w, i.h
+            FROM ranked r JOIN img i USING (image_id)
+            WHERE r.rk <= 5
         """,
         # search_snippets: ±5-token context around the earliest
         # query-term hit; Spark slice(w, s, 11) ↔ DuckDB

@@ -425,11 +425,15 @@ def land_cdx_live(
             sink=lambda rows, p=r["prefix"]: _sink(p, rows),
         )
 
+    chain_t0 = time.monotonic()
     if want:
         with ThreadPoolExecutor(
             max_workers=max(1, min(max_workers, len(want)))
         ) as ex:
             list(ex.map(_run_chain, want))
+    # chain-phase wall (HTTP work only, excludes Spark job overhead) —
+    # the concurrency evidence the wall-clock test asserts on
+    land_cdx_live.last_chain_wall_s = time.monotonic() - chain_t0
     land_cdx_live.last_peak_buffer_rows = state["peak"]
     if state["slice"] == 0:
         # never hit the spill cap: one bounded driver-side DataFrame

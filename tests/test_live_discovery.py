@@ -179,13 +179,16 @@ def test_cdx_chains_parallel_across_prefixes(spark, site):
     pref_df = spark.createDataFrame(
         [(p, p) for p in prefs], "prefix string, query string"
     )
-    t0 = _time.monotonic()
     cdx = land_cdx_live(spark, base, pref_df, limit=2)
     got = cdx.collect()
-    wall = _time.monotonic() - t0
     # 12 × 0.25 s of server delay: serial = 3.0 s; 4-way concurrent ≈
-    # 0.75 s (+ createDataFrame overhead). 2.0 s proves >1 in flight
-    # even under co-tenant steal (delays are sleeps, not compute).
+    # 0.75 s. Assert on the CHAIN-phase wall the operator records
+    # (HTTP work only) — end-to-end wall also pays the Spark jobs
+    # inside land_cdx_live (cold-session prefix collect + landing
+    # DataFrame), which under co-tenant load dwarf the 2 s budget and
+    # say nothing about chain concurrency. 2.0 s proves >1 in flight
+    # (delays are sleeps, not compute).
+    wall = land_cdx_live.last_chain_wall_s
     assert wall < 2.0, f"chains look serial: wall={wall:.2f}s"
     for p in prefs:
         mine = {(r["original"], r["page"]) for r in got if r["prefix"] == p}
