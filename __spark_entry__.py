@@ -676,6 +676,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = retrieval.bm25_topk(docs, queries, k=5)
         return retrieval.snippets(hits, docs, queries, window=5)
 
+    def search_index_topk(spark, sf):
+        # index-backed BM25: build the token-bucketed lake index, query
+        # it — must equal the direct bm25_search row-for-row, so it
+        # shares that oracle SQL verbatim
+        import tempfile
+
+        from netrunner_spark.operators import retrieval
+        from netrunner_spark.tables import LakeCatalog
+
+        cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="nr_si_"))
+        idx = retrieval.SearchIndex(cat, "q_si")
+        idx.build(_t(spark, sf, "documents"), n_buckets=16)
+        queries = spark.createDataFrame(
+            _BM25_QUERIES, "query_id long, query string"
+        )
+        return idx.topk(queries, k=10)
+
     def image_caption_search(spark, sf):
         # the image-axis result page: LAION-style quality gate →
         # caption BM25 top-5 per query → join back (w, h) for display;
@@ -1063,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": doc_top_terms,
         "bm25_search": bm25_search,
         "search_snippets": search_snippets,
+        "search_index_topk": search_index_topk,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1351,6 +1369,13 @@ WITH edges AS (
         # and DuckDB `//` agree on positive operands, so score_q is
         # bit-identical across engines.
         "bm25_search": _BM25_CTE
+        + """
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q, rk
+            FROM ranked WHERE rk <= 10
+        """,
+        # search_index_topk: the index-backed path must reproduce the
+        # direct path exactly — same oracle by construction.
+        "search_index_topk": _BM25_CTE
         + """
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q, rk
             FROM ranked WHERE rk <= 10

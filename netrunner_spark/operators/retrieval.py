@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["postings", "bm25_topk", "snippets"]
+__all__ = ["postings", "bm25_topk", "snippets", "SearchIndex"]
 
 TOKEN_PATTERN = "[^a-z]+"
 
@@ -66,6 +66,74 @@ def postings(
         _tokens(docs, id_col, text_col, pattern)
         .groupBy("token", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _query_terms(queries: DataFrame, pattern: str) -> DataFrame:
+    return (
+        queries.select(
+            "query_id",
+            F.explode(F.split(F.lower(F.col("query")), pattern)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def _qweights(qterms: DataFrame, dft: DataFrame, stats: DataFrame) -> DataFrame:
+    """Per-(query, term) quantized idf + corpus stats — tiny, broadcast."""
+    return (
+        qterms.join(dft, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "token",
+            F.expr("((nd - df) * 2000 + 1000) div (2 * df + 1)").alias("idf_q"),
+            "tt",
+            "nd",
+        )
+    )
+
+
+def _score_and_rank(
+    tf: DataFrame,
+    dl: DataFrame,
+    qweights: DataFrame,
+    k: int,
+    id_col: str,
+    rank_buckets: int,
+) -> DataFrame:
+    """Shared scoring tail of the direct and index-backed paths:
+    postings ⨝ broadcast(query weights) → per-(query, doc) exact-int
+    BM25 sum → deterministic top-k (optionally two-level skew-safe)."""
+    contrib = (
+        tf.join(F.broadcast(qweights), "token")
+        .join(dl, id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.expr(
+                "(idf_q * 44 * tf * tt) div (20 * tf * tt + 6 * tt + 18 * dl * nd)"
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", id_col).agg(F.sum("c").alias("score_q"))
+
+    order = [F.col("score_q").desc(), F.col(id_col).asc()]
+    if rank_buckets > 0:
+        wb = Window.partitionBy(
+            "query_id", F.pmod(F.xxhash64(id_col), F.lit(rank_buckets))
+        ).orderBy(*order)
+        scored = (
+            scored.withColumn("brk", F.row_number().over(wb))
+            .filter(F.col("brk") <= k)
+            .drop("brk")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "score_q", "rk")
     )
 
 
@@ -109,57 +177,87 @@ def bm25_topk(
     stats = dl.agg(
         F.sum("dl").alias("tt"), F.count(F.lit(1)).alias("nd")
     )  # 1 row, stays lazy
-
     dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    qterms = (
-        queries.select(
-            "query_id",
-            F.explode(F.split(F.lower(F.col("query")), pattern)).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .distinct()
-    )
-    # query-term idf weights: tiny (|terms in query batch|) → broadcast
-    qweights = (
-        qterms.join(dft, "token")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "token",
-            F.expr("((nd - df) * 2000 + 1000) div (2 * df + 1)").alias("idf_q"),
-            "tt",
-            "nd",
-        )
-    )
-    contrib = (
-        tf.join(F.broadcast(qweights), "token")
-        .join(dl, id_col)
-        .select(
-            "query_id",
-            id_col,
-            F.expr(
-                "(idf_q * 44 * tf * tt) div (20 * tf * tt + 6 * tt + 18 * dl * nd)"
-            ).alias("c"),
-        )
-    )
-    scored = contrib.groupBy("query_id", id_col).agg(F.sum("c").alias("score_q"))
+    qweights = _qweights(_query_terms(queries, pattern), dft, stats)
+    return _score_and_rank(tf, dl, qweights, k, id_col, rank_buckets)
 
-    order = [F.col("score_q").desc(), F.col(id_col).asc()]
-    if rank_buckets > 0:
-        wb = Window.partitionBy(
-            "query_id", F.pmod(F.xxhash64(id_col), F.lit(rank_buckets))
-        ).orderBy(*order)
-        scored = (
-            scored.withColumn("brk", F.row_number().over(wb))
-            .filter(F.col("brk") <= k)
-            .drop("brk")
+
+class SearchIndex:
+    """Build-once / query-many inverted index persisted to the lake —
+    the architecture a 100 TB search corpus actually needs: queries
+    must not re-tokenize the corpus (bm25_topk's two corpus aggregates)
+    on every batch.
+
+    ``build`` writes three tables into the catalog:
+      * ``<name>_postings`` (token, doc, tf) — BUCKETED on token, so a
+        query batch's ``token IN (...)`` scan prunes to the buckets
+        containing the query terms (Spark bucket pruning; the scan's
+        ``SelectedBucketsCount`` is pinned in tests). At 100 TB this is
+        the difference between reading |postings| and reading
+        ~|terms|/|buckets| of it per query batch.
+      * ``<name>_dft`` (token, df) — vocabulary-sized, same bucketing.
+      * ``<name>_dl`` (doc, dl) + a 1-row ``<name>_stats`` (tt, nd,
+        id_col, pattern) — the corpus constants; stats also persists
+        the tokenization config so a new session can't silently query
+        with a mismatched tokenizer.
+
+    ``topk`` = same exact-int scoring as :func:`bm25_topk` (shared
+    ``_score_and_rank``), reading the index instead of the corpus. The
+    query batch's term list is collected driver-side (bounded: it is
+    the query batch) to plant literal ``isin`` predicates the bucket
+    pruner can see.
+    """
+
+    def __init__(self, cat, name: str = "search_index"):
+        self.cat = cat
+        self.name = name
+
+    def build(
+        self,
+        docs: DataFrame,
+        n_buckets: int = 64,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        pattern: str = TOKEN_PATTERN,
+    ) -> None:
+        toks = _tokens(docs, id_col, text_col, pattern)
+        tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+        dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+        self.cat.write_table_bucketed(
+            tf, f"{self.name}_postings", "token", n_buckets
         )
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", id_col, "score_q", "rk")
-    )
+        dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        self.cat.write_table_bucketed(dft, f"{self.name}_dft", "token", n_buckets)
+        self.cat.write(dl, f"{self.name}_dl")
+        stats = dl.agg(
+            F.sum("dl").alias("tt"),
+            F.count(F.lit(1)).alias("nd"),
+            F.lit(id_col).alias("id_col"),
+            F.lit(pattern).alias("pattern"),
+        )
+        self.cat.write(stats, f"{self.name}_stats")
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        rank_buckets: int = 0,
+    ) -> DataFrame:
+        stats_row = self.cat.read(f"{self.name}_stats").collect()[0]  # 1 row
+        id_col, pattern = stats_row["id_col"], stats_row["pattern"]
+        qterms = _query_terms(queries, pattern)
+        # literal term list → isin predicate the bucket pruner can use
+        terms = [r["token"] for r in qterms.select("token").distinct().collect()]
+        tf = self.cat.read_table(f"{self.name}_postings").filter(
+            F.col("token").isin(terms)
+        )
+        dft = self.cat.read_table(f"{self.name}_dft").filter(
+            F.col("token").isin(terms)
+        )
+        dl = self.cat.read(f"{self.name}_dl")
+        stats = self.cat.read(f"{self.name}_stats").select("tt", "nd")
+        qweights = _qweights(qterms, dft, stats)
+        return _score_and_rank(tf, dl, qweights, k, id_col, rank_buckets)
 
 
 def snippets(

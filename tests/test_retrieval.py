@@ -105,6 +105,47 @@ def test_snippets_window_and_edges(spark, frames):
         assert qterms[qid] & set(s.split()), (qid, s)
 
 
+def test_search_index_equals_direct_and_prunes_buckets(spark, frames, tmp_path):
+    """Index-backed topk must equal the direct path exactly, and the
+    postings scan must bucket-prune to the query terms' buckets."""
+    from netrunner_spark.tables import LakeCatalog
+
+    docs, queries = frames
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    idx = retrieval.SearchIndex(cat, "si")
+    idx.build(docs, n_buckets=8)
+
+    via_index = idx.topk(queries, k=5)
+    direct = retrieval.bm25_topk(docs, queries, k=5)
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "postings scan is not bucket-pruned"
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)
+
+
+def test_search_index_survives_new_session_reregister(spark, frames, tmp_path):
+    """stats persists the tokenizer config; read_table re-registers the
+    bucketed tables from metadata (resume path)."""
+    from netrunner_spark.tables import LakeCatalog
+
+    docs, queries = frames
+    root = str(tmp_path / "lake2")
+    idx = retrieval.SearchIndex(LakeCatalog(spark, root), "si2")
+    idx.build(docs, n_buckets=4)
+    # a fresh catalog object over the same root (same JVM session — the
+    # sandbox allows one master) must re-register and answer identically
+    idx2 = retrieval.SearchIndex(LakeCatalog(spark, root), "si2")
+    got = idx2.topk(queries, k=3).collect()
+    want = retrieval.bm25_topk(docs, queries, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_query_weights_are_broadcast(spark, frames):
     """The corpus-sized postings must never shuffle on token: the
     query-term weight side joins in as a BroadcastHashJoin."""
