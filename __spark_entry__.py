@@ -677,17 +677,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return retrieval.snippets(hits, docs, queries, window=5)
 
     def search_index_topk(spark, sf):
-        # index-backed BM25: build the token-bucketed lake index, query
-        # it — must equal the direct bm25_search row-for-row, so it
-        # shares that oracle SQL verbatim
+        # index-backed BM25 exercised INCREMENTALLY: build the
+        # token-bucketed lake index on half the corpus, append the
+        # other half as a second slice — must still equal the direct
+        # bm25_search row-for-row, so it shares that oracle SQL
         import tempfile
 
         from netrunner_spark.operators import retrieval
         from netrunner_spark.tables import LakeCatalog
 
+        docs = _t(spark, sf, "documents")
         cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="nr_si_"))
         idx = retrieval.SearchIndex(cat, "q_si")
-        idx.build(_t(spark, sf, "documents"), n_buckets=16)
+        idx.build(docs.filter("doc_id % 2 = 0"), n_buckets=16)
+        idx.append(docs.filter("doc_id % 2 = 1"))
         queries = spark.createDataFrame(
             _BM25_QUERIES, "query_id long, query string"
         )

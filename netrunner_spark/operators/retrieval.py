@@ -183,34 +183,66 @@ def bm25_topk(
 
 
 class SearchIndex:
-    """Build-once / query-many inverted index persisted to the lake —
-    the architecture a 100 TB search corpus actually needs: queries
-    must not re-tokenize the corpus (bm25_topk's two corpus aggregates)
-    on every batch.
+    """INCREMENTAL build-once / query-many inverted index persisted to
+    the lake — the architecture a 100 TB search corpus actually needs:
+    queries must not re-tokenize the corpus (bm25_topk's two corpus
+    aggregates) on every batch, and a crawl round's NEW pages must not
+    force a full index rebuild.
 
-    ``build`` writes three tables into the catalog:
-      * ``<name>_postings`` (token, doc, tf) — BUCKETED on token, so a
-        query batch's ``token IN (...)`` scan prunes to the buckets
-        containing the query terms (Spark bucket pruning; the scan's
-        ``SelectedBucketsCount`` is pinned in tests). At 100 TB this is
-        the difference between reading |postings| and reading
+    Layout: one SLICE per ``build``/``append`` call —
+      * ``<name>_postings_<i>`` (token, doc, tf) — BUCKETED on token,
+        so a query batch's ``token IN (...)`` scan prunes to the
+        buckets containing the query terms (Spark bucket pruning; the
+        scan's ``SelectedBucketsCount`` is pinned in tests). At 100 TB
+        this is the difference between reading |postings| and reading
         ~|terms|/|buckets| of it per query batch.
-      * ``<name>_dft`` (token, df) — vocabulary-sized, same bucketing.
-      * ``<name>_dl`` (doc, dl) + a 1-row ``<name>_stats`` (tt, nd,
-        id_col, pattern) — the corpus constants; stats also persists
-        the tokenization config so a new session can't silently query
-        with a mismatched tokenizer.
+      * ``<name>_dft_<i>`` (token, df) — vocabulary-sized, same
+        bucketing.
+      * ``<name>_dl_<i>`` (doc, dl) — per-slice doc lengths.
+      * ``<name>_stats`` — one row per slice (slice, tt, nd,
+        n_buckets, id_col, pattern); the tokenizer/bucket config is
+        persisted so a resumed session (or an append) can't silently
+        diverge from the built index.
+
+    Incrementality is exact, not approximate: slices index DISJOINT
+    doc sets (``append`` enforces this with an anti-join guard), so
+    df/dl/tt/nd are all ADDITIVE — query-time df is the per-slice sum
+    for the (tiny) query-term set only, never a corpus-wide re-merge.
+    Scoring equals a from-scratch rebuild bit-for-bit (tested), which
+    also makes the index-backed driver query share bm25_search's
+    DuckDB oracle verbatim.
 
     ``topk`` = same exact-int scoring as :func:`bm25_topk` (shared
-    ``_score_and_rank``), reading the index instead of the corpus. The
-    query batch's term list is collected driver-side (bounded: it is
-    the query batch) to plant literal ``isin`` predicates the bucket
-    pruner can see.
+    ``_score_and_rank``). The query batch's term list is collected
+    driver-side (bounded: it is the query batch) to plant literal
+    ``isin`` predicates the bucket pruner can use.
     """
 
     def __init__(self, cat, name: str = "search_index"):
         self.cat = cat
         self.name = name
+
+    # ------------------------------------------------------------ write
+    def _write_slice(self, docs, i, n_buckets, id_col, text_col, pattern):
+        toks = _tokens(docs, id_col, text_col, pattern)
+        tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+        dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+        self.cat.write_table_bucketed(
+            tf, f"{self.name}_postings_{i}", "token", n_buckets
+        )
+        dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        self.cat.write_table_bucketed(
+            dft, f"{self.name}_dft_{i}", "token", n_buckets
+        )
+        self.cat.write(dl, f"{self.name}_dl_{i}")
+        return dl.agg(
+            F.lit(i).alias("slice"),
+            F.sum("dl").alias("tt"),
+            F.count(F.lit(1)).alias("nd"),
+            F.lit(n_buckets).alias("n_buckets"),
+            F.lit(id_col).alias("id_col"),
+            F.lit(pattern).alias("pattern"),
+        )
 
     def build(
         self,
@@ -220,22 +252,43 @@ class SearchIndex:
         text_col: str = "text",
         pattern: str = TOKEN_PATTERN,
     ) -> None:
-        toks = _tokens(docs, id_col, text_col, pattern)
-        tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
-        dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-        self.cat.write_table_bucketed(
-            tf, f"{self.name}_postings", "token", n_buckets
-        )
-        dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        self.cat.write_table_bucketed(dft, f"{self.name}_dft", "token", n_buckets)
-        self.cat.write(dl, f"{self.name}_dl")
-        stats = dl.agg(
-            F.sum("dl").alias("tt"),
-            F.count(F.lit(1)).alias("nd"),
-            F.lit(id_col).alias("id_col"),
-            F.lit(pattern).alias("pattern"),
-        )
+        stats = self._write_slice(docs, 0, n_buckets, id_col, text_col, pattern)
         self.cat.write(stats, f"{self.name}_stats")
+
+    def append(self, docs_delta: DataFrame, text_col: str = "text") -> None:
+        """Index a crawl round's NEW docs as one more slice — O(delta)
+        work, no rebuild. Raises if the delta shares ids with an
+        existing slice (additivity of df/dl/tt/nd requires disjoint
+        doc sets; re-crawled pages belong in a compact-and-rebuild,
+        the same policy as tables.compact_slices)."""
+        prior = self.cat.read(f"{self.name}_stats")
+        rows = prior.collect()  # bounded: one row per slice
+        cfg = rows[0]
+        i = 1 + max(r["slice"] for r in rows)
+        id_col = cfg["id_col"]
+        dl_old = self._dl_union([r["slice"] for r in rows])
+        overlap = (
+            docs_delta.select(id_col)
+            .join(dl_old.select(id_col), id_col, "left_semi")
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"append delta shares {overlap} doc ids with the index; "
+                "slices must be disjoint — compact and rebuild instead"
+            )
+        stats = self._write_slice(
+            docs_delta, i, cfg["n_buckets"], id_col, text_col, cfg["pattern"]
+        )
+        self.cat.write(prior.unionByName(stats), f"{self.name}_stats")
+
+    # ------------------------------------------------------------- read
+    def _dl_union(self, slices):
+        dfs = [self.cat.read(f"{self.name}_dl_{i}") for i in sorted(slices)]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def topk(
         self,
@@ -243,19 +296,32 @@ class SearchIndex:
         k: int = 10,
         rank_buckets: int = 0,
     ) -> DataFrame:
-        stats_row = self.cat.read(f"{self.name}_stats").collect()[0]  # 1 row
-        id_col, pattern = stats_row["id_col"], stats_row["pattern"]
+        stats_df = self.cat.read(f"{self.name}_stats")
+        rows = stats_df.collect()  # bounded: one row per slice
+        id_col, pattern = rows[0]["id_col"], rows[0]["pattern"]
+        slices = sorted(r["slice"] for r in rows)
         qterms = _query_terms(queries, pattern)
         # literal term list → isin predicate the bucket pruner can use
         terms = [r["token"] for r in qterms.select("token").distinct().collect()]
-        tf = self.cat.read_table(f"{self.name}_postings").filter(
-            F.col("token").isin(terms)
-        )
-        dft = self.cat.read_table(f"{self.name}_dft").filter(
-            F.col("token").isin(terms)
-        )
-        dl = self.cat.read(f"{self.name}_dl")
-        stats = self.cat.read(f"{self.name}_stats").select("tt", "nd")
+
+        def _union(kind):
+            dfs = [
+                self.cat.read_table(f"{self.name}_{kind}_{i}").filter(
+                    F.col("token").isin(terms)
+                )
+                for i in slices
+            ]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+
+        tf = _union("postings")
+        # df is additive across disjoint slices; this aggregate runs on
+        # the bucket-pruned query-term rows only, not the vocabulary
+        dft = _union("dft").groupBy("token").agg(F.sum("df").alias("df"))
+        dl = self._dl_union(slices)
+        stats = stats_df.agg(F.sum("tt").alias("tt"), F.sum("nd").alias("nd"))
         qweights = _qweights(qterms, dft, stats)
         return _score_and_rank(tf, dl, qweights, k, id_col, rank_buckets)
 

@@ -146,6 +146,26 @@ def test_search_index_survives_new_session_reregister(spark, frames, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_search_index_incremental_append_equals_rebuild(spark, frames, tmp_path):
+    """build(half) + append(half) must score bit-identically to the
+    direct path over the full corpus (df/dl/tt/nd additive across
+    disjoint slices), and overlapping appends must be rejected."""
+    from netrunner_spark.tables import LakeCatalog
+
+    docs, queries = frames
+    first = docs.filter("doc_id <= 4")
+    second = docs.filter("doc_id > 4")
+    idx = retrieval.SearchIndex(LakeCatalog(spark, str(tmp_path / "lk")), "si3")
+    idx.build(first, n_buckets=4)
+    idx.append(second)
+    got = sorted(map(tuple, idx.topk(queries, k=5).collect()))
+    want = sorted(map(tuple, retrieval.bm25_topk(docs, queries, k=5).collect()))
+    assert got == want
+
+    with pytest.raises(ValueError, match="disjoint"):
+        idx.append(docs.filter("doc_id = 2"))
+
+
 def test_query_weights_are_broadcast(spark, frames):
     """The corpus-sized postings must never shuffle on token: the
     query-term weight side joins in as a BroadcastHashJoin."""
