@@ -162,14 +162,15 @@ def bm25_topk(
         — filters the corpus to docs containing ≥1 query term BEFORE
         any shuffle on doc.
       * per-(query, doc) score: one hash aggregate over candidates.
-      * top-k: with ``rank_buckets = B > 0``, a two-level rank — per
-        (query, pmod(hash(doc), B)) row_number ≤ k, THEN the global
-        per-query rank — bounds every window partition at ~|cand|/B
-        (same skew treatment as sampling.stratified_sample_skewsafe);
-        the pruned global window sees ≤ B·k rows per query. Identical
-        output to the plain rank (each bucket keeps ≥ its global-top-k
-        members). Default 0 = single window, fine for query batches
-        against bench-scale corpora.
+      * top-k: Spark ≥3.5's rank-limit pushdown already plants a
+        PARTIAL WindowGroupLimit before the window exchange (each map
+        partition forwards ≤ k rows per query — pinned in tests), so
+        the plain rank is skew-bounded natively. ``rank_buckets = B >
+        0`` adds an explicit two-level rank — per (query,
+        pmod(hash(doc), B)) row_number ≤ k, THEN the global per-query
+        rank (same treatment as sampling.stratified_sample_skewsafe) —
+        belt-and-braces for engines without the pushdown; identical
+        output (each bucket keeps ≥ its global-top-k members).
     """
     toks = _tokens(docs, id_col, text_col, pattern)
     tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))

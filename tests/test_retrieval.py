@@ -177,3 +177,28 @@ def test_query_weights_are_broadcast(spark, frames):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_topk_window_is_skew_bounded(spark, frames):
+    """Scale shape of the top-k tail. Spark ≥3.5 plants a PARTIAL
+    WindowGroupLimit before the window exchange (rank-limit pushdown):
+    each map partition forwards ≤ k rows per query, so even the PLAIN
+    path never shuffles a corpus-sized candidate set into one window
+    partition — pin that pushdown. With rank_buckets=B the pre-prune
+    window additionally partitions by (query_id, pmod(hash(doc), B))
+    (pmod is projected into a _w* attr; pin the two-column partition
+    spec) and must emit identical rows."""
+    import re as _re
+
+    docs, queries = frames
+    plain = retrieval.bm25_topk(docs, queries, k=2)
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"WindowGroupLimit .*row_number\(\), 2, Partial", plan), plan
+    bucketed = retrieval.bm25_topk(docs, queries, k=2, rank_buckets=8)
+    bplan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(
+        r"WindowGroupLimit \[query_id#\d+L?, _w\d+#\d+L?\]", bplan
+    ), bplan[:900]
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
