@@ -696,6 +696,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return idx.topk(queries, k=10)
 
+    def phrase_search(spark, sf):
+        # exact-phrase retrieval via positional matching: one broadcast
+        # join + countDistinct(qpos) full-house per candidate start
+        from netrunner_spark.operators import retrieval
+
+        phrases = spark.createDataFrame(
+            [(1, "merge sort"), (2, "spark join"), (3, "batch batch")],
+            "query_id long, phrase string",
+        )
+        return retrieval.phrase_match(_t(spark, sf, "documents"), phrases)
+
     def image_caption_search(spark, sf):
         # the image-axis result page: LAION-style quality gate →
         # caption BM25 top-5 per query → join back (w, h) for display;
@@ -1084,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": bm25_search,
         "search_snippets": search_snippets,
         "search_index_topk": search_index_topk,
+        "phrase_search": phrase_search,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1382,6 +1394,49 @@ WITH edges AS (
         + """
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q, rk
             FROM ranked WHERE rk <= 10
+        """,
+        # phrase_search: phrase of length m starts at s iff every
+        # offset qpos has a token match at pos = s + qpos — count
+        # DISTINCT qpos per (query, doc, s), full house = occurrence.
+        "phrase_search": """
+            WITH p(query_id, phrase) AS (
+              VALUES (1, 'merge sort'), (2, 'spark join'), (3, 'batch batch')
+            ), dw AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 t -> t <> '') AS w
+              FROM documents
+            ), toks AS (
+              -- constant-range series + filter (DuckDB generate_series
+              -- takes no lateral args); corpus docs are <= 512 tokens
+              SELECT doc_id, i - 1 AS pos, w[i] AS token
+              FROM dw, generate_series(1, 512) AS t(i)
+              WHERE i <= len(w)
+            ), qw AS (
+              SELECT query_id,
+                     list_filter(regexp_split_to_array(lower(phrase), '[^a-z]+'),
+                                 t -> t <> '') AS w
+              FROM p
+            ), qt AS (
+              SELECT query_id, i - 1 AS qpos, w[i] AS token
+              FROM qw, generate_series(1, 16) AS t(i)
+              WHERE i <= len(w)
+            ), qm AS (
+              SELECT query_id, count(*) AS m FROM qt GROUP BY query_id
+            ), cand AS (
+              SELECT qt.query_id, toks.doc_id,
+                     toks.pos - qt.qpos AS s, qt.qpos
+              FROM toks JOIN qt USING (token)
+              WHERE toks.pos - qt.qpos >= 0
+            ), occ AS (
+              SELECT query_id, doc_id, s, count(DISTINCT qpos) AS hit
+              FROM cand GROUP BY query_id, doc_id, s
+            )
+            SELECT CAST(o.query_id AS BIGINT) AS query_id, o.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_occ
+            FROM occ o JOIN qm USING (query_id)
+            WHERE o.hit = qm.m
+            GROUP BY o.query_id, o.doc_id
         """,
         # image_caption_search: quality gate (mirrors image_quality_gate
         # admission) → exact-int caption BM25 → (w, h) join-back.

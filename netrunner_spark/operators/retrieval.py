@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["postings", "bm25_topk", "snippets", "SearchIndex"]
+__all__ = ["postings", "bm25_topk", "snippets", "SearchIndex", "phrase_match"]
 
 TOKEN_PATTERN = "[^a-z]+"
 
@@ -367,3 +367,54 @@ def snippets(
     start = F.greatest(F.lit(1), (first_pos - window).cast("int"))
     snippet = F.array_join(F.slice(words, start, 2 * window + 1), " ")
     return joined.withColumn("snippet", snippet).drop(text_col, "query")
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = TOKEN_PATTERN,
+) -> DataFrame:
+    """Exact-phrase search → ``(query_id, doc_id, n_occ)`` for docs
+    containing the phrase's tokens ADJACENT and in order (over the
+    blank-filtered token sequence), with the occurrence count.
+
+    The positional trick keeps this one broadcast join + two hash
+    aggregates — no per-term self-joins, no UDFs: a phrase of length m
+    starts at position s iff for EVERY phrase offset qpos there is a
+    doc token match at pos = s + qpos. Join tokens to the (broadcast,
+    tiny) phrase terms on token, derive s = pos − qpos, and count
+    DISTINCT qpos per (query, doc, s): a full house (= m) is one
+    occurrence. Repeated phrase terms ("batch batch") work because one
+    doc position can witness several qpos rows.
+
+    Shape at 100 TB: posexplode is map-side; the token join broadcasts
+    the phrase terms so the corpus never shuffles on token; the (query,
+    doc, s) aggregate is map-side combined and its groups are at most
+    phrase-length-sized. Hot tokens fan out pre-aggregate rows, never
+    pairs.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), pattern), lambda t: t != F.lit("")
+    )
+    toks = docs.select(id_col, F.posexplode(words).alias("pos", "token"))
+    qwords = F.filter(
+        F.split(F.lower(F.col("phrase")), pattern), lambda t: t != F.lit("")
+    )
+    qt = phrases.select(
+        "query_id", F.posexplode(qwords).alias("qpos", "token")
+    )
+    qm = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("m"))
+    cand = toks.join(F.broadcast(qt), "token").select(
+        "query_id", id_col, (F.col("pos") - F.col("qpos")).alias("s"), "qpos"
+    ).filter(F.col("s") >= 0)
+    occ = cand.groupBy("query_id", id_col, "s").agg(
+        F.countDistinct("qpos").alias("hit")
+    )
+    return (
+        occ.join(F.broadcast(qm), "query_id")
+        .filter(F.col("hit") == F.col("m"))
+        .groupBy("query_id", id_col)
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )

@@ -202,3 +202,25 @@ def test_topk_window_is_skew_bounded(spark, frames):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_phrase_match_adjacency_and_overlaps(spark, frames):
+    docs, _ = frames
+    phrases = spark.createDataFrame(
+        [(1, "merge sort"), (2, "sort merge"), (3, "batch batch"), (4, "spark window")],
+        "query_id long, phrase string",
+    )
+    got = {
+        (r.query_id, r.doc_id): r.n_occ
+        for r in retrieval.phrase_match(docs, phrases).collect()
+    }
+    # doc 8 = "merge sort merge sort merge sort"
+    assert got[(1, 8)] == 3          # starts 0, 2, 4
+    assert got[(2, 8)] == 2          # overlapping starts 1, 3
+    assert got[(1, 1)] == 1 and got[(1, 2)] == 1
+    # repeated-term phrase, overlapping occurrences: "batch batch batch"
+    assert got[(3, 5)] == 2
+    # adjacency required: doc 1 has spark...window but never adjacent
+    assert (4, 1) not in got
+    # in-order required: no doc has "window spark" → query 4 empty
+    assert not any(q == 4 for q, _ in got)
