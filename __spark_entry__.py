@@ -707,6 +707,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return retrieval.phrase_match(_t(spark, sf, "documents"), phrases)
 
+    def search_facets(spark, sf):
+        # result-page facets: distribution of the BM25 top-10 hit set
+        # over (lang, source) per query — O(hits) broadcast join
+        from netrunner_spark.operators import retrieval
+
+        docs = _t(spark, sf, "documents")
+        queries = spark.createDataFrame(
+            _BM25_QUERIES, "query_id long, query string"
+        )
+        hits = retrieval.bm25_topk(docs, queries, k=10)
+        return retrieval.facet_counts(hits, docs, ["lang", "source"])
+
     def image_caption_search(spark, sf):
         # the image-axis result page: LAION-style quality gate →
         # caption BM25 top-5 per query → join back (w, h) for display;
@@ -1096,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": search_snippets,
         "search_index_topk": search_index_topk,
         "phrase_search": phrase_search,
+        "search_facets": search_facets,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1394,6 +1407,23 @@ WITH edges AS (
         + """
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q, rk
             FROM ranked WHERE rk <= 10
+        """,
+        # search_facets: hit-set distribution over lang and source.
+        "search_facets": _BM25_CTE
+        + """
+            , hits AS (
+              SELECT query_id, doc_id FROM ranked WHERE rk <= 10
+            ), j AS (
+              SELECT h.query_id, d.lang, d.source
+              FROM hits h JOIN documents d USING (doc_id)
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, facet, value,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+              SELECT query_id, 'lang' AS facet, lang AS value FROM j
+              UNION ALL
+              SELECT query_id, 'source' AS facet, source AS value FROM j
+            ) GROUP BY query_id, facet, value
         """,
         # phrase_search: phrase of length m starts at s iff every
         # offset qpos has a token match at pos = s + qpos — count

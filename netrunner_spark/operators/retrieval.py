@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["postings", "bm25_topk", "snippets", "SearchIndex", "phrase_match"]
+__all__ = ["postings", "bm25_topk", "snippets", "SearchIndex", "phrase_match", "facet_counts"]
 
 TOKEN_PATTERN = "[^a-z]+"
 
@@ -417,4 +417,36 @@ def phrase_match(
         .filter(F.col("hit") == F.col("m"))
         .groupBy("query_id", id_col)
         .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+
+
+def facet_counts(
+    hits: DataFrame,
+    docs: DataFrame,
+    facets: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Result-page facets → ``(query_id, facet, value, cnt)``: per
+    query, the distribution of the hit set over each facet column
+    (lang, source, …), values stringified so heterogeneous facets share
+    one output schema.
+
+    Shape at 100 TB: hits are SMALL (k per query) and broadcast into
+    the corpus scan — only hit docs survive, column-pruned to the facet
+    columns; the multi-facet unpivot is one map-side explode of a
+    literal map; the final count is a tiny hash aggregate. O(hits),
+    not O(corpus).
+    """
+    joined = docs.select(id_col, *facets).join(
+        F.broadcast(hits.select("query_id", id_col)), id_col
+    )
+    pairs = []
+    for f in facets:
+        pairs.extend([F.lit(f), F.col(f).cast("string")])
+    return (
+        joined.select(
+            "query_id", F.explode(F.create_map(*pairs)).alias("facet", "value")
+        )
+        .groupBy("query_id", "facet", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )

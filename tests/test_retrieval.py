@@ -6,6 +6,7 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from netrunner_spark.operators import retrieval
 
@@ -224,3 +225,21 @@ def test_phrase_match_adjacency_and_overlaps(spark, frames):
     assert (4, 1) not in got
     # in-order required: no doc has "window spark" → query 4 empty
     assert not any(q == 4 for q, _ in got)
+
+
+def test_facet_counts_sum_to_hits(spark, frames):
+    docs, queries = frames
+    docs2 = docs.withColumn(
+        "lang", (F.col("doc_id") % 2).cast("string")
+    ).withColumn("source", F.lit("s"))
+    hits = retrieval.bm25_topk(docs2, queries, k=3)
+    fc = retrieval.facet_counts(hits, docs2, ["lang", "source"]).collect()
+    n_hits = {r.query_id: 0 for r in fc}
+    for r in hits.collect():
+        n_hits[r.query_id] += 1
+    for qid, n in n_hits.items():
+        for facet in ("lang", "source"):
+            assert (
+                sum(r.cnt for r in fc if r.query_id == qid and r.facet == facet)
+                == n
+            )
