@@ -707,6 +707,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return retrieval.phrase_match(_t(spark, sf, "documents"), phrases)
 
+    def phrase_index_search(spark, sf):
+        # indexed phrase search over positional postings (built half +
+        # appended half) — must equal the direct phrase_search
+        # row-for-row, so it shares that oracle SQL
+        import tempfile
+
+        from netrunner_spark.operators import retrieval
+        from netrunner_spark.tables import LakeCatalog
+
+        docs = _t(spark, sf, "documents")
+        cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="nr_pi_"))
+        idx = retrieval.SearchIndex(cat, "q_pi")
+        idx.build(docs.filter("doc_id % 2 = 0"), n_buckets=16, positions=True)
+        idx.append(docs.filter("doc_id % 2 = 1"))
+        phrases = spark.createDataFrame(
+            [(1, "merge sort"), (2, "spark join"), (3, "batch batch")],
+            "query_id long, phrase string",
+        )
+        return idx.phrase(phrases)
+
     def search_facets(spark, sf):
         # result-page facets: distribution of the BM25 top-10 hit set
         # over (lang, source) per query — O(hits) broadcast join
@@ -1108,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": search_snippets,
         "search_index_topk": search_index_topk,
         "phrase_search": phrase_search,
+        "phrase_index_search": phrase_index_search,
         "search_facets": search_facets,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
@@ -1125,6 +1146,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ----------------------------------------------------------------- oracles
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_dict()
+    # the index-backed paths must reproduce their direct twins exactly
+    d["phrase_index_search"] = d["phrase_search"]
+    return d
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     # notes: list_reduce has no init arg → prepend 0; generate_series as a
     # lateral table function cannot take column bounds → constant bound +
     # WHERE filter (documents are ≤ ~2000 chars).

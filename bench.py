@@ -52,6 +52,8 @@ HEADLINE = [
     "image_shard_pack",
     "image_pair_alignment",
     "bm25_search",
+    "phrase_search",
+    "search_facets",
 ]
 
 

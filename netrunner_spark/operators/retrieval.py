@@ -224,8 +224,13 @@ class SearchIndex:
         self.name = name
 
     # ------------------------------------------------------------ write
-    def _write_slice(self, docs, i, n_buckets, id_col, text_col, pattern):
-        toks = _tokens(docs, id_col, text_col, pattern)
+    def _write_slice(
+        self, docs, i, n_buckets, id_col, text_col, pattern, positions
+    ):
+        words = F.filter(
+            F.split(F.lower(F.col(text_col)), pattern), lambda t: t != F.lit("")
+        )
+        toks = docs.select(id_col, F.posexplode(words).alias("pos", "token"))
         tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
         dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
         self.cat.write_table_bucketed(
@@ -236,6 +241,15 @@ class SearchIndex:
             dft, f"{self.name}_dft_{i}", "token", n_buckets
         )
         self.cat.write(dl, f"{self.name}_dl_{i}")
+        if positions:
+            # positional postings: (token, doc, sorted positions) —
+            # same bucketing, feeds indexed phrase search
+            pos = toks.groupBy("token", id_col).agg(
+                F.sort_array(F.collect_list("pos")).alias("positions")
+            )
+            self.cat.write_table_bucketed(
+                pos, f"{self.name}_pos_{i}", "token", n_buckets
+            )
         return dl.agg(
             F.lit(i).alias("slice"),
             F.sum("dl").alias("tt"),
@@ -243,6 +257,7 @@ class SearchIndex:
             F.lit(n_buckets).alias("n_buckets"),
             F.lit(id_col).alias("id_col"),
             F.lit(pattern).alias("pattern"),
+            F.lit(positions).alias("positions"),
         )
 
     def build(
@@ -252,8 +267,11 @@ class SearchIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         pattern: str = TOKEN_PATTERN,
+        positions: bool = False,
     ) -> None:
-        stats = self._write_slice(docs, 0, n_buckets, id_col, text_col, pattern)
+        stats = self._write_slice(
+            docs, 0, n_buckets, id_col, text_col, pattern, positions
+        )
         self.cat.write(stats, f"{self.name}_stats")
 
     def append(self, docs_delta: DataFrame, text_col: str = "text") -> None:
@@ -279,7 +297,13 @@ class SearchIndex:
                 "slices must be disjoint — compact and rebuild instead"
             )
         stats = self._write_slice(
-            docs_delta, i, cfg["n_buckets"], id_col, text_col, cfg["pattern"]
+            docs_delta,
+            i,
+            cfg["n_buckets"],
+            id_col,
+            text_col,
+            cfg["pattern"],
+            cfg["positions"],
         )
         self.cat.write(prior.unionByName(stats), f"{self.name}_stats")
 
@@ -325,6 +349,59 @@ class SearchIndex:
         stats = stats_df.agg(F.sum("tt").alias("tt"), F.sum("nd").alias("nd"))
         qweights = _qweights(qterms, dft, stats)
         return _score_and_rank(tf, dl, qweights, k, id_col, rank_buckets)
+
+    def phrase(self, phrases: DataFrame) -> DataFrame:
+        """Indexed exact-phrase search → ``(query_id, doc_id, n_occ)``
+        — :func:`phrase_match` semantics WITHOUT re-tokenizing the
+        corpus: the positional postings slices are bucket-pruned to the
+        phrase's tokens, exploded back to (token, doc, pos), and the
+        same positional full-house (countDistinct(qpos) = m at
+        s = pos − qpos) counts occurrences. Requires
+        ``build(..., positions=True)``."""
+        stats_df = self.cat.read(f"{self.name}_stats")
+        rows = stats_df.collect()  # bounded: one row per slice
+        if not rows[0]["positions"]:
+            raise ValueError("index built without positions=True")
+        id_col, pattern = rows[0]["id_col"], rows[0]["pattern"]
+        slices = sorted(r["slice"] for r in rows)
+        qwords = F.filter(
+            F.split(F.lower(F.col("phrase")), pattern), lambda t: t != F.lit("")
+        )
+        qt = phrases.select(
+            "query_id", F.posexplode(qwords).alias("qpos", "token")
+        )
+        qm = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("m"))
+        terms = [
+            r["token"] for r in qt.select("token").distinct().collect()
+        ]  # bounded: the phrase batch
+        dfs = [
+            self.cat.read_table(f"{self.name}_pos_{i}").filter(
+                F.col("token").isin(terms)
+            )
+            for i in slices
+        ]
+        pos = dfs[0]
+        for d in dfs[1:]:
+            pos = pos.unionByName(d)
+        toks = pos.select(
+            "token", id_col, F.explode("positions").alias("pos")
+        )
+        cand = (
+            toks.join(F.broadcast(qt), "token")
+            .select(
+                "query_id", id_col, (F.col("pos") - F.col("qpos")).alias("s"), "qpos"
+            )
+            .filter(F.col("s") >= 0)
+        )
+        occ = cand.groupBy("query_id", id_col, "s").agg(
+            F.countDistinct("qpos").alias("hit")
+        )
+        return (
+            occ.join(F.broadcast(qm), "query_id")
+            .filter(F.col("hit") == F.col("m"))
+            .groupBy("query_id", id_col)
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+        )
 
 
 def snippets(

@@ -243,3 +243,26 @@ def test_facet_counts_sum_to_hits(spark, frames):
                 sum(r.cnt for r in fc if r.query_id == qid and r.facet == facet)
                 == n
             )
+
+
+def test_indexed_phrase_equals_direct(spark, frames, tmp_path):
+    """Positional-postings phrase search must equal phrase_match
+    without re-tokenizing the corpus, across an incremental append."""
+    from netrunner_spark.tables import LakeCatalog
+
+    docs, _ = frames
+    phrases = spark.createDataFrame(
+        [(1, "merge sort"), (2, "batch batch"), (3, "table scan")],
+        "query_id long, phrase string",
+    )
+    idx = retrieval.SearchIndex(LakeCatalog(spark, str(tmp_path / "pl")), "sp")
+    idx.build(docs.filter("doc_id <= 4"), n_buckets=4, positions=True)
+    idx.append(docs.filter("doc_id > 4"))
+    got = sorted(map(tuple, idx.phrase(phrases).collect()))
+    want = sorted(map(tuple, retrieval.phrase_match(docs, phrases).collect()))
+    assert got == want and len(got) > 0
+
+    nopos = retrieval.SearchIndex(LakeCatalog(spark, str(tmp_path / "np")), "sq")
+    nopos.build(docs, n_buckets=4)
+    with pytest.raises(ValueError, match="positions"):
+        nopos.phrase(phrases)
