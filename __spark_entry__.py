@@ -169,6 +169,56 @@ WITH img AS (
 """
 
 
+def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
+    """DuckDB twin of vectors.kmeans_int, generated for a fixed
+    iteration count: each Lloyd's round is one assignment CTE (argmin
+    exact-int squared-L2, ties → smaller cid) + one update CTE
+    (element-wise integer mean via `//`, which truncates toward zero
+    exactly like Spark's `div`)."""
+
+    def assign(csrc: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, qe, cid, d FROM (
+        SELECT vec_id, qe, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (
+          SELECT q.vec_id, q.qe, c.cid,
+                 list_reduce(list_transform(generate_series(1, len(q.qe)),
+                     i -> (q.qe[i] - c.cq[i]) * (q.qe[i] - c.cq[i])),
+                     (x, y) -> x + y) AS d
+          FROM q CROSS JOIN {csrc} c
+        )
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""WITH q AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, qe AS cq FROM q WHERE vec_id < {k}
+    )"""
+    ]
+    for t in range(iters):
+        parts.append(assign(f"c{t}", f"a{t}"))
+        parts.append(
+            f"""c{t + 1} AS (
+      SELECT cid, list(m ORDER BY pos) AS cq FROM (
+        SELECT cid, pos, CAST(sum(v) // count(*) AS BIGINT) AS m FROM (
+          SELECT cid, unnest(generate_series(1, len(qe))) AS pos,
+                 unnest(qe) AS v
+          FROM a{t}
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    )"""
+        )
+    parts.append(assign(f"c{iters}", "afinal"))
+    return (
+        ", ".join(parts)
+        + "\nSELECT vec_id, cid, d AS dist_q FROM afinal"
+    )
+
+
 # --------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one frontier scheduling round over the event-frontier —
@@ -739,6 +789,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = retrieval.bm25_topk(docs, queries, k=10)
         return retrieval.facet_counts(hits, docs, ["lang", "source"])
 
+    def boolean_search(spark, sf):
+        # conjunctive (AND) boolean retrieval: docs containing EVERY
+        # query term, ranked by total matched tf — postings ⨝
+        # broadcast(query terms) + a full-house countDistinct, never an
+        # m-way postings intersection join
+        from netrunner_spark.operators import retrieval
+
+        queries = spark.createDataFrame(
+            _BM25_QUERIES, "query_id long, query string"
+        )
+        return retrieval.boolean_and(
+            _t(spark, sf, "documents"), queries, k=10
+        )
+
+    def kmeans_clusters(spark, sf):
+        # deterministic integer Lloyd's k-means (k=4, 2 iterations):
+        # per-iteration map-only assignment against broadcast centroids
+        # + one k·D-row aggregate; the corpus-organization operator
+        # next to the fixed IVF quantizer
+        from netrunner_spark.operators import vectors
+
+        return vectors.kmeans_int(_t(spark, sf, "embeddings"), k=4, iters=2)
+
+    def doc_surprisal(spark, sf):
+        # CCNet-style unigram-LM quality signal in exact positive
+        # int64: corpus-trained inverse-probability weights, doc score
+        # = occurrence-weighted integer mean
+        return textops.doc_surprisal(_t(spark, sf, "documents"))
+
     def image_caption_search(spark, sf):
         # the image-axis result page: LAION-style quality gate →
         # caption BM25 top-5 per query → join back (w, h) for display;
@@ -1130,6 +1209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": phrase_search,
         "phrase_index_search": phrase_index_search,
         "search_facets": search_facets,
+        "boolean_search": boolean_search,
+        "kmeans_clusters": kmeans_clusters,
+        "doc_surprisal": doc_surprisal,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1452,6 +1534,71 @@ WITH edges AS (
               UNION ALL
               SELECT query_id, 'source' AS facet, source AS value FROM j
             ) GROUP BY query_id, facet, value
+        """,
+        # boolean_search: AND semantics — docs holding EVERY distinct
+        # query term (full-house countDistinct), ranked by total tf.
+        "boolean_search": "WITH "
+        + _BM25_Q_VALUES
+        + """
+            , tok AS (
+              SELECT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+                FROM documents
+              ) WHERE token <> ''
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, token
+            ), qt AS (
+              SELECT DISTINCT query_id, token FROM (
+                SELECT query_id,
+                       unnest(regexp_split_to_array(lower(query), '[^a-z]+')) AS token
+                FROM q
+              ) WHERE token <> ''
+            ), nterms AS (
+              SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+              FROM qt GROUP BY query_id
+            ), grp AS (
+              SELECT query_id, doc_id,
+                     CAST(count(DISTINCT token) AS BIGINT) AS n_hit,
+                     CAST(sum(tf) AS BIGINT) AS tf_total
+              FROM tf JOIN qt USING (token) GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, tf_total, rk FROM (
+              SELECT g.query_id, g.doc_id, g.tf_total,
+                     CAST(row_number() OVER (
+                       PARTITION BY g.query_id
+                       ORDER BY g.tf_total DESC, g.doc_id ASC) AS INT) AS rk
+              FROM grp g JOIN nterms n USING (query_id)
+              WHERE g.n_hit = n.n_terms
+            ) WHERE rk <= 10
+        """,
+        # kmeans_clusters: generated iterative twin of kmeans_int
+        # (k=4, iters=2) — integer argmin assignment + `//` means.
+        "kmeans_clusters": _kmeans_sql(k=4, iters=2),
+        # doc_surprisal: corpus-unigram inverse-probability weights,
+        # all-positive int64 so `div` ≡ `//` exactly.
+        "doc_surprisal": """
+            WITH tok AS (
+              SELECT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+                FROM documents
+              ) WHERE token <> ''
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, token
+            ), cnts AS (
+              SELECT token, CAST(sum(tf) AS BIGINT) AS cnt
+              FROM tf GROUP BY token
+            ), stats AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM cnts
+            )
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(sum(tf * ((tt * 1000) // cnt)) // sum(tf) AS BIGINT) AS surprisal_q
+            FROM tf JOIN cnts USING (token) CROSS JOIN stats
+            GROUP BY doc_id
         """,
         # phrase_search: phrase of length m starts at s iff every
         # offset qpos has a token match at pos = s + qpos — count

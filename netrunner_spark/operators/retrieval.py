@@ -527,3 +527,53 @@ def facet_counts(
         .groupBy("query_id", "facet", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def boolean_and(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = TOKEN_PATTERN,
+) -> DataFrame:
+    """Conjunctive (AND-semantics) boolean retrieval → docs containing
+    EVERY distinct query term, ranked by total matched term frequency
+    → ``(query_id, doc_id, tf_total, rk)`` (ties → smaller doc id).
+
+    The filter-style complement to :func:`bm25_topk`'s OR-semantics
+    ranking — "all words must appear" is the default mode of most
+    search UIs and the candidate pre-filter of a two-stage ranker.
+
+    Shape at 100 TB: postings ⨝ BROADCAST(query terms) keeps only
+    matching rows (the corpus never shuffles on token); the AND test is
+    a full-house count — ``countDistinct(token) == n_terms`` per
+    (query, doc) — one hash aggregate, NOT the textbook m-way postings
+    self-intersection join. Zipf-hot query terms fan out postings rows
+    already aggregated per (token, doc), never per occurrence.
+    """
+    qterms = _query_terms(queries, pattern)
+    nterms = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_terms")
+    )
+    tf = postings(docs, id_col, text_col, pattern)
+    grp = (
+        tf.join(F.broadcast(qterms), "token")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.countDistinct("token").alias("n_hit"),
+            F.sum("tf").alias("tf_total"),
+        )
+    )
+    full = (
+        grp.join(F.broadcast(nterms), "query_id")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("tf_total").desc(), F.col(id_col).asc()
+    )
+    return (
+        full.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "tf_total", "rk")
+    )

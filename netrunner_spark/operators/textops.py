@@ -842,3 +842,47 @@ def simhash(docs: DataFrame, bits: int = 16, n: int = 3, max_doc_id: int | None 
             ).alias("simhash")
         )
     )
+
+
+def doc_surprisal(docs: DataFrame, pattern: str = "[^a-z]+") -> DataFrame:
+    """CCNet-style unigram LM quality signal, exact-integer →
+    ``(doc_id, n_tokens, surprisal_q)``.
+
+    The corpus IS the language model: per-token inverse unigram
+    probability quantized as ``s_q(t) = (tt · 1000) div cnt(t)`` (tt =
+    total corpus tokens) — monotone in true surprisal −log p(t), so
+    ranking/filtering decisions match the float form while every
+    quantity stays a positive int64 (Spark ``div`` ≡ DuckDB ``//``).
+    Doc score = occurrence-weighted mean, ``(Σ tf·s_q) div n_tokens``:
+    LOW = boilerplate/stopword soup, HIGH = rare-token noise; the
+    CCNet head/middle/tail split is a percentile cut over this column
+    (compose with ``length_percentiles``-style approx_percentile).
+
+    Shape at 100 TB: explode → per-(doc, token) tf aggregate (map-side
+    combined) → token-count aggregate (vocabulary-sized, Zipf head
+    absorbed map-side) → join tf⨝counts on token (right side is the
+    vocabulary — broadcastable for real corpora) → one per-doc
+    aggregate. No windows, no self-joins; overflow-safe while
+    tt·1000 < 2⁶³ (corpus ≲ 9·10¹⁵ tokens).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), pattern)).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    cnts = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    stats = cnts.agg(F.sum("cnt").alias("tt"))
+    return (
+        tf.join(cnts, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tf",
+            F.expr("tf * ((tt * 1000) div cnt)").alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.expr("sum(w) div sum(tf)").alias("surprisal_q"),
+        )
+    )

@@ -318,3 +318,83 @@ def embedding_dedup_clusters(
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_int(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Deterministic integer Lloyd's k-means over quantized embeddings
+    → final assignment ``(vec_id, cid, dist_q)``.
+
+    The corpus-ORGANIZATION operator next to :func:`ivf_topk`'s fixed
+    quantizer: topic/near-domain clustering of an embedding corpus for
+    mixture balancing, per-cluster sampling quotas, and IVF centroid
+    training. Exactness strategy (same as the rest of this module):
+
+    - init: centroids = the first ``k`` vectors (vec_id < k) — a fixed,
+      reproducible seeding, no RNG;
+    - assignment: exact int64 squared-L2 over quantized elements, ties
+      broken by the smaller centroid id;
+    - update: element-wise integer mean ``sum(v) div count`` — Spark
+      ``div`` and DuckDB ``//`` both truncate toward zero, so the twin
+      reproduces centroids bit-exactly (verified for negative sums);
+    - a cluster that loses all members simply drops out (no
+      re-seeding), which the SQL twin's GROUP BY mirrors for free.
+
+    Shape at 100 TB: per iteration, assignment is a map-only pass over
+    the corpus against a BROADCAST k×D centroid set (narrow crossJoin,
+    no shuffle of the big side) and the update is ONE hash aggregate
+    producing k·D rows — Lloyd's is embarrassingly map-reduce. The
+    plan depth grows linearly with ``iters``; pass ``checkpoint=True``
+    to localCheckpoint the tiny centroid frame each round so the
+    lineage stays O(1) for long runs (off by default: the oracle-
+    checked path keeps the pure plan).
+    """
+    base = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    cents = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+
+    def _assign(c: DataFrame) -> DataFrame:
+        scored = base.crossJoin(F.broadcast(c)).select(
+            "vec_id", "q", "cid", _sq_l2(F.col("q"), F.col("cq")).alias("dist_q")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist_q").asc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "q", "cid", "dist_q")
+        )
+
+    for _ in range(iters):
+        assigned = _assign(cents)
+        means = (
+            assigned.select("cid", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(v) div count(1)").alias("m"))
+        )
+        cents = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cq")
+        )
+        if checkpoint:
+            cents = cents.localCheckpoint(eager=True)
+
+    return _assign(cents).select("vec_id", "cid", "dist_q")
