@@ -169,12 +169,15 @@ WITH img AS (
 """
 
 
-def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
+def _kmeans_sql(k: int = 4, iters: int = 2, select: str | None = None) -> str:
     """DuckDB twin of vectors.kmeans_int, generated for a fixed
     iteration count: each Lloyd's round is one assignment CTE (argmin
     exact-int squared-L2, ties → smaller cid) + one update CTE
     (element-wise integer mean via `//`, which truncates toward zero
-    exactly like Spark's `div`)."""
+    exactly like Spark's `div`). ``select`` overrides the final SELECT
+    over the ``afinal(vec_id, qe, cid, d)`` assignment CTE so
+    compositions (cluster-balanced sampling, kmeans-trained IVF) can
+    reuse the generated Lloyd's body."""
 
     def assign(csrc: str, name: str) -> str:
         return f"""{name} AS (
@@ -213,10 +216,8 @@ def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
     )"""
         )
     parts.append(assign(f"c{iters}", "afinal"))
-    return (
-        ", ".join(parts)
-        + "\nSELECT vec_id, cid, d AS dist_q FROM afinal"
-    )
+    final = select or "SELECT vec_id, cid, d AS dist_q FROM afinal"
+    return ", ".join(parts) + "\n" + final
 
 
 # --------------------------------------------------------------- flagship
@@ -818,6 +819,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # = occurrence-weighted integer mean
         return textops.doc_surprisal(_t(spark, sf, "documents"))
 
+    def cluster_balanced_sample(spark, sf):
+        # mixture balancing: learned k-means clusters as sampling
+        # strata — at most 50 vectors per cluster in deterministic
+        # hash order (kmeans_int ∘ stratified_sample composition)
+        from netrunner_spark.operators import sampling, vectors
+
+        a = vectors.kmeans_int(_t(spark, sf, "embeddings"), k=4, iters=2)
+        return sampling.stratified_sample(
+            a.select("vec_id", "cid"), "cid", "vec_id", 50, salt="kbal"
+        ).select("vec_id", "cid", "rk")
+
+    def bigram_pmi(spark, sf):
+        # collocation mining: top-100 adjacent token pairs by
+        # quantized-integer PMI (zip-with-tail bigrams, no self-join)
+        return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
+
     def image_caption_search(spark, sf):
         # the image-axis result page: LAION-style quality gate →
         # caption BM25 top-5 per query → join back (w, h) for display;
@@ -1212,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search": boolean_search,
         "kmeans_clusters": kmeans_clusters,
         "doc_surprisal": doc_surprisal,
+        "cluster_balanced_sample": cluster_balanced_sample,
+        "bigram_pmi": bigram_pmi,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1576,6 +1595,52 @@ WITH edges AS (
         # kmeans_clusters: generated iterative twin of kmeans_int
         # (k=4, iters=2) — integer argmin assignment + `//` means.
         "kmeans_clusters": _kmeans_sql(k=4, iters=2),
+        # cluster_balanced_sample: the same generated Lloyd's body,
+        # final select = per-cluster hash-order quota (md5 position,
+        # identical to sampling._pos_hex with salt 'kbal').
+        "cluster_balanced_sample": _kmeans_sql(
+            k=4,
+            iters=2,
+            select="""SELECT vec_id, cid, rk FROM (
+              SELECT vec_id, cid,
+                     CAST(row_number() OVER (
+                       PARTITION BY cid
+                       ORDER BY substring(md5('kbal' || CAST(vec_id AS VARCHAR)), 1, 12) ASC,
+                                vec_id ASC) AS INT) AS rk
+              FROM afinal
+            ) WHERE rk <= 50""",
+        ),
+        # bigram_pmi: zip-with-tail adjacent pairs, all-integer PMI
+        # surrogate (co·tt·1000) // (ca·cb), total-order top-k.
+        "bigram_pmi": """
+            WITH w AS (
+              SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 t -> t <> '') AS w
+              FROM documents
+            ), pairs AS (
+              SELECT unnest(w[1:len(w) - 1]) AS tok_a,
+                     unnest(w[2:len(w)]) AS tok_b
+              FROM w WHERE len(w) >= 2
+            ), co AS (
+              SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS co
+              FROM pairs GROUP BY tok_a, tok_b HAVING count(*) >= 2
+            ), uni AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+                FROM documents
+              ) WHERE t <> '' GROUP BY t
+            ), stats AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM uni
+            )
+            SELECT tok_a, tok_b, co,
+                   CAST((co * tt * 1000) // (ua.cnt * ub.cnt) AS BIGINT) AS pmi_q
+            FROM co
+            JOIN uni ua ON ua.t = co.tok_a
+            JOIN uni ub ON ub.t = co.tok_b
+            CROSS JOIN stats
+            ORDER BY pmi_q DESC, tok_a ASC, tok_b ASC
+            LIMIT 100
+        """,
         # doc_surprisal: corpus-unigram inverse-probability weights,
         # all-positive int64 so `div` ≡ `//` exactly.
         "doc_surprisal": """

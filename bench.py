@@ -54,6 +54,10 @@ HEADLINE = [
     "bm25_search",
     "phrase_search",
     "search_facets",
+    "boolean_search",
+    "kmeans_clusters",
+    "doc_surprisal",
+    "bigram_pmi",
 ]
 
 

@@ -886,3 +886,72 @@ def doc_surprisal(docs: DataFrame, pattern: str = "[^a-z]+") -> DataFrame:
             F.expr("sum(w) div sum(tf)").alias("surprisal_q"),
         )
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    pattern: str = "[^a-z]+",
+    min_count: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Collocation mining: top-k adjacent token pairs by quantized PMI
+    → ``(tok_a, tok_b, co, pmi_q)`` ordered (pmi_q desc, tok_a, tok_b).
+
+    The phrase/tokenizer-merge discovery pass of corpus preprocessing
+    (what BPE-style merges and "new york"-type phrase tables are
+    trained from). PMI is computed as the all-integer surrogate
+    ``pmi_q = (co · tt · 1000) div (cnt_a · cnt_b)`` — monotone in
+    true PMI = log(p(ab)/(p(a)p(b))) at fixed tt, so ranking matches
+    the float form while staying bit-exact cross-engine (all positive
+    → div ≡ //). ``min_count`` drops hapax pairs whose PMI is pure
+    noise. Overflow bound: co·tt·1000 < 2⁶³ holds through tt ≈ 3·10⁹
+    tokens at worst-case co = tt; for larger corpora rescale the
+    quantizer (PMI ranks only need relative order).
+
+    Shape at 100 TB: bigrams come from zipping the word array with its
+    own tail (slice+zip_with — map-side, no self-join); then two hash
+    aggregates (pair counts, unigram counts — both map-side combined,
+    Zipf heads absorbed) and two vocabulary-sized joins a real corpus
+    broadcasts. Global top-k via total order.
+    """
+    words = docs.select(
+        F.filter(
+            F.split(F.lower(F.col("text")), pattern), lambda t: t != ""
+        ).alias("w")
+    ).filter(F.size("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    co = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= min_count)
+    )
+    uni = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), pattern)).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = uni.agg(F.sum("cnt").alias("tt"))
+    return (
+        co.join(uni.withColumnRenamed("t", "tok_a").withColumnRenamed("cnt", "ca"), "tok_a")
+        .join(uni.withColumnRenamed("t", "tok_b").withColumnRenamed("cnt", "cb"), "tok_b")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok_a",
+            "tok_b",
+            "co",
+            F.expr("(co * tt * 1000) div (ca * cb)").alias("pmi_q"),
+        )
+        .orderBy(F.col("pmi_q").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(k)
+    )

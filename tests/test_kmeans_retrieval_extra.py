@@ -166,3 +166,112 @@ def test_doc_surprisal_matches_python_reference(spark):
         for r in textops.doc_surprisal(docs).collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------------- plan shape
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_kmeans_assignment_joins_are_broadcast(spark):
+    """Every Lloyd's join must be the corpus x broadcast(k centroids)
+    nested loop — a shuffle join of the corpus per iteration would make
+    iters x corpus exchanges at 10^10 vectors."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _explain(vectors.kmeans_int(df, k=3, iters=2))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_boolean_and_broadcasts_query_side(spark):
+    """Query terms and per-query term counts broadcast into the
+    postings scan; the corpus must never shuffle on token."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(30)], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(1, "alpha beta")], "query_id long, query string")
+    plan = _explain(retrieval.boolean_and(docs, q))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ----------------------------------------------------------- bigram PMI
+
+
+def test_bigram_pmi_matches_python_reference(spark):
+    rows = [
+        (1, "new york is big. new york city"),
+        (2, "big city life in new york"),
+        (3, "the city is big the city sleeps"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import re
+
+    toks = [
+        [t for t in re.split("[^a-z]+", txt.lower()) if t] for _, txt in rows
+    ]
+    uni, co = {}, {}
+    for ts in toks:
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            co[(a, b)] = co.get((a, b), 0) + 1
+    tt = sum(uni.values())
+    want = sorted(
+        (
+            (a, b, c, (c * tt * 1000) // (uni[a] * uni[b]))
+            for (a, b), c in co.items()
+            if c >= 2
+        ),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:100]
+    got = [
+        (r["tok_a"], r["tok_b"], r["co"], r["pmi_q"])
+        for r in textops.bigram_pmi(docs, min_count=2, k=100).collect()
+    ]
+    assert got == want
+    assert ("new", "york") in {(a, b) for a, b, *_ in got}  # the collocation
+
+
+def test_bigram_pmi_ranks_collocation_above_chance_pair(spark):
+    # "aa bb" always adjacent; "cc"/"dd" frequent but never adjacent to
+    # each other except once → PMI must rank (aa,bb) first
+    rows = [(i, "aa bb cc dd cc dd") for i in range(5)]
+    rows.append((99, "cc dd"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = textops.bigram_pmi(docs, min_count=2, k=1).collect()[0]
+    assert (top["tok_a"], top["tok_b"]) == ("aa", "bb")
+
+
+# ------------------------------------------------- cluster-balanced sample
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    from netrunner_spark.operators import sampling
+
+    rng = np.random.default_rng(3)
+    vecs = rng.uniform(-1, 1, size=(60, 4)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    a = vectors.kmeans_int(df, k=3, iters=2).select("vec_id", "cid")
+    s = sampling.stratified_sample(a, "cid", "vec_id", 5, salt="kbal")
+    rows = s.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cid"], []).append(r["rk"])
+    for cid, rks in per.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 5
+    # deterministic across runs
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, s.collect()))
