@@ -835,6 +835,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-integer PMI (zip-with-tail bigrams, no self-join)
         return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
 
+    def ann_ivf_kmeans(spark, sf):
+        # the train→serve composition: Lloyd's-trained coarse quantizer
+        # (kmeans_centroids, k=8) feeding the IVF probe path — better-
+        # balanced cells than the fixed first-k quantizer
+        from netrunner_spark.operators import vectors
+
+        emb = _t(spark, sf, "embeddings")
+        cents = vectors.kmeans_centroids(emb, k=8, iters=2)
+        return vectors.ivf_topk(
+            emb, nprobe=2, n_queries=10, k=5, centroids=cents
+        )
+
     def image_caption_search(spark, sf):
         # the image-axis result page: LAION-style quality gate →
         # caption BM25 top-5 per query → join back (w, h) for display;
@@ -1231,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_surprisal": doc_surprisal,
         "cluster_balanced_sample": cluster_balanced_sample,
         "bigram_pmi": bigram_pmi,
+        "ann_ivf_kmeans": ann_ivf_kmeans,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1609,6 +1622,39 @@ WITH edges AS (
                                 vec_id ASC) AS INT) AS rk
               FROM afinal
             ) WHERE rk <= 50""",
+        ),
+        # ann_ivf_kmeans: the generated Lloyd's body (k=8, iters=2)
+        # CONTINUED with the IVF probe CTEs — `select` starts with
+        # ", dots AS (" so it extends the WITH list, and the centroid
+        # source is the trained c2 instead of the fixed first-k set.
+        "ann_ivf_kmeans": _kmeans_sql(
+            k=8,
+            iters=2,
+            select=""", dots AS (
+              SELECT q.vec_id, q.qe, c.cid,
+                     list_reduce(list_transform(generate_series(1, len(q.qe)),
+                                 i -> q.qe[i] * c.cq[i]), (x, y) -> x + y) AS cd
+              FROM q, c2 c
+            ), ivfranked AS (
+              SELECT vec_id, qe, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
+              FROM dots
+            ), cells AS (
+              SELECT vec_id, qe, cid FROM ivfranked WHERE rn = 1
+            ), probes AS (
+              SELECT vec_id AS query_id, qe AS qv, cid FROM ivfranked
+              WHERE rn <= 2 AND vec_id < 10
+            ), scored AS (
+              SELECT p.query_id, ce.vec_id AS neighbor_id,
+                     CAST(list_reduce(list_transform(generate_series(1, len(p.qv)),
+                          i -> p.qv[i] * ce.qe[i]), (x, y) -> x + y) AS BIGINT) AS dot_q
+              FROM probes p JOIN cells ce ON p.cid = ce.cid
+              WHERE ce.vec_id != p.query_id
+            )
+            SELECT query_id, neighbor_id, dot_q, rn AS rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS INT) AS rn
+              FROM scored
+            ) WHERE rn <= 5""",
         ),
         # bigram_pmi: zip-with-tail adjacent pairs, all-integer PMI
         # surrogate (co·tt·1000) // (ca·cb), total-order top-k.

@@ -186,16 +186,20 @@ def ivf_topk(
     nprobe: int = 2,
     n_queries: int = 10,
     k: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
     cells, probe only the query's ``nprobe`` closest cells, exact top-k
     within the candidates — the inverted-file scale path next to the
     SRP-LSH one.
 
-    Deterministic/oracle-able: centroids are the first ``n_centroids``
-    vectors (no iterative kmeans — a fixed, reproducible quantizer);
-    assignment and scoring are exact int64 dots over quantized
-    elements, ties broken by id.
+    Deterministic/oracle-able: default centroids are the first
+    ``n_centroids`` vectors (a fixed, reproducible quantizer); pass
+    ``centroids=(cid, cq quantized array)`` — e.g. the output of
+    :func:`kmeans_centroids` — for a TRAINED coarse quantizer with
+    better-balanced cells (the train→serve composition real IVF
+    deployments use). Assignment and scoring are exact int64 dots over
+    quantized elements, ties broken by id.
 
     Scale shape: assignment is a narrow crossJoin against the
     BROADCAST centroid set (K ≪ corpus, one streaming pass);
@@ -203,9 +207,12 @@ def ivf_topk(
     |corpus|·nprobe/K on balanced cells, never all-pairs.
     """
     base = embeddings.select("vec_id", _quantized(F.col("embedding")).alias("q"))
-    cents = base.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    )
+    if centroids is None:
+        cents = base.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+        )
+    else:
+        cents = centroids.select("cid", "cq")
     dots = base.crossJoin(F.broadcast(cents)).select(
         "vec_id", "q", "cid", _dot(F.col("q"), F.col("cq")).alias("cd")
     )
@@ -328,6 +335,56 @@ def _sq_l2(a, b):
     )
 
 
+def _kmeans_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmin squared-L2 assignment of quantized ``base(vec_id, q)``
+    against a BROADCAST centroid set ``cents(cid, cq)`` — map-only over
+    the corpus, ties → smaller cid."""
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cid", _sq_l2(F.col("q"), F.col("cq")).alias("dist_q")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist_q").asc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "cid", "dist_q")
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Trained Lloyd's centroids ``(cid, cq)`` over quantized
+    embeddings — the reusable half of :func:`kmeans_int`; feed the
+    result to :func:`ivf_topk` as a trained coarse quantizer."""
+    base = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    cents = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        assigned = _kmeans_assign(base, cents)
+        means = (
+            assigned.select("cid", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(v) div count(1)").alias("m"))
+        )
+        cents = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cq")
+        )
+        if checkpoint:
+            cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
 def kmeans_int(
     embeddings: DataFrame,
     k: int = 4,
@@ -364,37 +421,5 @@ def kmeans_int(
     base = embeddings.select(
         "vec_id", _quantized(F.col("embedding")).alias("q")
     )
-    cents = base.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    )
-
-    def _assign(c: DataFrame) -> DataFrame:
-        scored = base.crossJoin(F.broadcast(c)).select(
-            "vec_id", "q", "cid", _sq_l2(F.col("q"), F.col("cq")).alias("dist_q")
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dist_q").asc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "q", "cid", "dist_q")
-        )
-
-    for _ in range(iters):
-        assigned = _assign(cents)
-        means = (
-            assigned.select("cid", F.posexplode("q").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.expr("sum(v) div count(1)").alias("m"))
-        )
-        cents = means.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cq")
-        )
-        if checkpoint:
-            cents = cents.localCheckpoint(eager=True)
-
-    return _assign(cents).select("vec_id", "cid", "dist_q")
+    cents = kmeans_centroids(embeddings, k=k, iters=iters, checkpoint=checkpoint)
+    return _kmeans_assign(base, cents).select("vec_id", "cid", "dist_q")
