@@ -822,11 +822,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cluster_balanced_sample(spark, sf):
         # mixture balancing: learned k-means clusters as sampling
         # strata — at most 50 vectors per cluster in deterministic
-        # hash order (kmeans_int ∘ stratified_sample composition)
+        # hash order. k clusters over the whole corpus are the
+        # canonical MEGA-stratum (corpus/k rows per window partition),
+        # so this composes the skew-safe two-level sampler (result-
+        # identical to stratified_sample; same oracle)
         from netrunner_spark.operators import sampling, vectors
 
         a = vectors.kmeans_int(_t(spark, sf, "embeddings"), k=4, iters=2)
-        return sampling.stratified_sample(
+        return sampling.stratified_sample_skewsafe(
             a.select("vec_id", "cid"), "cid", "vec_id", 50, salt="kbal"
         ).select("vec_id", "cid", "rk")
 
