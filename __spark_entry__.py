@@ -838,6 +838,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-integer PMI (zip-with-tail bigrams, no self-join)
         return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
 
+    def recrawl_priority(spark, sf):
+        # freshness-driven recrawl scheduling: per-key change-rate
+        # estimation from an observation log (events stands in for the
+        # fetch log: user_id = url key, purchase/signup = "content
+        # changed" observations), integer-micros staleness ratio
+        from netrunner_spark.operators.politeness import recrawl_priority as rp
+
+        ev = _t(spark, sf, "events").select(
+            F.col("user_id").alias("key"),
+            "ts",
+            F.col("event_type").isin("purchase", "signup").alias("changed"),
+        )
+        return rp(ev, key_col="key")
+
     def ann_ivf_kmeans(spark, sf):
         # the train→serve composition: Lloyd's-trained coarse quantizer
         # (kmeans_centroids, k=8) feeding the IVF probe path — better-
@@ -1247,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": cluster_balanced_sample,
         "bigram_pmi": bigram_pmi,
         "ann_ivf_kmeans": ann_ivf_kmeans,
+        "recrawl_priority": recrawl_priority,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1626,6 +1641,31 @@ WITH edges AS (
               FROM afinal
             ) WHERE rk <= 50""",
         ),
+        # recrawl_priority: integer-micros change-rate estimator; the
+        # global clock is the log's own max ts.
+        "recrawl_priority": """
+            WITH obs AS (
+              SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                     CASE WHEN event_type IN ('purchase', 'signup')
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+            ), per AS (
+              SELECT key,
+                     CAST(count(*) AS BIGINT) AS n_obs,
+                     CAST(sum(chg) AS BIGINT) AS n_changes,
+                     CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+                     CAST(max(ts_us) AS BIGINT) AS last_us
+              FROM obs GROUP BY key
+            ), clock AS (
+              SELECT CAST(max(ts_us) AS BIGINT) AS now_us FROM obs
+            )
+            SELECT key, n_obs, n_changes,
+                   CAST(span_us // greatest(n_changes, 1) AS BIGINT) AS period_us,
+                   CAST(now_us - last_us AS BIGINT) AS age_us,
+                   CAST(((now_us - last_us) * 1000)
+                        // (span_us // greatest(n_changes, 1) + 1) AS BIGINT) AS priority_q
+            FROM per CROSS JOIN clock
+        """,
         # ann_ivf_kmeans: the generated Lloyd's body (k=8, iters=2)
         # CONTINUED with the IVF probe CTEs — `select` starts with
         # ", dots AS (" so it extends the WITH list, and the centroid

@@ -252,3 +252,55 @@ def with_priority(
             .drop("_auth_rank")
         )
     return out
+
+
+def recrawl_priority(
+    log: DataFrame,
+    key_col: str = "url_hash",
+    ts_col: str = "ts",
+    changed_col: str = "changed",
+) -> DataFrame:
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina-style
+    change-rate estimation) → per key
+    ``(key, n_obs, n_changes, period_us, age_us, priority_q)``.
+
+    From an observation log (one row per past fetch, ``changed`` = the
+    content hash differed from the previous fetch), estimate each URL's
+    change period as observed-span div max(changes, 1) and rank by
+    staleness ratio: ``priority_q = (age·1000) div (period+1)`` — a
+    page one full estimated period stale scores ≈1000; never-changing
+    pages (changes=0) inherit period = full span, deprioritizing them.
+    All arithmetic is integer micros (unix_micros ↔ DuckDB epoch_us,
+    positive → div ≡ //), so the schedule is engine-exact; ties at
+    equal staleness break by key for a deterministic drain order.
+
+    Shape at 100 TB: ONE map-side-combined hash aggregate over the
+    fetch log keyed by url_hash (8-byte keys), plus a broadcast 1-row
+    global clock (max observed ts — using the log's own horizon keeps
+    the operator deterministic; a wall-clock `now` is a trivial
+    substitution in production). No windows, no joins against the
+    frontier — the output joins INTO the frontier as a priority source
+    exactly like `with_priority`'s authority input.
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per = log.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col(changed_col).cast("long")).alias("n_changes"),
+        (F.max(ts_us) - F.min(ts_us)).alias("span_us"),
+        F.max(ts_us).alias("last_us"),
+    )
+    clock = log.agg(F.max(ts_us).alias("now_us"))
+    return (
+        per.crossJoin(F.broadcast(clock))
+        .select(
+            key_col,
+            "n_obs",
+            "n_changes",
+            F.expr("span_us div greatest(n_changes, 1L)").alias("period_us"),
+            (F.col("now_us") - F.col("last_us")).alias("age_us"),
+        )
+        .withColumn(
+            "priority_q",
+            F.expr("(age_us * 1000) div (period_us + 1)"),
+        )
+    )
