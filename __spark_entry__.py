@@ -838,6 +838,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-integer PMI (zip-with-tail bigrams, no self-join)
         return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
 
+    def doc_lm_score(spark, sf):
+        # interpolated bigram-LM doc scoring (CCNet's KenLM filter at
+        # the corpus-trained bigram rung): transition-weighted integer
+        # mean of quantized inverse probabilities
+        return textops.doc_lm_score(_t(spark, sf, "documents"))
+
     def recrawl_priority(spark, sf):
         # freshness-driven recrawl scheduling: per-key change-rate
         # estimation from an observation log (events stands in for the
@@ -1262,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": bigram_pmi,
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "recrawl_priority": recrawl_priority,
+        "doc_lm_score": doc_lm_score,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1641,6 +1648,45 @@ WITH edges AS (
               FROM afinal
             ) WHERE rk <= 50""",
         ),
+        # doc_lm_score: interpolated bigram LM, quantized inverse
+        # probability (2000·ca·tt) // (co·tt + ca·cb), per-doc
+        # transition-weighted integer mean.
+        "doc_lm_score": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 t -> t <> '') AS w
+              FROM documents
+            ), trans AS (
+              SELECT doc_id,
+                     unnest(w[1:len(w) - 1]) AS tok_a,
+                     unnest(w[2:len(w)]) AS tok_b
+              FROM w WHERE len(w) >= 2
+            ), dt AS (
+              SELECT doc_id, tok_a, tok_b, CAST(count(*) AS BIGINT) AS n
+              FROM trans GROUP BY doc_id, tok_a, tok_b
+            ), co AS (
+              SELECT tok_a, tok_b, CAST(sum(n) AS BIGINT) AS co
+              FROM dt GROUP BY tok_a, tok_b
+            ), uni AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+                FROM documents
+              ) WHERE t <> '' GROUP BY t
+            ), stats AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM uni
+            )
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_transitions,
+                   CAST(sum(n * ((2000 * ua.cnt * tt) // (co.co * tt + ua.cnt * ub.cnt)))
+                        // sum(n) AS BIGINT) AS lm_score_q
+            FROM dt
+            JOIN co USING (tok_a, tok_b)
+            JOIN uni ua ON ua.t = dt.tok_a
+            JOIN uni ub ON ub.t = dt.tok_b
+            CROSS JOIN stats
+            GROUP BY doc_id
+        """,
         # recrawl_priority: integer-micros change-rate estimator; the
         # global clock is the log's own max ts.
         "recrawl_priority": """

@@ -955,3 +955,81 @@ def bigram_pmi(
         .orderBy(F.col("pmi_q").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
         .limit(k)
     )
+
+
+def doc_lm_score(docs: DataFrame, pattern: str = "[^a-z]+") -> DataFrame:
+    """Interpolated bigram-LM doc scoring → ``(doc_id, n_transitions,
+    lm_score_q)`` — the next modeling rung above :func:`doc_surprisal`
+    (CCNet's KenLM filter, reduced to the corpus-trained bigram case).
+
+    Per transition a→b, p = ½·p(b|a) + ½·p(b) =
+    (c(ab)·tt + c(a)·c(b)) / (2·c(a)·tt); the quantized INVERSE
+    probability ``inv_q = (2000·c(a)·tt) div (c(ab)·tt + c(a)·c(b))``
+    stays all-positive int64 (div ≡ //), and the doc score is the
+    transition-weighted integer mean. High = improbable word-to-word
+    transitions (gibberish / word salad — invisible to unigram
+    surprisal, which only sees token rarity); low = fluent boilerplate.
+    Docs with < 2 tokens have no transitions and drop out. Overflow
+    bound: 2000·c(a)·tt < 2⁶³ holds through tt ≈ 6.8·10⁷ tokens at the
+    worst case c(a)=tt; for larger corpora shrink the quantizer —
+    only relative order feeds the filter decision.
+
+    Shape at 100 TB: transitions come from zipping each word array
+    with its own tail (map-side, no self-join), pre-aggregated per
+    (doc, a, b) so hot in-doc repetitions collapse before the joins;
+    then the corpus bigram table (one hash aggregate) and the unigram
+    vocabulary join in — both Zipf-headed aggregate tables a real
+    corpus broadcasts or bucket-joins; one final per-doc aggregate.
+    """
+    words = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), pattern), lambda t: t != ""
+        ).alias("w"),
+    ).filter(F.size("w") >= 2)
+    trans = words.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.tok_a", "p.tok_b")
+    dt = trans.groupBy("doc_id", "tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    co = dt.groupBy("tok_a", "tok_b").agg(F.sum("n").alias("co"))
+    uni = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), pattern)).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = uni.agg(F.sum("cnt").alias("tt"))
+    scored = (
+        dt.join(co, ["tok_a", "tok_b"])
+        .join(
+            uni.withColumnRenamed("t", "tok_a").withColumnRenamed("cnt", "ca"),
+            "tok_a",
+        )
+        .join(
+            uni.withColumnRenamed("t", "tok_b").withColumnRenamed("cnt", "cb"),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "n",
+            F.expr(
+                "n * ((2000 * ca * tt) div (co * tt + ca * cb))"
+            ).alias("wq"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_transitions"),
+        F.expr("sum(wq) div sum(n)").alias("lm_score_q"),
+    )

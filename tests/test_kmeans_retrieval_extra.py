@@ -275,3 +275,52 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
         assert len(rks) <= 5
     # deterministic across runs
     assert sorted(map(tuple, rows)) == sorted(map(tuple, s.collect()))
+
+
+# ----------------------------------------------------------- bigram LM
+
+
+def test_doc_lm_score_matches_python_reference(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "mat cat the on sat the"),  # same unigrams as 1, scrambled
+        (4, "solo"),  # < 2 tokens → no output row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import re
+
+    toks = {i: [t for t in re.split("[^a-z]+", s.lower()) if t] for i, s in rows}
+    uni, co = {}, {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            co[(a, b)] = co.get((a, b), 0) + 1
+    tt = sum(uni.values())
+    want = {}
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        s = sum(
+            (2000 * uni[a] * tt) // (co[(a, b)] * tt + uni[a] * uni[b])
+            for a, b in pairs
+        )
+        want[i] = (len(pairs), s // len(pairs))
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["lm_score_q"])
+        for r in textops.doc_lm_score(docs).collect()
+    }
+    assert got == want
+    assert 4 not in got
+
+
+def test_doc_lm_score_flags_word_salad(spark):
+    # many fluent copies train the bigram table; the scrambled doc has
+    # the same unigram profile but improbable transitions → higher score
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "mat the on sat cat the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lm_score_q"] for r in textops.doc_lm_score(docs).collect()}
+    assert got[99] > got[0]
