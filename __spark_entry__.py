@@ -838,6 +838,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-integer PMI (zip-with-tail bigrams, no self-join)
         return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
 
+    def spell_candidates(spark, sf):
+        # SymSpell deletion-neighborhood join + exact levenshtein
+        # verify: spelling-variant pairs in the corpus vocabulary,
+        # never the |V|^2 cross join
+        from netrunner_spark.operators import retrieval
+
+        return retrieval.spell_candidates(
+            _t(spark, sf, "documents"), min_count=2
+        )
+
     def doc_lm_score(spark, sf):
         # interpolated bigram-LM doc scoring (CCNet's KenLM filter at
         # the corpus-trained bigram rung): transition-weighted integer
@@ -1269,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "recrawl_priority": recrawl_priority,
         "doc_lm_score": doc_lm_score,
+        "spell_candidates": spell_candidates,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1648,6 +1659,31 @@ WITH edges AS (
               FROM afinal
             ) WHERE rk <= 50""",
         ),
+        # spell_candidates: deletion-neighborhood equi-join (token +
+        # every 1-deletion variant), verified by exact levenshtein = 1.
+        "spell_candidates": """
+            WITH vocab AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+                FROM documents
+              ) WHERE token <> '' GROUP BY token HAVING count(*) >= 2
+            ), variants AS (
+              SELECT token, cnt, unnest(list_distinct(
+                       list_append(
+                         list_transform(generate_series(1, len(token)),
+                           i -> substr(token, 1, i - 1)
+                                || substr(token, i + 1, len(token))),
+                         token))) AS v
+              FROM vocab
+            ), pairs AS (
+              SELECT DISTINCT a.token AS tok_a, a.cnt AS cnt_a,
+                              b.token AS tok_b, b.cnt AS cnt_b
+              FROM variants a JOIN variants b USING (v)
+              WHERE a.token < b.token
+            )
+            SELECT tok_a, tok_b, cnt_a, cnt_b FROM pairs
+            WHERE levenshtein(tok_a, tok_b) = 1
+        """,
         # doc_lm_score: interpolated bigram LM, quantized inverse
         # probability (2000·ca·tt) // (co·tt + ca·cb), per-doc
         # transition-weighted integer mean.

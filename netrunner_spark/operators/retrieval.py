@@ -577,3 +577,71 @@ def boolean_and(
         .filter(F.col("rk") <= k)
         .select("query_id", id_col, "tf_total", "rk")
     )
+
+
+def spell_candidates(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = TOKEN_PATTERN,
+) -> DataFrame:
+    """SymSpell-style spelling-variant pairs over the corpus vocabulary
+    → ``(tok_a, tok_b, cnt_a, cnt_b)`` with Levenshtein distance
+    exactly 1, tok_a < tok_b (the query-correction / vocabulary-
+    normalization table of a search stack).
+
+    The scale trick (Garbe's SymSpell, public domain): two tokens
+    within edit distance 1 MUST share a member of each other's
+    deletion neighborhood (the token itself + every 1-deletion
+    variant), so candidate generation is an EQUI-join on variant
+    strings — never the vocabulary cross join (|V|² at 10⁸ tokens).
+    Shared variants can also reach distance-2 pairs (substitutions /
+    swaps both deleting), so candidates are VERIFIED with the exact
+    Levenshtein filter; both Spark and DuckDB implement classic
+    Levenshtein, making the twin bit-exact. ``min_count`` prunes the
+    vocabulary to tokens worth correcting toward/from, which also
+    bounds the variant join's bucket sizes.
+
+    Shape at 100 TB: one vocab aggregate; variants are a map-side
+    explode of (len+1) strings per token; the self-equi-join on
+    variant has Zipf-bounded buckets (a variant is shared by few real
+    words); dedup + verify are row-local after the join.
+    """
+    vocab = (
+        _tokens(docs, id_col, text_col, pattern)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    variants = vocab.select(
+        "token",
+        "cnt",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("token")),
+                    F.expr(
+                        "transform(sequence(1, length(token)),"
+                        " i -> concat(substr(token, 1, i - 1),"
+                        "             substr(token, i + 1, length(token))))"
+                    ),
+                )
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    pairs = (
+        a.join(b, "v")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(
+            F.col("a.token").alias("tok_a"),
+            F.col("a.cnt").alias("cnt_a"),
+            F.col("b.token").alias("tok_b"),
+            F.col("b.cnt").alias("cnt_b"),
+        )
+        .dropDuplicates(["tok_a", "tok_b"])
+    )
+    return pairs.filter(
+        F.levenshtein(F.col("tok_a"), F.col("tok_b")) == 1
+    ).select("tok_a", "tok_b", "cnt_a", "cnt_b")

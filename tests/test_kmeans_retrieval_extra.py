@@ -324,3 +324,64 @@ def test_doc_lm_score_flags_word_salad(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["lm_score_q"] for r in textops.doc_lm_score(docs).collect()}
     assert got[99] > got[0]
+
+
+# ------------------------------------------------------ spell candidates
+
+
+def test_spell_candidates_complete_vs_bruteforce(spark):
+    # completeness: deletion-neighborhood candidates must recover EVERY
+    # levenshtein-1 pair a |V|^2 scan finds (insert/delete/substitute,
+    # first/middle/last position, 1-char tokens)
+    words = [
+        "cat", "cats", "bat", "cut", "at", "a", "b", "hello", "hallo",
+        "hell", "jello", "spark", "sparks", "spork", "stark", "xyz",
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"{w} {w}") for i, w in enumerate(words)],  # cnt=2 each
+        "doc_id long, text string",
+    )
+    from netrunner_spark.operators.retrieval import spell_candidates
+
+    got = {
+        (r["tok_a"], r["tok_b"])
+        for r in spell_candidates(docs, min_count=2).collect()
+    }
+
+    def lev(x, y):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (x[i - 1] != y[j - 1]),
+            )
+
+        return d(len(x), len(y))
+
+    want = {
+        (min(x, y), max(x, y))
+        for i, x in enumerate(words)
+        for y in words[i + 1 :]
+        if lev(x, y) == 1
+    }
+    assert got == want
+    assert ("cat", "cats") in got and ("hallo", "hello") in got
+
+
+def test_spell_candidates_min_count_prunes(spark):
+    docs = spark.createDataFrame(
+        [(1, "word word ward"), (2, "word")], "doc_id long, text string"
+    )
+    from netrunner_spark.operators.retrieval import spell_candidates
+
+    # ward appears once -> pruned at min_count=2, no pairs survive
+    assert spell_candidates(docs, min_count=2).count() == 0
+    got = {(r["tok_a"], r["tok_b"]) for r in spell_candidates(docs, min_count=1).collect()}
+    assert got == {("ward", "word")}
