@@ -838,6 +838,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-integer PMI (zip-with-tail bigrams, no self-join)
         return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
 
+    def link_hits(spark, sf):
+        # HITS hubs & authorities (integer fixed point, scaled-quotient
+        # normalization) over the same purchase graph as link_pagerank
+        from netrunner_spark.operators.graph import hits_int
+
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        return hits_int(edges, iters=3)
+
     def spell_candidates(spark, sf):
         # SymSpell deletion-neighborhood join + exact levenshtein
         # verify: spelling-variant pairs in the corpus vocabulary,
@@ -1280,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": recrawl_priority,
         "doc_lm_score": doc_lm_score,
         "spell_candidates": spell_candidates,
+        "link_hits": link_hits,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1425,6 +1439,48 @@ WITH edges AS (
 )""".format(i=_i, p=_i - 1, damp=_damp, scale=_scale)
     link_pagerank_sql = _pr + f"\nSELECT id, rank_e12 FROM r{_iters}"
 
+    # link_hits: the IDENTICAL scaled-quotient HITS recurrence as
+    # operators/graph.py:hits_int unrolled — per iteration one auth
+    # half (sum of hubs over in-edges, coalesce-to-0, quotient norm)
+    # then one hub half, exact int64 throughout.
+    _hs, _hiters = 10**9, 3
+    _hq = """
+WITH edges AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+  UNION
+  SELECT DISTINCT dst AS id FROM edges
+), h0 AS (
+  SELECT id, CAST({s} AS BIGINT) AS hub FROM nodes
+)""".format(s=_hs)
+    for _i in range(_hiters):
+        _hq += """, af{i} AS (
+  SELECT nodes.id, CAST(COALESCE(ar.auth, 0) AS BIGINT) AS auth
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, CAST(SUM(h.hub) AS BIGINT) AS auth
+    FROM edges e JOIN h{i} h ON h.id = e.src GROUP BY e.dst) ar
+  ON ar.id = nodes.id
+), an{i} AS (
+  SELECT id, CAST(auth // greatest(t.tot // {s}, 1) AS BIGINT) AS auth
+  FROM af{i} CROSS JOIN (SELECT CAST(SUM(auth) AS BIGINT) AS tot FROM af{i}) t
+), hf{i} AS (
+  SELECT nodes.id, CAST(COALESCE(hr.hub, 0) AS BIGINT) AS hub
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS id, CAST(SUM(a.auth) AS BIGINT) AS hub
+    FROM edges e JOIN an{i} a ON a.id = e.dst GROUP BY e.src) hr
+  ON hr.id = nodes.id
+), h{n} AS (
+  SELECT id, CAST(hub // greatest(t.tot // {s}, 1) AS BIGINT) AS hub
+  FROM hf{i} CROSS JOIN (SELECT CAST(SUM(hub) AS BIGINT) AS tot FROM hf{i}) t
+)""".format(i=_i, n=_i + 1, s=_hs)
+    link_hits_sql = _hq + (
+        f"\nSELECT h.id, h.hub AS hub_e9, a.auth AS auth_e9"
+        f"\nFROM h{_hiters} h JOIN an{_hiters - 1} a ON a.id = h.id"
+    )
+
     return {
         "sample_split": sample_split_sql,
         "stratified_sample": """
@@ -1509,6 +1565,7 @@ WITH edges AS (
             ) ORDER BY cnt DESC, token ASC LIMIT 100
         """,
         "link_pagerank": link_pagerank_sql,
+        "link_hits": link_hits_sql,
         "user_sessions": """
             WITH s AS (
               SELECT user_id, event_id, ts, value,

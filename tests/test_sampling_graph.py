@@ -166,3 +166,50 @@ def test_budget_cap_inclusive_running_sum(spark):
         for r in budget_cap(df, "host", "doc_id", "n_chars", budget=200).collect()
     }
     assert small <= big and len(big) > len(small)
+
+
+def test_hits_int_star_graph_semantics(spark):
+    from netrunner_spark.operators.graph import hits_int
+
+    # 5 hubs all point at node 100; node 200 gets a single link
+    edges = [(i, 100) for i in range(5)] + [(0, 200)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: (r["hub_e9"], r["auth_e9"]) for r in hits_int(e, iters=3).collect()}
+    # 100 is the dominant authority; hubs have zero authority
+    assert got[100][1] > got[200][1] > 0
+    assert all(got[i][1] == 0 for i in range(5))
+    # node 0 links to both targets → strictly better hub than 1..4
+    assert got[0][0] > got[1][0] > 0
+    # pure authorities have zero hub score
+    assert got[100][0] == 0 and got[200][0] == 0
+
+
+def test_hits_int_matches_python_reference(spark):
+    import random
+
+    from netrunner_spark.operators.graph import hits_int
+
+    rng = random.Random(5)
+    edges = sorted({(rng.randrange(12), 12 + rng.randrange(8)) for _ in range(40)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    scale, iters = 10**9, 3
+    ids = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {i: scale for i in ids}
+
+    def norm(raw):
+        tot = sum(raw.values())
+        d = max(tot // scale, 1)
+        return {i: v // d for i, v in raw.items()}
+
+    for _ in range(iters):
+        a = {i: 0 for i in ids}
+        for s, dst in edges:
+            a[dst] += hub[s]
+        auth = norm(a)
+        h = {i: 0 for i in ids}
+        for s, dst in edges:
+            h[s] += auth[dst]
+        hub = norm(h)
+    want = {i: (hub[i], auth[i]) for i in ids}
+    got = {r["id"]: (r["hub_e9"], r["auth_e9"]) for r in hits_int(e, iters=iters).collect()}
+    assert got == want
