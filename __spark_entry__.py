@@ -838,6 +838,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-integer PMI (zip-with-tail bigrams, no self-join)
         return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
 
+    def sitemap_hints(spark, sf):
+        # sitemap-protocol scheduling hints: build REAL <urlset> XML
+        # per nation from customer rows (JVM concat), parse it back
+        # with the Arrow-batched hint parser, map changefreq → integer
+        # revisit periods; oracle derives every field in closed form
+        from netrunner_spark.sources import discovery
+
+        cust = _t(spark, sf, "customer")
+        entry = F.concat(
+            F.lit("<url><loc>https://s.test/c/"),
+            F.col("c_custkey").cast("string"),
+            F.lit("</loc><lastmod>2024-01-"),
+            F.lpad(((F.col("c_custkey") % 28) + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod><changefreq>"),
+            F.element_at(
+                F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+                (F.col("c_custkey") % 3 + 1).cast("int"),
+            ),
+            F.lit("</changefreq><priority>0."),
+            (F.col("c_custkey") % 10).cast("string"),
+            F.lit("</priority></url>"),
+        )
+        sm = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(F.collect_list(entry), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        ).select(
+            F.concat(F.lit("sm-n"), F.col("nk").cast("string")).alias(
+                "sitemap_url"
+            ),
+            "xml",
+        )
+        return discovery.hints_with_period(discovery.sitemap_hints(sm))
+
     def link_hits(spark, sf):
         # HITS hubs & authorities (integer fixed point, scaled-quotient
         # normalization) over the same purchase graph as link_pagerank
@@ -1294,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": doc_lm_score,
         "spell_candidates": spell_candidates,
         "link_hits": link_hits,
+        "sitemap_hints": sitemap_hints,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1716,6 +1753,22 @@ WITH edges AS (
               FROM afinal
             ) WHERE rk <= 50""",
         ),
+        # sitemap_hints: the Spark side round-trips REAL XML through
+        # the hint parser; the oracle derives each field in closed form
+        # from the same customer-row generators.
+        "sitemap_hints": """
+            SELECT 'sm-n' || CAST(c_nationkey AS VARCHAR) AS sitemap_url,
+                   'https://s.test/c/' || CAST(c_custkey AS VARCHAR) AS url,
+                   '2024-01-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+                   CASE c_custkey % 3 WHEN 0 THEN 'daily'
+                                      WHEN 1 THEN 'weekly'
+                                      ELSE 'monthly' END AS changefreq,
+                   CAST((c_custkey % 10) * 10 AS INT) AS priority_pct,
+                   CAST(CASE c_custkey % 3 WHEN 0 THEN 24
+                                           WHEN 1 THEN 168
+                                           ELSE 720 END AS INT) AS period_h
+            FROM customer
+        """,
         # spell_candidates: deletion-neighborhood equi-join (token +
         # every 1-deletion variant), verified by exact levenshtein = 1.
         "spell_candidates": """

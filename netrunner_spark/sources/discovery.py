@@ -74,3 +74,69 @@ def cdx_lookup(
 def rss_links(feeds: DataFrame) -> DataFrame:
     """feeds(host, items array<string>) → one url row per item (S6)."""
     return feeds.select(F.explode("items").alias("url")).dropDuplicates()
+
+
+def sitemap_hints(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """sitemaps(sitemap_url, xml) → one row per <url> entry with the
+    sitemap protocol's SCHEDULING hints (sitemaps.org tag set) →
+    ``(sitemap_url, url, lastmod, changefreq, priority_pct)``.
+
+    The discovery-side input to freshness scheduling: lastmod and
+    changefreq seed `recrawl_priority`-style period estimates before
+    the crawler has its own fetch history; priority_pct (0.7 → 70)
+    stays integer for exact downstream arithmetic. Parsing is an
+    Arrow-batched mapInPandas over whole XML payloads (one python call
+    per BATCH of sitemaps, never per entry); each sitemap's entries
+    are emitted from its own partition — no shuffle until the caller
+    aggregates.
+    """
+    import pandas as pd
+
+    from netrunner_spark.sources.xmlparse import parse_sitemap_hints
+
+    cols = ["sitemap_url", "url", "lastmod", "changefreq", "priority_pct"]
+    schema = (
+        "sitemap_url string, url string, lastmod string,"
+        " changefreq string, priority_pct int"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for su, xml in zip(pdf["sitemap_url"], pdf[xml_col]):
+                for loc, lm, cf, pr in parse_sitemap_hints(xml or ""):
+                    rows.append((su, loc, lm, cf, pr))
+            out = pd.DataFrame(rows, columns=cols)
+            out["priority_pct"] = out["priority_pct"].astype("Int32")
+            yield out
+
+    return sitemaps.select("sitemap_url", xml_col).mapInPandas(gen, schema)
+
+
+#: sitemaps.org changefreq token → nominal revisit period in hours
+#: ("always" → 0 = every round, "never" → effectively parked).
+CHANGEFREQ_PERIOD_H = {
+    "always": 0,
+    "hourly": 1,
+    "daily": 24,
+    "weekly": 168,
+    "monthly": 720,
+    "yearly": 8760,
+    "never": 100 * 8760,
+}
+
+
+def hints_with_period(hints: DataFrame, default_h: int = 168) -> DataFrame:
+    """Map changefreq tokens to integer revisit periods (hours) — a
+    pure-JVM CASE chain over :data:`CHANGEFREQ_PERIOD_H`; unknown or
+    missing tokens fall back to ``default_h``."""
+    col = F.lower(F.col("changefreq"))
+    branch = None
+    for tok, hours in CHANGEFREQ_PERIOD_H.items():
+        cond = col == tok
+        branch = (
+            F.when(cond, hours) if branch is None else branch.when(cond, hours)
+        )
+    return hints.withColumn(
+        "period_h", F.coalesce(branch, F.lit(default_h)).cast("int")
+    )

@@ -78,3 +78,49 @@ def parse_rss(payload: bytes | str) -> list[str]:
                     if href:
                         links.append(href)
     return links
+
+
+def parse_sitemap_hints(
+    payload: bytes | str,
+) -> list[tuple[str, str | None, str | None, int | None]]:
+    """→ per <url> entry: (loc, lastmod, changefreq, priority_pct).
+
+    The scheduling HINTS of the sitemap protocol (sitemaps.org §XML
+    tag definitions) that plain ``parse_sitemap`` discards: lastmod
+    (kept verbatim — W3C datetime), changefreq (lowercased token), and
+    priority parsed into an integer PERCENT (0.7 → 70) so downstream
+    scheduling arithmetic stays exact-integer. Missing tags → None;
+    entries without <loc> are dropped (reference discards loc-less
+    entries too, sitemaps.rs:58-74 equivalent)."""
+    text = _clean(payload)
+    if not text:
+        return []
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError:
+        return []
+    out: list[tuple[str, str | None, str | None, int | None]] = []
+    for entry in root:
+        if _local(entry.tag) != "url":
+            continue
+        loc = lastmod = changefreq = None
+        prio: int | None = None
+        for field in entry:
+            tag = _local(field.tag)
+            val = (field.text or "").strip()
+            if not val:
+                continue
+            if tag == "loc":
+                loc = val
+            elif tag == "lastmod":
+                lastmod = val
+            elif tag == "changefreq":
+                changefreq = val.lower()
+            elif tag == "priority":
+                try:
+                    prio = int(round(float(val) * 100))
+                except ValueError:
+                    prio = None
+        if loc:
+            out.append((loc, lastmod, changefreq, prio))
+    return out

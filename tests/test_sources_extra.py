@@ -86,3 +86,39 @@ def test_dual_source_fallback(spark):
     dead = out.filter(F.col("url").endswith(f"/{37 + 1}")).collect()
     if dead:  # i=38: 404 origin, no IA → stays failed, 1 attempt (F10)
         assert dead[0]["status"] == 404 and dead[0]["attempts"] == 1
+
+
+def test_parse_sitemap_hints_fields_and_edges():
+    from netrunner_spark.sources.xmlparse import parse_sitemap_hints
+
+    xml = """<?xml version="1.0"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://a.test/1</loc><lastmod>2024-01-03T10:00:00Z</lastmod>
+           <changefreq>Daily</changefreq><priority>0.7</priority></url>
+      <url><loc>https://a.test/2</loc></url>
+      <url><lastmod>2024-01-01</lastmod></url>
+      <url><loc>https://a.test/3</loc><priority>bogus</priority></url>
+    </urlset>"""
+    got = parse_sitemap_hints(xml)
+    assert got[0] == ("https://a.test/1", "2024-01-03T10:00:00Z", "daily", 70)
+    assert got[1] == ("https://a.test/2", None, None, None)  # hints optional
+    assert len(got) == 3  # loc-less entry dropped
+    assert got[2] == ("https://a.test/3", None, None, None)  # bad priority -> None
+    assert parse_sitemap_hints(b"") == []
+    assert parse_sitemap_hints("<not xml") == []
+
+
+def test_sitemap_hints_spark_roundtrip_and_period(spark):
+    from netrunner_spark.sources.discovery import hints_with_period, sitemap_hints
+
+    xml = (
+        '<urlset><url><loc>u1</loc><changefreq>hourly</changefreq></url>'
+        "<url><loc>u2</loc><changefreq>never</changefreq></url>"
+        "<url><loc>u3</loc></url></urlset>"
+    )
+    sm = spark.createDataFrame([("s1", xml)], "sitemap_url string, xml string")
+    got = {
+        r["url"]: r["period_h"]
+        for r in hints_with_period(sitemap_hints(sm), default_h=99).collect()
+    }
+    assert got == {"u1": 1, "u2": 100 * 8760, "u3": 99}
