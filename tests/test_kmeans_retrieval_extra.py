@@ -385,3 +385,22 @@ def test_spell_candidates_min_count_prunes(spark):
     assert spell_candidates(docs, min_count=2).count() == 0
     got = {(r["tok_a"], r["tok_b"]) for r in spell_candidates(docs, min_count=1).collect()}
     assert got == {("ward", "word")}
+
+
+def test_new_text_ops_have_no_cartesian_or_corpus_sort_merge(spark):
+    """spell_candidates / bigram_pmi / doc_lm_score must never plan a
+    cartesian product; the only cross join allowed is the broadcast
+    1-row stats frame."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    from netrunner_spark.operators.retrieval import spell_candidates
+
+    for df in (
+        spell_candidates(docs, min_count=1),
+        textops.bigram_pmi(docs, min_count=1),
+        textops.doc_lm_score(docs),
+    ):
+        plan = _explain(df)
+        assert "CartesianProduct" not in plan
