@@ -838,6 +838,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-integer PMI (zip-with-tail bigrams, no self-join)
         return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
 
+    def text_quality_gate(spark, sf):
+        # the text-side admission DECISION: surprisal + bigram-LM
+        # signals combined under a fixed reject-reason precedence
+        # (empty → too_short → low/high_surprisal → word_salad)
+        return textops.text_quality_gate(_t(spark, sf, "documents"))
+
     def sitemap_hints(spark, sf):
         # sitemap-protocol scheduling hints: build REAL <urlset> XML
         # per nation from customer rows (JVM concat), parse it back
@@ -1331,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_candidates": spell_candidates,
         "link_hits": link_hits,
         "sitemap_hints": sitemap_hints,
+        "text_quality_gate": text_quality_gate,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1357,6 +1364,68 @@ def _oracle_sql_dict() -> dict[str, str]:
     # notes: list_reduce has no init arg → prepend 0; generate_series as a
     # lateral table function cannot take column bounds → constant bound +
     # WHERE filter (documents are ≤ ~2000 chars).
+
+    # doc_surprisal / doc_lm_score twins, shared verbatim with the
+    # text_quality_gate composition (nested-WITH scoping keeps their
+    # CTE names private).
+    _surprisal_sql = """
+            WITH tok AS (
+              SELECT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+                FROM documents
+              ) WHERE token <> ''
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, token
+            ), cnts AS (
+              SELECT token, CAST(sum(tf) AS BIGINT) AS cnt
+              FROM tf GROUP BY token
+            ), stats AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM cnts
+            )
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(sum(tf * ((tt * 1000) // cnt)) // sum(tf) AS BIGINT) AS surprisal_q
+            FROM tf JOIN cnts USING (token) CROSS JOIN stats
+            GROUP BY doc_id
+        """
+    _lm_sql = """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 t -> t <> '') AS w
+              FROM documents
+            ), trans AS (
+              SELECT doc_id,
+                     unnest(w[1:len(w) - 1]) AS tok_a,
+                     unnest(w[2:len(w)]) AS tok_b
+              FROM w WHERE len(w) >= 2
+            ), dt AS (
+              SELECT doc_id, tok_a, tok_b, CAST(count(*) AS BIGINT) AS n
+              FROM trans GROUP BY doc_id, tok_a, tok_b
+            ), co AS (
+              SELECT tok_a, tok_b, CAST(sum(n) AS BIGINT) AS co
+              FROM dt GROUP BY tok_a, tok_b
+            ), uni AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+                FROM documents
+              ) WHERE t <> '' GROUP BY t
+            ), stats AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM uni
+            )
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_transitions,
+                   CAST(sum(n * ((2000 * ua.cnt * tt) // (co.co * tt + ua.cnt * ub.cnt)))
+                        // sum(n) AS BIGINT) AS lm_score_q
+            FROM dt
+            JOIN co USING (tok_a, tok_b)
+            JOIN uni ua ON ua.t = dt.tok_a
+            JOIN uni ub ON ub.t = dt.tok_b
+            CROSS JOIN stats
+            GROUP BY doc_id
+        """
     grams_cte = """
 WITH base AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 150
@@ -1797,42 +1866,7 @@ WITH edges AS (
         # doc_lm_score: interpolated bigram LM, quantized inverse
         # probability (2000·ca·tt) // (co·tt + ca·cb), per-doc
         # transition-weighted integer mean.
-        "doc_lm_score": """
-            WITH w AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                                 t -> t <> '') AS w
-              FROM documents
-            ), trans AS (
-              SELECT doc_id,
-                     unnest(w[1:len(w) - 1]) AS tok_a,
-                     unnest(w[2:len(w)]) AS tok_b
-              FROM w WHERE len(w) >= 2
-            ), dt AS (
-              SELECT doc_id, tok_a, tok_b, CAST(count(*) AS BIGINT) AS n
-              FROM trans GROUP BY doc_id, tok_a, tok_b
-            ), co AS (
-              SELECT tok_a, tok_b, CAST(sum(n) AS BIGINT) AS co
-              FROM dt GROUP BY tok_a, tok_b
-            ), uni AS (
-              SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
-                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
-                FROM documents
-              ) WHERE t <> '' GROUP BY t
-            ), stats AS (
-              SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM uni
-            )
-            SELECT doc_id,
-                   CAST(sum(n) AS BIGINT) AS n_transitions,
-                   CAST(sum(n * ((2000 * ua.cnt * tt) // (co.co * tt + ua.cnt * ub.cnt)))
-                        // sum(n) AS BIGINT) AS lm_score_q
-            FROM dt
-            JOIN co USING (tok_a, tok_b)
-            JOIN uni ua ON ua.t = dt.tok_a
-            JOIN uni ub ON ub.t = dt.tok_b
-            CROSS JOIN stats
-            GROUP BY doc_id
-        """,
+        "doc_lm_score": _lm_sql,
         # recrawl_priority: integer-micros change-rate estimator; the
         # global clock is the log's own max ts.
         "recrawl_priority": """
@@ -1924,27 +1958,31 @@ WITH edges AS (
         """,
         # doc_surprisal: corpus-unigram inverse-probability weights,
         # all-positive int64 so `div` ≡ `//` exactly.
-        "doc_surprisal": """
-            WITH tok AS (
-              SELECT doc_id, token FROM (
-                SELECT doc_id,
-                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
-                FROM documents
-              ) WHERE token <> ''
-            ), tf AS (
-              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-              FROM tok GROUP BY doc_id, token
-            ), cnts AS (
-              SELECT token, CAST(sum(tf) AS BIGINT) AS cnt
-              FROM tf GROUP BY token
-            ), stats AS (
-              SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM cnts
-            )
-            SELECT doc_id,
-                   CAST(sum(tf) AS BIGINT) AS n_tokens,
-                   CAST(sum(tf * ((tt * 1000) // cnt)) // sum(tf) AS BIGINT) AS surprisal_q
-            FROM tf JOIN cnts USING (token) CROSS JOIN stats
-            GROUP BY doc_id
+        "doc_surprisal": _surprisal_sql,
+        # text_quality_gate: the two signal SELECTs embedded verbatim
+        # as scoped nested-WITH CTEs, then the precedence CASE — the
+        # thresholds are literals matching textops.text_quality_gate's
+        # defaults.
+        "text_quality_gate": f"""
+            WITH s AS ({_surprisal_sql}), l AS ({_lm_sql})
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   s.surprisal_q, l.lm_score_q,
+                   (CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 'empty'
+                         WHEN coalesce(s.n_tokens, 0) < 10 THEN 'too_short'
+                         WHEN s.surprisal_q < 5000 THEN 'low_surprisal'
+                         WHEN s.surprisal_q > 500000 THEN 'high_surprisal'
+                         WHEN l.lm_score_q > 3000000 THEN 'word_salad'
+                         ELSE NULL END) IS NULL AS pass,
+                   CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 'empty'
+                        WHEN coalesce(s.n_tokens, 0) < 10 THEN 'too_short'
+                        WHEN s.surprisal_q < 5000 THEN 'low_surprisal'
+                        WHEN s.surprisal_q > 500000 THEN 'high_surprisal'
+                        WHEN l.lm_score_q > 3000000 THEN 'word_salad'
+                        ELSE NULL END AS reject_reason
+            FROM documents d
+            LEFT JOIN s ON s.doc_id = d.doc_id
+            LEFT JOIN l ON l.doc_id = d.doc_id
         """,
         # phrase_search: phrase of length m starts at s iff every
         # offset qpos has a token match at pos = s + qpos — count

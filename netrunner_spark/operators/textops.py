@@ -1033,3 +1033,65 @@ def doc_lm_score(docs: DataFrame, pattern: str = "[^a-z]+") -> DataFrame:
         F.sum("n").alias("n_transitions"),
         F.expr("sum(wq) div sum(n)").alias("lm_score_q"),
     )
+
+
+def text_quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    min_surprisal_q: int = 5_000,
+    max_surprisal_q: int = 500_000,
+    max_lm_score_q: int = 3_000_000,
+    pattern: str = "[^a-z]+",
+) -> DataFrame:
+    """The text-side ADMISSION DECISION (mirror of
+    ``imageops.quality_gate``): combine the statistical quality signals
+    into one keep/drop verdict with a fixed reject-reason precedence →
+    ``(doc_id, n_tokens, surprisal_q, lm_score_q, pass, reject_reason)``.
+
+    Precedence (first failing rule wins, like Gopher's rule cascade):
+    ``empty`` (no tokens at all) → ``too_short`` (< min_tokens) →
+    ``low_surprisal`` (boilerplate/stopword soup: mean 1/p below
+    min_surprisal_q/1000) → ``high_surprisal`` (rare-token noise) →
+    ``word_salad`` (bigram-LM score above max_lm_score_q: plausible
+    tokens, improbable transitions). Thresholds are on the QUANTIZED
+    inverse-probability scales of :func:`doc_surprisal` /
+    :func:`doc_lm_score`, which are corpus-size invariant (1/p of a
+    fixed-relative-frequency token is scale-free), so one config
+    carries from sf0.001 tests to the 100 TB corpus.
+
+    Shape: the two signal plans (each a couple of map-side-combined
+    aggregates + vocabulary joins) plus two LEFT joins back to the
+    full doc list — every row is decided, including empty docs that
+    produce no tokens.
+    """
+    base = docs.select("doc_id")
+    s = doc_surprisal(docs, pattern=pattern)
+    l = doc_lm_score(docs, pattern=pattern).select(
+        "doc_id", "lm_score_q"
+    )
+    j = (
+        base.join(s, "doc_id", "left")
+        .join(l, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "surprisal_q",
+            "lm_score_q",
+        )
+    )
+    reason = (
+        F.when(F.col("n_tokens") == 0, "empty")
+        .when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("surprisal_q") < min_surprisal_q, "low_surprisal")
+        .when(F.col("surprisal_q") > max_surprisal_q, "high_surprisal")
+        .when(F.col("lm_score_q") > max_lm_score_q, "word_salad")
+        .otherwise(None)
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_q",
+        "lm_score_q",
+        reason.isNull().alias("pass"),
+        reason.alias("reject_reason"),
+    )

@@ -404,3 +404,56 @@ def test_new_text_ops_have_no_cartesian_or_corpus_sort_merge(spark):
     ):
         plan = _explain(df)
         assert "CartesianProduct" not in plan
+
+
+# -------------------------------------------------------- quality gate
+
+
+def test_text_quality_gate_precedence(spark):
+    filler = [
+        (i, "the quick brown fox jumps over the lazy dog again today")
+        for i in range(20)
+    ]
+    rows = filler + [
+        (100, ""),  # empty
+        (101, "short text only"),  # too_short (3 < 10)
+        # word salad: same vocab as filler, scrambled transitions, ≥10 tokens
+        (102, "dog the over again fox lazy today quick jumps brown the dog over"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from netrunner_spark.operators.textops import text_quality_gate
+
+    got = {
+        r["doc_id"]: (r["pass"], r["reject_reason"])
+        for r in text_quality_gate(
+            docs,
+            min_tokens=10,
+            min_surprisal_q=0,
+            max_surprisal_q=10**9,
+            max_lm_score_q=5_000,
+        ).collect()
+    }
+    assert len(got) == len(rows)  # EVERY doc gets a verdict
+    assert got[100] == (False, "empty")
+    assert got[101] == (False, "too_short")
+    assert got[102] == (False, "word_salad")
+    assert got[0] == (True, None)  # fluent filler passes
+
+
+def test_text_quality_gate_surprisal_bounds(spark):
+    rows = [(i, "the the the the the the the the the the") for i in range(5)]
+    rows += [(50 + i, "alpha bravo charlie delta echo foxtrot golf hotel india juliet")
+             for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from netrunner_spark.operators.textops import text_quality_gate
+
+    # 'the' dominates the corpus → its docs have LOW surprisal
+    got = {
+        r["doc_id"]: r["reject_reason"]
+        for r in text_quality_gate(
+            docs, min_tokens=5, min_surprisal_q=2_000,
+            max_surprisal_q=10**9, max_lm_score_q=10**12,
+        ).collect()
+    }
+    assert got[0] == "low_surprisal"
+    assert got[50] is None
