@@ -457,3 +457,54 @@ def test_text_quality_gate_surprisal_bounds(spark):
     }
     assert got[0] == "low_surprisal"
     assert got[50] is None
+
+
+@pytest.mark.parametrize("seed,n,k,iters,dims", [
+    (1, 17, 2, 1, 3),
+    (2, 33, 5, 3, 2),
+    (3, 50, 4, 2, 8),
+    (4, 9, 3, 4, 2),
+])
+def test_kmeans_differential_across_shapes(spark, seed, n, k, iters, dims):
+    rng = np.random.default_rng(seed)
+    vecs = rng.uniform(-1, 1, size=(n, dims)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cid"], r["dist_q"])
+        for r in vectors.kmeans_int(df, k=k, iters=iters).collect()
+    }
+    assert got == _ref_kmeans(vecs, k=k, iters=iters)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_boolean_and_differential(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randrange(1, 12))))
+        for i in range(30)
+    ]
+    queries = [(1, "aa bb"), (2, "cc"), (3, "aa bb cc dd ee"), (4, "zz aa")]
+    sdocs = spark.createDataFrame(docs, "doc_id long, text string")
+    sq = spark.createDataFrame(queries, "query_id long, query string")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["tf_total"], r["rk"])
+        for r in retrieval.boolean_and(sdocs, sq, k=1000).collect()
+    }
+    want = {}
+    for qid, q in queries:
+        terms = set(q.split())
+        scored = []
+        for did, text in docs:
+            toks = text.split()
+            if terms <= set(toks):
+                scored.append((did, sum(toks.count(t) for t in terms)))
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        for rk, (did, tf) in enumerate(scored, 1):
+            want[(qid, did)] = (tf, rk)
+    assert got == want

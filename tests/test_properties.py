@@ -78,3 +78,35 @@ def test_lens_ron_roundtrip(urls, domains):
     back = lens_mod.loads(lens_mod.dumps(cfg))
     assert back.urls == urls
     assert back.domains == domains
+
+
+# --------------------------------------------------- SymSpell lemma
+
+
+def _deletions(w: str) -> set:
+    return {w} | {w[:i] + w[i + 1 :] for i in range(len(w))}
+
+
+def _lev1_edits(w: str, alphabet: str) -> set:
+    """All words at Levenshtein distance exactly 1 from w."""
+    out = set()
+    for i in range(len(w)):
+        out.add(w[:i] + w[i + 1 :])  # deletion
+        for c in alphabet:
+            if c != w[i]:
+                out.add(w[:i] + c + w[i + 1 :])  # substitution
+    for i in range(len(w) + 1):
+        for c in alphabet:
+            out.add(w[:i] + c + w[i:])  # insertion
+    out.discard(w)
+    return out
+
+
+@given(st.from_regex(r"[ab]{1,6}", fullmatch=True))
+@settings(max_examples=200, deadline=None)
+def test_deletion_neighborhoods_cover_every_lev1_pair(w):
+    """The lemma spell_candidates' candidate generation rests on: any
+    pair at Levenshtein distance 1 shares a deletion-neighborhood
+    member (so the variant equi-join can never MISS a true pair)."""
+    for other in _lev1_edits(w, "ab"):
+        assert _deletions(w) & _deletions(other), (w, other)
