@@ -838,6 +838,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-integer PMI (zip-with-tail bigrams, no self-join)
         return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
 
+    def query_spell_correct(spark, sf):
+        # did-you-mean: query terms map to themselves when in-vocab,
+        # else to the most frequent vocab token within levenshtein 1
+        # (deletion-neighborhood equi-join, broadcast query side)
+        from netrunner_spark.operators import retrieval
+
+        queries = spark.createDataFrame(
+            [(1, "spark joim windoww"), (2, "mergee sort"), (3, "zzqqzz batch")],
+            "query_id long, query string",
+        )
+        return retrieval.correct_query_terms(
+            queries, _t(spark, sf, "documents")
+        )
+
     def text_quality_gate(spark, sf):
         # the text-side admission DECISION: surprisal + bigram-LM
         # signals combined under a fixed reject-reason precedence
@@ -1338,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": link_hits,
         "sitemap_hints": sitemap_hints,
         "text_quality_gate": text_quality_gate,
+        "query_spell_correct": query_spell_correct,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1822,6 +1837,55 @@ WITH edges AS (
               FROM afinal
             ) WHERE rk <= 50""",
         ),
+        # query_spell_correct: exact matches pass through; unknown
+        # terms take the best (cnt desc, token asc) vocab token within
+        # levenshtein 1 via the deletion-neighborhood join.
+        "query_spell_correct": """
+            WITH q(query_id, query) AS (
+              VALUES (1, 'spark joim windoww'), (2, 'mergee sort'),
+                     (3, 'zzqqzz batch')
+            ), vocab AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+                FROM documents
+              ) WHERE token <> '' GROUP BY token
+            ), qt AS (
+              SELECT DISTINCT query_id, token FROM (
+                SELECT query_id,
+                       unnest(regexp_split_to_array(lower(query), '[^a-z]+')) AS token
+                FROM q
+              ) WHERE token <> ''
+            ), exact AS (
+              SELECT qt.query_id, qt.token, qt.token AS corrected, v.cnt
+              FROM qt JOIN vocab v USING (token)
+            ), unknown AS (
+              SELECT query_id, token FROM qt ANTI JOIN vocab USING (token)
+            ), qv AS (
+              SELECT query_id, token, unnest(list_distinct(list_append(
+                       list_transform(generate_series(1, len(token)),
+                         i -> substr(token, 1, i - 1) || substr(token, i + 1, len(token))),
+                       token))) AS v
+              FROM unknown
+            ), vv AS (
+              SELECT token AS corrected, cnt, unnest(list_distinct(list_append(
+                       list_transform(generate_series(1, len(token)),
+                         i -> substr(token, 1, i - 1) || substr(token, i + 1, len(token))),
+                       token))) AS v
+              FROM vocab
+            ), cand AS (
+              SELECT DISTINCT qv.query_id, qv.token, vv.corrected, vv.cnt
+              FROM qv JOIN vv USING (v)
+              WHERE levenshtein(qv.token, vv.corrected) <= 1
+            ), fixed AS (
+              SELECT query_id, token, corrected, cnt FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY query_id, token
+                  ORDER BY cnt DESC, corrected ASC) AS rk
+                FROM cand
+              ) WHERE rk = 1
+            )
+            SELECT * FROM exact UNION ALL SELECT * FROM fixed
+        """,
         # sitemap_hints: the Spark side round-trips REAL XML through
         # the hint parser; the oracle derives each field in closed form
         # from the same customer-row generators.

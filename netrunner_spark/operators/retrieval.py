@@ -645,3 +645,74 @@ def spell_candidates(
     return pairs.filter(
         F.levenshtein(F.col("tok_a"), F.col("tok_b")) == 1
     ).select("tok_a", "tok_b", "cnt_a", "cnt_b")
+
+
+def correct_query_terms(
+    queries: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = TOKEN_PATTERN,
+    min_count: int = 1,
+) -> DataFrame:
+    """Did-you-mean query correction → ``(query_id, token, corrected,
+    cnt)``: each query term maps to itself when in-vocabulary, else to
+    the most frequent vocabulary token within Levenshtein distance 1
+    (cnt desc, token asc tie-break — deterministic); terms with no
+    candidate are dropped, the standard "no results for X" path.
+
+    The online half of :func:`spell_candidates`: the QUERY side's
+    deletion neighborhood equi-joins the vocabulary's — candidates
+    verified with exact levenshtein ≤ 1, never a |Q|×|V| cross join.
+    Query terms are tiny, so their variant explosion broadcasts; the
+    vocabulary variant table is the same map-side explode the offline
+    operator uses.
+    """
+    vocab = (
+        _tokens(docs, id_col, text_col, pattern)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    qterms = _query_terms(queries, pattern)
+    exact = qterms.join(vocab, "token").select(
+        "query_id", "token", F.col("token").alias("corrected"), "cnt"
+    )
+    unknown = qterms.join(vocab, "token", "left_anti")
+
+    def variants(df, tok_col):
+        return df.select(
+            *df.columns,
+            F.explode(
+                F.array_distinct(
+                    F.concat(
+                        F.array(F.col(tok_col)),
+                        F.expr(
+                            f"transform(sequence(1, length({tok_col})),"
+                            f" i -> concat(substr({tok_col}, 1, i - 1),"
+                            f"             substr({tok_col}, i + 1, length({tok_col}))))"
+                        ),
+                    )
+                )
+            ).alias("v"),
+        )
+
+    qv = variants(unknown, "token")
+    vv = variants(
+        vocab.withColumnRenamed("token", "corrected"), "corrected"
+    )
+    cand = (
+        F.broadcast(qv)
+        .join(vv, "v")
+        .filter(F.levenshtein(F.col("token"), F.col("corrected")) <= 1)
+        .dropDuplicates(["query_id", "token", "corrected"])
+    )
+    w = Window.partitionBy("query_id", "token").orderBy(
+        F.col("cnt").desc(), F.col("corrected").asc()
+    )
+    fixed = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("query_id", "token", "corrected", "cnt")
+    )
+    return exact.unionByName(fixed)

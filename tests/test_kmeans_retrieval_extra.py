@@ -508,3 +508,41 @@ def test_boolean_and_differential(spark, seed):
         for rk, (did, tf) in enumerate(scored, 1):
             want[(qid, did)] = (tf, rk)
     assert got == want
+
+
+# --------------------------------------------------- query correction
+
+
+def test_correct_query_terms_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window spark spark"),
+            (2, "sparc framework"),  # sparc: rarer lev-1 neighbor of spark? no: of sparc
+            (3, "join window"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "spark joim"), (2, "zzz window"), (3, "sparl")],
+        "query_id long, query string",
+    )
+    got = {
+        (r["query_id"], r["token"]): (r["corrected"], r["cnt"])
+        for r in retrieval.correct_query_terms(q, docs).collect()
+    }
+    assert got[(1, "spark")] == ("spark", 3)  # in-vocab passthrough
+    assert got[(1, "joim")] == ("join", 2)  # substitution fix
+    assert got[(2, "window")][0] == "window"
+    assert (2, "zzz") not in got  # uncorrectable → dropped
+    # sparl is lev-1 from BOTH spark (cnt 3) and sparc (cnt 1) → max cnt wins
+    assert got[(3, "sparl")] == ("spark", 3)
+
+
+def test_correct_query_terms_tie_breaks_lexicographically(spark):
+    docs = spark.createDataFrame(
+        [(1, "bat cat bat cat")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(1, "rat")], "query_id long, query string")
+    got = retrieval.correct_query_terms(q, docs).collect()
+    # bat and cat both lev-1 from rat with equal cnt → 'bat' (asc)
+    assert [(r["token"], r["corrected"]) for r in got] == [("rat", "bat")]
