@@ -838,6 +838,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-integer PMI (zip-with-tail bigrams, no self-join)
         return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
 
+    def rollup_hourly(spark, sf):
+        # hypertable-style continuous aggregate exercised INCREMENTALLY:
+        # build hourly partials on half the events, append the other
+        # half as a second slice — the merged read must equal a direct
+        # GROUP BY bit-for-bit (integer-cent quantized sums)
+        import tempfile
+
+        from netrunner_spark.operators.rollup import RollupTable
+        from netrunner_spark.tables import LakeCatalog
+
+        ev = _t(spark, sf, "events")
+        cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="nr_ru_"))
+        ru = RollupTable(cat, "q_ru")
+        ru.build(ev.filter("event_id % 2 = 0"))
+        ru.append(ev.filter("event_id % 2 = 1"))
+        return ru.read()
+
     def query_spell_correct(spark, sf):
         # did-you-mean: query terms map to themselves when in-vocab,
         # else to the most frequent vocab token within levenshtein 1
@@ -1353,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_hints": sitemap_hints,
         "text_quality_gate": text_quality_gate,
         "query_spell_correct": query_spell_correct,
+        "rollup_hourly": rollup_hourly,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1837,6 +1855,19 @@ WITH edges AS (
               FROM afinal
             ) WHERE rk <= 50""",
         ),
+        # rollup_hourly: incremental build+append must equal the direct
+        # GROUP BY (integer-cent value quantization makes merge order
+        # irrelevant).
+        "rollup_hourly": """
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_q,
+                   CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_q,
+                   CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_q
+            FROM events
+            GROUP BY 1, 2
+        """,
         # query_spell_correct: exact matches pass through; unknown
         # terms take the best (cnt desc, token asc) vocab token within
         # levenshtein 1 via the deletion-neighborhood join.

@@ -1,0 +1,123 @@
+"""Hypertable-style CONTINUOUS AGGREGATE: a time-bucket rollup
+maintained incrementally as lake slices (TimescaleDB's continuous
+aggregates / Druid rollup segments, on the LakeCatalog).
+
+The scale contract: raw events are never re-scanned. Each `append`
+aggregates only the delta into per-(bucket, key) PARTIAL rows (count /
+sum / min / max are all additive-mergeable), written as one more slice;
+`read` merges the tiny partials — O(slices × buckets × keys), not
+O(events). A crawl/ingest round's new events land in O(delta), the
+same incremental pattern as retrieval.SearchIndex.
+
+Exactness: the value column is quantized to integer cents
+(round(value·100) as int64) at partial-build time, so merge order
+cannot perturb sums — the rollup equals a from-scratch GROUP BY
+bit-for-bit (oracle-checked), unlike float partial sums whose
+associativity breaks cross-engine equality.
+
+Config (bucket width, keys, value column) persists in the stats table
+with the slices, so a resumed session or a later append cannot
+silently diverge — mirroring SearchIndex's persisted tokenizer config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+US_PER_HOUR = 3_600_000_000
+
+
+class RollupTable:
+    def __init__(self, cat, name: str = "rollup"):
+        self.cat = cat
+        self.name = name
+
+    # ------------------------------------------------------------ write
+    def _partial(
+        self,
+        events: DataFrame,
+        i: int,
+        bucket_hours: int,
+        key_cols: list[str],
+        ts_col: str,
+        val_col: str,
+    ) -> DataFrame:
+        bucket = F.expr(
+            f"unix_micros(cast({ts_col} as timestamp))"
+            f" div {bucket_hours * US_PER_HOUR}"
+        ).alias("bucket")
+        vq = F.round(F.col(val_col) * 100).cast("long")
+        part = events.groupBy(bucket, *key_cols).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(vq).alias("sum_q"),
+            F.min(vq).alias("min_q"),
+            F.max(vq).alias("max_q"),
+        )
+        self.cat.write(part, f"{self.name}_part_{i}")
+        return events.agg(
+            F.lit(i).alias("slice"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.lit(bucket_hours).alias("bucket_hours"),
+            F.lit(",".join(key_cols)).alias("key_cols"),
+            F.lit(ts_col).alias("ts_col"),
+            F.lit(val_col).alias("val_col"),
+        )
+
+    def build(
+        self,
+        events: DataFrame,
+        bucket_hours: int = 1,
+        key_cols: list[str] | tuple[str, ...] = ("event_type",),
+        ts_col: str = "ts",
+        val_col: str = "value",
+    ) -> None:
+        stats = self._partial(
+            events, 0, bucket_hours, list(key_cols), ts_col, val_col
+        )
+        self.cat.write(stats, f"{self.name}_stats")
+
+    def append(self, delta: DataFrame) -> None:
+        """Fold a round's NEW events in as one more partial slice —
+        O(delta) work, the raw history is never re-read. Exactly-once
+        is the caller's slicing contract (same as cache slices):
+        events must not repeat across appends, since count/sum partials
+        are additive over whatever they are fed."""
+        prior = self.cat.read(f"{self.name}_stats")
+        rows = prior.collect()  # bounded: one row per slice
+        cfg = rows[0]
+        i = 1 + max(r["slice"] for r in rows)
+        stats = self._partial(
+            delta,
+            i,
+            cfg["bucket_hours"],
+            cfg["key_cols"].split(","),
+            cfg["ts_col"],
+            cfg["val_col"],
+        )
+        self.cat.write(prior.unionByName(stats), f"{self.name}_stats")
+
+    # ------------------------------------------------------------- read
+    def read(
+        self, bucket_lo: int | None = None, bucket_hi: int | None = None
+    ) -> DataFrame:
+        """Merged rollup → (bucket, *keys, cnt, sum_q, min_q, max_q).
+        Optional bucket bounds prune each slice BEFORE the merge (the
+        partials carry the bucket column, so the filter lands at every
+        slice's scan)."""
+        stats = self.cat.read(f"{self.name}_stats").collect()
+        keys = stats[0]["key_cols"].split(",")
+        out = None
+        for r in sorted(s["slice"] for s in stats):
+            d = self.cat.read(f"{self.name}_part_{r}")
+            if bucket_lo is not None:
+                d = d.filter(F.col("bucket") >= bucket_lo)
+            if bucket_hi is not None:
+                d = d.filter(F.col("bucket") < bucket_hi)
+            out = d if out is None else out.unionByName(d)
+        return out.groupBy("bucket", *keys).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_q").alias("sum_q"),
+            F.min("min_q").alias("min_q"),
+            F.max("max_q").alias("max_q"),
+        )
