@@ -336,19 +336,27 @@ def _sq_l2(a, b):
 
 
 def _kmeans_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """Argmin squared-L2 assignment of quantized ``base(vec_id, q)``
-    against a BROADCAST centroid set ``cents(cid, cq)`` — map-only over
-    the corpus, ties → smaller cid."""
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "q", "cid", _sq_l2(F.col("q"), F.col("cq")).alias("dist_q")
+    """Argmin squared-L2 assignment of quantized ``base(vec_id, q)``:
+    the k centroids are PACKED into one broadcast row
+    (collect_list of (cid, cq) structs) and the per-vector argmin is
+    ``array_min(transform(...))`` over that array — so the corpus
+    side is a single map-only pass: no shuffle, no window-sort, and
+    the only join is a broadcast nested loop against ONE row. Ties →
+    smaller cid via the struct's (dist_q, cid) lexicographic order;
+    collect_list's nondeterministic order is harmless because min is
+    order-insensitive."""
+    packed = cents.agg(F.collect_list(F.struct("cid", "cq")).alias("cents"))
+    m = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _sq_l2(F.col("q"), c["cq"]).alias("dist_q"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist_q").asc(), F.col("cid").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "cid", "dist_q")
+    return base.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "q", m["cid"].alias("cid"), m["dist_q"].alias("dist_q")
     )
 
 
@@ -360,7 +368,9 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Trained Lloyd's centroids ``(cid, cq)`` over quantized
     embeddings — the reusable half of :func:`kmeans_int`; feed the
-    result to :func:`ivf_topk` as a trained coarse quantizer."""
+    result to :func:`ivf_topk` as a trained coarse quantizer.
+    ``checkpoint=True`` localCheckpoints the k-row centroid frame each
+    iteration (O(1) lineage for long runs; result identical)."""
     base = embeddings.select(
         "vec_id", _quantized(F.col("embedding")).alias("q")
     )
@@ -409,14 +419,16 @@ def kmeans_int(
     - a cluster that loses all members simply drops out (no
       re-seeding), which the SQL twin's GROUP BY mirrors for free.
 
-    Shape at 100 TB: per iteration, assignment is a map-only pass over
-    the corpus against a BROADCAST k×D centroid set (narrow crossJoin,
-    no shuffle of the big side) and the update is ONE hash aggregate
-    producing k·D rows — Lloyd's is embarrassingly map-reduce. The
-    plan depth grows linearly with ``iters``; pass ``checkpoint=True``
-    to localCheckpoint the tiny centroid frame each round so the
-    lineage stays O(1) for long runs (off by default: the oracle-
-    checked path keeps the pure plan).
+    Shape at 100 TB: per iteration, assignment is a MAP-ONLY pass over
+    the corpus — the k·D centroid set is packed into ONE broadcast row
+    and the argmin is array_min over a transform, so the big side
+    never shuffles or window-sorts — and the update is ONE hash
+    aggregate producing k·D rows (map-side combine collapses each
+    partition to k·D partials before the exchange). Lloyd's is
+    embarrassingly map-reduce; the whole run stays ONE lazy plan (no
+    per-iteration driver action), with ``checkpoint=True`` available
+    to cut lineage on long runs. Plan pinned window-free and
+    shuffle-join-free in tests.
     """
     base = embeddings.select(
         "vec_id", _quantized(F.col("embedding")).alias("q")
