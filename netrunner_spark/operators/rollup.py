@@ -32,6 +32,7 @@ class RollupTable:
     def __init__(self, cat, name: str = "rollup"):
         self.cat = cat
         self.name = name
+        self._tag: str | None = None
 
     # ------------------------------------------------------------ write
     def _partial(
@@ -62,6 +63,7 @@ class RollupTable:
             F.lit(",".join(key_cols)).alias("key_cols"),
             F.lit(ts_col).alias("ts_col"),
             F.lit(val_col).alias("val_col"),
+            F.lit(self._tag or "").alias("tag"),
         )
 
     def build(
@@ -71,18 +73,34 @@ class RollupTable:
         key_cols: list[str] | tuple[str, ...] = ("event_type",),
         ts_col: str = "ts",
         val_col: str = "value",
+        tag: str | None = None,
     ) -> None:
+        self._tag = tag
         stats = self._partial(
             events, 0, bucket_hours, list(key_cols), ts_col, val_col
         )
         self.cat.write(stats, f"{self.name}_stats")
 
-    def append(self, delta: DataFrame) -> None:
+    def exists(self) -> bool:
+        return self.cat.exists(f"{self.name}_stats")
+
+    def applied_tags(self) -> set:
+        """Slice tags already folded in — the idempotence ledger for
+        retried streaming micro-batches (bounded: one row/slice)."""
+        if not self.exists():
+            return set()
+        rows = self.cat.read(f"{self.name}_stats").collect()
+        return {r["tag"] for r in rows if r["tag"]}
+
+    def append(self, delta: DataFrame, tag: str | None = None) -> None:
         """Fold a round's NEW events in as one more partial slice —
         O(delta) work, the raw history is never re-read. Exactly-once
         is the caller's slicing contract (same as cache slices):
         events must not repeat across appends, since count/sum partials
-        are additive over whatever they are fed."""
+        are additive over whatever they are fed. ``tag`` (e.g. a
+        streaming batch id) is recorded with the slice so retried
+        deliveries can be detected via :meth:`applied_tags`."""
+        self._tag = tag
         prior = self.cat.read(f"{self.name}_stats")
         rows = prior.collect()  # bounded: one row per slice
         cfg = rows[0]
@@ -121,3 +139,46 @@ class RollupTable:
             F.min("min_q").alias("min_q"),
             F.max("max_q").alias("max_q"),
         )
+
+
+def rollup_stream(
+    events_stream: DataFrame,
+    rollup: RollupTable,
+    checkpoint_dir: str,
+    bucket_hours: int = 1,
+    key_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+):
+    """Structured Streaming front end for the continuous aggregate:
+    each micro-batch folds into the RollupTable as one partial slice
+    via foreachBatch (the standard pattern for sinks Spark can't
+    commit transactionally itself).
+
+    Exactly-once: foreachBatch re-delivers a batch after a crash, so
+    every slice is tagged ``batch_<id>`` and a re-delivered id is
+    SKIPPED via the stats ledger (idempotent replay — same policy as
+    the crawl cache's slice commits). Returns the DataStreamWriter;
+    callers pick the trigger (availableNow for drain-style tests,
+    processingTime in production).
+    """
+
+    def _sink(batch_df, batch_id: int) -> None:
+        tag = f"batch_{batch_id}"
+        if not rollup.exists():
+            rollup.build(
+                batch_df,
+                bucket_hours=bucket_hours,
+                key_cols=key_cols,
+                ts_col=ts_col,
+                val_col=val_col,
+                tag=tag,
+            )
+        elif tag not in rollup.applied_tags():
+            rollup.append(batch_df, tag=tag)
+
+    return (
+        events_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

