@@ -838,6 +838,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-integer PMI (zip-with-tail bigrams, no self-join)
         return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
 
+    def ann_recall(spark, sf):
+        # ANN quality evaluation: recall@5 of the IVF probe path vs the
+        # exact brute-force ground truth, as integer percent — the
+        # engine measuring its own approximate operator
+        from netrunner_spark.operators import vectors
+
+        emb = _t(spark, sf, "embeddings")
+        t = vectors.brute_topk_int(emb, n_queries=10, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        a = vectors.ivf_topk(
+            emb, n_centroids=8, nprobe=2, n_queries=10, k=5
+        ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+        j = t.join(
+            a,
+            (t.query_id == a.query_id)
+            & (t.neighbor_id == a.a_neighbor),
+            "left",
+        ).select(t.query_id, "neighbor_id", "a_neighbor")
+        return j.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("a_neighbor").alias("n_hit"),
+            F.expr("count(a_neighbor) * 100 div count(1)").alias(
+                "recall_pct"
+            ),
+        )
+
     def rollup_hourly(spark, sf):
         # hypertable-style continuous aggregate exercised INCREMENTALLY:
         # build hourly partials on half the events, append the other
@@ -1371,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_gate": text_quality_gate,
         "query_spell_correct": query_spell_correct,
         "rollup_hourly": rollup_hourly,
+        "ann_recall": ann_recall,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1390,6 +1418,19 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_dict()
     # the index-backed paths must reproduce their direct twins exactly
     d["phrase_index_search"] = d["phrase_search"]
+    # ann_recall composes the exact-ANN and IVF twins verbatim (nested
+    # WITH keeps their CTE names scoped), so the recall oracle can
+    # never drift from the operators it measures
+    d["ann_recall"] = f"""
+        WITH t AS ({d["ann_topk_int"]}), a AS ({d["ann_ivf_topk"]})
+        SELECT t.query_id,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(count(a.neighbor_id) * 100 // count(*) AS BIGINT) AS recall_pct
+        FROM t LEFT JOIN a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+    """
     return d
 
 
