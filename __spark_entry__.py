@@ -703,6 +703,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per doc by (tf desc, global df asc, token asc)
         return textops.doc_top_terms(_t(spark, sf, "documents"), k=3)
 
+    def seed_pagerank(spark, sf):
+        # PERSONALIZED PageRank: teleport + dangling mass land on the
+        # lens's seed set only (customer nodes with id < 100) — the
+        # crawl-outward-from-the-seeds authority prior
+        from netrunner_spark.operators.graph import pagerank_int
+
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        seeds = _t(spark, sf, "customer").select(
+            (F.col("c_custkey").cast("long") * 2).alias("id")
+        ).filter("id < 100")
+        return pagerank_int(edges, iters=3, seeds=seeds)
+
     def bm25_search(spark, sf):
         # BM25 ranked retrieval (quantized exact-int scoring, k1=1.2
         # b=0.75 as rationals) for a pinned 3-query batch: query-term
@@ -1399,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_spell_correct": query_spell_correct,
         "rollup_hourly": rollup_hourly,
         "ann_recall": ann_recall,
+        "seed_pagerank": seed_pagerank,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1619,6 +1637,56 @@ WITH edges AS (
 )""".format(i=_i, p=_i - 1, damp=_damp, scale=_scale)
     link_pagerank_sql = _pr + f"\nSELECT id, rank_e12 FROM r{_iters}"
 
+    # seed_pagerank: the personalized recurrence — teleport + dangling
+    # mass only on the seed set (customer nodes < 100), otherwise the
+    # identical integer arithmetic as link_pagerank.
+    _sp = """
+WITH edges AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+  UNION
+  SELECT DISTINCT dst AS id FROM edges
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+), seeds AS (
+  SELECT id FROM nodes WHERE id % 2 = 0 AND id < 100
+), m AS (
+  SELECT nodes.id, (s.id IS NOT NULL) AS is_seed
+  FROM nodes LEFT JOIN seeds s ON s.id = nodes.id
+), scount AS (
+  SELECT CAST(count(*) AS BIGINT) AS s FROM seeds
+), p0 AS (
+  SELECT id, is_seed,
+         CAST(CASE WHEN is_seed THEN {scale} // sc.s ELSE 0 END AS BIGINT) AS rank_e12
+  FROM m CROSS JOIN scount sc
+)""".format(scale=_scale)
+    for _i in range(1, _iters + 1):
+        _sp += """, p{i} AS (
+  SELECT m.id, m.is_seed,
+         CAST(CASE WHEN m.is_seed
+                   THEN ((100 - {damp}) * {scale}) // (100 * sc.s)
+                   ELSE 0 END
+              + ({damp} * (COALESCE(c.contrib, 0)
+                           + CASE WHEN m.is_seed THEN d.dang // sc.s
+                                  ELSE 0 END)) // 100
+              AS BIGINT) AS rank_e12
+  FROM m
+  CROSS JOIN scount sc
+  CROSS JOIN (SELECT CAST(COALESCE(SUM(r.rank_e12), 0) AS BIGINT) AS dang
+              FROM p{p} r LEFT JOIN deg dg ON dg.src = r.id
+              WHERE dg.src IS NULL) d
+  LEFT JOIN (SELECT e.dst AS id,
+                    CAST(SUM(r.rank_e12 // dg.outdeg) AS BIGINT) AS contrib
+             FROM edges e
+             JOIN p{p} r ON r.id = e.src
+             JOIN deg dg ON dg.src = e.src
+             GROUP BY e.dst) c ON c.id = m.id
+)""".format(i=_i, p=_i - 1, damp=_damp, scale=_scale)
+    seed_pagerank_sql = _sp + f"\nSELECT id, rank_e12 FROM p{_iters}"
+
     # link_hits: the IDENTICAL scaled-quotient HITS recurrence as
     # operators/graph.py:hits_int unrolled — per iteration one auth
     # half (sum of hubs over in-edges, coalesce-to-0, quotient norm)
@@ -1745,6 +1813,7 @@ WITH edges AS (
             ) ORDER BY cnt DESC, token ASC LIMIT 100
         """,
         "link_pagerank": link_pagerank_sql,
+        "seed_pagerank": seed_pagerank_sql,
         "link_hits": link_hits_sql,
         "user_sessions": """
             WITH s AS (

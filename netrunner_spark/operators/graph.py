@@ -40,14 +40,23 @@ def pagerank_int(
     damping_pct: int = 85,
     scale: int = 10**12,
     nodes: DataFrame | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)`` (long ids) →
     ``(id, rank_e12)`` where rank_e12 ≈ stationary probability × scale.
 
     damping_pct is an integer percent (85 = the classic 0.85) so the
     damping step stays in exact integer arithmetic. Dangling mass
-    (nodes with no out-edges) is redistributed uniformly each
-    iteration, per the standard formulation.
+    (nodes with no out-edges) is redistributed each iteration, per the
+    standard formulation.
+
+    ``seeds`` (one id column) switches to PERSONALIZED PageRank — the
+    crawl-frontier variant: teleport and dangling mass land uniformly
+    on the SEED set instead of all nodes, so authority concentrates
+    around the lens's seed pages (the "crawl outward from what the
+    user asked for" prior). Uniform PageRank is exactly the
+    seeds-=-all-nodes special case, and the code runs one unified
+    recurrence: rank = is_seed·base + d·(contrib + is_seed·dang/s)/100.
     """
     e = (
         edges.select(
@@ -67,10 +76,31 @@ def pagerank_int(
     if n == 0:
         return ids.withColumn("rank_e12", F.lit(0).cast("long"))
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    base = ((100 - damping_pct) * scale) // (100 * n)
+    if seeds is None:
+        marked = ids.withColumn("is_seed", F.lit(True))
+        s = n
+    else:
+        sd = (
+            seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
+            .dropDuplicates()
+            .join(ids, "id", "left_semi")
+        )
+        marked = (
+            ids.join(sd.withColumn("is_seed", F.lit(True)), "id", "left")
+            .select("id", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+            .localCheckpoint(eager=True)
+        )
+        s = marked.filter("is_seed").count()  # bounded scalar
+        if s == 0:
+            raise ValueError("personalized pagerank needs ≥1 seed inside the graph")
 
-    ranks = ids.withColumn("rank_e12", F.lit(scale // n).cast("long"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = ((100 - damping_pct) * scale) // (100 * s)
+
+    ranks = marked.withColumn(
+        "rank_e12",
+        F.when(F.col("is_seed"), F.lit(scale // s)).otherwise(0).cast("long"),
+    )
     for _ in range(iters):
         # per-source share once (not per-edge): rank div outdeg
         src_share = ranks.join(outdeg, ranks.id == outdeg.src).select(
@@ -87,21 +117,23 @@ def pagerank_int(
             .agg(F.coalesce(F.sum("rank_e12"), F.lit(0)).alias("dang"))
         )
         ranks = (
-            ids.join(contrib, ids.id == contrib.dst, "left")
+            marked.join(contrib, marked.id == contrib.dst, "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "id",
+                "is_seed",
                 (
-                    F.lit(base)
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(0)
                     + F.expr(
                         f"({damping_pct} * (coalesce(contrib, 0L)"
-                        f" + (dang div {n}))) div 100"
+                        f" + (case when is_seed then dang div {s} else 0 end)))"
+                        " div 100"
                     )
                 ).alias("rank_e12"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("id", "rank_e12")
 
 
 def hits_int(

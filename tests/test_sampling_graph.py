@@ -213,3 +213,30 @@ def test_hits_int_matches_python_reference(spark):
     want = {i: (hub[i], auth[i]) for i in ids}
     got = {r["id"]: (r["hub_e9"], r["auth_e9"]) for r in hits_int(e, iters=iters).collect()}
     assert got == want
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    from netrunner_spark.operators.graph import pagerank_int
+
+    # two disconnected 3-cycles; seeds in the first one only
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["rank_e12"] for r in pagerank_int(e, iters=4, seeds=seeds).collect()}
+    # all mass stays in the seed component; the other cycle gets zero
+    assert all(got[i] > 0 for i in (0, 1, 2))
+    assert all(got[i] == 0 for i in (10, 11, 12))
+    # uniform variant spreads over both components
+    uni = {r["id"]: r["rank_e12"] for r in pagerank_int(e, iters=4).collect()}
+    assert all(uni[i] > 0 for i in (0, 1, 2, 10, 11, 12))
+
+
+def test_personalized_pagerank_requires_in_graph_seed(spark):
+    import pytest as _pytest
+
+    from netrunner_spark.operators.graph import pagerank_int
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "id long")  # not in graph
+    with _pytest.raises(ValueError):
+        pagerank_int(e, iters=1, seeds=seeds)
