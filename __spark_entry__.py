@@ -220,6 +220,111 @@ def _kmeans_sql(k: int = 4, iters: int = 2, select: str | None = None) -> str:
     return ", ".join(parts) + "\n" + final
 
 
+def _pq_sql(
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    sub: int = 16,
+    n_queries: int = 10,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of vectors.pq_topk, generated: per subspace a
+    Lloyd's codebook block (same template as _kmeans_sql on sliced
+    lists), then argmin encoding, per-query distance tables, and the
+    ADC sum via per-subspace cid joins."""
+
+    def dist(b: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({b}.qe)),"
+            f" i -> ({b}.qe[i] - {c}.cq[i]) * ({b}.qe[i] - {c}.cq[i])),"
+            " (x, y) -> x + y)"
+        )
+
+    parts = [
+        """WITH q AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+      FROM embeddings
+    )"""
+    ]
+    for j in range(m):
+        parts.append(
+            f"q{j} AS (SELECT vec_id, qe[{j * sub + 1}:{(j + 1) * sub}] AS qe FROM q)"
+        )
+        parts.append(
+            f"c{j}x0 AS (SELECT vec_id AS cid, qe AS cq FROM q{j} WHERE vec_id < {ks})"
+        )
+        for t in range(iters):
+            parts.append(
+                f"""a{j}x{t} AS (
+      SELECT vec_id, qe, cid FROM (
+        SELECT vec_id, qe, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT b.vec_id, b.qe, c.cid, {dist('b', 'c')} AS d
+              FROM q{j} b CROSS JOIN c{j}x{t} c)
+      ) WHERE rn = 1
+    )"""
+            )
+            parts.append(
+                f"""c{j}x{t + 1} AS (
+      SELECT cid, list(mm ORDER BY pos) AS cq FROM (
+        SELECT cid, pos, CAST(sum(v) // count(*) AS BIGINT) AS mm FROM (
+          SELECT cid, unnest(generate_series(1, len(qe))) AS pos,
+                 unnest(qe) AS v
+          FROM a{j}x{t}
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    )"""
+            )
+        parts.append(
+            f"""e{j} AS (
+      SELECT vec_id, cid AS code{j} FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT b.vec_id, c.cid, {dist('b', 'c')} AS d
+              FROM q{j} b CROSS JOIN c{j}x{iters} c)
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""dt{j} AS (
+      SELECT b.vec_id AS query_id, c.cid, {dist('b', 'c')} AS d
+      FROM q{j} b CROSS JOIN c{j}x{iters} c WHERE b.vec_id < {n_queries}
+    )"""
+        )
+    enc_joins = " JOIN ".join(
+        ["e0"] + [f"e{j} USING (vec_id)" for j in range(1, m)]
+    )
+    parts.append(
+        "enc AS (SELECT vec_id, "
+        + ", ".join(f"code{j}" for j in range(m))
+        + f" FROM {enc_joins})"
+    )
+    dt_joins = " ".join(
+        f"JOIN dt{j} ON dt{j}.cid = enc.code{j}"
+        + (" AND dt{j}.query_id = dt0.query_id".format(j=j) if j else "")
+        for j in range(m)
+    )
+    adist = " + ".join(f"dt{j}.d" for j in range(m))
+    parts.append(
+        f"""scored AS (
+      SELECT dt0.query_id, enc.vec_id AS neighbor_id,
+             CAST({adist} AS BIGINT) AS adist_q
+      FROM enc {dt_joins}
+      WHERE enc.vec_id != dt0.query_id
+    )"""
+    )
+    return (
+        ", ".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, adist_q, rn AS rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY adist_q ASC, neighbor_id ASC) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= {k}"""
+    )
+
+
 # --------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one frontier scheduling round over the event-frontier —
@@ -855,6 +960,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-integer PMI (zip-with-tail bigrams, no self-join)
         return textops.bigram_pmi(_t(spark, sf, "documents"), min_count=2, k=100)
 
+    def ann_pq_topk(spark, sf):
+        # product-quantization ADC top-k: per-subspace Lloyd's
+        # codebooks → m-int codes → broadcast distance tables → the
+        # FAISS-style scan as pure DataFrame ops (exact int oracle)
+        from netrunner_spark.operators import vectors
+
+        return vectors.pq_topk(
+            _t(spark, sf, "embeddings"), m=4, ks=4, iters=2,
+            n_queries=10, k=5,
+        )
+
     def ann_recall(spark, sf):
         # ANN quality evaluation: recall@5 of the IVF probe path vs the
         # exact brute-force ground truth, as integer percent — the
@@ -1417,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": rollup_hourly,
         "ann_recall": ann_recall,
         "seed_pagerank": seed_pagerank,
+        "ann_pq_topk": ann_pq_topk,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -1947,6 +2064,9 @@ WITH edges AS (
               WHERE g.n_hit = n.n_terms
             ) WHERE rk <= 10
         """,
+        # ann_pq_topk: generated PQ twin — per-subspace Lloyd's blocks
+        # + argmin encoding + ADC via per-subspace cid joins.
+        "ann_pq_topk": _pq_sql(m=4, ks=4, iters=2, sub=16, n_queries=10, k=5),
         # kmeans_clusters: generated iterative twin of kmeans_int
         # (k=4, iters=2) — integer argmin assignment + `//` means.
         "kmeans_clusters": _kmeans_sql(k=4, iters=2),

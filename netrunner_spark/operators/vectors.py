@@ -360,20 +360,12 @@ def _kmeans_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_centroids(
-    embeddings: DataFrame,
-    k: int = 4,
-    iters: int = 2,
-    checkpoint: bool = False,
+def _lloyd(
+    base: DataFrame, k: int, iters: int, checkpoint: bool = False
 ) -> DataFrame:
-    """Trained Lloyd's centroids ``(cid, cq)`` over quantized
-    embeddings — the reusable half of :func:`kmeans_int`; feed the
-    result to :func:`ivf_topk` as a trained coarse quantizer.
-    ``checkpoint=True`` localCheckpoints the k-row centroid frame each
-    iteration (O(1) lineage for long runs; result identical)."""
-    base = embeddings.select(
-        "vec_id", _quantized(F.col("embedding")).alias("q")
-    )
+    """The Lloyd's loop over an already-quantized ``(vec_id, q)``
+    frame → trained ``(cid, cq)`` — shared by full-vector k-means and
+    per-subspace PQ codebook training."""
     cents = base.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")
     )
@@ -393,6 +385,23 @@ def kmeans_centroids(
         if checkpoint:
             cents = cents.localCheckpoint(eager=True)
     return cents
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Trained Lloyd's centroids ``(cid, cq)`` over quantized
+    embeddings — the reusable half of :func:`kmeans_int`; feed the
+    result to :func:`ivf_topk` as a trained coarse quantizer.
+    ``checkpoint=True`` localCheckpoints the k-row centroid frame each
+    iteration (O(1) lineage for long runs; result identical)."""
+    base = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    return _lloyd(base, k, iters, checkpoint)
 
 
 def kmeans_int(
@@ -435,3 +444,153 @@ def kmeans_int(
     )
     cents = kmeans_centroids(embeddings, k=k, iters=iters, checkpoint=checkpoint)
     return _kmeans_assign(base, cents).select("vec_id", "cid", "dist_q")
+
+
+def _emb_dims(embeddings: DataFrame) -> int:
+    # bounded metadata: one column-pruned row
+    return len(embeddings.select("embedding").first()["embedding"])
+
+
+def pq_train(
+    embeddings: DataFrame, m: int = 4, ks: int = 4, iters: int = 2
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011) →
+    ``(subspace, cid, cq)``: split each quantized vector into ``m``
+    contiguous subvectors and train an independent Lloyd's codebook of
+    ``ks`` centroids per subspace (same first-k seeding / integer-mean
+    recurrence as :func:`kmeans_centroids`, so the DuckDB twin is
+    generated from the same template). Codebook size is m·ks·(D/m)
+    int64s — broadcast metadata."""
+    dims = _emb_dims(embeddings)
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    sub = dims // m
+    base = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("qfull")
+    )
+    out = None
+    for j in range(m):
+        bj = base.select(
+            "vec_id", F.slice("qfull", j * sub + 1, sub).alias("q")
+        )
+        cj = _lloyd(bj, ks, iters).select(
+            F.lit(j).alias("subspace"), "cid", "cq"
+        )
+        out = cj if out is None else out.unionByName(cj)
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: DataFrame, m: int = 4
+) -> DataFrame:
+    """PQ encoding → ``(vec_id, codes array<long>)``: per subspace the
+    argmin-centroid id, m int64s per vector (the 10^10-vector memory
+    story: D floats → m small ints).
+
+    Shape: ONE map-only pass — the full codebook packs into one
+    broadcast row and each subspace's argmin is array_min over a
+    filtered transform, exactly the kmeans assignment trick; the
+    corpus never shuffles."""
+    dims = _emb_dims(embeddings)
+    sub = dims // m
+    base = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("qfull")
+    )
+    packed = codebooks.agg(
+        F.collect_list(F.struct("subspace", "cid", "cq")).alias("cb")
+    )
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.filter(F.col("cb"), lambda c: c["subspace"] == j),
+                lambda c: F.struct(
+                    _sq_l2(
+                        F.slice(F.col("qfull"), j * sub + 1, sub), c["cq"]
+                    ).alias("dist_q"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+    return base.crossJoin(F.broadcast(packed)).select(
+        "vec_id", codes.alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k → ``(query_id, neighbor_id,
+    adist_q, rank)``: queries stay unquantized-by-codebook; each query
+    precomputes an m×ks distance TABLE to the codebooks and a corpus
+    vector's approximate distance is m map-lookups + adds over its
+    codes — the FAISS IVF-PQ scan shape, here as pure DataFrame ops.
+
+    Shape at 100 TB: codebooks and the per-query tables (n_queries ×
+    m × ks longs) are broadcast; the scan is the same broadcast
+    nested loop as :func:`brute_topk_int` but touches m int64 codes
+    per vector instead of D floats — the memory-bandwidth win PQ
+    exists for. Exact-int distances → deterministic ties → exact
+    oracle.
+    """
+    dims = _emb_dims(embeddings)
+    sub = dims // m
+    cb = pq_train(embeddings, m=m, ks=ks, iters=iters)
+    codes = pq_encode(embeddings, cb, m=m)
+    base = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("qfull")
+    )
+    # per-query distance table: ONE map keyed subspace·1000 + cid
+    # (structs holding maps aren't array_sort-able in Spark; a single
+    # flat map is, and the composite key stays collision-free for any
+    # ks < 1000)
+    qrows = base.filter(F.col("vec_id") < n_queries)
+    dtab = (
+        qrows.crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("subspace").cast("long") * 1000 + F.col("cid")).alias(
+                "skey"
+            ),
+            _sq_l2(
+                F.expr(f"slice(qfull, subspace * {sub} + 1, {sub})"),
+                F.col("cq"),
+            ).alias("d"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("skey", "d"))).alias(
+                "mp"
+            )
+        )
+    )
+    scored = codes.crossJoin(F.broadcast(dtab)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)).cast("array<long>"),
+            lambda code, j: F.element_at(F.col("mp"), j * 1000 + code),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adist.alias("adist_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
