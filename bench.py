@@ -58,6 +58,9 @@ HEADLINE = [
     "kmeans_clusters",
     "doc_surprisal",
     "bigram_pmi",
+    "text_quality_gate",
+    "ann_pq_topk",
+    "seed_pagerank",
 ]
 
 
