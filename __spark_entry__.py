@@ -227,11 +227,15 @@ def _pq_sql(
     sub: int = 16,
     n_queries: int = 10,
     k: int = 5,
+    train_pred: str | None = None,
 ) -> str:
     """DuckDB twin of vectors.pq_topk, generated: per subspace a
     Lloyd's codebook block (same template as _kmeans_sql on sliced
     lists), then argmin encoding, per-query distance tables, and the
-    ADC sum via per-subspace cid joins."""
+    ADC sum via per-subspace cid joins. ``train_pred`` restricts
+    CODEBOOK TRAINING to a subset (PQIndex's build half) while
+    encoding and query tables still span the full corpus — the
+    index's train-once/encode-everything contract."""
 
     def dist(b: str, c: str) -> str:
         return (
@@ -250,8 +254,14 @@ def _pq_sql(
         parts.append(
             f"q{j} AS (SELECT vec_id, qe[{j * sub + 1}:{(j + 1) * sub}] AS qe FROM q)"
         )
+        tsrc = f"q{j}"
+        if train_pred is not None:
+            parts.append(
+                f"qt{j} AS (SELECT * FROM q{j} WHERE {train_pred})"
+            )
+            tsrc = f"qt{j}"
         parts.append(
-            f"c{j}x0 AS (SELECT vec_id AS cid, qe AS cq FROM q{j} WHERE vec_id < {ks})"
+            f"c{j}x0 AS (SELECT vec_id AS cid, qe AS cq FROM {tsrc} WHERE vec_id < {ks})"
         )
         for t in range(iters):
             parts.append(
@@ -260,7 +270,7 @@ def _pq_sql(
         SELECT vec_id, qe, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM (SELECT b.vec_id, b.qe, c.cid, {dist('b', 'c')} AS d
-              FROM q{j} b CROSS JOIN c{j}x{t} c)
+              FROM {tsrc} b CROSS JOIN c{j}x{t} c)
       ) WHERE rn = 1
     )"""
             )
@@ -971,6 +981,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_queries=10, k=5,
         )
 
+    def pq_index_topk(spark, sf):
+        # persisted incremental PQ index: train codebooks on the build
+        # half (vec_id < 100), append the rest encoded with the STORED
+        # codebooks (O(delta), no retrain), ADC top-k for raw query
+        # vectors — oracle trains on the same half, encodes everything
+        import tempfile
+
+        from netrunner_spark.operators.vectors import PQIndex
+        from netrunner_spark.tables import LakeCatalog
+
+        emb = _t(spark, sf, "embeddings")
+        cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="nr_pq_"))
+        idx = PQIndex(cat, "q_pq")
+        idx.build(emb.filter("vec_id < 100"), m=4, ks=4, iters=2)
+        idx.append(emb.filter("vec_id >= 100"))
+        queries = emb.filter("vec_id < 10").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return idx.topk(queries, k=5)
+
     def ann_recall(spark, sf):
         # ANN quality evaluation: recall@5 of the IVF probe path vs the
         # exact brute-force ground truth, as integer percent — the
@@ -1534,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": ann_recall,
         "seed_pagerank": seed_pagerank,
         "ann_pq_topk": ann_pq_topk,
+        "pq_index_topk": pq_index_topk,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -2067,6 +2098,12 @@ WITH edges AS (
         # ann_pq_topk: generated PQ twin — per-subspace Lloyd's blocks
         # + argmin encoding + ADC via per-subspace cid joins.
         "ann_pq_topk": _pq_sql(m=4, ks=4, iters=2, sub=16, n_queries=10, k=5),
+        # pq_index_topk: same generated twin but codebooks train on
+        # the index's build half only (encode/query span everything).
+        "pq_index_topk": _pq_sql(
+            m=4, ks=4, iters=2, sub=16, n_queries=10, k=5,
+            train_pred="vec_id < 100",
+        ),
         # kmeans_clusters: generated iterative twin of kmeans_int
         # (k=4, iters=2) — integer argmin assignment + `//` means.
         "kmeans_clusters": _kmeans_sql(k=4, iters=2),

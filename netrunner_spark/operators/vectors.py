@@ -594,3 +594,140 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+class PQIndex:
+    """Persisted PQ vector index on the LakeCatalog — the embedding
+    side's build-once/query-many structure next to
+    retrieval.SearchIndex, and INCREMENTAL the same way: codebooks are
+    trained once at build; an ingest round's new vectors append as one
+    more CODES slice encoded with the STORED codebooks (O(delta), no
+    retrain — exactly how production PQ deployments ingest). Codes are
+    m int64s per vector, so the index is the compact artifact the raw
+    embeddings can be dropped from after encoding.
+
+    Config (m, ks, dims) persists in the stats table with the slices
+    (SearchIndex pattern); appends verify vec_id disjointness so ADC
+    results stay well-defined.
+    """
+
+    def __init__(self, cat, name: str = "pq_index"):
+        self.cat = cat
+        self.name = name
+
+    def build(
+        self,
+        embeddings: DataFrame,
+        m: int = 4,
+        ks: int = 4,
+        iters: int = 2,
+    ) -> None:
+        dims = _emb_dims(embeddings)
+        cb = pq_train(embeddings, m=m, ks=ks, iters=iters)
+        self.cat.write(cb, f"{self.name}_codebooks")
+        codes = pq_encode(embeddings, cb, m=m)
+        self.cat.write(codes, f"{self.name}_codes_0")
+        stats = codes.agg(
+            F.lit(0).alias("slice"),
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.lit(m).alias("m"),
+            F.lit(ks).alias("ks"),
+            F.lit(dims).alias("dims"),
+        )
+        self.cat.write(stats, f"{self.name}_stats")
+
+    def append(self, delta: DataFrame) -> None:
+        """Encode NEW vectors with the stored codebooks as one more
+        slice — no retrain, O(delta). Raises on vec_id overlap with
+        the existing slices (same disjointness contract as
+        SearchIndex.append)."""
+        prior = self.cat.read(f"{self.name}_stats")
+        rows = prior.collect()  # bounded: one row per slice
+        cfg = rows[0]
+        i = 1 + max(r["slice"] for r in rows)
+        existing = self._codes_union(sorted(r["slice"] for r in rows))
+        overlap = (
+            delta.select("vec_id")
+            .join(existing.select("vec_id"), "vec_id", "left_semi")
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"append delta shares {overlap} vec ids with the index; "
+                "slices must be disjoint"
+            )
+        cb = self.cat.read(f"{self.name}_codebooks")
+        codes = pq_encode(delta, cb, m=cfg["m"])
+        self.cat.write(codes, f"{self.name}_codes_{i}")
+        stats = codes.agg(
+            F.lit(i).alias("slice"),
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.lit(cfg["m"]).alias("m"),
+            F.lit(cfg["ks"]).alias("ks"),
+            F.lit(cfg["dims"]).alias("dims"),
+        )
+        self.cat.write(prior.unionByName(stats), f"{self.name}_stats")
+
+    def _codes_union(self, slices):
+        dfs = [self.cat.read(f"{self.name}_codes_{i}") for i in slices]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def topk(self, queries: DataFrame, k: int = 5) -> DataFrame:
+        """ADC top-k over the indexed codes for raw query vectors
+        ``(query_id, embedding)`` → ``(query_id, neighbor_id, adist_q,
+        rank)``; an indexed vector with vec_id == query_id is excluded
+        (self-match parity with the direct :func:`pq_topk`)."""
+        rows = self.cat.read(f"{self.name}_stats").collect()
+        cfg = rows[0]
+        m, sub = cfg["m"], cfg["dims"] // cfg["m"]
+        cb = self.cat.read(f"{self.name}_codebooks")
+        qrows = queries.select(
+            "query_id", _quantized(F.col("embedding")).alias("qfull")
+        )
+        dtab = (
+            qrows.crossJoin(F.broadcast(cb))
+            .select(
+                "query_id",
+                (F.col("subspace").cast("long") * 1000 + F.col("cid")).alias(
+                    "skey"
+                ),
+                _sq_l2(
+                    F.expr(f"slice(qfull, subspace * {sub} + 1, {sub})"),
+                    F.col("cq"),
+                ).alias("d"),
+            )
+            .groupBy("query_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("skey", "d"))
+                ).alias("mp")
+            )
+        )
+        codes = self._codes_union(sorted(r["slice"] for r in rows))
+        scored = codes.crossJoin(F.broadcast(dtab)).filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        adist = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)).cast("array<long>"),
+                lambda code, j: F.element_at(F.col("mp"), j * 1000 + code),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adist_q").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                adist.alias("adist_q"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )

@@ -608,3 +608,29 @@ def test_pq_adc_beats_random_and_matches_bruteforce_direction(spark):
     # measured 0.82 at ks=8/iters=4 (0.56 at ks=4 → 0.90 at ks=16:
     # recall scales with codebook size exactly as PQ should)
     assert recall >= 0.7, recall  # chance level would be ~0.1
+
+
+def test_pq_index_append_guard_and_resume(spark, tmp_path):
+    from netrunner_spark.operators.vectors import PQIndex
+    from netrunner_spark.tables import LakeCatalog
+
+    rng = np.random.default_rng(12)
+    vecs = rng.uniform(-1, 1, size=(60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    PQIndex(cat, "p1").build(df.filter("vec_id < 30"), m=4, ks=3, iters=2)
+    # a NEW instance resumes from persisted config and appends
+    idx = PQIndex(cat, "p1")
+    idx.append(df.filter("vec_id >= 30"))
+    q = df.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = idx.topk(q, k=4).collect()
+    assert {r["query_id"] for r in out} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 4 for r in out)
+    # overlapping vec_ids must be refused
+    with pytest.raises(ValueError):
+        idx.append(df.filter("vec_id = 5"))
