@@ -335,6 +335,168 @@ def _pq_sql(
     )
 
 
+def _ivfpq_sql(
+    n_cells: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    sub: int = 16,
+    n_queries: int = 10,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of vectors.ivfpq_topk: the coarse Lloyd's blocks on
+    the FULL vectors (cells + query probes) prepended to the _pq_sql
+    per-subspace blocks, with candidate generation restricted to the
+    probed cells before the ADC joins."""
+
+    def dist(b: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({b}.qe)),"
+            f" i -> ({b}.qe[i] - {c}.cq[i]) * ({b}.qe[i] - {c}.cq[i])),"
+            " (x, y) -> x + y)"
+        )
+
+    parts = [
+        """WITH q AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+      FROM embeddings
+    )"""
+    ]
+    # coarse quantizer on the full vectors
+    parts.append(
+        f"gc0 AS (SELECT vec_id AS cid, qe AS cq FROM q WHERE vec_id < {n_cells})"
+    )
+    for t in range(iters):
+        parts.append(
+            f"""ga{t} AS (
+      SELECT vec_id, qe, cid FROM (
+        SELECT vec_id, qe, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT b.vec_id, b.qe, c.cid, {dist('b', 'c')} AS d
+              FROM q b CROSS JOIN gc{t} c)
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""gc{t + 1} AS (
+      SELECT cid, list(mm ORDER BY pos) AS cq FROM (
+        SELECT cid, pos, CAST(sum(v) // count(*) AS BIGINT) AS mm FROM (
+          SELECT cid, unnest(generate_series(1, len(qe))) AS pos,
+                 unnest(qe) AS v
+          FROM ga{t}
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    )"""
+        )
+    parts.append(
+        f"""cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT b.vec_id, c.cid, {dist('b', 'c')} AS d
+              FROM q b CROSS JOIN gc{iters} c)
+      ) WHERE rn = 1
+    )"""
+    )
+    parts.append(
+        f"""gprobe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT b.vec_id, c.cid, {dist('b', 'c')} AS d
+              FROM q b CROSS JOIN gc{iters} c WHERE b.vec_id < {n_queries})
+      ) WHERE rn <= {nprobe}
+    )"""
+    )
+    # per-subspace PQ blocks (same template as _pq_sql)
+    for j in range(m):
+        parts.append(
+            f"q{j} AS (SELECT vec_id, qe[{j * sub + 1}:{(j + 1) * sub}] AS qe FROM q)"
+        )
+        parts.append(
+            f"c{j}x0 AS (SELECT vec_id AS cid, qe AS cq FROM q{j} WHERE vec_id < {ks})"
+        )
+        for t in range(iters):
+            parts.append(
+                f"""a{j}x{t} AS (
+      SELECT vec_id, qe, cid FROM (
+        SELECT vec_id, qe, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT b.vec_id, b.qe, c.cid, {dist('b', 'c')} AS d
+              FROM q{j} b CROSS JOIN c{j}x{t} c)
+      ) WHERE rn = 1
+    )"""
+            )
+            parts.append(
+                f"""c{j}x{t + 1} AS (
+      SELECT cid, list(mm ORDER BY pos) AS cq FROM (
+        SELECT cid, pos, CAST(sum(v) // count(*) AS BIGINT) AS mm FROM (
+          SELECT cid, unnest(generate_series(1, len(qe))) AS pos,
+                 unnest(qe) AS v
+          FROM a{j}x{t}
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    )"""
+            )
+        parts.append(
+            f"""e{j} AS (
+      SELECT vec_id, cid AS code{j} FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT b.vec_id, c.cid, {dist('b', 'c')} AS d
+              FROM q{j} b CROSS JOIN c{j}x{iters} c)
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""dt{j} AS (
+      SELECT b.vec_id AS query_id, c.cid, {dist('b', 'c')} AS d
+      FROM q{j} b CROSS JOIN c{j}x{iters} c WHERE b.vec_id < {n_queries}
+    )"""
+        )
+    enc_joins = " JOIN ".join(
+        ["e0"] + [f"e{j} USING (vec_id)" for j in range(1, m)]
+    )
+    parts.append(
+        "enc AS (SELECT vec_id, "
+        + ", ".join(f"code{j}" for j in range(m))
+        + f" FROM {enc_joins})"
+    )
+    parts.append(
+        """cand AS (
+      SELECT p.query_id, enc.*
+      FROM enc
+      JOIN cells USING (vec_id)
+      JOIN gprobe p ON p.cell = cells.cell
+      WHERE enc.vec_id != p.query_id
+    )"""
+    )
+    dt_joins = " ".join(
+        f"JOIN dt{j} ON dt{j}.cid = cand.code{j}"
+        f" AND dt{j}.query_id = cand.query_id"
+        for j in range(m)
+    )
+    adist = " + ".join(f"dt{j}.d" for j in range(m))
+    parts.append(
+        f"""scored AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+             CAST({adist} AS BIGINT) AS adist_q
+      FROM cand {dt_joins}
+    )"""
+    )
+    return (
+        ", ".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, adist_q, rn AS rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY adist_q ASC, neighbor_id ASC) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= {k}"""
+    )
+
+
 # --------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one frontier scheduling round over the event-frontier —
@@ -981,6 +1143,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_queries=10, k=5,
         )
 
+    def ann_ivfpq_topk(spark, sf):
+        # the full FAISS serving shape: coarse Lloyd's cells restrict
+        # each query to nprobe cells; only those cells' PQ codes are
+        # ADC-scanned (candidates = |corpus|·nprobe/n_cells)
+        from netrunner_spark.operators import vectors
+
+        return vectors.ivfpq_topk(
+            _t(spark, sf, "embeddings"),
+            n_cells=4, nprobe=2, m=4, ks=4, iters=2, n_queries=10, k=5,
+        )
+
     def pq_index_topk(spark, sf):
         # persisted incremental PQ index: train codebooks on the build
         # half (vec_id < 100), append the rest encoded with the STORED
@@ -1565,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_pagerank": seed_pagerank,
         "ann_pq_topk": ann_pq_topk,
         "pq_index_topk": pq_index_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "image_caption_search": image_caption_search,
         "length_percentiles": length_percentiles,
         "table_profile": table_profile,
@@ -2103,6 +2277,11 @@ WITH edges AS (
         "pq_index_topk": _pq_sql(
             m=4, ks=4, iters=2, sub=16, n_queries=10, k=5,
             train_pred="vec_id < 100",
+        ),
+        # ann_ivfpq_topk: coarse blocks + probed-cell candidates + ADC.
+        "ann_ivfpq_topk": _ivfpq_sql(
+            n_cells=4, nprobe=2, m=4, ks=4, iters=2, sub=16,
+            n_queries=10, k=5,
         ),
         # kmeans_clusters: generated iterative twin of kmeans_int
         # (k=4, iters=2) — integer argmin assignment + `//` means.

@@ -634,3 +634,31 @@ def test_pq_index_append_guard_and_resume(spark, tmp_path):
     # overlapping vec_ids must be refused
     with pytest.raises(ValueError):
         idx.append(df.filter("vec_id = 5"))
+
+
+def test_ivfpq_prunes_candidates_and_finds_cluster_neighbors(spark):
+    # 4 tight clusters; with nprobe=1 each query should return only
+    # vectors from its own coarse cell, and they should be its true
+    # cluster-mates
+    rng = np.random.default_rng(21)
+    centers = rng.uniform(-1, 1, size=(4, 8)) * 0.9
+    vecs = np.vstack(
+        [c + rng.normal(0, 0.03, size=(20, 8)) for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    out = vectors.ivfpq_topk(
+        df, n_cells=4, nprobe=1, m=4, ks=8, iters=3, n_queries=4, k=10
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # cluster membership = vec_id // 20 after the vstack layout — the
+    # queries 0..3 all live in cluster 0, so at nprobe=1 every hit
+    # must come from one coarse cell; at minimum the hits of one query
+    # share THEIR cluster with the query most of the time
+    for qid, hits in by_q.items():
+        same = sum(1 for h in hits if h // 20 == qid // 20)
+        assert same >= len(hits) * 0.7, (qid, hits)
