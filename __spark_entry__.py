@@ -786,6 +786,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), max_doc_id=150, max_gram_df=25
         )
 
+    def containment_pairs(spark, sf):
+        # Broder containment: asymmetric subset/quote duplication the
+        # symmetric Jaccard dilutes; same capped gram join underneath
+        return textops.containment_pairs(
+            _t(spark, sf, "documents"),
+            max_doc_id=150,
+            max_gram_df=25,
+            min_cont_q=400,
+        )
+
+    def duplicate_spans(spark, sf):
+        # maximal cross-doc duplicated token spans (Lee et al. exact
+        # -substring dedup signal): positional word 4-grams with df>=2
+        # merged gaps-and-islands into spans
+        return textops.duplicate_spans(
+            _t(spark, sf, "documents"), n=4, min_span_grams=2,
+            max_gram_df=50, max_doc_id=150,
+        )
+
     def minhash_lsh_capped(spark, sf):
         # band-bucket DF cap (VERDICT r4 #2): buckets >8 docs emit a
         # hub star instead of all C(m,2) pairs — the 100 TB-safe variant
@@ -811,6 +830,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sub-document exact dedup: 10-word chunks, keep globally-first
         # occurrence, reassemble (Lee et al.-style substring dedup)
         return textops.chunk_dedup(_t(spark, sf, "documents"), chunk_words=10)
+
+    def multimodal_dup_pairs(spark, sf):
+        # image axis: caption MinHash-LSH near-dup AND exact dims/fmt
+        # agreement — the high-precision multimodal dedup pre-filter
+        from netrunner_spark.operators import imageops
+
+        return imageops.multimodal_dup_pairs(
+            _image_meta(spark, sf), max_band_df=8, max_image_id=150
+        )
 
     def image_quality_gate(spark, sf):
         # LAION-style metadata admission gate over the image+caption
@@ -1692,10 +1720,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_sample": media_video_sample,
         "media_audio_features": media_audio_features,
         "jaccard_pairs_capped": jaccard_pairs_capped,
+        "containment_pairs": containment_pairs,
+        "duplicate_spans": duplicate_spans,
         "minhash_lsh_capped": minhash_lsh_capped,
         "dedup_clusters": dedup_clusters,
         "cluster_keepers": cluster_keepers,
         "chunk_dedup": chunk_dedup,
+        "multimodal_dup_pairs": multimodal_dup_pairs,
         "image_quality_gate": image_quality_gate,
         "image_aspect_buckets": image_aspect_buckets,
         "image_shard_pack": image_shard_pack,
@@ -2908,6 +2939,42 @@ WITH edges AS (
               FROM keyed WHERE bdf > 8 AND doc_id != hub
             )
         """,
+        "multimodal_dup_pairs": grams_cte
+        + """
+            , sig AS (
+              SELECT doc_id, j,
+                     min(((j * 2 + 1) * 104729 % 2147483647 * g + j * 7919 + 1) % 2147483647) AS minhash
+              FROM grams, generate_series(0, 15) AS s(j)
+              GROUP BY doc_id, j
+            ), bands AS (
+              SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                     string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j) AS band_key
+              FROM sig GROUP BY doc_id, CAST(j // 4 AS INT)
+            ), bcnt AS (
+              SELECT band, band_key, count(*) AS bdf, min(doc_id) AS hub
+              FROM bands GROUP BY band, band_key
+            ), keyed AS (
+              SELECT bands.doc_id, bands.band, bands.band_key, bcnt.bdf, bcnt.hub
+              FROM bands JOIN bcnt USING (band, band_key)
+            ), p AS (
+              SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM keyed a JOIN keyed b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                WHERE a.bdf <= 8
+                UNION ALL
+                SELECT hub AS doc_a, doc_id AS doc_b
+                FROM keyed WHERE bdf > 8 AND doc_id != hub
+              )
+            )"""
+        + _IMG_CTE.replace("WITH img AS", ", img AS", 1)
+        + """
+            SELECT p.doc_a AS image_a, p.doc_b AS image_b, ia.w, ia.h, ia.fmt
+            FROM p
+            JOIN img ia ON ia.image_id = p.doc_a
+            JOIN img ib ON ib.image_id = p.doc_b
+            WHERE ia.w = ib.w AND ia.h = ib.h AND ia.fmt = ib.fmt
+        """,
         "dedup_clusters": clusters_cte
         + """
             SELECT u AS doc_id, min(v) AS cluster_id, min(v) = u AS is_keeper
@@ -3283,6 +3350,58 @@ WITH edges AS (
             )
             SELECT u AS vec_id, min(v) AS cluster_id, min(v) = u AS is_keeper
             FROM reach GROUP BY u
+        """,
+        "containment_pairs": grams_cte
+        + """
+            , sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+            , gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+            , jg AS (SELECT grams.doc_id, grams.g FROM grams JOIN gdf USING (g) WHERE df <= 25)
+            , common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM jg a JOIN jg b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT * FROM (
+              SELECT doc_b, doc_a, n_common,
+                     sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+                     (CAST(n_common AS BIGINT) * 1000) // sa.n_grams AS cont_a_q,
+                     (CAST(n_common AS BIGINT) * 1000) // sb.n_grams AS cont_b_q
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            ) WHERE greatest(cont_a_q, cont_b_q) >= 400
+        """,
+        "duplicate_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS t
+              FROM documents WHERE doc_id < 150
+            ), g AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     array_to_string(t[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS gram
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+                    FROM toks WHERE len(t) >= 4)
+            ), gdf AS (
+              SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+            ), starts AS (
+              SELECT DISTINCT g.doc_id, g.pos
+              FROM g JOIN gdf USING (gram) WHERE df >= 2 AND df <= 50
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+                          THEN 0 ELSE 1 END AS brk
+              FROM starts
+            ), grp AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl
+            )
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
+                   max(pos) + 3 - min(pos) + 1 AS span_tokens,
+                   CAST(count(*) AS BIGINT) AS n_dup_grams
+            FROM grp GROUP BY doc_id, island HAVING count(*) >= 2
         """,
         "jaccard_pairs_capped": grams_cte
         + """

@@ -61,6 +61,9 @@ HEADLINE = [
     "text_quality_gate",
     "ann_pq_topk",
     "seed_pagerank",
+    "duplicate_spans",
+    "containment_pairs",
+    "multimodal_dup_pairs",
 ]
 
 

@@ -319,3 +319,57 @@ def pair_alignment(
         .drop("_qa", "_qb")
     )
     return out
+
+
+def multimodal_dup_pairs(
+    images: DataFrame,
+    max_band_df: int = 8,
+    max_image_id: int | None = None,
+) -> DataFrame:
+    """Multimodal duplicate candidates: image pairs whose CAPTIONS are
+    MinHash-LSH near-dups AND whose raster dims/format agree exactly —
+    the LAION-style "same asset re-hosted under a paraphrased alt-text"
+    detector. Either signal alone over-fires (stock captions repeat
+    across unrelated images; 512×512 jpeg matches everything); the
+    conjunction is the high-precision pre-filter that decides which
+    pairs are worth a byte-level phash/PSNR verify (``images.psnr_udf``
+    / ``hamming_near_dups`` on the stored phash).
+
+    → (image_a, image_b, w, h, fmt). Caption pairing delegates to
+    ``textops.minhash_lsh_pairs`` with its band-bucket DF cap, so the
+    quadratic-bucket guard carries over; the dims check is two hash
+    equi-joins on image_id (the pair table is orders smaller than the
+    corpus, and the join keys are the ids the lake is already bucketed
+    by). The binary column is never read.
+    """
+    from netrunner_spark.operators import textops
+
+    docs = images.select(
+        F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+    )
+    pairs = textops.minhash_lsh_pairs(
+        docs, max_doc_id=max_image_id, max_band_df=max_band_df
+    )
+    dims = images.select("image_id", "w", "h", "fmt")
+    dims_b = dims.select(
+        F.col("image_id").alias("doc_b"),
+        F.col("w").alias("w_b"),
+        F.col("h").alias("h_b"),
+        F.col("fmt").alias("fmt_b"),
+    )
+    return (
+        pairs.join(dims.withColumnRenamed("image_id", "doc_a"), "doc_a")
+        .join(dims_b, "doc_b")
+        .filter(
+            (F.col("w") == F.col("w_b"))
+            & (F.col("h") == F.col("h_b"))
+            & (F.col("fmt") == F.col("fmt_b"))
+        )
+        .select(
+            F.col("doc_a").alias("image_a"),
+            F.col("doc_b").alias("image_b"),
+            "w",
+            "h",
+            "fmt",
+        )
+    )

@@ -1095,3 +1095,130 @@ def text_quality_gate(
         reason.isNull().alias("pass"),
         reason.alias("reject_reason"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    max_doc_id: int | None = None,
+    max_gram_df: int | None = None,
+    min_cont_q: int = 500,
+) -> DataFrame:
+    """Broder CONTAINMENT pairs: |A∩B| / |A| (and / |B|) over distinct
+    char n-grams — the asymmetric near-dup signal Jaccard dilutes. A
+    short document quoted wholesale inside a long one has tiny Jaccard
+    (union is dominated by the long doc) but containment ≈ 1 on the
+    short side; training-data pipelines use it to catch quote/subset
+    duplication and boilerplate-wrapped reposts that symmetric
+    similarity misses (Broder, "On the resemblance and containment of
+    documents", 1997).
+
+    → (doc_a, doc_b, n_common, grams_a, grams_b, cont_a_q, cont_b_q)
+    where cont_x_q = ⌊1000·n_common/grams_x⌋ (exact integer quantized —
+    the DuckDB twin reproduces it bit-for-bit), filtered to pairs whose
+    LARGER side-containment reaches ``min_cont_q`` permille.
+
+    100 TB shape: identical to ``jaccard_pairs`` — explode → equi-join
+    on the gram key with the same ``max_gram_df`` hot-gram cut bounding
+    the per-gram quadratic; the containment projection and filter are
+    post-aggregation on the already-reduced pair table. The filter
+    prunes the dominant cost of the UNCAPPED output: web corpora emit
+    ~|docs|·avg_df candidate pairs, of which subset-dups are a sliver.
+    """
+    p = jaccard_pairs(docs, n=n, max_doc_id=max_doc_id, max_gram_df=max_gram_df)
+    p = p.withColumn(
+        "cont_a_q", F.expr("CAST(n_common * 1000 AS BIGINT) div grams_a")
+    ).withColumn("cont_b_q", F.expr("CAST(n_common * 1000 AS BIGINT) div grams_b"))
+    return p.filter(F.greatest("cont_a_q", "cont_b_q") >= F.lit(min_cont_q))
+
+
+def token_ngrams_pos(
+    docs: DataFrame,
+    n: int = 2,
+    pattern: str = "[^a-z]+",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional variant of ``token_ngrams``: docs → ``(doc_id, pos,
+    gram)`` with ``pos`` the 1-based TOKEN index of the gram's first
+    word — the coordinate system span-merging needs. Same JVM-side
+    higher-order-function shape, same short-doc guard."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), pattern), lambda t: t != ""
+    )
+    hi = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        hi >= 1,
+        F.transform(
+            F.sequence(F.lit(1), hi),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(id_col, F.posexplode(grams).alias("idx", "gram")).select(
+        id_col, (F.col("idx") + 1).cast("long").alias("pos"), "gram"
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 4,
+    min_span_grams: int = 2,
+    max_gram_df: int | None = 50,
+    max_doc_id: int | None = None,
+    pattern: str = "[^a-z]+",
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated token spans — the
+    exact-substring-dedup signal of Lee et al. ("Deduplicating Training
+    Data Makes Language Models Better", 2022), relationally: a word
+    n-gram occurring in ≥2 distinct documents marks its start position
+    duplicated; overlapping/adjacent duplicated starts within a doc
+    merge (gaps-and-islands) into maximal spans. Unlike ``chunk_dedup``
+    (fixed chunk boundaries, exact match only at chunk granularity)
+    this finds duplicated regions at ARBITRARY offsets — the suffix
+    -array result, built from shuffle-friendly primitives.
+
+    → (doc_id, span_start, span_end, span_tokens, n_dup_grams): 1-based
+    inclusive token coordinates; spans must contain ≥ ``min_span_grams``
+    duplicated gram starts (single stray shared n-grams are noise).
+
+    100 TB shape: explode is map-side O(tokens); the gram-DF aggregate
+    shuffles on the gram key with partial combine; the join back is an
+    equi-join on the same key; the island merge is ONE window partitioned
+    by doc_id (per-doc bounded work, no cross-doc sort). ``max_gram_df``
+    is the stop-gram cut — a gram in >cap docs ("in the of") is dropped
+    from span evidence, bounding the join fan-out exactly as in
+    ``jaccard_pairs``; genuinely viral boilerplate is recovered by
+    ``chunk_dedup``'s hash-aggregate path, which has no pair join.
+    """
+    base = docs if max_doc_id is None else docs.filter(F.col("doc_id") < max_doc_id)
+    g = token_ngrams_pos(base, n=n, pattern=pattern)
+    df_ = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    keep = df_.filter(F.col("df") >= 2)
+    if max_gram_df is not None:
+        keep = keep.filter(F.col("df") <= max_gram_df)
+    starts = g.join(keep.select("gram"), "gram").select("doc_id", "pos").dropDuplicates()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    isl = starts.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(
+            Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            (F.max("pos") + F.lit(n - 1) - F.min("pos") + F.lit(1)).alias(
+                "span_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .filter(F.col("n_dup_grams") >= min_span_grams)
+        .select("doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams")
+    )

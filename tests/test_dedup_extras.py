@@ -1,0 +1,128 @@
+"""Round-5 continuation dedup operators: Broder containment pairs
+(asymmetric subset duplication), maximal cross-doc duplicated token
+spans (Lee et al.-style exact-substring signal, gaps-and-islands), and
+the multimodal caption-LSH × dims conjunction on the image axis."""
+
+from pyspark.sql import functions as F
+
+from netrunner_spark.operators import imageops, textops
+
+
+def test_containment_catches_subset_dup(spark):
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, quote),
+            (
+                1,
+                "intro words here. "
+                + quote
+                + " trailing commentary of many more tokens entirely distinct",
+            ),
+            (2, "completely different page about something else unrelated"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.containment_pairs(docs, min_cont_q=900)
+    rows = {(r.doc_a, r.doc_b): r for r in out.collect()}
+    assert set(rows) == {(0, 1)}
+    r = rows[(0, 1)]
+    # every char 3-gram of the quote occurs in doc 1 → containment = 1
+    assert r.cont_a_q == 1000
+    # ...while symmetric Jaccard on the same pair is diluted
+    jacc = r.n_common / (r.grams_a + r.grams_b - r.n_common)
+    assert jacc < 0.6
+
+
+def test_duplicate_spans_merges_maximal_span(spark):
+    shared = "one two three four five six seven eight"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb cc " + shared + " dd ee"),
+            (1, "zz " + shared + " yy xx ww vv uu"),
+            (2, "totally different words qq rr ss tt"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.duplicate_spans(docs, n=4, min_span_grams=2, max_gram_df=None)
+    spans = {r.doc_id: r for r in out.collect()}
+    assert set(spans) == {0, 1}
+    # doc 0: shared run covers tokens 4..11; dup 4-gram starts 4..8
+    assert (spans[0].span_start, spans[0].span_end, spans[0].span_tokens) == (4, 11, 8)
+    assert spans[0].n_dup_grams == 5
+    # doc 1: same run shifted to tokens 2..9
+    assert (spans[1].span_start, spans[1].span_end, spans[1].span_tokens) == (2, 9, 8)
+
+
+def test_duplicate_spans_islands_do_not_merge_across_gaps(spark):
+    head = "alpha beta gamma delta"
+    tail = "omega psi chi phi"
+    docs = spark.createDataFrame(
+        [
+            (0, head + " ga gb gc gd ge " + tail),
+            (1, head + " mid filler words here " + tail),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.duplicate_spans(docs, n=4, min_span_grams=1, max_gram_df=None)
+    spans = sorted(
+        ((r.doc_id, r.span_start, r.span_end) for r in out.collect())
+    )
+    # gap (5 unique tokens > n) keeps the two duplicated runs separate
+    assert spans == [(0, 1, 4), (0, 10, 13), (1, 1, 4), (1, 9, 12)]
+
+
+def test_duplicate_spans_stop_gram_cap(spark):
+    # a 4-gram present in EVERY doc is cut by max_gram_df, so no spans
+    # survive; raising the cap brings them back
+    boiler = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    assert textops.duplicate_spans(docs, n=4, max_gram_df=5).count() == 0
+    assert textops.duplicate_spans(docs, n=4, max_gram_df=10).count() == 10
+
+
+def test_multimodal_dup_pairs_requires_both_signals(spark):
+    cap = "a red fox jumps over the lazy dog near the river bank " * 2
+    rows = [
+        (0, 512, 512, "jpeg", cap),
+        (1, 512, 512, "jpeg", cap),  # caption dup + same dims → pair
+        (2, 640, 480, "jpeg", cap),  # caption dup, different dims → cut
+        (
+            3,
+            512,
+            512,
+            "jpeg",
+            "entirely different caption about mountains and snow and wind",
+        ),
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id long, w int, h int, fmt string, caption string"
+    )
+    out = imageops.multimodal_dup_pairs(images)
+    assert {(r.image_a, r.image_b) for r in out.collect()} == {(0, 1)}
+    assert out.columns == ["image_a", "image_b", "w", "h", "fmt"]
+
+
+def test_new_dedup_ops_plan_shapes(spark):
+    """containment_pairs / duplicate_spans / multimodal_dup_pairs must
+    never plan a cartesian product — every pairing step is an equi-join
+    on a gram/band/id key (the 100 TB contract)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    images = spark.createDataFrame(
+        [(i, 64, 64, "png", "a caption of several words here") for i in range(20)],
+        "image_id long, w int, h int, fmt string, caption string",
+    )
+    for df in (
+        textops.containment_pairs(docs, max_gram_df=25),
+        textops.duplicate_spans(docs),
+        imageops.multimodal_dup_pairs(images),
+    ):
+        plan = df.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan
