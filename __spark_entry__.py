@@ -831,6 +831,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # occurrence, reassemble (Lee et al.-style substring dedup)
         return textops.chunk_dedup(_t(spark, sf, "documents"), chunk_words=10)
 
+    def curation_pipeline(spark, sf):
+        # the END-TO-END curation decision a training mix runs per doc:
+        # quality gate ∧ near-dup keeper ∧ decontaminated → split
+        # label; one row per candidate with the FIRST rejecting stage.
+        # Every stage is the same operator (same params) as its
+        # standalone driver query, so this also pins composability.
+        from netrunner_spark.operators.sampling import hash_split
+
+        d = _t(spark, sf, "documents")
+        gate = textops.text_quality_gate(d).select(
+            "doc_id",
+            F.col("pass").alias("q_pass"),
+            F.col("reject_reason").alias("q_reason"),
+        )
+        clusters = textops.dedup_clusters(
+            d, max_doc_id=150, max_band_df=8
+        ).select("doc_id", "is_keeper")
+        cont = textops.contamination(
+            d.filter(F.col("doc_id") % 10 != 0),
+            d.filter(F.col("doc_id") % 10 == 0),
+            n=3,
+        ).select("doc_id", "n_grams", "n_hits")
+        split = hash_split(d, "doc_id").select("doc_id", "split")
+        cand = d.filter(
+            (F.col("doc_id") < 150) & (F.col("doc_id") % 10 != 0)
+        ).select("doc_id")
+        j = (
+            cand.join(gate, "doc_id", "left")
+            .join(clusters, "doc_id", "left")
+            .join(cont, "doc_id", "left")
+            .join(split, "doc_id", "left")
+        )
+        contaminated = F.col("n_hits") * 5 > F.col("n_grams")
+        stage = (
+            F.when(~F.col("q_pass"), F.concat(F.lit("quality:"), F.col("q_reason")))
+            .when(~F.coalesce(F.col("is_keeper"), F.lit(True)), F.lit("duplicate"))
+            .when(F.coalesce(contaminated, F.lit(False)), F.lit("contaminated"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return j.select(
+            "doc_id",
+            stage.isNull().alias("admitted"),
+            stage.alias("reject_stage"),
+            F.when(stage.isNull(), F.col("split")).alias("split"),
+        )
+
+    def zorder_curve(spark, sf):
+        # Morton z-values over two integer event dimensions — the
+        # file-clustering key behind 2-d min/max scan pruning
+        from netrunner_spark.operators import layout
+
+        e = _t(spark, sf, "events")
+        keyed = e.select(
+            "event_id",
+            (F.col("user_id") % 1024).alias("x"),
+            (F.length("props") % 1024).cast("long").alias("y"),
+        )
+        return keyed.withColumn("zval", layout.zvalue("x", "y", bits=10))
+
     def multimodal_dup_pairs(spark, sf):
         # image axis: caption MinHash-LSH near-dup AND exact dims/fmt
         # agreement — the high-precision multimodal dedup pre-filter
@@ -1727,6 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keepers": cluster_keepers,
         "chunk_dedup": chunk_dedup,
         "multimodal_dup_pairs": multimodal_dup_pairs,
+        "curation_pipeline": curation_pipeline,
+        "zorder_curve": zorder_curve,
         "image_quality_gate": image_quality_gate,
         "image_aspect_buckets": image_aspect_buckets,
         "image_shard_pack": image_shard_pack,
@@ -2082,7 +2143,7 @@ WITH edges AS (
         f"\nFROM h{_hiters} h JOIN an{_hiters - 1} a ON a.id = h.id"
     )
 
-    return {
+    oracles = {
         "sample_split": sample_split_sql,
         "stratified_sample": """
             SELECT doc_id, lang, rk FROM (
@@ -2939,6 +3000,16 @@ WITH edges AS (
               FROM keyed WHERE bdf > 8 AND doc_id != hub
             )
         """,
+        "zorder_curve": """
+            WITH k AS (
+              SELECT event_id, user_id % 1024 AS x,
+                     CAST(length(props) % 1024 AS BIGINT) AS y
+              FROM events
+            )
+            SELECT event_id, x, y, {zv} AS zval FROM k
+        """.format(zv=__import__(
+            "netrunner_spark.operators.layout", fromlist=["zvalue_sql"]
+        ).zvalue_sql("x", "y", 10)),
         "multimodal_dup_pairs": grams_cte
         + """
             , sig AS (
@@ -3495,3 +3566,39 @@ WITH edges AS (
             FROM documents
         """,
     }
+
+    # curation_pipeline: the composed twin — each stage is the SAME SQL
+    # as its standalone oracle (nested as CTE subqueries), so the
+    # composite cannot drift from the parts.
+    oracles["curation_pipeline"] = """
+WITH gate AS ({g}),
+     cl AS ({c}),
+     cont AS ({k}),
+     spl AS ({s}),
+     cand AS (SELECT doc_id FROM documents WHERE doc_id < 150 AND doc_id % 10 <> 0),
+     j AS (
+       SELECT cand.doc_id, gate."pass" AS q_pass, gate.reject_reason AS q_reason,
+              cl.is_keeper, cont.n_grams, cont.n_hits, spl.split
+       FROM cand
+       LEFT JOIN gate ON gate.doc_id = cand.doc_id
+       LEFT JOIN cl ON cl.doc_id = cand.doc_id
+       LEFT JOIN cont ON cont.doc_id = cand.doc_id
+       LEFT JOIN spl ON spl.doc_id = cand.doc_id
+     ), staged AS (
+       SELECT doc_id, split,
+              CASE WHEN NOT q_pass THEN 'quality:' || q_reason
+                   WHEN NOT COALESCE(is_keeper, TRUE) THEN 'duplicate'
+                   WHEN COALESCE(n_hits * 5 > n_grams, FALSE) THEN 'contaminated'
+                   ELSE NULL END AS reject_stage
+       FROM j
+     )
+SELECT doc_id, reject_stage IS NULL AS admitted, reject_stage,
+       CASE WHEN reject_stage IS NULL THEN split ELSE NULL END AS split
+FROM staged
+""".format(
+        g=oracles["text_quality_gate"],
+        c=oracles["dedup_clusters"],
+        k=oracles["benchmark_contamination"],
+        s=oracles["sample_split"],
+    )
+    return oracles

@@ -64,6 +64,7 @@ HEADLINE = [
     "duplicate_spans",
     "containment_pairs",
     "multimodal_dup_pairs",
+    "zorder_curve",
 ]
 
 
