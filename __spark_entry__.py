@@ -831,6 +831,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # occurrence, reassemble (Lee et al.-style substring dedup)
         return textops.chunk_dedup(_t(spark, sf, "documents"), chunk_words=10)
 
+    def sketch_kmv_events(spark, sf):
+        # KMV distinct-count sketch: per-partition top-k of a 52-bit
+        # md5 hash (TakeOrdered — no global sort), exact-int estimator;
+        # event_id cardinality >> k so the ESTIMATOR branch is the one
+        # the oracle must reproduce
+        from netrunner_spark.operators import sketches
+
+        return sketches.kmv_distinct(_t(spark, sf, "events"), "event_id", k=64)
+
+    def sketch_cms_tokens(spark, sf):
+        # count-min frequency sketch over word occurrences (4×256
+        # cells, minhash-family row hashes) + broadcast point queries
+        from netrunner_spark.operators import sketches
+
+        toks = textops.token_ngrams(_t(spark, sf, "documents"), n=1)
+        cells = sketches.cms_cells(toks)
+        q = spark.createDataFrame(
+            [(t,) for t in ("the", "of", "and", "to", "zebra")], "gram string"
+        )
+        return sketches.cms_estimate(cells, q)
+
+    def sketch_hist_quantiles(spark, sf):
+        # mergeable histogram sketch → integer quantile estimates
+        # (error bound = bin width; auditable, unlike t-digest state)
+        from netrunner_spark.operators import sketches
+
+        bins = sketches.hist_bins(_t(spark, sf, "documents"), "n_chars", 100)
+        return sketches.hist_quantiles(bins, (500, 900, 990), 100)
+
     def curation_pipeline(spark, sf):
         # the END-TO-END curation decision a training mix runs per doc:
         # quality gate ∧ near-dup keeper ∧ decontaminated → split
@@ -1787,6 +1816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": chunk_dedup,
         "multimodal_dup_pairs": multimodal_dup_pairs,
         "curation_pipeline": curation_pipeline,
+        "sketch_kmv_events": sketch_kmv_events,
+        "sketch_cms_tokens": sketch_cms_tokens,
+        "sketch_hist_quantiles": sketch_hist_quantiles,
         "zorder_curve": zorder_curve,
         "image_quality_gate": image_quality_gate,
         "image_aspect_buckets": image_aspect_buckets,
@@ -2999,6 +3031,47 @@ WITH edges AS (
               SELECT hub AS doc_a, doc_id AS doc_b
               FROM keyed WHERE bdf > 8 AND doc_id != hub
             )
+        """,
+        "sketch_kmv_events": __import__(
+            "netrunner_spark.operators.sketches", fromlist=["kmv_sql"]
+        ).kmv_sql("events", "event_id", k=64),
+        "sketch_hist_quantiles": __import__(
+            "netrunner_spark.operators.sketches", fromlist=["hist_quantiles_sql"]
+        ).hist_quantiles_sql("documents", "n_chars", (500, 900, 990), 100),
+        "sketch_cms_tokens": """
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                            x -> x <> '')) AS w
+              FROM documents
+            ), gh AS (
+              SELECT list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 2147483647) AS g
+              FROM toks
+            ), cells AS (
+              SELECT j,
+                     ((2 * j + 1) * 277996402813769 % 2147483647 * g + j * 7919 + 1) % 2147483647 % 256 AS cell,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM gh, generate_series(0, 3) AS s(j)
+              GROUP BY j, cell
+            ), q AS (
+              SELECT * FROM (VALUES ('the'), ('of'), ('and'), ('to'), ('zebra')) AS v(token)
+            ), qg AS (
+              SELECT token,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 2147483647) AS g
+              FROM q
+            ), qr AS (
+              SELECT token, j,
+                     ((2 * j + 1) * 277996402813769 % 2147483647 * g + j * 7919 + 1) % 2147483647 % 256 AS cell
+              FROM qg, generate_series(0, 3) AS s(j)
+            )
+            SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+            FROM qr LEFT JOIN cells USING (j, cell)
+            GROUP BY token
         """,
         "zorder_curve": """
             WITH k AS (

@@ -65,6 +65,10 @@ HEADLINE = [
     "containment_pairs",
     "multimodal_dup_pairs",
     "zorder_curve",
+    "curation_pipeline",
+    "sketch_kmv_events",
+    "sketch_cms_tokens",
+    "sketch_hist_quantiles",
 ]
 
 

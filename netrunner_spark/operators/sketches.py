@@ -1,0 +1,231 @@
+"""Mergeable approximate-aggregate sketches, exact-integer flavored.
+
+At 100 TB, "how many distinct URLs/users" and "how often does this
+token occur" are sketch questions: the exact answers cost a full
+shuffle on the key, while a sketch is a tiny, MERGEABLE summary that
+partial aggregation combines map-side for free. Spark ships HLL++
+(`approx_count_distinct`) whose binary state no oracle can reproduce —
+these two sketches are deliberately built from EXACT integer
+arithmetic (md5-derived hashes, (a·x+b) mod p rows) so a DuckDB twin
+matches bit-for-bit, and every estimate is auditable.
+
+* KMV (k-minimum-values) distinct count: keep the k smallest hash
+  values of the key; estimate D ≈ (k−1)·M / h_k where M is the hash
+  domain. The "keep k smallest" is Spark's TakeOrdered (sort+limit
+  fuses into a per-partition top-k + driver merge of k·P values — no
+  global sort shuffle), which IS the sketch merge.
+* Count-min frequency sketch: d hash rows × w cells of SUM counts;
+  point estimate = min over rows. Cell building is ONE hash aggregate
+  with map-side partial sums — the aggregation is the merge; the
+  sketch table is d·w rows regardless of corpus size.
+
+Hashing: md5 hex → BIGINT (first 13 hex digits, 52 bits) — the one
+hash both engines compute identically (`sampling._pos_hex` uses the
+same trick for split hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MOD = 2_147_483_647  # 2^31 − 1, matches textops permutation arithmetic
+# CMS row-hash multiplier: 104729 (the minhash family's prime) mixed
+# with Knuth's 2654435761 so a_j·Δg wraps MOD many times — with the
+# bare minhash multipliers, tokens whose gram hashes are congruent
+# mod `width` collided in EVERY row (no wrap ⇒ the mod-width residue
+# survived all j), breaking the CMS guarantee. (2j+1)·CMS_A ≈ 2e15
+# and (a_j mod MOD)·g < 2^62 — all exact int64 in both engines.
+CMS_A = 104729 * 2654435761
+HASH_MAX = 16**13  # md5-prefix domain: 52 bits — (k-1)*M fits int64
+
+
+def md5_hash52(col, salt: str = "kmv") -> Column:
+    """Deterministic 52-bit integer hash both engines agree on:
+    CAST(first 13 hex chars of md5(salt || value) AS BIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 13), 16, 10
+    ).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame, key: str, k: int = 256, salt: str = "kmv"
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch over ``key`` → ONE row
+    (k_used, kth_hash, est_distinct): est = (k−1)·HASH_MAX // h_k
+    (Bar-Yossef et al. 2002). If the table has fewer than k distinct
+    hashes the sketch is exact and est_distinct = that count.
+
+    Scale shape: distinct-hash projection, then ``orderBy(h).limit(k)``
+    — Catalyst plans TakeOrderedAndProject: each partition keeps its
+    own top-k and only k·P candidate values ever leave the executors.
+    No full sort, no wide shuffle; k is the whole memory story.
+    """
+    hashes = df.select(md5_hash52(key, salt).alias("h")).dropDuplicates()
+    smallest = hashes.orderBy("h").limit(k)
+    return smallest.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k_used",
+        "kth_hash",
+        F.when(
+            F.col("k_used") < k, F.col("k_used").cast("long")
+        ).otherwise(
+            F.expr(f"CAST(({k} - 1) * {16**13} AS BIGINT) div kth_hash")
+        ).alias("est_distinct"),
+    )
+
+
+def kmv_sql(table: str, key: str, k: int = 256, salt: str = "kmv") -> str:
+    """DuckDB twin of ``kmv_distinct`` — identical hash + estimator."""
+    return f"""
+        WITH h AS (
+          SELECT DISTINCT CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 13) AS BIGINT) AS h
+          FROM {table}
+        ), sk AS (SELECT h FROM h ORDER BY h LIMIT {k})
+        SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
+               CASE WHEN count(*) < {k} THEN CAST(count(*) AS BIGINT)
+                    ELSE CAST(({k} - 1) * CAST({HASH_MAX} AS BIGINT) // max(h) AS BIGINT)
+               END AS est_distinct
+        FROM sk
+    """
+
+
+def cms_cells(
+    tokens: DataFrame,
+    token_col: str = "gram",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch cells over a token-occurrence table → (j, cell,
+    cnt), d·w rows total. Row hashes are h_j(g) = ((2j+1)·CMS_A·g +
+    7919·j + 1) mod p, folded mod width — exact int64; see CMS_A for
+    why the multiplier must be large here (mod-width congruence must
+    not survive the row family). ONE hash aggregate; partial map-side sums make the
+    shuffle O(d·w·partitions) regardless of corpus size — the
+    aggregation IS the sketch merge."""
+    from netrunner_spark.operators.textops import gram_hash
+
+    g = tokens.select(gram_hash(F.col(token_col)).alias("g"))
+    rows = g.select(
+        "g", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    )
+    cell = (
+        (F.lit(2) * F.col("j") + 1) * F.lit(CMS_A) % F.lit(MOD) * F.col("g")
+        + F.col("j") * F.lit(7919)
+        + F.lit(1)
+    ) % F.lit(MOD) % F.lit(width)
+    return (
+        rows.withColumn("cell", cell.cast("long"))
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    queries: DataFrame,
+    token_col: str = "gram",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for ``queries`` tokens from a cells
+    table → (token, est_count): min over the d row cells (the classic
+    CMS upper-bound estimate; over-counts only via collisions, never
+    under). Broadcast-joins the d·w-row sketch to the query tokens —
+    no corpus access at query time."""
+    from netrunner_spark.operators.textops import gram_hash
+
+    q = queries.select(
+        F.col(token_col).alias("token"), gram_hash(F.col(token_col)).alias("g")
+    )
+    qr = q.select(
+        "token", "g", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    )
+    cell = (
+        (F.lit(2) * F.col("j") + 1) * F.lit(CMS_A) % F.lit(MOD) * F.col("g")
+        + F.col("j") * F.lit(7919)
+        + F.lit(1)
+    ) % F.lit(MOD) % F.lit(width)
+    qr = qr.withColumn("cell", cell.cast("long"))
+    joined = qr.join(F.broadcast(cells), ["j", "cell"], "left").fillna(
+        {"cnt": 0}
+    )
+    return joined.groupBy("token").agg(F.min("cnt").alias("est_count"))
+
+
+def hist_bins(df: DataFrame, col: str, bin_width: int = 100) -> DataFrame:
+    """Fixed-width histogram sketch over an integer column → (bin,
+    cnt) with bin = value div bin_width. ONE hash aggregate with
+    map-side partial sums; the bin table is |domain|/bin_width rows
+    regardless of corpus size, and two sketches merge by summing
+    counts (same contract as ``cms_cells``)."""
+    return (
+        df.select(F.expr(f"CAST({col} AS BIGINT) div {bin_width}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    bins: DataFrame, qs_permille: tuple[int, ...] = (500, 900, 990), bin_width: int = 100
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch → (q_permille,
+    est_value): the lower bound of the first bin whose cumulative
+    count reaches rank ⌈q·n/1000⌉. Exact integer arithmetic end to
+    end (rank, cumsum, bin edge), so the DuckDB twin is bit-identical —
+    unlike ``percentile_approx``/t-digest state, every estimate is
+    auditable, and the error bound is the bin width by construction.
+
+    Work is O(bins log bins) on a sketch-sized table: one window
+    cumsum over the ordered bins, one broadcast of the q list."""
+    total = bins.agg(F.sum("cnt").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    qdf = bins.sparkSession.createDataFrame(
+        [(q,) for q in qs_permille], "q_permille int"
+    )
+    joined = F.broadcast(qdf).crossJoin(cum).filter(
+        F.col("cum") * 1000 >= F.col("q_permille") * F.col("n")
+    )
+    return (
+        joined.groupBy("q_permille")
+        .agg(F.min("bin").alias("first_bin"))
+        .select(
+            "q_permille", (F.col("first_bin") * bin_width).alias("est_value")
+        )
+        .orderBy("q_permille")
+    )
+
+
+def hist_quantiles_sql(
+    table: str,
+    col: str,
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+    bin_width: int = 100,
+) -> str:
+    """DuckDB twin of ``hist_bins`` → ``hist_quantiles`` (identical
+    integer rank/cumsum arithmetic)."""
+    vals = ", ".join(f"({q})" for q in qs_permille)
+    return f"""
+        WITH bins AS (
+          SELECT CAST({col} AS BIGINT) // {bin_width} AS bin,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM {table} GROUP BY bin
+        ), cum AS (
+          SELECT bin, sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+          FROM bins
+        ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bins),
+        q AS (SELECT * FROM (VALUES {vals}) AS v(q_permille))
+        SELECT CAST(q_permille AS INT) AS q_permille,
+               CAST(min(bin) * {bin_width} AS BIGINT) AS est_value
+        FROM q, cum, tot
+        WHERE cum * 1000 >= q_permille * n
+        GROUP BY q_permille
+        ORDER BY q_permille
+    """

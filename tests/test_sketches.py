@@ -1,0 +1,97 @@
+"""KMV distinct-count and count-min frequency sketches: estimator
+accuracy, exactness guarantees, mergeability, and the no-global-sort
+plan shape."""
+
+from pyspark.sql import functions as F
+
+from netrunner_spark.operators import sketches
+
+
+def test_kmv_exact_when_under_k(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(1000)], "k long")
+    row = sketches.kmv_distinct(df, "k", k=256).first()
+    assert row["k_used"] == 10
+    assert row["est_distinct"] == 10
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    row = sketches.kmv_distinct(df, "k", k=128).first()
+    assert row["k_used"] == 128
+    # KMV relative error ~ 1/sqrt(k) ≈ 0.09; allow 3σ
+    assert abs(row["est_distinct"] - n) / n < 0.27
+
+
+def test_kmv_plan_is_take_ordered(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    hashes = df.select(sketches.md5_hash52("k").alias("h")).dropDuplicates()
+    plan = hashes.orderBy("h").limit(16)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no global sort
+
+
+def test_kmv_sql_twin_matches(spark):
+    import duckdb
+
+    rows = [(i % 700,) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long")
+    got = sketches.kmv_distinct(df, "k", k=64).first()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = con.execute(sketches.kmv_sql("t", "k", k=64)).fetchone()
+    assert (got["k_used"], got["kth_hash"], got["est_distinct"]) == want
+
+
+def _tok(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "gram string")
+
+
+def test_cms_point_estimates(spark):
+    corpus = ["aa"] * 5 + ["bb"] * 3 + ["cc"]
+    cells = sketches.cms_cells(_tok(spark, corpus))
+    est = sketches.cms_estimate(cells, _tok(spark, ["aa", "bb", "zz"]))
+    got = {r["token"]: r["est_count"] for r in est.collect()}
+    # few tokens, width 256 → no collisions: estimates are exact;
+    # absent token reads 0 (CMS never under-counts)
+    assert got == {"aa": 5, "bb": 3, "zz": 0}
+
+
+def test_cms_cells_merge_additively(spark):
+    a = ["aa"] * 4 + ["bb"] * 2
+    b = ["aa"] * 3 + ["cc"] * 5
+    full = sketches.cms_cells(_tok(spark, a + b))
+    halves = (
+        sketches.cms_cells(_tok(spark, a))
+        .unionByName(sketches.cms_cells(_tok(spark, b)))
+        .groupBy("j", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    as_map = lambda df: {(r["j"], r["cell"]): r["cnt"] for r in df.collect()}
+    assert as_map(full) == as_map(halves)
+
+
+def test_hist_quantiles_exact_ints(spark):
+    # 100 values 0..99, bin width 10: p50 rank=50 → cum hits at bin 4
+    # (values 40..49 reach cum 50) → est 40; p90 → bin 8 → 80
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    bins = sketches.hist_bins(df, "v", 10)
+    got = {
+        r["q_permille"]: r["est_value"]
+        for r in sketches.hist_quantiles(bins, (500, 900, 1000), 10).collect()
+    }
+    assert got == {500: 40, 900: 80, 1000: 90}
+
+
+def test_hist_bins_merge_additively(spark):
+    a = spark.createDataFrame([(i % 30,) for i in range(50)], "v long")
+    b = spark.createDataFrame([(i % 70,) for i in range(90)], "v long")
+    full = sketches.hist_bins(a.unionByName(b), "v", 10)
+    merged = (
+        sketches.hist_bins(a, "v", 10)
+        .unionByName(sketches.hist_bins(b, "v", 10))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    as_map = lambda df: {r["bin"]: r["cnt"] for r in df.collect()}
+    assert as_map(full) == as_map(merged)
