@@ -1091,6 +1091,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank_int(edges, iters=3)
 
+    def weighted_pagerank(spark, sf):
+        # WEIGHTED PageRank: rank distributed proportional to link
+        # multiplicity (raw edge rows carry w=1 and the operator sums
+        # duplicates) — the web-graph recurrence for repeated links
+        from netrunner_spark.operators.graph import pagerank_weighted_int
+
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+            F.lit(1).alias("w"),
+        )
+        return pagerank_weighted_int(edges, iters=3)
+
     def doc_top_terms(spark, sf):
         # rank-based TF-IDF (exact ints, no log floats): top-3 tokens
         # per doc by (tf desc, global df asc, token asc)
@@ -1834,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_pattern_scan": pii_pattern_scan,
         "vocab_topk": vocab_topk,
         "link_pagerank": link_pagerank,
+        "weighted_pagerank": weighted_pagerank,
         "user_sessions": user_sessions,
         "asof_view_before_purchase": asof_view_before_purchase,
         "value_interval_join": value_interval_join,
@@ -2133,6 +2149,47 @@ WITH edges AS (
 )""".format(i=_i, p=_i - 1, damp=_damp, scale=_scale)
     seed_pagerank_sql = _sp + f"\nSELECT id, rank_e12 FROM p{_iters}"
 
+    # weighted_pagerank: identical integer recurrence with per-edge
+    # rank·w div out_w shares (multiplicity-weighted distribution)
+    _wp = """
+WITH edges AS (
+  SELECT CAST(o_custkey AS BIGINT) * 2 AS src,
+         CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+  UNION
+  SELECT DISTINCT dst AS id FROM edges
+), outw AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src
+), ncount AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes
+), w0 AS (
+  SELECT id, CAST({scale} // nc.n_nodes AS BIGINT) AS rank_e12
+  FROM nodes CROSS JOIN ncount nc
+)""".format(scale=_scale)
+    for _i in range(1, _iters + 1):
+        _wp += """, w{i} AS (
+  SELECT nodes.id AS id,
+         CAST(((100 - {damp}) * {scale}) // (100 * nc.n_nodes)
+              + ({damp} * (COALESCE(c.contrib, 0) + d.dang // nc.n_nodes)) // 100
+              AS BIGINT) AS rank_e12
+  FROM nodes
+  CROSS JOIN ncount nc
+  CROSS JOIN (SELECT CAST(COALESCE(SUM(r.rank_e12), 0) AS BIGINT) AS dang
+              FROM w{p} r LEFT JOIN outw o ON o.src = r.id
+              WHERE o.src IS NULL) d
+  LEFT JOIN (SELECT e.dst AS id,
+                    CAST(SUM(r.rank_e12 * e.w // o.out_w) AS BIGINT) AS contrib
+             FROM edges e
+             JOIN w{p} r ON r.id = e.src
+             JOIN outw o ON o.src = e.src
+             GROUP BY e.dst) c ON c.id = nodes.id
+)""".format(i=_i, p=_i - 1, damp=_damp, scale=_scale)
+    weighted_pagerank_sql = _wp + f"\nSELECT id, rank_e12 FROM w{_iters}"
+
     # link_hits: the IDENTICAL scaled-quotient HITS recurrence as
     # operators/graph.py:hits_int unrolled — per iteration one auth
     # half (sum of hubs over in-edges, coalesce-to-0, quotient norm)
@@ -2259,6 +2316,7 @@ WITH edges AS (
             ) ORDER BY cnt DESC, token ASC LIMIT 100
         """,
         "link_pagerank": link_pagerank_sql,
+        "weighted_pagerank": weighted_pagerank_sql,
         "seed_pagerank": seed_pagerank_sql,
         "link_hits": link_hits_sql,
         "user_sessions": """

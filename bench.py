@@ -69,6 +69,7 @@ HEADLINE = [
     "sketch_kmv_events",
     "sketch_cms_tokens",
     "sketch_hist_quantiles",
+    "weighted_pagerank",
 ]
 
 

@@ -220,3 +220,85 @@ def hits_int(
             F.col("auth").alias("auth_e9"),
         )
     )
+
+
+def pagerank_weighted_int(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """WEIGHTED PageRank over ``(src, dst, w)`` (long ids, positive
+    integer weights) → ``(id, rank_e12)``: each source distributes its
+    rank proportionally to edge weight — the natural recurrence for a
+    web graph where a page links a target MANY times, or where edges
+    carry click/anchor counts. Duplicate (src, dst) rows are summed
+    into one weighted edge first, so feeding the raw (unduplicated)
+    link table is the intended usage.
+
+    Same exact-integer contract as :func:`pagerank_int` (the w ≡ const
+    case reduces to it bit-for-bit, since (r·w) div (k·w) = r div k —
+    pinned in tests). Per-edge contribution is ``rank·w div out_w``;
+    overflow bound: rank ≤ scale = 10¹² ⇒ weights up to ~9·10⁶ stay
+    inside int64 — lower ``scale`` for heavier multiplicities.
+
+    Shape at 100 TB: per iteration one equi-join edges⋈ranks on src
+    (+ the broadcast-sized out_w join on the same key), one hash
+    aggregate on dst, one 1-row dangling broadcast; lineage cut per
+    iteration. The only delta vs the unweighted plan is that the
+    per-SOURCE share becomes a per-EDGE multiply — same joins, same
+    shuffles.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    ids = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    )
+    if nodes is not None:
+        ids = ids.unionByName(nodes.select(F.col(nodes.columns[0]).alias("id")))
+    ids = ids.dropDuplicates().localCheckpoint(eager=True)
+    n = ids.count()  # single-row scalar, bounded (node count)
+    if n == 0:
+        return ids.withColumn("rank_e12", F.lit(0).cast("long"))
+
+    outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    ranks = ids.withColumn("rank_e12", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.id)
+            .join(outw, "src")
+            .select(
+                "dst", F.expr("rank_e12 * w div out_w").alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dang = ranks.join(outw, ranks.id == outw.src, "left_anti").agg(
+            F.coalesce(F.sum("rank_e12"), F.lit(0)).alias("dang")
+        )
+        ranks = (
+            ids.join(contrib, ids.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(contrib, 0L)"
+                        f" + dang div {n})) div 100"
+                    )
+                ).alias("rank_e12"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", "rank_e12")

@@ -240,3 +240,27 @@ def test_personalized_pagerank_requires_in_graph_seed(spark):
     seeds = spark.createDataFrame([(99,)], "id long")  # not in graph
     with _pytest.raises(ValueError):
         pagerank_int(e, iters=1, seeds=seeds)
+
+
+def test_weighted_pagerank_reduces_to_uniform_on_const_weights(spark):
+    """(r·w) div (k·w) = r div k, so constant weights must reproduce
+    the unweighted recurrence BIT-FOR-BIT — the exactness contract."""
+    from netrunner_spark.operators.graph import pagerank_int, pagerank_weighted_int
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ew = spark.createDataFrame([(s, d, 7) for s, d in edges], "src long, dst long, w long")
+    uni = {r["id"]: r["rank_e12"] for r in pagerank_int(e, iters=3).collect()}
+    wgt = {r["id"]: r["rank_e12"] for r in pagerank_weighted_int(ew, iters=3).collect()}
+    assert uni == wgt
+
+
+def test_weighted_pagerank_multiplicity_shifts_rank(spark):
+    """src 0 links dst 1 three times and dst 2 once → node 1 must
+    out-rank node 2; duplicate (src,dst) rows sum into one edge."""
+    from netrunner_spark.operators.graph import pagerank_weighted_int
+
+    rows = [(0, 1, 1)] * 3 + [(0, 2, 1), (1, 0, 1), (2, 0, 1)]
+    e = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r["id"]: r["rank_e12"] for r in pagerank_weighted_int(e, iters=4).collect()}
+    assert got[1] > got[2]
