@@ -1,0 +1,370 @@
+"""Crawl-intelligence operators: what a frontier learns FROM its own cache.
+
+The reference crawls what the Lens tells it to (`/root/reference/src/lib/
+crawler.rs` drains a fixed frontier under politeness); at 10^10-URL scale
+the frontier itself must be *curated* or the budget drowns in mirrors,
+session-id traps, and redirect chains. These operators close that loop:
+they read the crawl cache (url, host, content_hash — all metadata, the
+bytes column is never touched) and emit the decisions the next scheduling
+round consumes — hosts to collapse, URL parameters to strip at admission
+(feeding F4 `urlnorm.normalize`), hosts to de-prioritize, and an exact
+integer budget split.
+
+Everything is pure `pyspark.sql.functions` — hash aggregates, one
+equi-join each, window functions; no Python UDFs, no driver-side loops
+over data. Each operator documents its scale guard:
+
+* :func:`mirror_hosts` — content-overlap host pairs. The self-join on
+  content_hash is quadratic in per-hash host-frequency, exactly the
+  blowup class of ``textops.jaccard_pairs``; ``max_hash_df`` caps it the
+  same way (a boilerplate hash shared by every host would otherwise emit
+  C(H,2) rows for 10^6 hosts).
+* :func:`dust_params` — DUST ("different URLs, same text",
+  Bar-Yossef et al., WWW'07) restricted to query parameters: a parameter
+  is *content-irrelevant* on a host when, across URL groups that agree on
+  everything else, varying it never changes the content hash. Admission
+  can then strip it, collapsing session-id URL families to one frontier
+  row. Group-by/aggregate only; the explode is bounded by params-per-URL.
+* :func:`host_harvest` — per-host harvest rate (distinct content per
+  distinct URL, integer permille) + trap flag. A calendar/session trap
+  yields unbounded URLs over bounded content; harvest permille is the
+  standard detector. One hash aggregate.
+* :func:`budget_alloc` — largest-remainder (Hamilton) apportionment of an
+  integer fetch budget over hosts, proportional to a weight column.
+  Exact-integer, sums to the budget bit-for-bit; windows run over the
+  per-HOST table (bounded ≪ data; the 10^10 rows were already collapsed
+  by host_harvest's aggregate).
+* :func:`resolve_redirects` — bounded multi-hop redirect resolution as
+  ``max_hops`` iterative equi-joins (our ``HttpFetcher`` caps per-fetch
+  redirect hops the same way, `sources/fetcher.py`); starts that still
+  have an outgoing edge at the cap are flagged ``capped`` (loop or
+  over-long chain) instead of looping forever.
+* :func:`sitemap_diff` — snapshot delta (added/removed/changed) between
+  two sitemap reads; the recrawl scheduler's cheapest signal
+  (`sources/xmlparse.py` parses lastmod; this diffs two parses). One
+  full-outer equi-join on url.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------- mirrors
+def mirror_hosts(
+    pages: DataFrame,
+    host_col: str = "host",
+    hash_col: str = "content_hash",
+    min_shared: int = 2,
+    max_hash_df: int | None = None,
+) -> DataFrame:
+    """Host pairs that serve overlapping content → one row per pair
+    ``(host_a, host_b, shared, overlap_permille)`` with host_a < host_b.
+
+    ``shared`` counts distinct content hashes served by both;
+    ``overlap_permille`` is the containment against the SMALLER host's
+    distinct-content count (mirror-of-a-subsection still scores high).
+    A crawl scheduler drops or down-weights the lexicographically later
+    host of any high-overlap pair.
+
+    Scale: the candidate join is on content_hash; a hash served by m
+    hosts emits C(m,2) pair rows. ``max_hash_df`` drops hashes above the
+    cap (global boilerplate — empty pages, error bodies — carries no
+    mirror signal anyway), bounding the join exactly like
+    ``textops.jaccard_pairs(max_gram_df=...)``.
+    """
+    ph = pages.select(
+        F.col(host_col).alias("host"), F.col(hash_col).alias("chash")
+    ).dropDuplicates()
+    if max_hash_df is not None:
+        hot = (
+            ph.groupBy("chash")
+            .agg(F.count(F.lit(1)).alias("hdf"))
+            .filter(F.col("hdf") <= max_hash_df)
+            .select("chash")
+        )
+        ph = ph.join(hot, "chash")
+    totals = ph.groupBy("host").agg(F.count(F.lit(1)).alias("n_hashes"))
+    a = ph.select(F.col("host").alias("host_a"), "chash")
+    b = ph.select(F.col("host").alias("host_b"), "chash")
+    pairs = (
+        a.join(b, "chash")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(totals.select(F.col("host").alias("host_a"), F.col("n_hashes").alias("n_a")), "host_a")
+        .join(totals.select(F.col("host").alias("host_b"), F.col("n_hashes").alias("n_b")), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            F.expr("CAST(shared * 1000 DIV least(n_a, n_b) AS BIGINT)").alias(
+                "overlap_permille"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------------ DUST
+def dust_params(
+    pages: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Mine query parameters that never change content (DUST rules) →
+    ``(host, param, n_evidence, n_violations, irrelevant)``.
+
+    For every URL and every parameter ``p`` it carries, the *group key*
+    is the URL with ``p`` removed (base + the sorted remaining
+    ``k=v`` pairs). Within a group, everything except ``p`` is equal by
+    construction; so if the group spans ≥2 distinct values of ``p``
+    (an *evidence* group) and still has exactly one distinct content
+    hash, varying ``p`` provably did not change content there. A param
+    is ``irrelevant`` on a host when it has ≥1 evidence group and ZERO
+    violating groups (evidence group with ≥2 hashes). Admission strips
+    irrelevant params before ``urlnorm.normalize`` hashing, collapsing
+    session-id families to one frontier row.
+
+    Precondition: a URL names each parameter at most once (true of the
+    crawl cache after F4 normalization). Pure relational: explode is
+    bounded by params-per-URL; the rest is two hash aggregates.
+    """
+    base_urls = (
+        pages.select(F.col(url_col).alias("url"), F.col(hash_col).alias("chash"))
+        .dropDuplicates(["url"])
+        .filter(F.col("url").contains("?"))
+    )
+    kv = base_urls.select(
+        "url",
+        "chash",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.substring_index("url", "?", 1).alias("base"),
+        F.split(F.substring_index("url", "?", -1), "&").alias("kvs"),
+    )
+    exploded = kv.select(
+        "url",
+        "chash",
+        "host",
+        "base",
+        "kvs",
+        F.explode("kvs").alias("kvpair"),
+    ).select(
+        "url",
+        "chash",
+        "host",
+        F.substring_index("kvpair", "=", 1).alias("param"),
+        F.substring_index("kvpair", "=", -1).alias("pval"),
+        F.concat(
+            F.col("base"),
+            F.lit("?"),
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.col("kvs"),
+                        lambda x: F.substring_index(x, "=", 1)
+                        != F.substring_index(F.col("kvpair"), "=", 1),
+                    )
+                ),
+                "&",
+            ),
+        ).alias("group_key"),
+    )
+    groups = exploded.groupBy("host", "param", "group_key").agg(
+        F.countDistinct("pval").alias("n_vals"),
+        F.countDistinct("chash").alias("n_hashes"),
+    )
+    return (
+        groups.groupBy("host", "param")
+        .agg(
+            F.sum(F.when(F.col("n_vals") >= 2, 1).otherwise(0)).alias("n_evidence"),
+            F.sum(
+                F.when((F.col("n_vals") >= 2) & (F.col("n_hashes") >= 2), 1).otherwise(0)
+            ).alias("n_violations"),
+        )
+        .withColumn(
+            "irrelevant",
+            (F.col("n_evidence") > 0) & (F.col("n_violations") == 0),
+        )
+    )
+
+
+# --------------------------------------------------------------- harvest
+def host_harvest(
+    pages: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+    trap_max_permille: int = 200,
+    trap_min_urls: int = 20,
+) -> DataFrame:
+    """Per-host harvest rate → ``(host, n_urls, n_content,
+    harvest_permille, is_trap)``.
+
+    ``harvest_permille`` = 1000 · distinct-content / distinct-URLs. A
+    session-id or calendar trap mints unbounded URLs over bounded
+    content, so its harvest rate collapses; ``is_trap`` flags hosts at
+    or below ``trap_max_permille`` once ``trap_min_urls`` URLs give the
+    ratio statistical footing. The scheduler multiplies the host budget
+    by this signal (see :func:`budget_alloc`). One hash aggregate with
+    map-side partials; no joins.
+    """
+    return (
+        pages.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.countDistinct(F.col(url_col)).alias("n_urls"),
+            F.countDistinct(F.col(hash_col)).alias("n_content"),
+        )
+        .withColumn(
+            "harvest_permille",
+            F.expr("CAST(n_content * 1000 DIV n_urls AS BIGINT)"),
+        )
+        .withColumn(
+            "is_trap",
+            (F.col("n_urls") >= trap_min_urls)
+            & (F.col("harvest_permille") <= trap_max_permille),
+        )
+    )
+
+
+# ---------------------------------------------------------------- budget
+def budget_alloc(
+    stats: DataFrame,
+    weight_col: str,
+    total: int,
+    host_col: str = "host",
+) -> DataFrame:
+    """Largest-remainder integer apportionment of ``total`` fetch slots
+    over hosts proportional to ``weight_col`` → ``(host, weight,
+    alloc)`` with ``sum(alloc) == total`` exactly.
+
+    Each host gets ``floor(total·w/S)`` slots; the ``total − Σfloor``
+    leftover slots go to the largest remainders (ties broken by host
+    name, so the split is deterministic). Zero-weight hosts get zero.
+
+    Scale note: the two unpartitioned windows run over the PER-HOST
+    stats table — already collapsed from the 10^10-row cache by
+    :func:`host_harvest`'s aggregate — so a single-partition sort of
+    ~10^6 host rows, not of the data. Exact int64 throughout
+    (``total·w`` must fit int64: budgets ≤ 10^12 against weights ≤ 10^6
+    are fine).
+    """
+    w_all = Window.partitionBy(F.lit(1))
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("rem").desc(), F.col("host").asc()
+    )
+    base = stats.select(
+        F.col(host_col).alias("host"), F.col(weight_col).cast("long").alias("weight")
+    )
+    shares = base.withColumn("s_tot", F.sum("weight").over(w_all)).select(
+        "host",
+        "weight",
+        F.expr(f"CAST({total} * weight DIV s_tot AS BIGINT)").alias("fl"),
+        F.expr(f"CAST({total} * weight % s_tot AS BIGINT)").alias("rem"),
+    )
+    return (
+        shares.withColumn("leftover", F.lit(total) - F.sum("fl").over(w_all))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .select(
+            "host",
+            "weight",
+            (F.col("fl") + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+# ------------------------------------------------------------- redirects
+def resolve_redirects(
+    edges: DataFrame,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve every redirect source to its final target in ≤
+    ``max_hops`` hops → ``(start, final, hops, status)``.
+
+    ``status`` is ``resolved`` when the walk reached a URL with no
+    outgoing redirect, ``capped`` when ``max_hops`` edges were taken
+    and an outgoing edge still exists (a loop or an over-long chain —
+    fetchers cap exactly like this instead of detecting cycles;
+    ``HttpFetcher`` bounds per-fetch hops the same way,
+    `sources/fetcher.py`).
+
+    Plan: ``max_hops − 1`` iterative left equi-joins of the frontier
+    state (one row per start, constant size) against the edge table,
+    plus one final join for the status flag — no driver-side data, no
+    recursion state beyond the fixed-depth plan. Precondition: at most
+    one outgoing edge per source (true of HTTP redirects; enforce
+    upstream with a canonical-pick if needed).
+    """
+    assert max_hops >= 1
+    e = edges.select(F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed"))
+    cur = edges.select(
+        F.col(src_col).alias("start"),
+        F.col(dst_col).alias("cur"),
+        F.lit(1).alias("hops"),
+    )
+    for _ in range(max_hops - 1):
+        cur = (
+            cur.join(e, cur.cur == e._es, "left")
+            .select(
+                "start",
+                F.coalesce("_ed", "cur").alias("cur"),
+                (F.col("hops") + F.when(F.col("_ed").isNotNull(), 1).otherwise(0)).alias(
+                    "hops"
+                ),
+            )
+        )
+    out = (
+        cur.join(e.select("_es").dropDuplicates(), cur.cur == F.col("_es"), "left")
+        .select(
+            "start",
+            F.col("cur").alias("final"),
+            F.col("hops").cast("int").alias("hops"),
+            F.when(F.col("_es").isNull(), "resolved").otherwise("capped").alias(
+                "status"
+            ),
+        )
+    )
+    return out
+
+
+# ----------------------------------------------------------- sitemap diff
+def sitemap_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    mod_col: str = "lastmod",
+) -> DataFrame:
+    """Delta between two sitemap snapshots → ``(url, old_lastmod,
+    new_lastmod, change)`` for every URL that changed state; unchanged
+    URLs are dropped (the recrawl scheduler only consumes deltas).
+
+    ``change``: ``added`` (new only), ``removed`` (old only),
+    ``changed`` (present in both with different lastmod). One
+    full-outer equi-join on url; at 10^8-URL sitemaps both sides are
+    partitioned on the join key and AQE handles the skew of giant
+    hosts. Input frames must carry one row per URL (sitemap parse
+    already dedupes; enforce with max(lastmod) upstream otherwise).
+    """
+    o = old.select(F.col(url_col).alias("url"), F.col(mod_col).alias("old_lastmod"))
+    n = new.select(F.col(url_col).alias("url"), F.col(mod_col).alias("new_lastmod"))
+    joined = o.join(n, "url", "full_outer")
+    return joined.select(
+        "url",
+        "old_lastmod",
+        "new_lastmod",
+        F.when(F.col("old_lastmod").isNull(), "added")
+        .when(F.col("new_lastmod").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+    ).filter(
+        F.col("old_lastmod").isNull()
+        | F.col("new_lastmod").isNull()
+        | (F.col("old_lastmod") != F.col("new_lastmod"))
+    )
