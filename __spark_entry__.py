@@ -169,6 +169,79 @@ WITH img AS (
 """
 
 
+def _crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl-cache slice (host, url, content_hash) derived
+    from events, exercising every crawl-intelligence signal at once:
+    8 hosts where pairs (h0,h1)(h2,h3)(h4,h5)(h6,h7) mirror pages 1-2,
+    page 0 is global boilerplate served by every host, pages 3-4 are
+    host-unique; every URL carries a content-irrelevant ``sess`` param
+    and a content-relevant ``sort`` param; events with event_id%13==0
+    land on a ``trap.test`` host whose extra unique ``cal`` param mints
+    unbounded URLs over 10 content hashes (a calendar trap)."""
+    ev = _t(spark, sf_dir, "events")
+    hid = (F.col("user_id") % 8).cast("string")
+    page = (F.col("event_id") % 5).cast("string")
+    sess = (F.col("event_id") % 3).cast("string")
+    srt = (F.col("event_id") % 2).cast("string")
+    is_trap = F.col("event_id") % 13 == 0
+    host = F.when(is_trap, F.lit("trap.test")).otherwise(
+        F.concat(F.lit("h"), hid, F.lit(".test"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/p/"),
+        page,
+        F.lit("?sess="),
+        sess,
+        F.lit("&sort="),
+        srt,
+        F.when(
+            is_trap, F.concat(F.lit("&cal="), F.col("event_id").cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    mirror_group = F.expr("CAST((user_id % 8) DIV 2 AS STRING)")
+    chash = F.md5(
+        F.when(is_trap, F.concat(F.lit("t-"), page, F.lit("-"), srt))
+        .when(F.col("event_id") % 5 == 0, F.concat(F.lit("common-"), srt))
+        .when(
+            F.col("event_id") % 5 <= 2,
+            F.concat(F.lit("m-"), mirror_group, F.lit("-"), page, F.lit("-"), srt),
+        )
+        .otherwise(F.concat(F.lit("u-"), hid, F.lit("-"), page, F.lit("-"), srt))
+    )
+    return ev.select(
+        host.alias("host"), url.alias("url"), chash.alias("content_hash")
+    )
+
+
+_PAGES_CTE = """
+pages AS (
+  SELECT CASE WHEN event_id % 13 = 0 THEN 'trap.test'
+              ELSE 'h' || CAST(user_id % 8 AS VARCHAR) || '.test' END AS host,
+         'https://'
+           || CASE WHEN event_id % 13 = 0 THEN 'trap.test'
+                   ELSE 'h' || CAST(user_id % 8 AS VARCHAR) || '.test' END
+           || '/p/' || CAST(event_id % 5 AS VARCHAR)
+           || '?sess=' || CAST(event_id % 3 AS VARCHAR)
+           || '&sort=' || CAST(event_id % 2 AS VARCHAR)
+           || CASE WHEN event_id % 13 = 0
+                   THEN '&cal=' || CAST(event_id AS VARCHAR) ELSE '' END AS url,
+         md5(CASE WHEN event_id % 13 = 0
+                  THEN 't-' || CAST(event_id % 5 AS VARCHAR) || '-' || CAST(event_id % 2 AS VARCHAR)
+                  WHEN event_id % 5 = 0
+                  THEN 'common-' || CAST(event_id % 2 AS VARCHAR)
+                  WHEN event_id % 5 <= 2
+                  THEN 'm-' || CAST((user_id % 8) // 2 AS VARCHAR) || '-'
+                       || CAST(event_id % 5 AS VARCHAR) || '-' || CAST(event_id % 2 AS VARCHAR)
+                  ELSE 'u-' || CAST(user_id % 8 AS VARCHAR) || '-'
+                       || CAST(event_id % 5 AS VARCHAR) || '-' || CAST(event_id % 2 AS VARCHAR)
+             END) AS content_hash
+  FROM events
+)
+"""
+
+
 def _kmeans_sql(k: int = 4, iters: int = 2, select: str | None = None) -> str:
     """DuckDB twin of vectors.kmeans_int, generated for a fixed
     iteration count: each Lloyd's round is one assignment CTE (argmin
@@ -1788,6 +1861,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("ratio_bounded"),
         )
 
+    def mirror_hosts(spark, sf):
+        from netrunner_spark.operators import crawlintel
+
+        return crawlintel.mirror_hosts(
+            _crawl_pages(spark, sf), min_shared=3, max_hash_df=4
+        )
+
+    def dust_params(spark, sf):
+        from netrunner_spark.operators import crawlintel
+
+        return crawlintel.dust_params(_crawl_pages(spark, sf))
+
+    def host_harvest(spark, sf):
+        from netrunner_spark.operators import crawlintel
+
+        return crawlintel.host_harvest(_crawl_pages(spark, sf))
+
+    def crawl_budget_alloc(spark, sf):
+        from netrunner_spark.operators import crawlintel
+
+        stats = crawlintel.host_harvest(_crawl_pages(spark, sf))
+        return crawlintel.budget_alloc(stats, "harvest_permille", total=997)
+
+    def redirect_resolve(spark, sf):
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        nodes = (
+            ev.select((F.col("event_id") % 60).alias("n"))
+            .dropDuplicates()
+            .filter(F.col("n") % 10 != 0)
+        )
+        edges = nodes.select(
+            F.col("n").alias("src"),
+            F.when(F.col("n") == 41, F.lit(49)).otherwise(F.col("n") - 1).alias("dst"),
+        )
+        return crawlintel.resolve_redirects(edges, max_hops=12)
+
+    def sitemap_diff(spark, sf):
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        url = F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 8).cast("string"),
+            F.lit(".test/s/"),
+            (F.col("event_id") % 200).cast("string"),
+        ).alias("url")
+        day = (F.col("event_id") % 37).cast("long")
+        old = (
+            ev.filter(F.col("event_id") % 7 != 0)
+            .select(url, day.alias("day"))
+            .groupBy("url")
+            .agg(F.max("day").alias("lastmod"))
+        )
+        new = (
+            ev.filter(F.col("event_id") % 5 != 0)
+            .select(
+                url,
+                (
+                    day
+                    + F.when(F.col("event_id") % 11 == 0, F.lit(3)).otherwise(F.lit(0))
+                ).alias("day"),
+            )
+            .groupBy("url")
+            .agg(F.max("day").alias("lastmod"))
+        )
+        return crawlintel.sitemap_diff(old, new)
+
     return {
         "w1_politeness_quota": w1_politeness_quota,
         "f2_admission_filter": f2_admission_filter,
@@ -1890,6 +2032,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_sitemap_closure": s4_sitemap_closure,
         "warc_roundtrip": warc_roundtrip,
         "a6_compression_ratio": a6_compression_ratio,
+        "mirror_hosts": mirror_hosts,
+        "dust_params": dust_params,
+        "host_harvest": host_harvest,
+        "crawl_budget_alloc": crawl_budget_alloc,
+        "redirect_resolve": redirect_resolve,
+        "sitemap_diff": sitemap_diff,
     }
 
 
@@ -3732,4 +3880,145 @@ FROM staged
         k=oracles["benchmark_contamination"],
         s=oracles["sample_split"],
     )
+
+    # crawl-intelligence twins over the shared deterministic pages CTE
+    oracles["mirror_hosts"] = (
+        "WITH "
+        + _PAGES_CTE
+        + """
+, ph AS (SELECT DISTINCT host, content_hash FROM pages),
+hot AS (SELECT content_hash FROM ph GROUP BY content_hash HAVING count(*) <= 4),
+keep AS (SELECT ph.host, ph.content_hash FROM ph JOIN hot USING (content_hash)),
+tot AS (SELECT host, count(*) AS n FROM keep GROUP BY host),
+pr AS (SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS shared
+       FROM keep a JOIN keep b ON a.content_hash = b.content_hash AND a.host < b.host
+       GROUP BY a.host, b.host HAVING count(*) >= 3)
+SELECT host_a, host_b, shared,
+       CAST(shared * 1000 // least(ta.n, tb.n) AS BIGINT) AS overlap_permille
+FROM pr
+JOIN tot ta ON ta.host = pr.host_a
+JOIN tot tb ON tb.host = pr.host_b
+"""
+    )
+    oracles["dust_params"] = (
+        "WITH "
+        + _PAGES_CTE
+        + """
+, u AS (
+  SELECT url, max(content_hash) AS chash FROM pages
+  WHERE url LIKE '%?%' GROUP BY url
+), pp AS (
+  SELECT url, chash,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         split_part(url, '?', 1) AS base,
+         split_part(kv, '=', 1) AS param,
+         split_part(kv, '=', 2) AS pval,
+         kv
+  FROM (SELECT url, chash, unnest(string_split(split_part(url, '?', 2), '&')) AS kv
+        FROM u)
+), gk AS (
+  SELECT h.url, h.param,
+         h.base || '?' || coalesce(string_agg(o.kv, '&' ORDER BY o.kv), '') AS group_key
+  FROM (SELECT DISTINCT url, base, param FROM pp) h
+  LEFT JOIN pp o ON o.url = h.url AND o.param <> h.param
+  GROUP BY h.url, h.param, h.base
+), g AS (
+  SELECT p.host, p.param, gk.group_key,
+         count(DISTINCT p.pval) AS n_vals,
+         count(DISTINCT p.chash) AS n_hashes
+  FROM pp p JOIN gk ON gk.url = p.url AND gk.param = p.param
+  GROUP BY p.host, p.param, gk.group_key
+)
+SELECT host, param,
+       CAST(sum(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_evidence,
+       CAST(sum(CASE WHEN n_vals >= 2 AND n_hashes >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       sum(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN n_vals >= 2 AND n_hashes >= 2 THEN 1 ELSE 0 END) = 0
+         AS irrelevant
+FROM g GROUP BY host, param
+"""
+    )
+    oracles["host_harvest"] = (
+        "WITH "
+        + _PAGES_CTE
+        + """
+SELECT host,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT content_hash) AS BIGINT) AS n_content,
+       CAST(count(DISTINCT content_hash) * 1000 // count(DISTINCT url) AS BIGINT)
+         AS harvest_permille,
+       count(DISTINCT url) >= 20
+         AND count(DISTINCT content_hash) * 1000 // count(DISTINCT url) <= 200
+         AS is_trap
+FROM pages GROUP BY host
+"""
+    )
+    oracles["crawl_budget_alloc"] = (
+        "WITH "
+        + _PAGES_CTE
+        + """
+, hh AS (
+  SELECT host,
+         CAST(count(DISTINCT content_hash) * 1000 // count(DISTINCT url) AS BIGINT) AS w
+  FROM pages GROUP BY host
+), sh AS (
+  SELECT host, w AS weight,
+         CAST(997 * w // sum(w) OVER () AS BIGINT) AS fl,
+         CAST(997 * w % sum(w) OVER () AS BIGINT) AS rem
+  FROM hh
+), r AS (
+  SELECT *, 997 - sum(fl) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+  FROM sh
+)
+SELECT host, weight,
+       CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
+"""
+    )
+    oracles["redirect_resolve"] = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT event_id % 60 AS n FROM events WHERE (event_id % 60) % 10 <> 0
+), edges AS (
+  SELECT n AS src, CASE WHEN n = 41 THEN 49 ELSE n - 1 END AS dst FROM nodes
+), walk AS (
+  SELECT src AS start, dst AS cur, 1 AS hops FROM edges
+  UNION ALL
+  SELECT w.start, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.hops < 12
+), last AS (
+  SELECT start, cur, hops,
+         row_number() OVER (PARTITION BY start ORDER BY hops DESC) AS rn
+  FROM walk
+)
+SELECT l.start, l.cur AS final, CAST(l.hops AS INT) AS hops,
+       CASE WHEN o.src IS NULL THEN 'resolved' ELSE 'capped' END AS status
+FROM last l
+LEFT JOIN (SELECT DISTINCT src FROM edges) o ON o.src = l.cur
+WHERE rn = 1
+"""
+    oracles["sitemap_diff"] = """
+WITH u AS (
+  SELECT 'https://h' || CAST(user_id % 8 AS VARCHAR) || '.test/s/'
+           || CAST(event_id % 200 AS VARCHAR) AS url,
+         event_id, event_id % 37 AS day
+  FROM events
+), o AS (
+  SELECT url, CAST(max(day) AS BIGINT) AS old_lastmod
+  FROM u WHERE event_id % 7 <> 0 GROUP BY url
+), n AS (
+  SELECT url,
+         CAST(max(day + CASE WHEN event_id % 11 = 0 THEN 3 ELSE 0 END) AS BIGINT)
+           AS new_lastmod
+  FROM u WHERE event_id % 5 <> 0 GROUP BY url
+)
+SELECT COALESCE(o.url, n.url) AS url, old_lastmod, new_lastmod,
+       CASE WHEN old_lastmod IS NULL THEN 'added'
+            WHEN new_lastmod IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM o FULL OUTER JOIN n ON o.url = n.url
+WHERE old_lastmod IS NULL OR new_lastmod IS NULL OR old_lastmod <> new_lastmod
+"""
     return oracles
