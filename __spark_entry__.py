@@ -1930,6 +1930,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return crawlintel.sitemap_diff(old, new)
 
+    def anchor_text_topk(spark, sf):
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        links = ev.select(
+            F.concat(
+                F.lit("https://t.test/d/"), (F.col("event_id") % 40).cast("string")
+            ).alias("dst"),
+            F.concat(
+                F.col("event_type"), F.lit(" page"), (F.col("user_id") % 5).cast("string")
+            ).alias("anchor"),
+        )
+        return crawlintel.anchor_text_topk(links, k=3)
+
+    def link_spam_hosts(spark, sf):
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        is_farm = F.col("event_id") % 4 == 0
+        links = ev.select(
+            F.when(is_farm, F.lit("farm.test"))
+            .otherwise(
+                F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"), F.lit(".test"))
+            )
+            .alias("src_host"),
+            F.when(is_farm, F.lit("spam.test"))
+            .otherwise(
+                F.concat(F.lit("d"), (F.col("event_id") % 6).cast("string"), F.lit(".test"))
+            )
+            .alias("dst_host"),
+        )
+        return crawlintel.link_spam_hosts(links)
+
+    def cdc_chunks(spark, sf):
+        return textops.cdc_chunks(_t(spark, sf, "documents"))
+
     return {
         "w1_politeness_quota": w1_politeness_quota,
         "f2_admission_filter": f2_admission_filter,
@@ -2038,6 +2074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget_alloc": crawl_budget_alloc,
         "redirect_resolve": redirect_resolve,
         "sitemap_diff": sitemap_diff,
+        "anchor_text_topk": anchor_text_topk,
+        "link_spam_hosts": link_spam_hosts,
+        "cdc_chunks": cdc_chunks,
     }
 
 
@@ -4020,5 +4059,74 @@ SELECT COALESCE(o.url, n.url) AS url, old_lastmod, new_lastmod,
             ELSE 'changed' END AS change
 FROM o FULL OUTER JOIN n ON o.url = n.url
 WHERE old_lastmod IS NULL OR new_lastmod IS NULL OR old_lastmod <> new_lastmod
+"""
+    oracles["anchor_text_topk"] = """
+WITH links AS (
+  SELECT 'https://t.test/d/' || CAST(event_id % 40 AS VARCHAR) AS dst,
+         event_type || ' page' || CAST(user_id % 5 AS VARCHAR) AS anchor
+  FROM events
+), terms AS (
+  SELECT dst, unnest(regexp_split_to_array(lower(anchor), '[^a-z0-9]+')) AS term
+  FROM links
+), c AS (
+  SELECT dst, term, CAST(count(*) AS BIGINT) AS n
+  FROM terms WHERE term <> '' GROUP BY dst, term
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY dst ORDER BY n DESC, term ASC) AS rnk
+  FROM c
+)
+SELECT dst, term, n, CAST(rnk AS INT) AS "rank" FROM r WHERE rnk <= 3
+"""
+    oracles["link_spam_hosts"] = """
+WITH links AS (
+  SELECT CASE WHEN event_id % 4 = 0 THEN 'farm.test'
+              ELSE 'h' || CAST(user_id % 10 AS VARCHAR) || '.test' END AS src_host,
+         CASE WHEN event_id % 4 = 0 THEN 'spam.test'
+              ELSE 'd' || CAST(event_id % 6 AS VARCHAR) || '.test' END AS dst_host
+  FROM events
+), per_src AS (
+  SELECT dst_host, src_host, CAST(count(*) AS BIGINT) AS n_from_src
+  FROM links GROUP BY dst_host, src_host
+)
+SELECT dst_host,
+       CAST(sum(n_from_src) AS BIGINT) AS n_inlinks,
+       CAST(count(*) AS BIGINT) AS n_src_hosts,
+       CAST(max(n_from_src) * 1000 // sum(n_from_src) AS BIGINT)
+         AS top_src_share_permille,
+       CAST(count(*) * 1000 // sum(n_from_src) AS BIGINT) AS diversity_permille,
+       sum(n_from_src) >= 20
+         AND max(n_from_src) * 1000 // sum(n_from_src) >= 600 AS is_link_farm
+FROM per_src GROUP BY dst_host
+"""
+    oracles["cdc_chunks"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i AS INT)] AS token
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+), b AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN CAST('0x' || substr(md5(token), 1, 13) AS BIGINT) % 16 = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM tok
+), ch AS (
+  SELECT doc_id, pos, token,
+         coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM b
+), pc AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM ch GROUP BY doc_id, chunk_id
+)
+SELECT chunk_hash,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pc GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
 """
     return oracles

@@ -70,6 +70,12 @@ HEADLINE = [
     "sketch_cms_tokens",
     "sketch_hist_quantiles",
     "weighted_pagerank",
+    "mirror_hosts",
+    "dust_params",
+    "host_harvest",
+    "crawl_budget_alloc",
+    "redirect_resolve",
+    "sitemap_diff",
 ]
 
 

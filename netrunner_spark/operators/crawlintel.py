@@ -334,6 +334,104 @@ def resolve_redirects(
     return out
 
 
+# ------------------------------------------------------------ anchor text
+def anchor_text_topk(
+    links: DataFrame,
+    k: int = 3,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Top-k anchor terms per link target → ``(dst, term, n, rank)``.
+
+    Anchor text is the classic off-page relevance signal (the linking
+    page describes the target better than the target describes
+    itself); a search index joins this against the BM25 postings
+    (`operators/retrieval.py`). Terms are lower-cased, split on
+    ``pattern``, counted per (dst, term); ``rank`` is by count
+    descending with term ascending as the deterministic tie-break.
+
+    Scale: explode is bounded by anchor length (anchors are a few
+    words); one hash aggregate + one window partitioned BY DST — never
+    a global sort. A hub page with 10^7 in-links still aggregates to
+    ≤ vocabulary-size rows before the window sees it.
+    """
+    terms = links.select(
+        F.col(dst_col).alias("dst"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(anchor_col)), pattern), lambda x: x != ""
+            )
+        ).alias("term"),
+    )
+    counts = terms.groupBy("dst", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dst", "term", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# -------------------------------------------------------------- link spam
+def link_spam_hosts(
+    links: DataFrame,
+    src_host_col: str = "src_host",
+    dst_host_col: str = "dst_host",
+    min_inlinks: int = 20,
+    min_top_share_permille: int = 600,
+) -> DataFrame:
+    """Link-farm signal per target host → ``(dst_host, n_inlinks,
+    n_src_hosts, top_src_share_permille, diversity_permille,
+    is_link_farm)``.
+
+    An organically popular host collects links from MANY source hosts;
+    a farm-boosted one collects them overwhelmingly from one. Two
+    integer ratios capture it: ``top_src_share_permille`` = 1000 ·
+    links-from-the-single-biggest-source / in-links (the flag basis —
+    robust even when the organic source pool is small), and
+    ``diversity_permille`` = 1000 · distinct-source-hosts / in-links
+    (reported for diagnostics). ``is_link_farm`` flags hosts with
+    ≥ ``min_inlinks`` where one source supplies at least
+    ``min_top_share_permille`` of them. PageRank/HITS
+    (`operators/graph.py`) consume this as a pre-filter: farm edges are
+    dropped before the power iteration, the standard anti-spam step.
+
+    Scale: two chained hash aggregates (by (dst,src) then by dst) —
+    map-side partials collapse the 10^10-edge graph before any wide
+    row exists; no joins, no windows.
+    """
+    per_src = links.groupBy(
+        F.col(dst_host_col).alias("dst_host"), F.col(src_host_col).alias("src_host")
+    ).agg(F.count(F.lit(1)).alias("n_from_src"))
+    return (
+        per_src.groupBy("dst_host")
+        .agg(
+            F.sum("n_from_src").alias("n_inlinks"),
+            F.count(F.lit(1)).alias("n_src_hosts"),
+            F.max("n_from_src").alias("max_from_src"),
+        )
+        .select(
+            "dst_host",
+            "n_inlinks",
+            "n_src_hosts",
+            F.expr("CAST(max_from_src * 1000 DIV n_inlinks AS BIGINT)").alias(
+                "top_src_share_permille"
+            ),
+            F.expr("CAST(n_src_hosts * 1000 DIV n_inlinks AS BIGINT)").alias(
+                "diversity_permille"
+            ),
+            (
+                (F.col("n_inlinks") >= min_inlinks)
+                & (
+                    F.expr("max_from_src * 1000 DIV n_inlinks")
+                    >= min_top_share_permille
+                )
+            ).alias("is_link_farm"),
+        )
+    )
+
+
 # ----------------------------------------------------------- sitemap diff
 def sitemap_diff(
     old: DataFrame,

@@ -622,6 +622,80 @@ def chunk_dedup(
     )
 
 
+def cdc_chunks(
+    docs: DataFrame,
+    divisor: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Content-defined chunking (CDC) duplicate report → one row per
+    chunk seen in ≥ ``min_docs`` distinct documents:
+    ``(chunk_hash, n_tokens, n_docs, n_occurrences)``.
+
+    :func:`chunk_dedup` cuts at FIXED word offsets, so inserting one
+    word at the top of a copied page shifts every boundary and hides
+    the duplication. CDC (the LBFS/restic/borg trick) instead cuts
+    after any token whose hash ≡ 0 (mod ``divisor``): boundaries are
+    decided by CONTENT, so a shared passage re-synchronizes to the same
+    chunks regardless of offset, at an expected chunk length of
+    ``divisor`` tokens. Token hash is the house md5-prefix (52-bit) so
+    the DuckDB twin matches bit-for-bit.
+
+    100 TB shape: tokenize/explode is map-side; ONE window partitioned
+    by doc (cumulative boundary count → chunk index, bounded by doc
+    length); one (doc, chunk) aggregate rebuilding chunk text in token
+    order; one final hash aggregate on chunk_hash. Hot boilerplate
+    chunks are big counting groups — never a pair join, so no DF cap is
+    needed (contrast ``jaccard_pairs``).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), pattern), lambda x: x != ""
+            )
+        ).alias("pos", "token"),
+    ).withColumn(
+        "boundary",
+        (
+            F.conv(F.substring(F.md5("token"), 1, 13), 16, 10).cast("bigint")
+            % divisor
+            == 0
+        ).cast("int"),
+    )
+    w = (
+        Window.partitionBy("_doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(w), F.lit(0))
+    )
+    per_chunk = chunked.groupBy("_doc", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return (
+        per_chunk.groupBy("chunk_hash")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.countDistinct("_doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def cluster_keepers(
     clusters: DataFrame,
     docs: DataFrame,

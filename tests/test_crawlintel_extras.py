@@ -1,0 +1,103 @@
+"""Anchor-text aggregation, link-farm detection, and content-defined
+chunking: semantics on hand-built frames, CDC's offset-insensitivity
+(the property fixed-boundary chunking lacks), and plan shape."""
+
+from pyspark.sql import functions as F
+
+from netrunner_spark.operators import crawlintel, textops
+
+
+# ------------------------------------------------------------ anchor text
+def test_anchor_text_topk_ranks_and_tiebreaks(spark):
+    rows = [
+        ("a", "t1", "Best Spark guide"),
+        ("b", "t1", "spark guide"),
+        ("c", "t1", "guide"),
+        ("d", "t2", "zebra apple"),  # tie n=1: apple before zebra
+    ]
+    links = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    out = crawlintel.anchor_text_topk(links, k=2).collect()
+    by_dst = {}
+    for r in out:
+        by_dst.setdefault(r["dst"], []).append((r["rank"], r["term"], r["n"]))
+    assert sorted(by_dst["t1"]) == [(1, "guide", 3), (2, "spark", 2)]
+    assert sorted(by_dst["t2"]) == [(1, "apple", 1), (2, "zebra", 1)]
+
+
+# -------------------------------------------------------------- link spam
+def test_link_spam_hosts_flags_farm(spark):
+    rows = [("farm.test", "spam.test")] * 30
+    rows += [(f"h{i % 10}.test", "organic.test") for i in range(30)]
+    rows += [("one.test", "tiny.test")]  # below min_inlinks
+    links = spark.createDataFrame(rows, "src_host string, dst_host string")
+    out = {r["dst_host"]: r for r in crawlintel.link_spam_hosts(links).collect()}
+    spam = out["spam.test"]
+    assert spam["is_link_farm"] is True
+    assert spam["n_src_hosts"] == 1 and spam["top_src_share_permille"] == 1000
+    assert spam["diversity_permille"] == 33
+    org = out["organic.test"]
+    assert org["is_link_farm"] is False and org["n_src_hosts"] == 10
+    assert out["tiny.test"]["is_link_farm"] is False
+
+
+# --------------------------------------------------------------------- CDC
+def test_cdc_chunks_finds_cross_doc_duplicates(spark):
+    # 'lorem' hashes to a boundary (md5-prefix ≡ 0 mod 4); the greek
+    # words do not — so the shared passage yields one 8-token chunk
+    # repeating at period 8
+    shared = "alpha beta gamma lorem epsilon zeta eta theta " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one"),
+            (2, "totally different head words here " + shared),
+            (3, "nothing in common with the others at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.cdc_chunks(docs, divisor=4)
+    rows = out.collect()
+    # the shared passage re-synchronizes to identical chunks despite the
+    # different prefix in doc 2
+    assert len(rows) > 0
+    assert all(r["n_docs"] >= 2 for r in rows)
+    assert any(r["n_tokens"] == 8 and r["n_occurrences"] >= 8 for r in rows)
+
+
+def test_cdc_offset_insensitive_where_fixed_chunking_is_not(spark):
+    # insert ONE word at the head of a copy: fixed 10-word chunking
+    # shares nothing, CDC still finds the duplicated region
+    # all-distinct words (no intra-doc repeats for fixed chunking to
+    # drop); 'lorem'/'amet'/'elit' are CDC boundaries (≡ 0 mod 4)
+    body = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "tempor incididunt labore dolore magna aliqua enim minim veniam quis"
+    )
+    docs = spark.createDataFrame(
+        [(1, body), (2, "INSERTED " + body)], "doc_id long, text string"
+    )
+    cdc = textops.cdc_chunks(docs, divisor=4).count()
+    fixed = (
+        textops.chunk_dedup(docs, chunk_words=10)
+        .filter(F.col("n_dropped") > 0)
+        .count()
+    )
+    assert cdc > 0
+    # fixed chunking only dedups doc 2's chunks if boundaries align;
+    # the 1-token shift breaks every boundary, so nothing is dropped
+    assert fixed == 0
+
+
+def test_cdc_single_doc_duplication_not_reported_by_default(spark):
+    docs = spark.createDataFrame(
+        [(1, "repeat me repeat me repeat me repeat me repeat me")],
+        "doc_id long, text string",
+    )
+    assert textops.cdc_chunks(docs, divisor=2).count() == 0
+
+
+def test_cdc_no_cartesian_and_window_is_per_doc(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = textops.cdc_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only window must be partitioned by the doc key, not global
+    assert "partitionBy" not in plan or "_doc" in plan
