@@ -76,6 +76,9 @@ HEADLINE = [
     "crawl_budget_alloc",
     "redirect_resolve",
     "sitemap_diff",
+    "anchor_text_topk",
+    "link_spam_hosts",
+    "cdc_chunks",
 ]
 
 

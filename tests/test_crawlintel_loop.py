@@ -1,0 +1,82 @@
+"""The crawl-intelligence loop, end-to-end: crawl a synthetic web that
+contains a planted MIRROR host, a session-id TRAP host, and redirect
+noise → read back the crawler's OWN cache → run mirror detection,
+DUST param mining, and harvest/trap scoring over it → apportion the
+next round's fetch budget. This is the composition the operators exist
+for: the cache curates the frontier that fills it."""
+
+from pyspark.sql import functions as F
+
+from netrunner_spark.operators import crawlintel
+from netrunner_spark.plans.crawl import CrawlConfig, CrawlJob
+from netrunner_spark.sources.fetcher import MockFetcher
+from netrunner_spark.synth import gen_robots, gen_web, host_name
+from netrunner_spark.tables import LakeCatalog
+from netrunner_spark.urlnorm import url_hash_col
+
+
+def _planted_web(spark):
+    base = gen_web(spark, 3, 24)
+    # mirror: host9.test serves host0.test's exact bytes under its own
+    # URLs (the classic co-hosted mirror)
+    mirror = (
+        base.filter(F.col("host") == host_name(0))
+        .withColumn("url", F.regexp_replace("url", host_name(0), "host9.test"))
+        .withColumn("host", F.lit("host9.test"))
+    )
+    # trap: host1's page 0 answers under 12 extra ?cal= URLs with the
+    # SAME content (calendar trap); URLs differ only in the param
+    one_page = base.filter(
+        (F.col("host") == host_name(1)) & F.col("url").endswith("/docs/0")
+    )
+    trap = (
+        one_page.crossJoin(spark.range(12).select(F.col("id").alias("_cal")))
+        .withColumn("url", F.concat(F.col("url"), F.lit("?cal="), F.col("_cal")))
+        .drop("_cal")
+    )
+    return base.unionByName(mirror).unionByName(trap)
+
+
+def test_cache_to_intelligence_to_budget_loop(spark, tmp_path):
+    web = _planted_web(spark)
+    robots = gen_robots(spark, 3)
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    job = CrawlJob(spark, cat, MockFetcher(web), robots, CrawlConfig())
+    job.init_frontier(web.select("url", "host", url_hash_col("url").alias("url_hash")))
+    stats = job.run()
+    assert stats["fetched"] > 0
+
+    # 1. the crawler's own cache, reduced to the intelligence schema
+    pages = (
+        job.cache_df()
+        .filter("status = 200")
+        .select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            "url",
+            F.md5(F.col("content")).alias("content_hash"),
+        )
+    )
+
+    # 2. mirror detection finds exactly the planted pair
+    mirrors = crawlintel.mirror_hosts(pages, min_shared=3, max_hash_df=3).collect()
+    assert {(r["host_a"], r["host_b"]) for r in mirrors} == {("host0.test", "host9.test")}
+    assert all(r["overlap_permille"] == 1000 for r in mirrors)
+
+    # 3. DUST mining proves ?cal= never changes content on the trap host
+    dust = {
+        (r["host"], r["param"]): r for r in crawlintel.dust_params(pages).collect()
+    }
+    cal = dust[("host1.test", "cal")]
+    assert cal["irrelevant"] is True and cal["n_evidence"] >= 1
+
+    # 4. harvest scoring marks the trap host (≥13 URLs share one hash),
+    #    and the budget apportionment starves it relative to its URL
+    #    share while still summing exactly to the round budget
+    harvest = crawlintel.host_harvest(pages, trap_max_permille=700, trap_min_urls=10)
+    hrows = {r["host"]: r for r in harvest.collect()}
+    assert hrows["host1.test"]["harvest_permille"] < hrows["host2.test"]["harvest_permille"]
+    alloc = crawlintel.budget_alloc(harvest, "harvest_permille", total=1000)
+    arows = {r["host"]: r["alloc"] for r in alloc.collect()}
+    assert sum(arows.values()) == 1000
+    # equal-URL hosts: the trap host earns a smaller slice than a clean one
+    assert arows["host1.test"] < arows["host2.test"]
