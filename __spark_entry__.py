@@ -1077,6 +1077,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.cluster_keepers(cl, quality, quality_col="resolution")
 
+    def image_dedup_savings(spark, sf):
+        # the storage economics of the image dedup decision: per format,
+        # how many near-dup copies the keeper policy drops and how many
+        # bytes that saves — composed from the SAME stages as
+        # image_cluster_keepers, metadata-only (bytes column never read)
+        keepers = image_cluster_keepers(spark, sf)
+        meta = _image_meta(spark, sf).filter(F.col("image_id") < 150)
+        j = keepers.join(meta, keepers.doc_id == meta.image_id)
+        return (
+            j.groupBy("fmt")
+            .agg(
+                F.count(F.lit(1)).alias("n_images"),
+                F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+                F.sum(F.when(~F.col("keep"), F.col("n_bytes")).otherwise(0)).alias(
+                    "bytes_dropped"
+                ),
+                F.sum("n_bytes").alias("bytes_total"),
+            )
+            .withColumn(
+                "saved_permille",
+                F.expr("CAST(bytes_dropped * 1000 DIV bytes_total AS BIGINT)"),
+            )
+        )
+
     def sample_split(spark, sf):
         # deterministic md5-hash train/val/test split — map-only, zero
         # shuffle; membership depends only on (salt, doc_id)
@@ -2075,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": redirect_resolve,
         "sitemap_diff": sitemap_diff,
         "anchor_text_topk": anchor_text_topk,
+        "image_dedup_savings": image_dedup_savings,
         "link_spam_hosts": link_spam_hosts,
         "cdc_chunks": cdc_chunks,
     }
@@ -4129,4 +4154,24 @@ SELECT chunk_hash,
        CAST(count(*) AS BIGINT) AS n_occurrences
 FROM pc GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
 """
+    # image_dedup_savings: the keeper twin nested verbatim (same
+    # no-drift trick as curation_pipeline), joined to the image meta CTE
+    oracles["image_dedup_savings"] = (
+        "WITH k AS (\n"
+        + oracles["image_cluster_keepers"]
+        + "\n)"
+        + _IMG_CTE.replace("\nWITH img AS", ", img AS")
+        + """
+SELECT img.fmt,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(CASE WHEN NOT k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN NOT k.keep THEN img.n_bytes ELSE 0 END) AS BIGINT)
+         AS bytes_dropped,
+       CAST(sum(img.n_bytes) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN NOT k.keep THEN img.n_bytes ELSE 0 END) * 1000
+            // sum(img.n_bytes) AS BIGINT) AS saved_permille
+FROM k JOIN img ON img.image_id = k.doc_id
+GROUP BY img.fmt
+"""
+    )
     return oracles

@@ -79,6 +79,7 @@ HEADLINE = [
     "anchor_text_topk",
     "link_spam_hosts",
     "cdc_chunks",
+    "image_dedup_savings",
 ]
 
 
