@@ -242,6 +242,51 @@ pages AS (
 """
 
 
+def _lpa_sql(iters: int = 3) -> str:
+    """DuckDB twin of graph.label_propagation_int over the two-ring
+    community topology, generated per iteration: each synchronous round
+    is one vote CTE (count neighbor labels) + one winner CTE (top count,
+    min-label tie-break) + one relabel CTE (isolated nodes keep their
+    own) — the identical integer recurrence, so the match is exact."""
+    parts = [
+        """
+WITH nodes AS (SELECT DISTINCT event_id % 30 AS n FROM events),
+ed AS (
+  SELECT n AS src, (n // 15) * 15 + ((n % 15) + 1) % 15 AS dst FROM nodes
+  UNION
+  SELECT n, (n // 15) * 15 + ((n % 15) + 2) % 15 FROM nodes
+  UNION
+  SELECT CAST(14 AS BIGINT), CAST(15 AS BIGINT)
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ed WHERE src <> dst
+    UNION SELECT dst, src FROM ed WHERE src <> dst
+  )
+),
+l0 AS (SELECT DISTINCT src AS id, src AS community FROM und)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+v{i} AS (
+  SELECT e.dst AS v, l.community, count(*) AS c
+  FROM und e JOIN l{i - 1} l ON l.id = e.src
+  GROUP BY e.dst, l.community
+), p{i} AS (
+  SELECT v, community FROM (
+    SELECT v, community,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, community ASC) AS rn
+    FROM v{i}) WHERE rn = 1
+), l{i} AS (
+  SELECT o.id, coalesce(p.community, o.community) AS community
+  FROM l{i - 1} o LEFT JOIN p{i} p ON p.v = o.id
+)"""
+        )
+    parts.append(f"\nSELECT id, community FROM l{iters}")
+    return "".join(parts)
+
+
 def _kmeans_sql(k: int = 4, iters: int = 2, select: str | None = None) -> str:
     """DuckDB twin of vectors.kmeans_int, generated for a fixed
     iteration count: each Lloyd's round is one assignment CTE (argmin
@@ -1990,6 +2035,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cdc_chunks(spark, sf):
         return textops.cdc_chunks(_t(spark, sf, "documents"))
 
+    def link_communities(spark, sf):
+        # deterministic synchronous label propagation over a two-ring
+        # host topology with one bridge: communities within a component
+        from netrunner_spark.operators.graph import label_propagation_int
+
+        ev = _t(spark, sf, "events")
+        nodes = ev.select((F.col("event_id") % 30).alias("n")).dropDuplicates()
+        ring = nodes.select(
+            F.col("n").alias("src"),
+            F.expr("(n DIV 15) * 15 + ((n % 15) + 1) % 15").alias("dst"),
+        )
+        chord = nodes.select(
+            F.col("n").alias("src"),
+            F.expr("(n DIV 15) * 15 + ((n % 15) + 2) % 15").alias("dst"),
+        )
+        bridge = spark.range(1).select(
+            F.lit(14).cast("long").alias("src"), F.lit(15).cast("long").alias("dst")
+        )
+        edges = ring.unionByName(chord).unionByName(bridge)
+        return label_propagation_int(edges, iters=3)
+
     return {
         "w1_politeness_quota": w1_politeness_quota,
         "f2_admission_filter": f2_admission_filter,
@@ -2102,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_savings": image_dedup_savings,
         "link_spam_hosts": link_spam_hosts,
         "cdc_chunks": cdc_chunks,
+        "link_communities": link_communities,
     }
 
 
@@ -4085,6 +4152,7 @@ SELECT COALESCE(o.url, n.url) AS url, old_lastmod, new_lastmod,
 FROM o FULL OUTER JOIN n ON o.url = n.url
 WHERE old_lastmod IS NULL OR new_lastmod IS NULL OR old_lastmod <> new_lastmod
 """
+    oracles["link_communities"] = _lpa_sql(3)
     oracles["anchor_text_topk"] = """
 WITH links AS (
   SELECT 'https://t.test/d/' || CAST(event_id % 40 AS VARCHAR) AS dst,

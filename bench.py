@@ -80,6 +80,7 @@ HEADLINE = [
     "link_spam_hosts",
     "cdc_chunks",
     "image_dedup_savings",
+    "link_communities",
 ]
 
 

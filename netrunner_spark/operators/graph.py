@@ -302,3 +302,78 @@ def pagerank_weighted_int(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", "rank_e12")
+
+
+def label_propagation_int(
+    edges: DataFrame,
+    iters: int = 3,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) over an edge list ``(src, dst)`` → ``(id, community)``.
+
+    Community detection is the graph signal between PageRank (global
+    authority) and connected components (reachability): it splits a
+    CONNECTED graph into densely-linked groups — mirror families, link
+    farms, and topic pockets that share a component but not a
+    community. Classic async LPA is run-order-dependent; this variant
+    is exactly reproducible, same contract as :func:`pagerank_int`:
+
+    * synchronous rounds (every node updates from the PREVIOUS round's
+      labels),
+    * labels start as the node id (int64),
+    * a node adopts the neighbor label with the highest vote count,
+      ties broken by SMALLEST label; isolated nodes keep their own,
+    * fixed ``iters`` rounds — no convergence test, so the DuckDB twin
+      can replay the identical recurrence.
+
+    Edges are treated as undirected (links are symmetric evidence of
+    affinity). Per round: one join labels⋈edges on the neighbor id,
+    one (node, label) count aggregate, one window partitioned by node
+    (bounded by per-node distinct neighbor labels). Lineage is cut per
+    round with an eager localCheckpoint like the other iterated
+    operators here.
+    """
+    from pyspark.sql.window import Window
+
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    ids = und.select(F.col("src").alias("id"))
+    if nodes is not None:
+        ids = ids.unionByName(nodes.select(F.col(nodes.columns[0]).alias("id")))
+    ids = ids.dropDuplicates().localCheckpoint(eager=True)
+
+    labels = ids.select("id", F.col("id").alias("community"))
+    w = Window.partitionBy("_v").orderBy(
+        F.col("_c").desc(), F.col("community").asc()
+    )
+    for _ in range(iters):
+        votes = (
+            und.join(labels, und.src == labels.id)
+            .groupBy(F.col("dst").alias("_v"), "community")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        winners = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_v").alias("id"), F.col("community").alias("_new"))
+        )
+        labels = (
+            labels.join(winners, "id", "left")
+            .select(
+                "id", F.coalesce("_new", "community").alias("community")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

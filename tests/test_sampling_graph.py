@@ -264,3 +264,35 @@ def test_weighted_pagerank_multiplicity_shifts_rank(spark):
     e = spark.createDataFrame(rows, "src long, dst long, w long")
     got = {r["id"]: r["rank_e12"] for r in pagerank_weighted_int(e, iters=4).collect()}
     assert got[1] > got[2]
+
+
+# ---------------------------------------------------------- LPA communities
+def test_label_propagation_splits_triangles(spark):
+    from netrunner_spark.operators.graph import label_propagation_int
+
+    # two triangles joined by one bridge edge: LPA must keep them as
+    # separate communities even though they share a component
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)],
+        "src long, dst long",
+    )
+    out = {r["id"]: r["community"] for r in
+           label_propagation_int(edges, iters=3).collect()}
+    assert len(out) == 6
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11] == out[12]
+    assert out[0] != out[10]
+
+
+def test_label_propagation_deterministic_and_isolated_nodes(spark):
+    from netrunner_spark.operators.graph import label_propagation_int
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(99,)], "id long")
+    a = sorted(label_propagation_int(edges, iters=2, nodes=nodes).collect())
+    b = sorted(label_propagation_int(edges, iters=2, nodes=nodes).collect())
+    assert a == b
+    out = {r["id"]: r["community"] for r in a}
+    assert out[99] == 99  # isolated node keeps its own label
