@@ -2035,6 +2035,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cdc_chunks(spark, sf):
         return textops.cdc_chunks(_t(spark, sf, "documents"))
 
+    def host_crawl_report(spark, sf):
+        # THE per-host decision table the next scheduling round consumes,
+        # composed from the SAME operators as their standalone queries:
+        # harvest/trap scoring, mirror detection (the lexicographically
+        # later host of a >=50%-overlap pair is demoted), traps and
+        # mirror-secondaries zero-weighted, then the exact integer
+        # budget split over what remains
+        from netrunner_spark.operators import crawlintel
+
+        pages = _crawl_pages(spark, sf)
+        hh = crawlintel.host_harvest(pages)
+        mm = crawlintel.mirror_hosts(pages, min_shared=3, max_hash_df=4)
+        sec = (
+            mm.filter(F.col("overlap_permille") >= 500)
+            .select(F.col("host_b").alias("host"))
+            .dropDuplicates()
+            .withColumn("mirror_secondary", F.lit(True))
+        )
+        stats = (
+            hh.join(sec, "host", "left")
+            .withColumn(
+                "mirror_secondary", F.coalesce("mirror_secondary", F.lit(False))
+            )
+            .withColumn(
+                "eff_w",
+                F.when(
+                    F.col("mirror_secondary") | F.col("is_trap"), F.lit(0)
+                ).otherwise(F.col("harvest_permille")),
+            )
+        )
+        alloc = crawlintel.budget_alloc(stats, "eff_w", total=997)
+        return stats.join(alloc.select("host", "alloc"), "host").select(
+            "host",
+            "n_urls",
+            "harvest_permille",
+            "is_trap",
+            "mirror_secondary",
+            "alloc",
+        )
+
     def link_communities(spark, sf):
         # deterministic synchronous label propagation over a two-ring
         # host topology with one bridge: communities within a component
@@ -2169,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_spam_hosts": link_spam_hosts,
         "cdc_chunks": cdc_chunks,
         "link_communities": link_communities,
+        "host_crawl_report": host_crawl_report,
     }
 
 
@@ -4153,6 +4194,38 @@ FROM o FULL OUTER JOIN n ON o.url = n.url
 WHERE old_lastmod IS NULL OR new_lastmod IS NULL OR old_lastmod <> new_lastmod
 """
     oracles["link_communities"] = _lpa_sql(3)
+    # host_crawl_report: harvest + mirror twins nested verbatim (the
+    # no-drift composition trick), then the budget window over the
+    # composed effective weight
+    oracles["host_crawl_report"] = (
+        "WITH hh AS (\n"
+        + oracles["host_harvest"]
+        + "\n), mm AS (\n"
+        + oracles["mirror_hosts"]
+        + "\n)"
+        + """
+, sec AS (SELECT DISTINCT host_b AS host FROM mm WHERE overlap_permille >= 500),
+st AS (
+  SELECT hh.host, hh.n_urls, hh.harvest_permille, hh.is_trap,
+         sec.host IS NOT NULL AS mirror_secondary,
+         CASE WHEN sec.host IS NOT NULL OR hh.is_trap
+              THEN 0 ELSE hh.harvest_permille END AS eff_w
+  FROM hh LEFT JOIN sec ON sec.host = hh.host
+), sh AS (
+  SELECT host, eff_w,
+         CAST(997 * eff_w // sum(eff_w) OVER () AS BIGINT) AS fl,
+         CAST(997 * eff_w % sum(eff_w) OVER () AS BIGINT) AS rem
+  FROM st
+), r AS (
+  SELECT *, 997 - sum(fl) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+  FROM sh
+)
+SELECT st.host, st.n_urls, st.harvest_permille, st.is_trap, st.mirror_secondary,
+       CAST(r.fl + CASE WHEN r.rn <= r.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM st JOIN r ON r.host = st.host
+"""
+    )
     oracles["anchor_text_topk"] = """
 WITH links AS (
   SELECT 'https://t.test/d/' || CAST(event_id % 40 AS VARCHAR) AS dst,

@@ -81,6 +81,7 @@ HEADLINE = [
     "cdc_chunks",
     "image_dedup_savings",
     "link_communities",
+    "host_crawl_report",
 ]
 
 
