@@ -243,7 +243,9 @@ def budget_alloc(
 
     Each host gets ``floor(total·w/S)`` slots; the ``total − Σfloor``
     leftover slots go to the largest remainders (ties broken by host
-    name, so the split is deterministic). Zero-weight hosts get zero.
+    name, so the split is deterministic). Zero-weight hosts get zero;
+    if EVERY weight is zero (all hosts trapped/demoted) the budget is
+    withheld entirely — every alloc is 0 — rather than divided by 0.
 
     Scale note: the two unpartitioned windows run over the PER-HOST
     stats table — already collapsed from the 10^10-row cache by
@@ -262,11 +264,21 @@ def budget_alloc(
     shares = base.withColumn("s_tot", F.sum("weight").over(w_all)).select(
         "host",
         "weight",
-        F.expr(f"CAST({total} * weight DIV s_tot AS BIGINT)").alias("fl"),
-        F.expr(f"CAST({total} * weight % s_tot AS BIGINT)").alias("rem"),
+        "s_tot",
+        F.expr(
+            f"CAST(CASE WHEN s_tot = 0 THEN 0 ELSE {total} * weight DIV s_tot END AS BIGINT)"
+        ).alias("fl"),
+        F.expr(
+            f"CAST(CASE WHEN s_tot = 0 THEN 0 ELSE {total} * weight % s_tot END AS BIGINT)"
+        ).alias("rem"),
     )
     return (
-        shares.withColumn("leftover", F.lit(total) - F.sum("fl").over(w_all))
+        shares.withColumn(
+            "leftover",
+            F.when(F.col("s_tot") == 0, F.lit(0)).otherwise(
+                F.lit(total) - F.sum("fl").over(w_all)
+            ),
+        )
         .withColumn("rn", F.row_number().over(w_rank))
         .select(
             "host",

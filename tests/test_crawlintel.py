@@ -185,3 +185,36 @@ def test_sitemap_diff_statuses(spark):
 def test_no_cartesian_product(spark, build):
     plan = build(spark)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_budget_alloc_differential_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(5):
+        n = rng.randint(1, 12)
+        weights = [(f"h{i:02d}", rng.randint(0, 9)) for i in range(n)]
+        total = rng.randint(1, 500)
+        s = sum(w for _, w in weights)
+        if s == 0:
+            weights[0] = (weights[0][0], 1)
+            s = 1
+        fl = {h: total * w // s for h, w in weights}
+        rem = {h: total * w % s for h, w in weights}
+        leftover = total - sum(fl.values())
+        order = sorted(weights, key=lambda hw: (-rem[hw[0]], hw[0]))
+        for h, _ in order[:leftover]:
+            fl[h] += 1
+        stats = spark.createDataFrame(weights, "host string, w long")
+        out = {
+            r["host"]: r["alloc"]
+            for r in crawlintel.budget_alloc(stats, "w", total=total).collect()
+        }
+        assert out == fl, (trial, total, weights)
+
+
+def test_budget_alloc_withholds_on_all_zero_weights(spark):
+    stats = spark.createDataFrame([("a", 0), ("b", 0)], "host string, w long")
+    out = {r["host"]: r["alloc"] for r in
+           crawlintel.budget_alloc(stats, "w", total=10).collect()}
+    assert out == {"a": 0, "b": 0}
