@@ -2035,6 +2035,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cdc_chunks(spark, sf):
         return textops.cdc_chunks(_t(spark, sf, "documents"))
 
+    def search_rerank_anchors(spark, sf):
+        # the L1/L2 search architecture: BM25 candidate pool (L1, exact
+        # same stages as bm25_search) re-ranked by the link graph's
+        # anchor-text signal (L2) — a candidate whose in-link anchors
+        # repeat a query term outranks a same-score text-only match
+        from netrunner_spark.operators import crawlintel, retrieval
+
+        cands = bm25_search(spark, sf)
+        # three synthetic in-links per document: two repeat a
+        # doc-id-keyed content word, one is navigation filler — so every
+        # doc has an anchor profile at every scale factor
+        d = _t(spark, sf, "documents")
+        word = F.element_at(
+            F.array(
+                F.lit("spark"), F.lit("merge"), F.lit("customer"),
+                F.lit("window"), F.lit("batch"),
+            ),
+            (F.col("dst") % 5 + 1).cast("int"),
+        )
+        links = d.select(
+            F.col("doc_id").alias("dst"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+        ).select(
+            "dst",
+            F.when(F.col("k") < 2, word).otherwise(F.lit("homepage")).alias("anchor"),
+        )
+        anchors = crawlintel.anchor_text_topk(links, k=3)
+        queries_df = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+        qt = retrieval._query_terms(queries_df, retrieval.TOKEN_PATTERN)
+        j = cands.join(qt, "query_id").join(
+            anchors.select(
+                F.col("dst").alias("a_dst"), F.col("term").alias("a_term"), "n"
+            ),
+            (F.col("a_dst") == F.col("doc_id")) & (F.col("a_term") == F.col("token")),
+            "left",
+        )
+        b = j.groupBy("query_id", "doc_id", "score_q").agg(
+            (F.coalesce(F.sum("n"), F.lit(0)) * 500).alias("anchor_bonus")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("final_q").desc(), F.col("doc_id").asc()
+        )
+        return (
+            b.withColumn("final_q", F.col("score_q") + F.col("anchor_bonus"))
+            .withColumn("rk", F.row_number().over(w).cast("int"))
+            .select(
+                "query_id", "doc_id", "score_q", "anchor_bonus", "final_q", "rk"
+            )
+        )
+
     def host_crawl_report(spark, sf):
         # THE per-host decision table the next scheduling round consumes,
         # composed from the SAME operators as their standalone queries:
@@ -2210,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": cdc_chunks,
         "link_communities": link_communities,
         "host_crawl_report": host_crawl_report,
+        "search_rerank_anchors": search_rerank_anchors,
     }
 
 
@@ -4226,6 +4277,50 @@ SELECT st.host, st.n_urls, st.harvest_permille, st.is_trap, st.mirror_secondary,
 FROM st JOIN r ON r.host = st.host
 """
     )
+    # search_rerank_anchors: the bm25 twin nested verbatim as the L1
+    # candidate CTE, anchor profile + query-term literals joined for the
+    # L2 bonus, then the deterministic re-rank window
+    oracles["search_rerank_anchors"] = (
+        "WITH c AS (\n"
+        + oracles["bm25_search"]
+        + "\n)"
+        + """
+, links AS (
+  SELECT doc_id AS dst,
+         CASE WHEN t.k < 2 THEN
+           CASE doc_id % 5 WHEN 0 THEN 'spark' WHEN 1 THEN 'merge'
+                WHEN 2 THEN 'customer' WHEN 3 THEN 'window'
+                ELSE 'batch' END
+         ELSE 'homepage' END AS anchor
+  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(k)
+), aterms AS (
+  SELECT dst, unnest(regexp_split_to_array(lower(anchor), '[^a-z0-9]+')) AS term
+  FROM links
+), ac AS (
+  SELECT dst, term, CAST(count(*) AS BIGINT) AS n
+  FROM aterms WHERE term <> '' GROUP BY dst, term
+), a AS (
+  SELECT dst, term, n FROM (
+    SELECT *, row_number() OVER (PARTITION BY dst ORDER BY n DESC, term ASC) AS rnk
+    FROM ac) WHERE rnk <= 3
+), qt(query_id, term) AS (
+  VALUES __QT_VALUES__
+), b AS (
+  SELECT c.query_id, c.doc_id, c.score_q,
+         CAST(coalesce(sum(a.n), 0) * 500 AS BIGINT) AS anchor_bonus
+  FROM c
+  JOIN qt ON qt.query_id = c.query_id
+  LEFT JOIN a ON a.dst = c.doc_id AND a.term = qt.term
+  GROUP BY c.query_id, c.doc_id, c.score_q
+)
+SELECT query_id, doc_id, score_q, anchor_bonus,
+       CAST(score_q + anchor_bonus AS BIGINT) AS final_q,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY score_q + anchor_bonus DESC, doc_id ASC) AS INT) AS rk
+FROM b
+"""
+    ).replace("__QT_VALUES__", "(1, 'join'), (1, 'spark'), (1, 'window'), (2, 'batch'), (2, 'merge'), (2, 'sort'), (3, 'customer'), (3, 'scan'), (3, 'table')")
     oracles["anchor_text_topk"] = """
 WITH links AS (
   SELECT 'https://t.test/d/' || CAST(event_id % 40 AS VARCHAR) AS dst,

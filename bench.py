@@ -82,6 +82,7 @@ HEADLINE = [
     "image_dedup_savings",
     "link_communities",
     "host_crawl_report",
+    "search_rerank_anchors",
 ]
 
 
