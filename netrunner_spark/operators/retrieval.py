@@ -285,7 +285,11 @@ class SearchIndex:
         cfg = rows[0]
         i = 1 + max(r["slice"] for r in rows)
         id_col = cfg["id_col"]
-        dl_old = self._dl_union([r["slice"] for r in rows])
+        # overlap is judged against LIVE docs: a tombstoned id may be
+        # re-indexed (that is exactly what update() does)
+        dl_old = self._dl_union(
+            [r["slice"] for r in rows], self._tombstones(), id_col
+        )
         overlap = (
             docs_delta.select(id_col)
             .join(dl_old.select(id_col), id_col, "left_semi")
@@ -307,9 +311,65 @@ class SearchIndex:
         )
         self.cat.write(prior.unionByName(stats), f"{self.name}_stats")
 
+    # ----------------------------------------------------------- delete
+    def _tombstones(self):
+        t = f"{self.name}_tombstones"
+        return self.cat.read(t) if self.cat.exists(t) else None
+
+    @staticmethod
+    def _live(df, i, tomb, id_col):
+        """Drop slice ``i``'s rows for docs tombstoned AT OR AFTER it.
+
+        Tombstones are slice-scoped (``upto`` = the max slice at delete
+        time), so a doc re-added in a LATER slice survives: the
+        tombstone kills only the old slices' rows. Tombstone batches
+        are bounded (explicit delete calls), hence broadcast."""
+        if tomb is None:
+            return df
+        kill = tomb.filter(F.col("upto") >= i).select(id_col)
+        return df.join(F.broadcast(kill), id_col, "left_anti")
+
+    def delete(self, doc_ids: DataFrame) -> None:
+        """Tombstone-delete docs from the index — O(batch) write, no
+        slice rewrite. Queries stay EXACT: postings/dl rows of
+        tombstoned docs are anti-joined out per slice, query-term df is
+        recomputed from the live postings, and tt/nd are corrected by
+        one map-only pass over the (doc, dl) tables (the cheapest
+        corpus-order table; the broadcast anti-join adds no shuffle).
+        A compact-and-rebuild folds tombstones away when they grow."""
+        stats = self.cat.read(f"{self.name}_stats")
+        rows = stats.collect()  # bounded: one row per slice
+        id_col = rows[0]["id_col"]
+        upto = max(r["slice"] for r in rows)
+        tomb = (
+            doc_ids.select(F.col(doc_ids.columns[0]).alias(id_col))
+            .dropDuplicates()
+            .withColumn("upto", F.lit(upto))
+        )
+        old = self._tombstones()
+        if old is not None:
+            tomb = old.unionByName(tomb)
+        self.cat.write(
+            tomb.localCheckpoint(eager=True), f"{self.name}_tombstones"
+        )
+
+    def update(self, docs_new: DataFrame, text_col: str = "text") -> None:
+        """Replace docs (the recrawl case): tombstone the old rows,
+        index the new text as a fresh slice. Exact — a query on the
+        updated index matches a from-scratch rebuild bit-for-bit
+        (pinned in tests/test_retrieval_delete.py)."""
+        rows = self.cat.read(f"{self.name}_stats").collect()
+        self.delete(docs_new.select(rows[0]["id_col"]))
+        self.append(docs_new, text_col)
+
     # ------------------------------------------------------------- read
-    def _dl_union(self, slices):
-        dfs = [self.cat.read(f"{self.name}_dl_{i}") for i in sorted(slices)]
+    def _dl_union(self, slices, tomb=None, id_col=None):
+        dfs = [
+            self._live(
+                self.cat.read(f"{self.name}_dl_{i}"), i, tomb, id_col
+            )
+            for i in sorted(slices)
+        ]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -325,14 +385,20 @@ class SearchIndex:
         rows = stats_df.collect()  # bounded: one row per slice
         id_col, pattern = rows[0]["id_col"], rows[0]["pattern"]
         slices = sorted(r["slice"] for r in rows)
+        tomb = self._tombstones()
         qterms = _query_terms(queries, pattern)
         # literal term list → isin predicate the bucket pruner can use
         terms = [r["token"] for r in qterms.select("token").distinct().collect()]
 
         def _union(kind):
             dfs = [
-                self.cat.read_table(f"{self.name}_{kind}_{i}").filter(
-                    F.col("token").isin(terms)
+                self._live(
+                    self.cat.read_table(f"{self.name}_{kind}_{i}").filter(
+                        F.col("token").isin(terms)
+                    ),
+                    i,
+                    tomb,
+                    id_col,
                 )
                 for i in slices
             ]
@@ -342,11 +408,44 @@ class SearchIndex:
             return out
 
         tf = _union("postings")
-        # df is additive across disjoint slices; this aggregate runs on
-        # the bucket-pruned query-term rows only, not the vocabulary
-        dft = _union("dft").groupBy("token").agg(F.sum("df").alias("df"))
-        dl = self._dl_union(slices)
-        stats = stats_df.agg(F.sum("tt").alias("tt"), F.sum("nd").alias("nd"))
+        if tomb is None:
+            # df is additive across disjoint slices; this aggregate runs
+            # on the bucket-pruned query-term rows only, not the
+            # vocabulary
+            dft = _union("dft").groupBy("token").agg(F.sum("df").alias("df"))
+            stats = stats_df.agg(F.sum("tt").alias("tt"), F.sum("nd").alias("nd"))
+        else:
+            # with tombstones the stored per-slice df is stale for
+            # deleted docs — recount from the LIVE pruned postings
+            # (exact: one row per (token, live doc)); tt/nd get the
+            # tombstoned docs' dl subtracted via one map-only pass
+            dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+            dead = [
+                self.cat.read(f"{self.name}_dl_{i}").join(
+                    F.broadcast(
+                        tomb.filter(F.col("upto") >= i).select(id_col)
+                    ),
+                    id_col,
+                    "left_semi",
+                )
+                for i in slices
+            ]
+            dead_u = dead[0]
+            for d in dead[1:]:
+                dead_u = dead_u.unionByName(d)
+            corr = dead_u.agg(
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("dtt"),
+                F.count(F.lit(1)).alias("dnd"),
+            )
+            stats = (
+                stats_df.agg(F.sum("tt").alias("_tt"), F.sum("nd").alias("_nd"))
+                .crossJoin(corr)
+                .select(
+                    (F.col("_tt") - F.col("dtt")).alias("tt"),
+                    (F.col("_nd") - F.col("dnd")).alias("nd"),
+                )
+            )
+        dl = self._dl_union(slices, tomb, id_col)
         qweights = _qweights(qterms, dft, stats)
         return _score_and_rank(tf, dl, qweights, k, id_col, rank_buckets)
 
@@ -374,9 +473,15 @@ class SearchIndex:
         terms = [
             r["token"] for r in qt.select("token").distinct().collect()
         ]  # bounded: the phrase batch
+        tomb = self._tombstones()
         dfs = [
-            self.cat.read_table(f"{self.name}_pos_{i}").filter(
-                F.col("token").isin(terms)
+            self._live(
+                self.cat.read_table(f"{self.name}_pos_{i}").filter(
+                    F.col("token").isin(terms)
+                ),
+                i,
+                tomb,
+                id_col,
             )
             for i in slices
         ]
