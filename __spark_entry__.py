@@ -2035,6 +2035,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cdc_chunks(spark, sf):
         return textops.cdc_chunks(_t(spark, sf, "documents"))
 
+    def warc_revisit_plan(spark, sf):
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        k = F.col("event_id") % 150
+        url = F.concat(
+            F.lit("https://h"), (k % 8).cast("string"), F.lit(".test/r/"),
+            k.cast("string"),
+        )
+        old = (
+            ev.filter(F.col("event_id") % 7 != 0)
+            .select(
+                url.alias("url"),
+                F.md5(F.concat(F.lit("a-"), k.cast("string"))).alias("content_hash"),
+            )
+            .dropDuplicates(["url"])
+        )
+        new = (
+            ev.filter(F.col("event_id") % 5 != 0)
+            .select(
+                url.alias("url"),
+                F.when(
+                    k % 5 == 0, F.md5(F.concat(F.lit("b-"), k.cast("string")))
+                )
+                .otherwise(F.md5(F.concat(F.lit("a-"), k.cast("string"))))
+                .alias("content_hash"),
+                (F.lit(50) + k).cast("long").alias("n_bytes"),
+            )
+            .dropDuplicates(["url"])
+        )
+        return crawlintel.revisit_plan(old, new)
+
+    def reciprocal_links(spark, sf):
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        m9 = F.col("event_id") % 9
+        s = (
+            F.when(m9 == 0, F.lit("x.test"))
+            .when(m9 == 3, F.lit("y.test"))
+            .otherwise(
+                F.concat(F.lit("h"), (F.col("user_id") % 6).cast("string"), F.lit(".test"))
+            )
+        )
+        d = (
+            F.when(m9 == 0, F.lit("y.test"))
+            .when(m9 == 3, F.lit("x.test"))
+            .otherwise(
+                F.concat(F.lit("h"), (F.col("event_id") % 6).cast("string"), F.lit(".test"))
+            )
+        )
+        links = ev.select(s.alias("src_host"), d.alias("dst_host"))
+        return crawlintel.reciprocal_links(links)
+
     def search_rerank_anchors(spark, sf):
         # the L1/L2 search architecture: BM25 candidate pool (L1, exact
         # same stages as bm25_search) re-ranked by the link graph's
@@ -2261,6 +2315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_communities": link_communities,
         "host_crawl_report": host_crawl_report,
         "search_rerank_anchors": search_rerank_anchors,
+        "warc_revisit_plan": warc_revisit_plan,
+        "reciprocal_links": reciprocal_links,
     }
 
 
@@ -4321,6 +4377,53 @@ SELECT query_id, doc_id, score_q, anchor_bonus,
 FROM b
 """
     ).replace("__QT_VALUES__", "(1, 'join'), (1, 'spark'), (1, 'window'), (2, 'batch'), (2, 'merge'), (2, 'sort'), (3, 'customer'), (3, 'scan'), (3, 'table')")
+    oracles["warc_revisit_plan"] = """
+WITH u AS (SELECT event_id, event_id % 150 AS k FROM events),
+o AS (
+  SELECT DISTINCT
+         'https://h' || CAST(k % 8 AS VARCHAR) || '.test/r/' || CAST(k AS VARCHAR) AS url,
+         md5('a-' || CAST(k AS VARCHAR)) AS prior_hash
+  FROM u WHERE event_id % 7 <> 0
+), n AS (
+  SELECT DISTINCT
+         'https://h' || CAST(k % 8 AS VARCHAR) || '.test/r/' || CAST(k AS VARCHAR) AS url,
+         CASE WHEN k % 5 = 0 THEN md5('b-' || CAST(k AS VARCHAR))
+              ELSE md5('a-' || CAST(k AS VARCHAR)) END AS h,
+         CAST(50 + k AS BIGINT) AS b
+  FROM u WHERE event_id % 5 <> 0
+)
+SELECT n.url,
+       CASE WHEN o.prior_hash IS NULL THEN 'new'
+            WHEN o.prior_hash = n.h THEN 'revisit' ELSE 'changed' END AS kind,
+       o.prior_hash,
+       CAST(CASE WHEN o.prior_hash = n.h THEN 0 ELSE n.b END AS BIGINT)
+         AS bytes_to_write
+FROM n LEFT JOIN o ON o.url = n.url
+"""
+    oracles["reciprocal_links"] = """
+WITH links AS (
+  SELECT CASE WHEN event_id % 9 = 0 THEN 'x.test'
+              WHEN event_id % 9 = 3 THEN 'y.test'
+              ELSE 'h' || CAST(user_id % 6 AS VARCHAR) || '.test' END AS s,
+         CASE WHEN event_id % 9 = 0 THEN 'y.test'
+              WHEN event_id % 9 = 3 THEN 'x.test'
+              ELSE 'h' || CAST(event_id % 6 AS VARCHAR) || '.test' END AS d
+  FROM events
+), pp AS (
+  SELECT s, d, CAST(count(*) AS BIGINT) AS n
+  FROM links WHERE s <> d GROUP BY s, d
+), f AS (SELECT s AS host_a, d AS host_b, n AS n_ab FROM pp WHERE s < d),
+r AS (SELECT d AS host_a, s AS host_b, n AS n_ba FROM pp WHERE s > d)
+SELECT COALESCE(f.host_a, r.host_a) AS host_a,
+       COALESCE(f.host_b, r.host_b) AS host_b,
+       CAST(coalesce(n_ab, 0) AS BIGINT) AS n_ab,
+       CAST(coalesce(n_ba, 0) AS BIGINT) AS n_ba,
+       CAST(2 * least(coalesce(n_ab, 0), coalesce(n_ba, 0)) * 1000
+            // (coalesce(n_ab, 0) + coalesce(n_ba, 0)) AS BIGINT)
+         AS reciprocity_permille
+FROM f FULL OUTER JOIN r ON f.host_a = r.host_a AND f.host_b = r.host_b
+WHERE coalesce(n_ab, 0) + coalesce(n_ba, 0) >= 4
+"""
     oracles["anchor_text_topk"] = """
 WITH links AS (
   SELECT 'https://t.test/d/' || CAST(event_id % 40 AS VARCHAR) AS dst,

@@ -83,6 +83,8 @@ HEADLINE = [
     "link_communities",
     "host_crawl_report",
     "search_rerank_anchors",
+    "warc_revisit_plan",
+    "reciprocal_links",
 ]
 
 

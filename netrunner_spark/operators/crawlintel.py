@@ -346,6 +346,111 @@ def resolve_redirects(
     return out
 
 
+# ---------------------------------------------------------------- revisit
+def revisit_plan(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+    bytes_col: str | None = "n_bytes",
+) -> DataFrame:
+    """WARC revisit planning for a recrawl → one row per re-fetched URL:
+    ``(url, kind, prior_hash, bytes_to_write)``.
+
+    The WARC standard dedups recrawl storage with *revisit* records
+    (ISO 28500 §6.7.2: an identical-payload-digest revisit refers to the
+    prior response instead of re-storing the bytes — our WARC writer is
+    `sources/warc.py`). This operator makes that decision relationally:
+
+    * ``new``      — first fetch of this URL → full response record,
+    * ``revisit``  — digest unchanged → reference record, ~0 bytes,
+    * ``changed``  — digest differs → full response record.
+
+    ``bytes_to_write`` is the new payload size for new/changed rows and
+    0 for revisits (the ~70-byte revisit header is noise), so
+    ``sum(bytes_to_write)`` is the recrawl's real archive cost. One
+    left equi-join on url, both sides partitioned on the key; at
+    10^10-URL recrawls this replaces re-storing the ~60-90 % of the web
+    that did not change between visits.
+    """
+    o = old.select(
+        F.col(url_col).alias("url"), F.col(hash_col).alias("prior_hash")
+    ).dropDuplicates(["url"])
+    cols = [F.col(url_col).alias("url"), F.col(hash_col).alias("_h")]
+    if bytes_col is not None:
+        cols.append(F.col(bytes_col).cast("long").alias("_b"))
+    n = new.select(*cols)
+    if bytes_col is None:
+        n = n.withColumn("_b", F.lit(0).cast("long"))
+    j = n.join(o, "url", "left")
+    return j.select(
+        "url",
+        F.when(F.col("prior_hash").isNull(), "new")
+        .when(F.col("prior_hash") == F.col("_h"), "revisit")
+        .otherwise("changed")
+        .alias("kind"),
+        "prior_hash",
+        F.when(F.col("prior_hash") == F.col("_h"), F.lit(0).cast("long"))
+        .otherwise(F.col("_b"))
+        .alias("bytes_to_write"),
+    )
+
+
+# ------------------------------------------------------------- reciprocity
+def reciprocal_links(
+    links: DataFrame,
+    src_host_col: str = "src_host",
+    dst_host_col: str = "dst_host",
+    min_links: int = 4,
+) -> DataFrame:
+    """Nepotistic-linking signal (Fetterly et al.): host pairs that link
+    to EACH OTHER → ``(host_a, host_b, n_ab, n_ba,
+    reciprocity_permille)`` with host_a < host_b.
+
+    Organic linking is largely one-directional; heavy mutual linking is
+    the classic link-exchange footprint. ``reciprocity_permille`` =
+    1000 · 2·min(n_ab, n_ba) / (n_ab + n_ba) — 1000 means perfectly
+    balanced exchange, near 0 means one-way. Pairs below ``min_links``
+    total are dropped (no statistical footing). Complements
+    :func:`link_spam_hosts` (single-source concentration): exchange
+    rings spread sources wide but reciprocate.
+
+    Scale: one hash aggregate on the DIRECTED pair (map-side partials
+    collapse the edge list), then one self-equi-join on the ~|host
+    pairs| aggregate — never on edges.
+    """
+    per_pair = (
+        links.select(
+            F.col(src_host_col).alias("s"), F.col(dst_host_col).alias("d")
+        )
+        .filter(F.col("s") != F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fwd = per_pair.filter(F.col("s") < F.col("d")).select(
+        F.col("s").alias("host_a"), F.col("d").alias("host_b"), F.col("n").alias("n_ab")
+    )
+    rev = per_pair.filter(F.col("s") > F.col("d")).select(
+        F.col("d").alias("host_a"), F.col("s").alias("host_b"), F.col("n").alias("n_ba")
+    )
+    return (
+        fwd.join(rev, ["host_a", "host_b"], "full_outer")
+        .select(
+            "host_a",
+            "host_b",
+            F.coalesce("n_ab", F.lit(0)).alias("n_ab"),
+            F.coalesce("n_ba", F.lit(0)).alias("n_ba"),
+        )
+        .filter(F.col("n_ab") + F.col("n_ba") >= min_links)
+        .withColumn(
+            "reciprocity_permille",
+            F.expr(
+                "CAST(2 * least(n_ab, n_ba) * 1000 DIV (n_ab + n_ba) AS BIGINT)"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------------ anchor text
 def anchor_text_topk(
     links: DataFrame,

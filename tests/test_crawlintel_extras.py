@@ -101,3 +101,34 @@ def test_cdc_no_cartesian_and_window_is_per_doc(spark):
     assert "CartesianProduct" not in plan
     # the only window must be partitioned by the doc key, not global
     assert "partitionBy" not in plan or "_doc" in plan
+
+
+# ----------------------------------------------------------------- revisit
+def test_revisit_plan_kinds_and_bytes(spark):
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2")], "url string, content_hash string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "h1", 100), ("u2", "h9", 200), ("u3", "h3", 300)],
+        "url string, content_hash string, n_bytes long",
+    )
+    out = {r["url"]: r for r in crawlintel.revisit_plan(old, new).collect()}
+    assert out["u1"]["kind"] == "revisit" and out["u1"]["bytes_to_write"] == 0
+    assert out["u2"]["kind"] == "changed" and out["u2"]["bytes_to_write"] == 200
+    assert out["u3"]["kind"] == "new" and out["u3"]["bytes_to_write"] == 300
+    assert out["u2"]["prior_hash"] == "h2"
+
+
+# -------------------------------------------------------------- reciprocity
+def test_reciprocal_links_flags_exchange(spark):
+    rows = [("a.test", "b.test")] * 5 + [("b.test", "a.test")] * 5
+    rows += [("c.test", "d.test")] * 8  # one-way: reciprocity 0
+    rows += [("e.test", "f.test")]      # below min_links
+    links = spark.createDataFrame(rows, "src_host string, dst_host string")
+    out = {(r["host_a"], r["host_b"]): r for r in
+           crawlintel.reciprocal_links(links).collect()}
+    ab = out[("a.test", "b.test")]
+    assert ab["reciprocity_permille"] == 1000 and ab["n_ab"] == ab["n_ba"] == 5
+    cd = out[("c.test", "d.test")]
+    assert cd["reciprocity_permille"] == 0 and cd["n_ab"] == 8 and cd["n_ba"] == 0
+    assert ("e.test", "f.test") not in out
