@@ -2035,6 +2035,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cdc_chunks(spark, sf):
         return textops.cdc_chunks(_t(spark, sf, "documents"))
 
+    def dust_apply(spark, sf):
+        # the DUST loop closed: mine the irrelevant params, strip them,
+        # and report per host how far the frontier collapses — the
+        # session-id/trap families fold into their canonical rows
+        from netrunner_spark.operators import crawlintel
+
+        pages = _crawl_pages(spark, sf)
+        rules = crawlintel.dust_params(pages)
+        rw = crawlintel.apply_dust_rules(pages, rules)
+        return rw.groupBy(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+        ).agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("rewritten").alias("n_collapsed"),
+            F.expr(
+                "CAST(count(DISTINCT rewritten) * 1000 DIV count(DISTINCT url) AS BIGINT)"
+            ).alias("collapse_permille"),
+        )
+
     def warc_revisit_plan(spark, sf):
         from netrunner_spark.operators import crawlintel
 
@@ -2316,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_crawl_report": host_crawl_report,
         "search_rerank_anchors": search_rerank_anchors,
         "warc_revisit_plan": warc_revisit_plan,
+        "dust_apply": dust_apply,
         "reciprocal_links": reciprocal_links,
     }
 
@@ -4377,6 +4397,45 @@ SELECT query_id, doc_id, score_q, anchor_bonus,
 FROM b
 """
     ).replace("__QT_VALUES__", "(1, 'join'), (1, 'spark'), (1, 'window'), (2, 'batch'), (2, 'merge'), (2, 'sort'), (3, 'customer'), (3, 'scan'), (3, 'table')")
+    # dust_apply: the dust_params twin nested verbatim as the rules CTE,
+    # then the same strip/re-serialize algebra and the per-host collapse
+    oracles["dust_apply"] = (
+        "WITH rules AS (\n"
+        + oracles["dust_params"]
+        + "\n), "
+        + _PAGES_CTE.strip()
+        + """
+, u AS (SELECT DISTINCT url FROM pages),
+kv AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         split_part(url, '?', 1) AS base,
+         unnest(string_split(split_part(url, '?', 2), '&')) AS kv
+  FROM u WHERE url LIKE '%?%'
+), j AS (
+  SELECT kv.url, kv.base, kv.kv, r.irrelevant
+  FROM kv LEFT JOIN rules r
+    ON r.host = kv.host AND r.param = split_part(kv.kv, '=', 1)
+), rw AS (
+  SELECT url,
+         CASE WHEN count(CASE WHEN NOT coalesce(irrelevant, FALSE) THEN 1 END) > 0
+              THEN base || '?' || string_agg(
+                     CASE WHEN NOT coalesce(irrelevant, FALSE) THEN kv END,
+                     '&' ORDER BY kv)
+              ELSE base END AS rewritten
+  FROM j GROUP BY url, base
+), all_u AS (
+  SELECT url, url AS rewritten FROM u WHERE url NOT LIKE '%?%'
+  UNION ALL SELECT url, rewritten FROM rw
+)
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT rewritten) AS BIGINT) AS n_collapsed,
+       CAST(count(DISTINCT rewritten) * 1000 // count(DISTINCT url) AS BIGINT)
+         AS collapse_permille
+FROM all_u GROUP BY 1
+"""
+    )
     oracles["warc_revisit_plan"] = """
 WITH u AS (SELECT event_id, event_id % 150 AS k FROM events),
 o AS (

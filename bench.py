@@ -84,6 +84,7 @@ HEADLINE = [
     "host_crawl_report",
     "search_rerank_anchors",
     "warc_revisit_plan",
+    "dust_apply",
     "reciprocal_links",
 ]
 

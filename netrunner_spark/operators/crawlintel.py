@@ -192,6 +192,66 @@ def dust_params(
     )
 
 
+# ------------------------------------------------------------- DUST apply
+def apply_dust_rules(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply :func:`dust_params` verdicts to a URL set → ``(url,
+    rewritten)``: every parameter ruled content-irrelevant on its host
+    is stripped, the survivors re-serialized in sorted order (the same
+    canonical form the miner grouped on). Distinct ``rewritten`` values
+    are the COLLAPSED frontier — session-id families become one row, so
+    the politeness budget stops re-fetching the same content.
+
+    ``rules`` is dust_params output (bounded: hosts × param names) —
+    broadcast into the kv join; the rest is one explode (bounded by
+    params-per-URL) and one re-aggregate per URL. Query-less URLs pass
+    through unchanged.
+    """
+    u = pages.select(F.col(url_col).alias("url")).dropDuplicates()
+    noq = u.filter(~F.col("url").contains("?")).select(
+        "url", F.col("url").alias("rewritten")
+    )
+    strip = rules.filter(F.col("irrelevant")).select(
+        F.col("host").alias("_rh"), F.col("param").alias("_rp"), F.lit(True).alias("_strip")
+    )
+    kv = (
+        u.filter(F.col("url").contains("?"))
+        .select(
+            "url",
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            F.substring_index("url", "?", 1).alias("base"),
+            F.explode(F.split(F.substring_index("url", "?", -1), "&")).alias("kv"),
+        )
+        .withColumn("param", F.substring_index("kv", "=", 1))
+    )
+    j = kv.join(
+        F.broadcast(strip),
+        (kv.host == F.col("_rh")) & (kv.param == F.col("_rp")),
+        "left",
+    )
+    rw = (
+        j.groupBy("url", "base")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("_strip").isNull(), F.col("kv")))
+            ).alias("kept")
+        )
+        .select(
+            "url",
+            F.when(
+                F.size("kept") > 0,
+                F.concat(F.col("base"), F.lit("?"), F.array_join("kept", "&")),
+            )
+            .otherwise(F.col("base"))
+            .alias("rewritten"),
+        )
+    )
+    return noq.unionByName(rw)
+
+
 # --------------------------------------------------------------- harvest
 def host_harvest(
     pages: DataFrame,

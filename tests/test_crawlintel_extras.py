@@ -132,3 +132,35 @@ def test_reciprocal_links_flags_exchange(spark):
     cd = out[("c.test", "d.test")]
     assert cd["reciprocity_permille"] == 0 and cd["n_ab"] == 8 and cd["n_ba"] == 0
     assert ("e.test", "f.test") not in out
+
+
+# -------------------------------------------------------------- DUST apply
+def test_apply_dust_rules_collapses_families(spark):
+    rows = []
+    for page in (1, 2):
+        for sess in ("a", "b", "c"):
+            for sort in ("asc", "desc"):
+                rows.append(
+                    (
+                        f"https://h0.test/p/{page}?sess={sess}&sort={sort}",
+                        f"content-{page}-{sort}",
+                    )
+                )
+    rows.append(("https://h0.test/plain", "p0"))
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    rules = crawlintel.dust_params(pages)
+    out = crawlintel.apply_dust_rules(pages, rules)
+    rws = {r["url"]: r["rewritten"] for r in out.collect()}
+    assert len(rws) == 13  # every distinct input URL mapped
+    # sess stripped, sort kept, queryless untouched
+    assert rws["https://h0.test/p/1?sess=a&sort=asc"] == "https://h0.test/p/1?sort=asc"
+    assert rws["https://h0.test/plain"] == "https://h0.test/plain"
+    # the collapsed frontier: 2 pages x 2 sorts + 1 plain = 5 rows
+    assert out.select("rewritten").distinct().count() == 5
+
+
+def test_apply_dust_rules_strips_to_bare_base(spark):
+    rows = [(f"https://h.test/p?s={v}", "same") for v in ("1", "2", "3")]
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    out = crawlintel.apply_dust_rules(pages, crawlintel.dust_params(pages))
+    assert {r["rewritten"] for r in out.collect()} == {"https://h.test/p"}
