@@ -43,6 +43,18 @@ over data. Each operator documents its scale guard:
   two sitemap reads; the recrawl scheduler's cheapest signal
   (`sources/xmlparse.py` parses lastmod; this diffs two parses). One
   full-outer equi-join on url.
+* :func:`apply_dust_rules` — the DUST loop closed: strip the mined
+  irrelevant params and re-serialize canonically; distinct rewritten
+  URLs are the collapsed frontier.
+* :func:`revisit_plan` — WARC revisit planning (ISO 28500 §6.7.2):
+  classify recrawl rows new/revisit/changed by payload digest so the
+  archive writer stores only what changed.
+* :func:`anchor_text_topk` — per-target top-k anchor terms, the
+  off-page relevance signal the search index joins in.
+* :func:`link_spam_hosts` / :func:`reciprocal_links` — link-farm
+  (single-source concentration) and link-exchange (mutual-link
+  reciprocity) signals; both collapse the edge list with hash
+  aggregates before any pair-level row exists.
 """
 
 from __future__ import annotations
