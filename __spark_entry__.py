@@ -2035,6 +2035,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cdc_chunks(spark, sf):
         return textops.cdc_chunks(_t(spark, sf, "documents"))
 
+    def pack_sequences(spark, sf):
+        # pretraining concat-and-slice packing plan: 4 independent
+        # bucket streams, 256-token context windows
+        from netrunner_spark.operators.sampling import pack_sequences as _pack
+
+        return _pack(
+            _t(spark, sf, "documents"), context_len=256, n_buckets=4
+        )
+
+    def mixture_plan(spark, sf):
+        # training-mix planning: 4 weighted sources, the rest excluded;
+        # repeat_permille is the per-source epochs dial
+        from netrunner_spark.operators.sampling import mixture_plan as _mix
+
+        targets = spark.createDataFrame(
+            [("src0", 400), ("src1", 300), ("src2", 200), ("src3", 100)],
+            "source string, target_permille long",
+        )
+        return _mix(_t(spark, sf, "documents"), targets, token_budget=1000000)
+
     def dust_apply(spark, sf):
         # the DUST loop closed: mine the irrelevant params, strip them,
         # and report per host how far the frontier collapses — the
@@ -2336,6 +2356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rerank_anchors": search_rerank_anchors,
         "warc_revisit_plan": warc_revisit_plan,
         "dust_apply": dust_apply,
+        "pack_sequences": pack_sequences,
+        "mixture_plan": mixture_plan,
         "reciprocal_links": reciprocal_links,
     }
 
@@ -4436,6 +4458,41 @@ SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
 FROM all_u GROUP BY 1
 """
     )
+    oracles["pack_sequences"] = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 4
+           AS bucket
+  FROM documents
+), c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM base
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(bucket * 4294967296 + cum // 256 AS BIGINT) AS seq_id,
+       CAST(cum % 256 AS BIGINT) AS start_offset
+FROM c
+"""
+    oracles["mixture_plan"] = """
+WITH t(source, target_permille) AS (
+  VALUES ('src0', CAST(400 AS BIGINT)), ('src1', 300), ('src2', 200), ('src3', 100)
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       CAST(coalesce(t.target_permille, 0) AS BIGINT) AS target_permille,
+       CAST(1000000 * coalesce(t.target_permille, 0) // 1000 AS BIGINT)
+         AS target_tokens,
+       CAST(1000000 * coalesce(t.target_permille, 0) // 1000 * 1000 // p.n_tokens
+            AS BIGINT) AS repeat_permille
+FROM per_src p LEFT JOIN t ON t.source = p.source
+"""
     oracles["warc_revisit_plan"] = """
 WITH u AS (SELECT event_id, event_id % 150 AS k FROM events),
 o AS (

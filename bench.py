@@ -85,6 +85,8 @@ HEADLINE = [
     "search_rerank_anchors",
     "warc_revisit_plan",
     "dust_apply",
+    "pack_sequences",
+    "mixture_plan",
     "reciprocal_links",
 ]
 

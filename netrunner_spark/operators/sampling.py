@@ -22,7 +22,7 @@ exchange on the stratum key, the minimum possible).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # 12 hex chars = 48 bits of md5: collision-free thresholds down to
 # sampling rates of 2^-48, far below any practical split fraction
@@ -209,4 +209,106 @@ def budget_cap(
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("cum_cost") <= budget)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int = 512,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Pretraining sequence packing — the concat-and-slice plan → one
+    row per doc: ``(doc_id, n_tokens, bucket, seq_id, start_offset)``.
+
+    LLM pretraining concatenates documents and slices the stream into
+    fixed ``context_len``-token windows; a doc belongs to the window
+    where it STARTS (``seq_id``) at ``start_offset`` tokens in, possibly
+    spilling into the next windows. Packing a 10^10-doc corpus as ONE
+    stream would serialize on a global cumsum, so the stream is split
+    into ``n_buckets`` independent sub-streams by the house md5-prefix
+    hash (deterministic: membership depends only on doc_id) — each
+    bucket packs with its own running total, exactly how a distributed
+    packer shards the work. Within a bucket, docs are ordered by id, so
+    the layout is reproducible run-to-run and engine-to-engine.
+
+    ``seq_id`` = bucket · 2^32 + windows-before-this-doc (int64-safe up
+    to 4 G windows per bucket). One window per bucket (bounded
+    partitions), everything else map-side.
+    """
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col(text_col)), pattern), lambda t: t != "")
+    ).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % n_buckets
+    )
+    base = docs.select(
+        F.col(id_col), toks.alias("n_tokens"), bucket.alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        (F.col("bucket") * F.lit(2**32) + F.floor(cum / context_len))
+        .cast("long")
+        .alias("seq_id"),
+        (cum % context_len).cast("long").alias("start_offset"),
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    targets: DataFrame,
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Training-mix planning (the Pile/Dolma recipe step) → one row per
+    source: ``(source, n_docs, n_tokens, target_permille,
+    target_tokens, repeat_permille)``.
+
+    ``targets`` is the desired mixture ``(source, target_permille)``
+    summing to ≤1000; ``token_budget`` is the total training tokens.
+    ``repeat_permille`` = 1000 · target_tokens / available_tokens — the
+    epochs-over-this-source dial: 1000 means exactly one pass, >1000
+    upsampling (the source repeats), <1000 downsampling (feed a
+    hash-sampled subset, :func:`rate_sample`). Exact integer
+    arithmetic; sources missing from ``targets`` get 0. One hash
+    aggregate over the corpus + a broadcast join against the
+    bounded targets table.
+    """
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col(text_col)), pattern), lambda t: t != "")
+    ).cast("long")
+    per_src = docs.select(F.col(source_col).alias("source"), toks.alias("t")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("n_tokens"))
+    t = targets.select(
+        F.col("source"), F.col("target_permille").cast("long").alias("target_permille")
+    )
+    j = per_src.join(F.broadcast(t), "source", "left").withColumn(
+        "target_permille", F.coalesce("target_permille", F.lit(0))
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_permille",
+        F.expr(f"CAST({token_budget} * target_permille DIV 1000 AS BIGINT)").alias(
+            "target_tokens"
+        ),
+        F.expr(
+            f"CAST({token_budget} * target_permille DIV 1000 * 1000 DIV n_tokens AS BIGINT)"
+        ).alias("repeat_permille"),
     )

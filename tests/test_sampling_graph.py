@@ -296,3 +296,70 @@ def test_label_propagation_deterministic_and_isolated_nodes(spark):
     assert a == b
     out = {r["id"]: r["community"] for r in a}
     assert out[99] == 99  # isolated node keeps its own label
+
+
+# ------------------------------------------------------------ seq packing
+def test_pack_sequences_layout_invariants(spark):
+    from netrunner_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (20 + i)) for i in range(40)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, context_len=64, n_buckets=4).collect()
+    assert len(out) == 40
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            # the packing IS the concat stream: offset = cumsum mod L,
+            # seq = bucket*2^32 + cumsum div L
+            assert r["start_offset"] == cum % 64
+            assert r["seq_id"] == b * 2**32 + cum // 64
+            cum += r["n_tokens"]
+
+
+def test_pack_sequences_deterministic_across_repartition(spark):
+    from netrunner_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (5 + i % 7)) for i in range(30)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, pack_sequences(docs, 32, 4).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(7), 32, 4).collect()))
+    assert a == b
+
+
+# ------------------------------------------------------------- mixture plan
+def test_mixture_plan_epoch_dials(spark):
+    from netrunner_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "web"), (2, "a b c d", "web"), (3, "a b", "code")],
+        "doc_id long, text string, source string",
+    )
+    targets = spark.createDataFrame(
+        [("web", 600), ("code", 400)], "source string, target_permille long"
+    )
+    out = {r["source"]: r for r in
+           mixture_plan(docs, targets, token_budget=100).collect()}
+    web = out["web"]       # 8 tokens available, target 60 → 7500 permille
+    assert web["n_tokens"] == 8 and web["target_tokens"] == 60
+    assert web["repeat_permille"] == 7500
+    code = out["code"]     # 2 tokens available, target 40 → 20 epochs
+    assert code["target_tokens"] == 40 and code["repeat_permille"] == 20000
+
+
+def test_mixture_plan_unlisted_source_gets_zero(spark):
+    from netrunner_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "x y", "web"), (2, "x y", "junk")],
+        "doc_id long, text string, source string",
+    )
+    targets = spark.createDataFrame([("web", 1000)], "source string, target_permille long")
+    out = {r["source"]: r for r in
+           mixture_plan(docs, targets, token_budget=50).collect()}
+    assert out["junk"]["target_tokens"] == 0 and out["junk"]["repeat_permille"] == 0
