@@ -2055,6 +2055,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _mix(_t(spark, sf, "documents"), targets, token_budget=1000000)
 
+    def mixture_apply(spark, sf):
+        # the mix materialized: whole epochs + a hash-deterministic
+        # fractional-epoch lottery per doc; zero-weight sources vanish
+        from netrunner_spark.operators.sampling import apply_mixture, mixture_plan
+
+        targets = spark.createDataFrame(
+            [("src0", 400), ("src1", 300), ("src2", 200), ("src3", 100)],
+            "source string, target_permille long",
+        )
+        docs = _t(spark, sf, "documents")
+        plan = mixture_plan(docs, targets, token_budget=30000)
+        return apply_mixture(docs, plan)
+
     def dust_apply(spark, sf):
         # the DUST loop closed: mine the irrelevant params, strip them,
         # and report per host how far the frontier collapses — the
@@ -2358,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_apply": dust_apply,
         "pack_sequences": pack_sequences,
         "mixture_plan": mixture_plan,
+        "mixture_apply": mixture_apply,
         "reciprocal_links": reciprocal_links,
     }
 
@@ -4492,6 +4506,29 @@ SELECT p.source, p.n_docs, p.n_tokens,
        CAST(1000000 * coalesce(t.target_permille, 0) // 1000 * 1000 // p.n_tokens
             AS BIGINT) AS repeat_permille
 FROM per_src p LEFT JOIN t ON t.source = p.source
+"""
+    oracles["mixture_apply"] = """
+WITH t(source, target_permille) AS (
+  VALUES ('src0', CAST(400 AS BIGINT)), ('src1', 300), ('src2', 200), ('src3', 100)
+), per_src AS (
+  SELECT source,
+         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), plan AS (
+  SELECT p.source,
+         30000 * coalesce(t.target_permille, 0) // 1000 * 1000 // p.n_tokens AS rp
+  FROM per_src p LEFT JOIN t ON t.source = p.source
+), j AS (
+  SELECT d.doc_id, d.source,
+         plan.rp // 1000
+           + CASE WHEN CAST('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 12)
+                       AS BIGINT) % 1000 < plan.rp % 1000
+                  THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN plan ON plan.source = d.source
+)
+SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS copy
+FROM j WHERE n > 0
 """
     oracles["warc_revisit_plan"] = """
 WITH u AS (SELECT event_id, event_id % 150 AS k FROM events),

@@ -87,6 +87,7 @@ HEADLINE = [
     "dust_apply",
     "pack_sequences",
     "mixture_plan",
+    "mixture_apply",
     "reciprocal_links",
 ]
 

@@ -312,3 +312,58 @@ def mixture_plan(
             f"CAST({token_budget} * target_permille DIV 1000 * 1000 DIV n_tokens AS BIGINT)"
         ).alias("repeat_permille"),
     )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a :func:`mixture_plan` → ``(doc_id, source, copy)``,
+    one row per training-stream copy of each document.
+
+    ``repeat_permille`` splits into whole epochs (every doc emits
+    ``repeat DIV 1000`` copies) plus a fractional epoch realized as a
+    HASH-deterministic per-doc lottery: the doc joins the extra epoch
+    iff ``md5(salt‖id) % 1000 < repeat % 1000`` — so the achieved
+    token count converges on the target while membership stays a pure
+    function of (salt, doc_id), re-run/re-shard stable like
+    :func:`hash_split`. Docs from zero-weight sources vanish
+    (explode of an empty copy array).
+
+    Plan is per-source (bounded) → broadcast; the explode multiplies
+    rows by the epoch count — callers bound that by choosing the token
+    budget, exactly as a real mixture does.
+    """
+    p = plan.select(
+        F.col(source_col),
+        (F.col("repeat_permille") / 1000).cast("long").alias("_full"),
+        (F.col("repeat_permille") % 1000).cast("long").alias("_frac"),
+    )
+    lottery = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    j = docs.select(id_col, source_col).join(F.broadcast(p), source_col)
+    copies = (F.col("_full") + F.when(lottery < F.col("_frac"), 1).otherwise(0)).cast(
+        "long"
+    )
+    return (
+        j.withColumn("_n", copies)
+        .select(
+            id_col,
+            source_col,
+            F.explode(
+                F.when(F.col("_n") > 0, F.sequence(F.lit(0), F.col("_n") - 1))
+                .otherwise(F.array().cast("array<bigint>"))
+            ).alias("copy"),
+        )
+    )

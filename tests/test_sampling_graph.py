@@ -363,3 +363,34 @@ def test_mixture_plan_unlisted_source_gets_zero(spark):
     out = {r["source"]: r for r in
            mixture_plan(docs, targets, token_budget=50).collect()}
     assert out["junk"]["target_tokens"] == 0 and out["junk"]["repeat_permille"] == 0
+
+
+def test_apply_mixture_materializes_epochs(spark):
+    from netrunner_spark.operators.sampling import apply_mixture, mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e", "web") for i in range(10)]
+        + [(100 + i, "a b c d e", "code") for i in range(10)]
+        + [(200, "a b", "junk")],
+        "doc_id long, text string, source string",
+    )
+    targets = spark.createDataFrame(
+        [("web", 500), ("code", 500)], "source string, target_permille long"
+    )
+    # budget 250 tokens: each source has 50 → target 125 → repeat 2500
+    plan = mixture_plan(docs, targets, token_budget=250)
+    out = apply_mixture(docs, plan).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    # junk excluded entirely
+    assert 200 not in per_doc
+    # every web/code doc appears 2 or 3 times (2500 permille), copies 0..n-1
+    for d, cps in per_doc.items():
+        assert sorted(cps) == list(range(len(cps))) and len(cps) in (2, 3)
+    # the fractional lottery lands near half the docs (hash-deterministic)
+    n3 = sum(1 for c in per_doc.values() if len(c) == 3)
+    assert 1 <= n3 <= 19
+    # re-run identical
+    again = apply_mixture(docs, plan).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
