@@ -164,3 +164,62 @@ def test_apply_dust_rules_strips_to_bare_base(spark):
     pages = spark.createDataFrame(rows, "url string, content_hash string")
     out = crawlintel.apply_dust_rules(pages, crawlintel.dust_params(pages))
     assert {r["rewritten"] for r in out.collect()} == {"https://h.test/p"}
+
+
+# ------------------------------------------------- CDC differential fuzz
+def test_cdc_chunks_differential_vs_python_reference(spark):
+    """Seeded random corpora: the Spark CDC report must equal a
+    pure-Python reimplementation of the same boundary rule
+    (md5-prefix-52-bit(token) % divisor == 0) exactly."""
+    import hashlib
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)] + ["lorem", "amet", "elit"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60))))
+        for i in range(25)
+    ]
+    # plant a shared passage in a few docs at different offsets
+    passage = "lorem w1 w2 amet w3 w4 elit w5"
+    for i in (3, 7, 12):
+        head = " ".join(rng.choice(vocab) for _ in range(i))
+        docs[i] = (i, (head + " " + passage).strip())
+
+    divisor = 8
+
+    def ref(rows):
+        per_chunk = defaultdict(list)  # chunk_hash -> [(doc, tokens)]
+        for doc_id, text in rows:
+            toks = [t for t in text.lower().split() if t]
+            cur = []
+            chunks = []
+            for t in toks:
+                cur.append(t)
+                h = int(hashlib.md5(t.encode()).hexdigest()[:13], 16)
+                if h % divisor == 0:
+                    chunks.append(cur)
+                    cur = []
+            if cur:
+                chunks.append(cur)
+            for c in chunks:
+                txt = " ".join(c)
+                per_chunk[hashlib.md5(txt.encode()).hexdigest()].append(
+                    (doc_id, len(c))
+                )
+            # empty docs contribute nothing
+        out = set()
+        for h, occ in per_chunk.items():
+            n_docs = len({d for d, _ in occ})
+            if n_docs >= 2:
+                out.add((h, max(n for _, n in occ), n_docs, len(occ)))
+        return out
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["chunk_hash"], r["n_tokens"], r["n_docs"], r["n_occurrences"])
+        for r in textops.cdc_chunks(sdf, divisor=divisor).collect()
+    }
+    assert got == ref(docs)
+    assert got  # the planted passage guarantees a non-vacuous comparison
