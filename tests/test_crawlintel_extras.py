@@ -223,3 +223,68 @@ def test_cdc_chunks_differential_vs_python_reference(spark):
     }
     assert got == ref(docs)
     assert got  # the planted passage guarantees a non-vacuous comparison
+
+
+def test_dust_params_differential_vs_python_reference(spark):
+    """Seeded random URL corpora: the Spark DUST verdicts must equal an
+    independent Python reimplementation of the group/evidence/violation
+    rule exactly."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(23)
+    rows = []
+    for _ in range(250):
+        host = f"h{rng.randint(0, 3)}.test"
+        page = rng.randint(0, 4)
+        params = {}
+        if rng.random() < 0.9:
+            params["sid"] = str(rng.randint(0, 5))       # never in content
+        if rng.random() < 0.8:
+            params["sort"] = rng.choice(["a", "d"])      # in content
+        if rng.random() < 0.3:
+            params["ref"] = rng.choice(["x", "y", "z"])  # never in content
+        if not params:
+            continue
+        qs = "&".join(f"{k}={v}" for k, v in sorted(params.items()))
+        url = f"https://{host}/p/{page}?{qs}"
+        rows.append((url, f"c-{host}-{page}-{params.get('sort', '')}"))
+
+    def ref(pages):
+        seen = {}
+        for url, h in pages:
+            seen.setdefault(url, h)
+        groups = defaultdict(lambda: (set(), set()))  # (vals, hashes)
+        for url, h in seen.items():
+            host = url.split("//")[1].split("/")[0]
+            base, qs = url.split("?", 1)
+            kvs = qs.split("&")
+            for kv in kvs:
+                pname, pval = kv.split("=", 1)
+                others = "&".join(sorted(k for k in kvs if k.split("=", 1)[0] != pname))
+                gk = (host, pname, base + "?" + others)
+                groups[gk][0].add(pval)
+                groups[gk][1].add(h)
+        agg = defaultdict(lambda: [0, 0])
+        for (host, pname, _), (vals, hashes) in groups.items():
+            agg[(host, pname)]  # every grouped param gets a row
+            if len(vals) >= 2:
+                agg[(host, pname)][0] += 1
+                if len(hashes) >= 2:
+                    agg[(host, pname)][1] += 1
+        return {
+            (host, p, ev, vi, ev > 0 and vi == 0)
+            for (host, p), (ev, vi) in agg.items()
+        }
+
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    got = {
+        (r["host"], r["param"], r["n_evidence"], r["n_violations"], r["irrelevant"])
+        for r in crawlintel.dust_params(pages).collect()
+    }
+    want = ref(rows)
+    assert got == want
+    # the planted structure: sid/ref irrelevant somewhere, sort not
+    verdicts = {(h, p): irr for h, p, _, _, irr in want}
+    assert any(irr for (h, p), irr in verdicts.items() if p in ("sid", "ref"))
+    assert not any(irr for (h, p), irr in verdicts.items() if p == "sort")
