@@ -2055,6 +2055,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _mix(_t(spark, sf, "documents"), targets, token_budget=1000000)
 
+    def dedup_eval(spark, sf):
+        # dedup-quality measurement: the capped MinHash-LSH candidate
+        # pairs scored against exact n-gram Jaccard ground truth (same
+        # stage configs as their standalone queries) — the P/R dial a
+        # pipeline tunes bands/rows/caps against. Truth bar 20‰ sits at
+        # this synthetic corpus's p99 (its max pairwise Jaccard is 71‰;
+        # a web corpus would use 500-800‰)
+        truth = (
+            jaccard_pairs_capped(spark, sf)
+            .filter(
+                F.expr("n_common * 1000 >= 20 * (grams_a + grams_b - n_common)")
+            )
+            .select("doc_a", "doc_b")
+            .withColumn("t", F.lit(1))
+        )
+        pred = (
+            minhash_lsh_capped(spark, sf)
+            .select("doc_a", "doc_b")
+            .withColumn("p", F.lit(1))
+        )
+        lab = truth.join(pred, ["doc_a", "doc_b"], "full_outer").select(
+            F.coalesce("t", F.lit(0)).alias("t"),
+            F.coalesce("p", F.lit(0)).alias("p"),
+        )
+        return lab.agg(
+            F.sum("t").alias("n_truth"),
+            F.sum("p").alias("n_pred"),
+            F.sum(F.col("t") * F.col("p")).alias("n_tp"),
+            F.expr(
+                "CAST(sum(t * p) * 1000 DIV greatest(sum(p), 1) AS BIGINT)"
+            ).alias("precision_permille"),
+            F.expr(
+                "CAST(sum(t * p) * 1000 DIV greatest(sum(t), 1) AS BIGINT)"
+            ).alias("recall_permille"),
+        )
+
     def mixture_apply(spark, sf):
         # the mix materialized: whole epochs + a hash-deterministic
         # fractional-epoch lottery per doc; zero-weight sources vanish
@@ -2372,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "mixture_plan": mixture_plan,
         "mixture_apply": mixture_apply,
+        "dedup_eval": dedup_eval,
         "reciprocal_links": reciprocal_links,
     }
 
@@ -4530,6 +4567,33 @@ WITH t(source, target_permille) AS (
 SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS copy
 FROM j WHERE n > 0
 """
+    # dedup_eval: both stage twins nested verbatim, then the P/R math
+    oracles["dedup_eval"] = (
+        "WITH tr0 AS (\n"
+        + oracles["jaccard_pairs_capped"]
+        + "\n), pr AS (\n"
+        + oracles["minhash_lsh_capped"]
+        + "\n)"
+        + """
+, tr AS (
+  SELECT doc_a, doc_b FROM tr0
+  WHERE n_common * 1000 >= 20 * (grams_a + grams_b - n_common)
+), lab AS (
+  SELECT CASE WHEN t.doc_a IS NULL THEN 0 ELSE 1 END AS t,
+         CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS p
+  FROM tr t FULL OUTER JOIN pr p
+    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+)
+SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+       CAST(sum(p) AS BIGINT) AS n_pred,
+       CAST(sum(t * p) AS BIGINT) AS n_tp,
+       CAST(sum(t * p) * 1000 // greatest(sum(p), 1) AS BIGINT)
+         AS precision_permille,
+       CAST(sum(t * p) * 1000 // greatest(sum(t), 1) AS BIGINT)
+         AS recall_permille
+FROM lab
+"""
+    )
     oracles["warc_revisit_plan"] = """
 WITH u AS (SELECT event_id, event_id % 150 AS k FROM events),
 o AS (

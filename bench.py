@@ -88,6 +88,7 @@ HEADLINE = [
     "pack_sequences",
     "mixture_plan",
     "mixture_apply",
+    "dedup_eval",
     "reciprocal_links",
 ]
 
