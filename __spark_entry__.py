@@ -2055,6 +2055,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _mix(_t(spark, sf, "documents"), targets, token_budget=1000000)
 
+    def winnow_dups(spark, sf):
+        # MOSS winnowing fingerprints shared across documents — the
+        # density-bounded dedup signature (guarantee: any shared run of
+        # >= n + window - 1 tokens surfaces here)
+        from netrunner_spark.operators.textops import winnow_fingerprints
+
+        fps = winnow_fingerprints(_t(spark, sf, "documents"), n=4, window=5)
+        return (
+            fps.groupBy("fp_hash")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+            )
+            .filter(F.col("n_docs") >= 2)
+        )
+
     def dedup_eval(spark, sf):
         # dedup-quality measurement: the capped MinHash-LSH candidate
         # pairs scored against exact n-gram Jaccard ground truth (same
@@ -2409,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": mixture_plan,
         "mixture_apply": mixture_apply,
         "dedup_eval": dedup_eval,
+        "winnow_dups": winnow_dups,
         "reciprocal_links": reciprocal_links,
     }
 
@@ -4594,6 +4611,33 @@ SELECT CAST(sum(t) AS BIGINT) AS n_truth,
 FROM lab
 """
     )
+    oracles["winnow_dups"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 4)
+), h AS (
+  SELECT doc_id, pos,
+         (CAST('0x' || substr(md5(gram), 1, 13) AS BIGINT) % 1099511627776)
+           * 1048576 + (1048575 - pos) AS combo
+  FROM g
+), m AS (
+  SELECT doc_id, pos,
+         min(combo) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cm
+  FROM h
+), f AS (SELECT DISTINCT doc_id, cm FROM m WHERE pos >= 5)
+SELECT CAST(cm // 1048576 AS BIGINT) AS fp_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+"""
     oracles["warc_revisit_plan"] = """
 WITH u AS (SELECT event_id, event_id % 150 AS k FROM events),
 o AS (

@@ -89,6 +89,7 @@ HEADLINE = [
     "mixture_plan",
     "mixture_apply",
     "dedup_eval",
+    "winnow_dups",
     "reciprocal_links",
 ]
 

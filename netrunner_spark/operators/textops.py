@@ -1296,3 +1296,59 @@ def duplicate_spans(
         .filter(F.col("n_dup_grams") >= min_span_grams)
         .select("doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    n: int = 4,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = "[^a-z]+",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm) → ``(doc_id, fp_pos, fp_hash)``.
+
+    From every window of ``window`` consecutive token-``n``-gram
+    hashes, select the minimum (ties → RIGHTMOST, per the paper); the
+    distinct selected (position, hash) pairs are the fingerprint set.
+    The winnowing guarantee: any shared substring of at least
+    ``n + window − 1`` tokens produces at least one shared fingerprint
+    — detection like :func:`cdc_chunks` but with a density bound
+    (≈ 2/(window+1) of grams selected) instead of chunk granularity.
+
+    Rightmost-min inside a window function without argmax: the ordered
+    key packs ``hash(40 bits) · 2^20 + (2^20 − 1 − pos)`` into one
+    int64 — minimizing it minimizes hash first, then PREFERS THE
+    LARGEST pos. Caps: per-doc token position < 2^20 (a million-token
+    doc is out of contract, asserted by the pack), hash folded to 40
+    bits (collisions only merge fingerprints, never lose the
+    guarantee). Only FULL windows emit (pos ≥ window), matching the
+    paper. One window per doc, everything else map-side; both engines
+    run the identical integer recurrence.
+    """
+    g = token_ngrams_pos(docs, n=n, pattern=pattern, id_col=id_col, text_col=text_col)
+    h40 = (
+        F.conv(F.substring(F.md5("gram"), 1, 13), 16, 10).cast("bigint")
+        % F.lit(2**40)
+    )
+    combo = h40 * F.lit(2**20) + (F.lit(2**20 - 1) - F.col("pos"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    sel = (
+        g.withColumn("_combo", combo)
+        .withColumn("_cm", F.min("_combo").over(w))
+        .filter(F.col("pos") >= window)
+        .select(id_col, "_cm")
+        .dropDuplicates()
+    )
+    return sel.select(
+        id_col,
+        (F.lit(2**20 - 1) - F.col("_cm") % F.lit(2**20)).cast("long").alias("fp_pos"),
+        # integer DIV, not `/`: the 60-bit combo exceeds double's 52-bit
+        # mantissa, so float division would garble large hashes
+        F.expr(f"_cm DIV {2**20}").cast("long").alias("fp_hash"),
+    )

@@ -126,3 +126,54 @@ def test_new_dedup_ops_plan_shapes(spark):
             df._jdf.queryExecution(), "formatted"
         )
         assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- winnowing
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing guarantee: a shared run of >= n + window - 1
+    tokens must yield >= 1 shared fingerprint; and the fingerprint set
+    is much denser-bounded than the full gram set."""
+    from netrunner_spark.operators.textops import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, shared + " totally different tail words here now"),
+            (3, "no overlap with anything else at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, n=4, window=5).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    # guarantee: docs 1 and 2 share the 10-token run (>= 4+5-1=8)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # density: far fewer fingerprints than grams
+    n_grams = 13 + 4  # doc1 has 16 tokens -> 13 grams; selected << grams
+    assert len([r for r in fps if r["doc_id"] == 1]) < n_grams
+
+
+def test_winnow_rightmost_tie_and_determinism(spark):
+    from netrunner_spark.operators.textops import winnow_fingerprints
+
+    # identical repeated token => all gram hashes equal; rightmost-min
+    # selection must pick exactly one fingerprint per full window chain
+    docs = spark.createDataFrame(
+        [(1, "same " * 20)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(docs, n=4, window=5).collect()
+    # every window's min is the same hash; rightmost tie-break slides to
+    # the window end, so each window-end position selects (pos) distinct
+    # (hash,pos) pairs -> one fingerprint per window-end, same hash
+    hashes = {r["fp_hash"] for r in fps}
+    assert len(hashes) == 1
+    poss = sorted(r["fp_pos"] for r in fps)
+    # rightmost of window ending at q is q itself here
+    assert poss == list(range(5, 5 + len(poss)))
+    a = sorted(map(tuple, winnow_fingerprints(docs, n=4, window=5).collect()))
+    b = sorted(map(tuple,
+                   winnow_fingerprints(docs.repartition(3), n=4, window=5).collect()))
+    assert a == b
