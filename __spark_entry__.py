@@ -2055,6 +2055,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _mix(_t(spark, sf, "documents"), targets, token_budget=1000000)
 
+    def phash_radius_search(spark, sf):
+        # the dedup SERVICE path: given query signatures (3 planted
+        # 2-bit perturbations of corpus signatures), find every corpus
+        # member within hamming radius 2 via broadcast band probes —
+        # the per-ingest lookup vs hamming_near_dups' batch sweep
+        from netrunner_spark.operators.textops import hamming_radius_search
+
+        sigs = textops.simhash(_t(spark, sf, "documents"), max_doc_id=150)
+        queries = sigs.filter(F.col("doc_id").isin(5, 17, 42)).select(
+            (F.col("doc_id") + 1000).alias("query_id"),
+            F.expr("simhash ^ 3L").alias("qsig"),
+        )
+        return hamming_radius_search(
+            sigs, queries, bits=16, bands=4, max_hamming=2
+        )
+
     def winnow_dups(spark, sf):
         # MOSS winnowing fingerprints shared across documents — the
         # density-bounded dedup signature (guarantee: any shared run of
@@ -2426,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_apply": mixture_apply,
         "dedup_eval": dedup_eval,
         "winnow_dups": winnow_dups,
+        "phash_radius_search": phash_radius_search,
         "reciprocal_links": reciprocal_links,
     }
 
@@ -4638,6 +4655,31 @@ SELECT CAST(cm // 1048576 AS BIGINT) AS fp_hash,
        CAST(count(*) AS BIGINT) AS n_occurrences
 FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
 """
+    # phash_radius_search: the simhash twin nested, planted queries,
+    # identical banding/verify algebra
+    oracles["phash_radius_search"] = (
+        "WITH sh AS (\n"
+        + oracles["simhash"]
+        + "\n)"
+        + """
+, q AS (
+  SELECT doc_id + 1000 AS query_id, xor(simhash, 3) AS qsig
+  FROM sh WHERE doc_id IN (5, 17, 42)
+), cb AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (b * 4)) & 15 AS band_key
+  FROM sh, generate_series(0, 3) AS t(b)
+), qb AS (
+  SELECT query_id, qsig, b AS band, (qsig >> (b * 4)) & 15 AS band_key
+  FROM q, generate_series(0, 3) AS t(b)
+), cand AS (
+  SELECT DISTINCT qb.query_id, cb.doc_id, cb.simhash, qb.qsig
+  FROM cb JOIN qb ON cb.band = qb.band AND cb.band_key = qb.band_key
+)
+SELECT query_id, doc_id,
+       CAST(bit_count(xor(simhash, qsig)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(simhash, qsig)) <= 2
+"""
+    )
     oracles["warc_revisit_plan"] = """
 WITH u AS (SELECT event_id, event_id % 150 AS k FROM events),
 o AS (

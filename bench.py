@@ -90,6 +90,7 @@ HEADLINE = [
     "mixture_apply",
     "dedup_eval",
     "winnow_dups",
+    "phash_radius_search",
     "reciprocal_links",
 ]
 

@@ -1352,3 +1352,54 @@ def winnow_fingerprints(
         # mantissa, so float division would garble large hashes
         F.expr(f"_cm DIV {2**20}").cast("long").alias("fp_hash"),
     )
+
+
+def hamming_radius_search(
+    sigs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    query_id_col: str = "query_id",
+    query_sig_col: str = "qsig",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Point-lookup twin of :func:`hamming_near_dups`: for each QUERY
+    signature, every corpus id within ``max_hamming`` →
+    ``(query_id, doc_id, hamming)``.
+
+    Same pigeonhole banding (perfect recall for ``max_hamming`` <
+    ``bands``), but corpus × query-batch instead of corpus × corpus:
+    the query side is a BATCH (broadcast), so the corpus is probed by
+    one band-key equi-join against ~|queries|·bands broadcast rows and
+    never self-joins — the "find this image's near-dups NOW" path a
+    dedup service runs per ingest, vs the batch pair sweep.
+    """
+    assert bits % bands == 0 and 0 < bits <= 64
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def banded(df, idc, sigc, out_id, out_sig):
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(sigc).cast("bigint").alias(out_sig),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        ).withColumn(
+            "band_key",
+            F.expr(f"shiftright({out_sig}, band * {width}) & {mask}L"),
+        )
+    corpus = banded(sigs, id_col, sig_col, "_id", "_sig")
+    qb = banded(queries, query_id_col, query_sig_col, "_qid", "_qsig")
+    cand = corpus.join(F.broadcast(qb), ["band", "band_key"]).select(
+        "_qid", "_id", "_sig", "_qsig"
+    ).dropDuplicates(["_qid", "_id"])
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(_sig ^ _qsig)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )

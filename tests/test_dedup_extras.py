@@ -177,3 +177,30 @@ def test_winnow_rightmost_tie_and_determinism(spark):
     b = sorted(map(tuple,
                    winnow_fingerprints(docs.repartition(3), n=4, window=5).collect()))
     assert a == b
+
+
+def test_hamming_radius_search_recall_and_radius(spark):
+    from netrunner_spark.operators.textops import hamming_radius_search
+
+    sigs = spark.createDataFrame(
+        [(1, 0b1111000011110000), (2, 0b1111000011110001),
+         (3, 0b1111000011111111), (4, 0)],
+        "doc_id long, simhash long",
+    )
+    # query = doc1's signature with one bit flipped
+    queries = spark.createDataFrame(
+        [(100, 0b1111000011110010)], "query_id long, qsig long"
+    )
+    out = {(r["query_id"], r["doc_id"]): r["hamming"] for r in
+           hamming_radius_search(sigs, queries, bits=16, bands=4,
+                                 max_hamming=2).collect()}
+    assert out == {(100, 1): 1, (100, 2): 2}  # doc3 at d=3, doc4 far
+
+    # perfect recall at d = 3 < bands: q2 agrees with doc4 (sig 0) on
+    # only one band (band 0) yet must still be found at hamming 3
+    q2 = spark.createDataFrame([(200, 0b0000000001110000)],
+                               "query_id long, qsig long")
+    out2 = {r["doc_id"]: r["hamming"] for r in
+            hamming_radius_search(sigs, q2, bits=16, bands=4,
+                                  max_hamming=3).collect()}
+    assert out2.get(4) == 3
