@@ -204,3 +204,20 @@ def test_hamming_radius_search_recall_and_radius(spark):
             hamming_radius_search(sigs, q2, bits=16, bands=4,
                                   max_hamming=3).collect()}
     assert out2.get(4) == 3
+
+
+def test_hamming_radius_search_broadcasts_query_side(spark):
+    from netrunner_spark.operators.textops import hamming_radius_search
+
+    sigs = spark.createDataFrame(
+        [(i, i * 37 % 65536) for i in range(50)], "doc_id long, simhash long"
+    )
+    queries = spark.createDataFrame([(1, 5)], "query_id long, qsig long")
+    plan = (
+        hamming_radius_search(sigs, queries, bits=16, bands=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus side must be probed by a broadcast of the query batch —
+    # never a shuffle of the corpus onto band keys against a big side
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
