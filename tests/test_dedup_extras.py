@@ -221,3 +221,56 @@ def test_hamming_radius_search_broadcasts_query_side(spark):
     # never a shuffle of the corpus onto band keys against a big side
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_differential_vs_python_reference(spark):
+    """Seeded random corpora: Spark winnowing must equal an independent
+    Python reimplementation (hash fold, rightmost-min window selection,
+    full windows only) exactly."""
+    import hashlib
+    import random
+
+    from netrunner_spark.operators.textops import winnow_fingerprints
+
+    rng = random.Random(31)
+    # letters only: the operator tokenizes on [^a-z]+, so digit-bearing
+    # tokens would split differently than the reference's .split()
+    vocab = ["".join(chr(97 + (i * 7 + j) % 26) for j in range(3)) for i in range(25)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(20)
+    ]
+    n, window = 4, 5
+
+    def ref(rows):
+        out = set()
+        for doc_id, text in rows:
+            toks = [t for t in text.lower().split() if t]
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            hs = [
+                int(hashlib.md5(g.encode()).hexdigest()[:13], 16) % 2**40
+                for g in grams
+            ]
+            picked = set()
+            for q in range(window - 1, len(hs)):  # full windows only
+                lo = q - window + 1
+                m = min(hs[lo : q + 1])
+                # rightmost position achieving the min
+                p = max(i for i in range(lo, q + 1) if hs[i] == m)
+                picked.add((p + 1, hs[p]))  # 1-based pos like the operator
+            for pos, h in picked:
+                out.add((doc_id, pos, h))
+        return out
+
+    got = {
+        (r["doc_id"], r["fp_pos"], r["fp_hash"])
+        for r in winnow_fingerprints(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            n=n, window=window,
+        ).collect()
+    }
+    want = ref(docs)
+    assert got == want
+    assert got  # seeded corpus yields fingerprints
