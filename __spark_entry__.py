@@ -2055,6 +2055,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _mix(_t(spark, sf, "documents"), targets, token_budget=1000000)
 
+    def link_authority_report(spark, sf):
+        # anti-spam authority: link-farm targets flagged by top-source
+        # concentration, their inbound edges dropped BEFORE the integer
+        # PageRank recurrence — the composed spam-resistant host ranking
+        from netrunner_spark.operators import crawlintel
+        from netrunner_spark.operators.graph import pagerank_int
+
+        ev = _t(spark, sf, "events")
+        m4 = F.col("event_id") % 4 == 0
+        links = ev.select(
+            F.when(m4, F.lit(50))
+            .otherwise(F.col("user_id") % 10)
+            .cast("long")
+            .alias("src_host"),
+            F.when(m4, F.lit(150))
+            .otherwise(F.lit(100) + F.col("event_id") % 6)
+            .cast("long")
+            .alias("dst_host"),
+        )
+        flags = crawlintel.link_spam_hosts(links)
+        farms = flags.filter("is_link_farm").select("dst_host")
+        clean = links.join(farms, "dst_host", "left_anti")
+        ranks = pagerank_int(
+            clean.select(
+                F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+            ),
+            iters=3,
+        )
+        return ranks.join(
+            flags.select(F.col("dst_host").alias("id"), "is_link_farm"),
+            "id",
+            "left",
+        ).select(
+            "id",
+            "rank_e12",
+            F.coalesce("is_link_farm", F.lit(False)).alias("is_link_farm"),
+        )
+
     def phash_radius_search(spark, sf):
         # the dedup SERVICE path: given query signatures (3 planted
         # 2-bit perturbations of corpus signatures), find every corpus
@@ -2443,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": dedup_eval,
         "winnow_dups": winnow_dups,
         "phash_radius_search": phash_radius_search,
+        "link_authority_report": link_authority_report,
         "reciprocal_links": reciprocal_links,
     }
 
@@ -2652,6 +2691,63 @@ WITH edges AS (
              GROUP BY e.dst) c ON c.id = nodes.id
 )""".format(i=_i, p=_i - 1, damp=_damp, scale=_scale)
     link_pagerank_sql = _pr + f"\nSELECT id, rank_e12 FROM r{_iters}"
+
+    # link_authority_report: the anti-spam composition — the farm flag
+    # (link_spam_hosts algebra) drops edges INTO flagged hosts BEFORE
+    # the identical pagerank recurrence runs over what remains
+    _ar = """
+WITH links AS (
+  SELECT CAST(CASE WHEN event_id % 4 = 0 THEN 50
+              ELSE user_id % 10 END AS BIGINT) AS src_host,
+         CAST(CASE WHEN event_id % 4 = 0 THEN 150
+              ELSE 100 + event_id % 6 END AS BIGINT) AS dst_host
+  FROM events
+), per_src AS (
+  SELECT dst_host, src_host, CAST(count(*) AS BIGINT) AS n
+  FROM links GROUP BY dst_host, src_host
+), flags AS (
+  SELECT dst_host,
+         sum(n) >= 20 AND max(n) * 1000 // sum(n) >= 600 AS is_link_farm
+  FROM per_src GROUP BY dst_host
+), farms AS (SELECT dst_host FROM flags WHERE is_link_farm),
+edges AS (
+  SELECT DISTINCT l.src_host AS src, l.dst_host AS dst
+  FROM links l LEFT JOIN farms f ON f.dst_host = l.dst_host
+  WHERE f.dst_host IS NULL
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+  UNION
+  SELECT DISTINCT dst AS id FROM edges
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+), ncount AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes
+), r0 AS (
+  SELECT id, CAST({scale} // nc.n_nodes AS BIGINT) AS rank_e12
+  FROM nodes CROSS JOIN ncount nc
+)""".format(scale=_scale)
+    for _i in range(1, _iters + 1):
+        _ar += """, r{i} AS (
+  SELECT nodes.id AS id,
+         CAST(((100 - {damp}) * {scale}) // (100 * nc.n_nodes)
+              + ({damp} * (COALESCE(c.contrib, 0) + d.dang // nc.n_nodes)) // 100
+              AS BIGINT) AS rank_e12
+  FROM nodes
+  CROSS JOIN ncount nc
+  CROSS JOIN (SELECT CAST(COALESCE(SUM(r.rank_e12), 0) AS BIGINT) AS dang
+              FROM r{p} r LEFT JOIN deg dg ON dg.src = r.id
+              WHERE dg.src IS NULL) d
+  LEFT JOIN (SELECT e.dst AS id,
+                    CAST(SUM(r.rank_e12 // dg.outdeg) AS BIGINT) AS contrib
+             FROM edges e
+             JOIN r{p} r ON r.id = e.src
+             JOIN deg dg ON dg.src = e.src
+             GROUP BY e.dst) c ON c.id = nodes.id
+)""".format(i=_i, p=_i - 1, damp=_damp, scale=_scale)
+    link_authority_report_sql = _ar + f"""
+SELECT r.id, r.rank_e12, coalesce(fl.is_link_farm, FALSE) AS is_link_farm
+FROM r{_iters} r LEFT JOIN flags fl ON fl.dst_host = r.id
+"""
 
     # seed_pagerank: the personalized recurrence — teleport + dangling
     # mass only on the seed set (customer nodes < 100), otherwise the
@@ -2870,6 +2966,7 @@ WITH edges AS (
             ) ORDER BY cnt DESC, token ASC LIMIT 100
         """,
         "link_pagerank": link_pagerank_sql,
+        "link_authority_report": link_authority_report_sql,
         "weighted_pagerank": weighted_pagerank_sql,
         "seed_pagerank": seed_pagerank_sql,
         "link_hits": link_hits_sql,

@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_eval",
     "winnow_dups",
     "phash_radius_search",
+    "link_authority_report",
     "reciprocal_links",
 ]
 
