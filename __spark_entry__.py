@@ -1999,6 +1999,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return crawlintel.sitemap_diff(old, new)
 
+    def recrawl_schedule(spark, sf):
+        # Revisit history synth: 200 URLs, visit_no = event_id DIV 200;
+        # url class (url_id % 4) changes content every 1st/3rd/never/10th
+        # visit. Exercises all next_interval branches: min-clamp,
+        # mid-range, max (never changes), and base (single visit) when
+        # the tail url_ids get only one visit at tiny SFs.
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        visits = ev.select(
+            F.expr(
+                "concat('https://h', CAST((event_id % 200) % 8 AS STRING),"
+                " '.test/p/', CAST(event_id % 200 AS STRING))"
+            ).alias("url"),
+            F.expr("event_id DIV 200").alias("visit_no"),
+            F.md5(
+                F.expr(
+                    "CASE CAST((event_id % 200) % 4 AS INT)"
+                    " WHEN 0 THEN concat('u', CAST(event_id % 200 AS STRING), '-',"
+                    "   CAST(event_id DIV 200 AS STRING))"
+                    " WHEN 1 THEN concat('u', CAST(event_id % 200 AS STRING), '-',"
+                    "   CAST((event_id DIV 200) DIV 3 AS STRING))"
+                    " WHEN 2 THEN concat('u', CAST(event_id % 200 AS STRING))"
+                    " ELSE concat('u', CAST(event_id % 200 AS STRING), '-',"
+                    "   CAST((event_id DIV 200) DIV 10 AS STRING)) END"
+                )
+            ).alias("content_hash"),
+        )
+        return crawlintel.change_rate_plan(visits)
+
+    def url_templates(spark, sf):
+        # Path-shape synth: /item/<event_id> is an unbounded id space
+        # over 7 content hashes (flags), /cat/<n>/list is a bounded
+        # 5-page route, /u/<16-hex> exercises the <h> rule.
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        pages = ev.select(
+            F.expr(
+                "concat('https://h', CAST(user_id % 4 AS STRING), '.test',"
+                " CASE CAST(event_id % 3 AS INT)"
+                " WHEN 0 THEN concat('/item/', CAST(event_id AS STRING))"
+                " WHEN 1 THEN concat('/cat/', CAST(event_id % 5 AS STRING), '/list')"
+                " ELSE concat('/u/', substring(md5(concat('s',"
+                "   CAST(event_id % 9 AS STRING))), 1, 16)) END)"
+            ).alias("url"),
+            F.md5(
+                F.expr(
+                    "CASE CAST(event_id % 3 AS INT)"
+                    " WHEN 0 THEN concat('i-', CAST(event_id % 7 AS STRING))"
+                    " WHEN 1 THEN concat('c-h', CAST(user_id % 4 AS STRING), '-',"
+                    "   CAST(event_id % 5 AS STRING))"
+                    " ELSE concat('u-', CAST(event_id % 9 AS STRING)) END"
+                )
+            ).alias("content_hash"),
+        )
+        return crawlintel.url_path_templates(pages)
+
+    def host_health(spark, sf):
+        # Fetch-log synth: h0 ~25% 5xx (4x backoff), h1 ~8% 5xx (2x),
+        # h7 +600ms latency (all-slow, 4x), the rest healthy (1x).
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        log = ev.select(
+            F.expr("concat('h', CAST(user_id % 8 AS STRING), '.test')").alias("host"),
+            F.expr(
+                "CASE WHEN event_id % (CASE CAST(user_id % 8 AS INT)"
+                " WHEN 0 THEN 4 WHEN 1 THEN 12 ELSE 50 END) = 0 THEN 503"
+                " WHEN event_id % 17 = 0 THEN 404 ELSE 200 END"
+            ).alias("status"),
+            F.expr(
+                "40 + (event_id % 11) * 37"
+                " + CASE WHEN user_id % 8 = 7 THEN 600 ELSE 0 END"
+            ).alias("latency_ms"),
+        )
+        return crawlintel.host_health(log)
+
+    def boilerplate_strip(spark, sf):
+        from netrunner_spark.operators import textops
+
+        return textops.boilerplate_strip(_t(spark, sf, "documents"))
+
     def anchor_text_topk(spark, sf):
         from netrunner_spark.operators import crawlintel
 
@@ -2483,6 +2566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_radius_search": phash_radius_search,
         "link_authority_report": link_authority_report,
         "reciprocal_links": reciprocal_links,
+        "recrawl_schedule": recrawl_schedule,
+        "url_templates": url_templates,
+        "host_health": host_health,
+        "boilerplate_strip": boilerplate_strip,
     }
 
 
@@ -4913,4 +5000,135 @@ FROM k JOIN img ON img.image_id = k.doc_id
 GROUP BY img.fmt
 """
     )
+    oracles["recrawl_schedule"] = """
+WITH revisits AS (
+  SELECT 'https://h' || CAST((event_id % 200) % 8 AS VARCHAR)
+           || '.test/p/' || CAST(event_id % 200 AS VARCHAR) AS url,
+         event_id // 200 AS visit_no,
+         md5(CASE (event_id % 200) % 4
+             WHEN 0 THEN 'u' || CAST(event_id % 200 AS VARCHAR) || '-'
+                         || CAST(event_id // 200 AS VARCHAR)
+             WHEN 1 THEN 'u' || CAST(event_id % 200 AS VARCHAR) || '-'
+                         || CAST((event_id // 200) // 3 AS VARCHAR)
+             WHEN 2 THEN 'u' || CAST(event_id % 200 AS VARCHAR)
+             ELSE 'u' || CAST(event_id % 200 AS VARCHAR) || '-'
+                  || CAST((event_id // 200) // 10 AS VARCHAR) END) AS content_hash
+  FROM events
+), lagd AS (
+  SELECT url, content_hash,
+         lag(content_hash) OVER (PARTITION BY url ORDER BY visit_no) AS prior
+  FROM revisits
+), agg AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_visits,
+         CAST(sum(CASE WHEN prior IS NOT NULL AND prior <> content_hash
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+  FROM lagd GROUP BY url
+)
+SELECT url, n_visits, n_changes,
+       CASE WHEN n_visits >= 2
+            THEN CAST(n_changes * 1000 // (n_visits - 1) AS BIGINT) END
+         AS change_permille,
+       CAST(CASE WHEN n_visits < 2 THEN 86400
+                 WHEN n_changes = 0 THEN 2592000
+                 ELSE greatest(3600, least(2592000,
+                      86400 * 1000 // (n_changes * 1000 // (n_visits - 1))))
+            END AS BIGINT) AS next_interval_s
+FROM agg
+"""
+    oracles["url_templates"] = """
+WITH pathpages AS (
+  SELECT 'https://h' || CAST(user_id % 4 AS VARCHAR) || '.test'
+           || CASE event_id % 3
+              WHEN 0 THEN '/item/' || CAST(event_id AS VARCHAR)
+              WHEN 1 THEN '/cat/' || CAST(event_id % 5 AS VARCHAR) || '/list'
+              ELSE '/u/' || substr(md5('s' || CAST(event_id % 9 AS VARCHAR)), 1, 16)
+              END AS url,
+         md5(CASE event_id % 3
+             WHEN 0 THEN 'i-' || CAST(event_id % 7 AS VARCHAR)
+             WHEN 1 THEN 'c-h' || CAST(user_id % 4 AS VARCHAR) || '-'
+                         || CAST(event_id % 5 AS VARCHAR)
+             ELSE 'u-' || CAST(event_id % 9 AS VARCHAR) END) AS content_hash
+  FROM events
+), t AS (
+  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+         array_to_string(list_transform(string_split(
+             CASE WHEN p = '' THEN '/' ELSE p END, '/'),
+             s -> CASE WHEN regexp_full_match(s, '[0-9]+') THEN '<n>'
+                       WHEN regexp_full_match(s, '[0-9a-f]{8,}') THEN '<h>'
+                       ELSE s END), '/') AS template,
+         url, content_hash
+  FROM (SELECT url, content_hash,
+               regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)?', 1) AS p
+        FROM pathpages)
+), g AS (
+  SELECT host, template,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT content_hash) AS BIGINT) AS n_hashes
+  FROM t GROUP BY host, template
+)
+SELECT host, template, n_urls, n_hashes,
+       CAST(n_urls * 1000 // n_hashes AS BIGINT) AS urls_per_hash_permille,
+       (n_urls >= 5 AND n_urls * 1000 >= 3000 * n_hashes) AS unbounded
+FROM g
+"""
+    oracles["host_health"] = """
+WITH fetchlog AS (
+  SELECT 'h' || CAST(user_id % 8 AS VARCHAR) || '.test' AS host,
+         CASE WHEN event_id % (CASE user_id % 8
+                   WHEN 0 THEN 4 WHEN 1 THEN 12 ELSE 50 END) = 0 THEN 503
+              WHEN event_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+         40 + (event_id % 11) * 37
+           + CASE WHEN user_id % 8 = 7 THEN 600 ELSE 0 END AS latency_ms
+  FROM events
+), agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN status BETWEEN 200 AND 299 THEN 1 ELSE 0 END)
+              * 1000 // count(*) AS BIGINT) AS ok_permille,
+         CAST(sum(CASE WHEN status BETWEEN 400 AND 499 THEN 1 ELSE 0 END)
+              * 1000 // count(*) AS BIGINT) AS err4_permille,
+         CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END)
+              * 1000 // count(*) AS BIGINT) AS err5_permille,
+         CAST(sum(latency_ms) // count(*) AS BIGINT) AS mean_latency_ms,
+         CAST(sum(CASE WHEN latency_ms > 500 THEN 1 ELSE 0 END)
+              * 1000 // count(*) AS BIGINT) AS slow_permille
+  FROM fetchlog GROUP BY host
+)
+SELECT host, n_fetches, ok_permille, err4_permille, err5_permille,
+       mean_latency_ms, slow_permille,
+       CAST(CASE WHEN err5_permille >= 200 OR slow_permille >= 500 THEN 4
+                 WHEN err5_permille >= 50 OR slow_permille >= 200 THEN 2
+                 ELSE 1 END AS BIGINT) AS backoff,
+       CAST(500 * (CASE WHEN err5_permille >= 200 OR slow_permille >= 500 THEN 4
+                        WHEN err5_permille >= 50 OR slow_permille >= 200 THEN 2
+                        ELSE 1 END) AS BIGINT) AS crawl_delay_ms
+FROM agg
+"""
+    oracles["boilerplate_strip"] = """
+WITH tok AS (
+  SELECT doc_id, grp, token FROM (
+    SELECT doc_id, source AS grp,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), tf AS (
+  SELECT grp, doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY grp, doc_id, token
+), gd AS (
+  SELECT source AS grp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), dfb AS (
+  SELECT tf.grp, tf.token,
+         (CAST(count(*) AS BIGINT) * 1000 >= 600 * max(gd.n_docs)
+          AND max(gd.n_docs) >= 5) AS boiler
+  FROM tf JOIN gd ON gd.grp = tf.grp
+  GROUP BY tf.grp, tf.token
+)
+SELECT doc_id, tf.grp AS grp,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN boiler THEN tf ELSE 0 END) AS BIGINT) AS boiler_tokens,
+       CAST((sum(tf) - sum(CASE WHEN boiler THEN tf ELSE 0 END)) * 1000
+            // sum(tf) AS BIGINT) AS content_permille
+FROM tf JOIN dfb ON dfb.grp = tf.grp AND dfb.token = tf.token
+GROUP BY doc_id, tf.grp
+"""
     return oracles

@@ -55,6 +55,14 @@ over data. Each operator documents its scale guard:
   (single-source concentration) and link-exchange (mutual-link
   reciprocity) signals; both collapse the edge list with hash
   aggregates before any pair-level row exists.
+* :func:`change_rate_plan` — Cho–Garcia-Molina-style change-rate
+  estimation from revisit history → per-URL recrawl interval, exact
+  integer; one window + one aggregate, both keyed on url.
+* :func:`url_path_templates` — the PATH half of DUST: numeric/hex
+  segments collapse to ``<n>``/``<h>`` templates; unbounded-id-space
+  routes flagged per template. One hash aggregate, no joins.
+* :func:`host_health` — per-host error/latency permilles from the
+  fetch log → tiered backoff multiplier feeding the politeness delay.
 """
 
 from __future__ import annotations
@@ -654,4 +662,199 @@ def sitemap_diff(
         F.col("old_lastmod").isNull()
         | F.col("new_lastmod").isNull()
         | (F.col("old_lastmod") != F.col("new_lastmod"))
+    )
+
+
+# ------------------------------------------------------------- freshness
+def change_rate_plan(
+    visits: DataFrame,
+    base_interval_s: int = 86400,
+    min_interval_s: int = 3600,
+    max_interval_s: int = 30 * 86400,
+    url_col: str = "url",
+    visit_col: str = "visit_no",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Per-URL change-rate estimation from revisit history → the recrawl
+    schedule: ``(url, n_visits, n_changes, change_permille,
+    next_interval_s)``.
+
+    The freshness literature (Cho & Garcia-Molina, "Estimating frequency
+    of change", TOIT'03) models page change as Poisson and schedules
+    revisits inversely to the observed change rate; the reference's
+    archive keeps one record per fetch (`/root/reference/src/lib/
+    archive.rs` content hashing), which is exactly the observation
+    stream this needs. We keep the estimator in exact integer
+    arithmetic so re-runs and the DuckDB twin are bit-identical:
+
+    * ``n_changes`` — consecutive-visit digest flips (lag over visit_no),
+    * ``change_permille`` = 1000·n_changes ÷ (n_visits−1); NULL with a
+      single visit (zero observation intervals),
+    * ``next_interval_s`` — base·1000 ÷ change_permille clamped to
+      [min, max]; a never-changing page coasts at ``max_interval_s``,
+      an every-visit changer is pinned to ``min_interval_s``, and an
+      unobserved page (one visit) retries at ``base_interval_s``.
+
+    Scale: one window (lag) and one hash aggregate, both keyed on url —
+    a single shuffle, no joins. Feeds the same scheduler slot as
+    :func:`sitemap_diff` (which covers the sitemap-declared subset).
+    """
+    w = Window.partitionBy("url").orderBy("visit_no")
+    obs = visits.select(
+        F.col(url_col).alias("url"),
+        F.col(visit_col).cast("long").alias("visit_no"),
+        F.col(hash_col).alias("chash"),
+    ).withColumn("prior", F.lag("chash").over(w))
+    per_url = obs.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.sum(
+            F.when(
+                F.col("prior").isNotNull() & (F.col("prior") != F.col("chash")), 1
+            ).otherwise(0)
+        ).alias("n_changes"),
+    )
+    cp = F.when(
+        F.col("n_visits") >= 2,
+        F.expr("n_changes * 1000 DIV (n_visits - 1)"),
+    ).cast("long")
+    return per_url.withColumn("change_permille", cp).withColumn(
+        "next_interval_s",
+        F.when(F.col("change_permille").isNull(), F.lit(base_interval_s))
+        .when(F.col("change_permille") == 0, F.lit(max_interval_s))
+        .otherwise(
+            F.greatest(
+                F.lit(min_interval_s),
+                F.least(
+                    F.lit(max_interval_s),
+                    F.expr(f"{base_interval_s} * 1000 DIV change_permille"),
+                ),
+            )
+        )
+        .cast("long"),
+    )
+
+
+# --------------------------------------------------------- path templates
+def url_path_templates(
+    pages: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+    min_urls: int = 5,
+    ratio_permille: int = 3000,
+) -> DataFrame:
+    """Collapse URL *paths* into templates and flag the unbounded ones →
+    ``(host, template, n_urls, n_hashes, urls_per_hash_permille,
+    unbounded)``.
+
+    :func:`dust_params` handles query parameters; this is the PATH half
+    of DUST (Bar-Yossef et al., WWW'07 §5 mines path rules too): numeric
+    segments become ``<n>`` and long-hex segments (ids, session tokens,
+    digests — 8+ chars of [0-9a-f]) become ``<h>``, so
+    ``/item/8231``, ``/item/97`` share the template ``/item/<n>``. A
+    template minting ``≥ min_urls`` distinct URLs whose URL:content
+    ratio exceeds ``ratio_permille`` (default 3:1) is *unbounded* — an
+    id-space the frontier can enumerate forever for little new content;
+    the scheduler caps or samples it (same consumer as
+    ``host_harvest``'s trap flag, but per-template, so one bad route
+    doesn't starve the host's good routes).
+
+    Scale: a projection (split + transform + join) and ONE hash
+    aggregate on (host, template); no joins, no explode.
+    """
+    path = F.regexp_extract(F.col(url_col), r"^https?://[^/?#]+(/[^?#]*)?", 1)
+    seg = lambda s: (
+        F.when(s.rlike("^[0-9]+$"), F.lit("<n>"))
+        .when(s.rlike("^[0-9a-f]{8,}$"), F.lit("<h>"))
+        .otherwise(s)
+    )
+    tmpl = F.array_join(
+        F.transform(F.split(F.when(path == "", F.lit("/")).otherwise(path), "/"), seg),
+        "/",
+    )
+    return (
+        pages.select(
+            F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1).alias("host"),
+            tmpl.alias("template"),
+            F.col(url_col).alias("u"),
+            F.col(hash_col).alias("h"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.countDistinct("u").alias("n_urls"),
+            F.countDistinct("h").alias("n_hashes"),
+        )
+        .select(
+            "host",
+            "template",
+            "n_urls",
+            "n_hashes",
+            F.expr("n_urls * 1000 DIV n_hashes").alias("urls_per_hash_permille"),
+            (
+                (F.col("n_urls") >= min_urls)
+                & (F.col("n_urls") * 1000 >= ratio_permille * F.col("n_hashes"))
+            ).alias("unbounded"),
+        )
+    )
+
+
+# ------------------------------------------------------------ host health
+def host_health(
+    fetches: DataFrame,
+    slow_ms: int = 500,
+    base_delay_ms: int = 500,
+    host_col: str = "host",
+    status_col: str = "status",
+    latency_col: str = "latency_ms",
+) -> DataFrame:
+    """Per-host fetch health → the adaptive-politeness dial:
+    ``(host, n_fetches, ok_permille, err4_permille, err5_permille,
+    mean_latency_ms, slow_permille, backoff, crawl_delay_ms)``.
+
+    The reference schedules a fixed per-domain delay (crawler.rs
+    politeness); operationally a crawler must *widen* that delay for
+    hosts that are erroring or slow (RFC 9309 has no signal for this —
+    it's learned from the fetch log). Tiers: ≥20 % 5xx or ≥50 % slow
+    fetches → 4× backoff; ≥5 % 5xx or ≥20 % slow → 2×; else 1×.
+    ``crawl_delay_ms = base_delay_ms × backoff`` feeds
+    ``operators/politeness.py`` as the per-host delay override.
+
+    Exact integer permille throughout; ONE hash aggregate (map-side
+    partials collapse the 10^10-row fetch log before any shuffle).
+    """
+    agg = fetches.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(
+            F.when(
+                (F.col(status_col) >= 200) & (F.col(status_col) < 300), 1
+            ).otherwise(0)
+        ).alias("_ok"),
+        F.sum(
+            F.when(
+                (F.col(status_col) >= 400) & (F.col(status_col) < 500), 1
+            ).otherwise(0)
+        ).alias("_e4"),
+        F.sum(F.when(F.col(status_col) >= 500, 1).otherwise(0)).alias("_e5"),
+        F.sum(F.col(latency_col).cast("long")).alias("_lat"),
+        F.sum(F.when(F.col(latency_col) > slow_ms, 1).otherwise(0)).alias("_slow"),
+    )
+    pm = lambda c: F.expr(f"{c} * 1000 DIV n_fetches")
+    with_pm = agg.select(
+        "host",
+        "n_fetches",
+        pm("_ok").alias("ok_permille"),
+        pm("_e4").alias("err4_permille"),
+        pm("_e5").alias("err5_permille"),
+        F.expr("_lat DIV n_fetches").alias("mean_latency_ms"),
+        pm("_slow").alias("slow_permille"),
+    )
+    backoff = (
+        F.when(
+            (F.col("err5_permille") >= 200) | (F.col("slow_permille") >= 500), 4
+        )
+        .when((F.col("err5_permille") >= 50) | (F.col("slow_permille") >= 200), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    return with_pm.withColumn("backoff", backoff).withColumn(
+        "crawl_delay_ms", (F.lit(base_delay_ms) * F.col("backoff")).cast("long")
     )

@@ -1403,3 +1403,71 @@ def hamming_radius_search(
             F.col("hamming").cast("int").alias("hamming"),
         )
     )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    group_col: str = "source",
+    min_df_permille: int = 600,
+    min_docs: int = 5,
+    pattern: str = "[^a-z]+",
+) -> DataFrame:
+    """Per-group boilerplate-token detection + per-doc strip report →
+    ``(doc_id, grp, n_tokens, boiler_tokens, content_permille)``.
+
+    Main-content extraction at corpus scale: a token that appears in
+    ``≥ min_df_permille`` of a group's documents (group = host/source —
+    nav bars, footers, cookie banners) is *boilerplate* THERE, not
+    content; training-data curation wants the per-doc content fraction
+    (jusText/trafilatura make this call per-page from DOM blocks — this
+    is the corpus-statistical form over already-extracted text, the
+    same df-threshold family as ``boilerplate_captions`` on the image
+    side). Groups smaller than ``min_docs`` docs never flag (no
+    statistical footing), mirroring ``reciprocal_links.min_links``.
+
+    ``content_permille`` = 1000·(n_tokens − boiler_tokens) ÷ n_tokens —
+    the quality gate reads it directly (a page that is 90 % chrome
+    carries little training signal regardless of its fluency score).
+
+    Shape at 100 TB: explode → per-(grp, doc, token) tf (map-side
+    combined) → df aggregate over the tf table (vocabulary × groups —
+    the broadcastable side) → one join back on (grp, token) → per-doc
+    aggregate. No windows, no self-joins; empty-token docs drop out
+    (zero tokens ⇒ no content fraction to report).
+    """
+    toks = docs.select(
+        F.col("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.col("text")), pattern)).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("grp", "doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    grp_docs = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    df = (
+        tf.groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(grp_docs, "grp")
+        .select(
+            "grp",
+            "token",
+            (
+                (F.col("df") * 1000 >= F.lit(min_df_permille) * F.col("n_docs"))
+                & (F.col("n_docs") >= min_docs)
+            ).alias("boiler"),
+        )
+    )
+    return (
+        tf.join(df, ["grp", "token"])
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.when(F.col("boiler"), F.col("tf")).otherwise(0)).alias(
+                "boiler_tokens"
+            ),
+        )
+        .withColumn(
+            "content_permille",
+            F.expr("(n_tokens - boiler_tokens) * 1000 DIV n_tokens"),
+        )
+    )

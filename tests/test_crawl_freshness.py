@@ -1,0 +1,184 @@
+"""Freshness scheduling, URL path templates, host health, and
+boilerplate stripping: exact-integer semantics on hand-built frames —
+every interval branch of change_rate_plan, both template rewrite rules,
+all three backoff tiers, and the min_docs guard."""
+
+from pyspark.sql import functions as F
+
+from netrunner_spark.operators import crawlintel, textops
+
+
+# ----------------------------------------------------------- change rate
+def _visits(spark, spec):
+    """spec: {url: [hash, hash, ...]} in visit order."""
+    rows = [
+        (url, i, h)
+        for url, hashes in spec.items()
+        for i, h in enumerate(hashes)
+    ]
+    return spark.createDataFrame(
+        rows, "url string, visit_no long, content_hash string"
+    )
+
+
+def test_change_rate_all_interval_branches(spark):
+    v = _visits(
+        spark,
+        {
+            "always": ["a", "b", "c", "d"],  # 3/3 changes -> min clamp
+            "never": ["x", "x", "x", "x"],  # 0 changes -> max interval
+            "half": ["p", "p", "q", "q", "r"],  # 2/4 -> base*1000//500 = 2*base
+            "once": ["z"],  # single visit -> base, NULL permille
+        },
+    )
+    out = {
+        r["url"]: r
+        for r in crawlintel.change_rate_plan(
+            v, base_interval_s=86400, min_interval_s=3600, max_interval_s=2592000
+        ).collect()
+    }
+    assert out["always"]["change_permille"] == 1000
+    assert out["always"]["next_interval_s"] == 86400 * 1000 // 1000  # = base, no clamp
+    assert out["never"]["change_permille"] == 0
+    assert out["never"]["next_interval_s"] == 2592000
+    assert out["half"]["change_permille"] == 500
+    assert out["half"]["next_interval_s"] == 86400 * 1000 // 500
+    assert out["once"]["change_permille"] is None
+    assert out["once"]["next_interval_s"] == 86400
+    assert out["once"]["n_visits"] == 1 and out["once"]["n_changes"] == 0
+
+
+def test_change_rate_min_clamp(spark):
+    # base*1000//1000 = base > min, so force the clamp with a tiny max
+    v = _visits(spark, {"u": ["a", "b", "c"]})
+    row = crawlintel.change_rate_plan(
+        v, base_interval_s=100, min_interval_s=3600, max_interval_s=9999999
+    ).collect()[0]
+    # 100*1000//1000 = 100 -> clamped up to min 3600
+    assert row["next_interval_s"] == 3600
+
+
+def test_change_rate_counts_consecutive_flips_not_distinct(spark):
+    # a->b->a is TWO changes even though only two distinct hashes
+    v = _visits(spark, {"u": ["a", "b", "a"]})
+    row = crawlintel.change_rate_plan(v).collect()[0]
+    assert row["n_changes"] == 2 and row["change_permille"] == 1000
+
+
+# -------------------------------------------------------- path templates
+def test_url_path_templates_rules_and_flags(spark):
+    rows = (
+        # unbounded id space: 6 urls, 2 hashes -> 3000 permille, flagged
+        [(f"https://a.test/item/{i}", f"h{i % 2}") for i in range(6)]
+        # bounded route: 3 urls, 3 hashes -> never flagged
+        + [(f"https://a.test/cat/{i}/list", f"c{i}") for i in range(3)]
+        # hex rule: 8+ hex chars collapse to <h>
+        + [("https://a.test/u/deadbeef01", "u1"), ("https://a.test/u/cafebabe9922", "u2")]
+        # short hex stays literal (7 chars)
+        + [("https://a.test/u/abcdef1", "u3")]
+    )
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    out = {
+        (r["host"], r["template"]): r
+        for r in crawlintel.url_path_templates(pages, min_urls=5).collect()
+    }
+    item = out[("a.test", "/item/<n>")]
+    assert item["n_urls"] == 6 and item["n_hashes"] == 2
+    assert item["urls_per_hash_permille"] == 3000 and item["unbounded"]
+    cat = out[("a.test", "/cat/<n>/list")]
+    assert not cat["unbounded"] and cat["n_urls"] == 3
+    assert out[("a.test", "/u/<h>")]["n_urls"] == 2
+    assert ("a.test", "/u/abcdef1") in out  # short hex is literal
+
+
+def test_url_path_templates_min_urls_guard(spark):
+    # ratio 3000 met but only 3 urls -> below min_urls, not flagged
+    rows = [(f"https://b.test/x/{i}", "same") for i in range(3)]
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    row = crawlintel.url_path_templates(pages, min_urls=5).collect()[0]
+    assert row["urls_per_hash_permille"] == 3000 and not row["unbounded"]
+
+
+def test_url_path_templates_query_string_ignored(spark):
+    pages = spark.createDataFrame(
+        [("https://c.test/p/7?sess=1", "h1"), ("https://c.test/p/8?sess=2", "h2")],
+        "url string, content_hash string",
+    )
+    out = crawlintel.url_path_templates(pages).collect()
+    assert len(out) == 1 and out[0]["template"] == "/p/<n>"
+
+
+# ------------------------------------------------------------ host health
+def test_host_health_backoff_tiers(spark):
+    def rows(host, statuses, lat=100):
+        return [(host, s, lat) for s in statuses]
+
+    data = (
+        rows("bad.test", [503, 503, 200, 200])  # 500 permille 5xx -> 4x
+        + rows("meh.test", [503] + [200] * 19)  # 50 permille -> 2x
+        + rows("ok.test", [200] * 20 + [404])  # healthy -> 1x
+        + rows("slow.test", [200] * 4, lat=900)  # all slow -> 4x
+    )
+    log = spark.createDataFrame(data, "host string, status int, latency_ms long")
+    out = {r["host"]: r for r in crawlintel.host_health(log, base_delay_ms=500).collect()}
+    assert out["bad.test"]["backoff"] == 4 and out["bad.test"]["crawl_delay_ms"] == 2000
+    assert out["meh.test"]["backoff"] == 2
+    assert out["ok.test"]["backoff"] == 1 and out["ok.test"]["crawl_delay_ms"] == 500
+    assert out["slow.test"]["backoff"] == 4 and out["slow.test"]["slow_permille"] == 1000
+    assert out["ok.test"]["err4_permille"] == 1000 // 21
+    assert out["bad.test"]["ok_permille"] == 500
+
+
+def test_host_health_exact_means(spark):
+    log = spark.createDataFrame(
+        [("h.test", 200, 100), ("h.test", 200, 101)],
+        "host string, status int, latency_ms long",
+    )
+    row = crawlintel.host_health(log).collect()[0]
+    assert row["mean_latency_ms"] == 100  # floor division, not rounding
+
+
+# ------------------------------------------------------ boilerplate strip
+def test_boilerplate_strip_flags_chrome_tokens(spark):
+    # 6 docs in one group, 'footer' in all 6 (df 1000 permille),
+    # 'menu' in 4/6 (666 permille >= 600), 'story' in 1.
+    rows = [
+        (i, "s1", "footer " + ("menu " if i < 4 else "") + f"story{i} words")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textops.boilerplate_strip(
+            docs, min_df_permille=600, min_docs=5
+        ).collect()
+    }
+    # doc 0: tokens footer, menu, story0 (->story), words = 4 tokens; story0
+    # splits on the digit into 'story' ('story' appears in all 6 docs -> boiler!)
+    r0 = out[0]
+    assert r0["n_tokens"] == 4
+    # footer(6/6), menu(4/6), story(6/6), words(6/6) all >= 600 permille
+    assert r0["boiler_tokens"] == 4 and r0["content_permille"] == 0
+
+
+def test_boilerplate_strip_min_docs_guard(spark):
+    # only 3 docs in the group -> nothing flags even at df=1000
+    rows = [(i, "tiny", "common text") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = textops.boilerplate_strip(docs, min_docs=5).collect()
+    assert all(r["boiler_tokens"] == 0 and r["content_permille"] == 1000 for r in out)
+
+
+def test_boilerplate_strip_groups_independent(spark):
+    # 'banner' is boilerplate in g1 (5/5 docs) but content in g2 (1/5)
+    rows = [(i, "g1", f"banner unique{i} text") for i in range(5)]
+    rows += [(10 + i, "g2", ("banner " if i == 0 else "") + f"other{i} text") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r["grp"], r["doc_id"]): r for r in textops.boilerplate_strip(docs).collect()}
+    # g1 doc0: banner+text boiler ('text' in 5/5), unique0->unique in 5/5 too
+    assert out[("g1", 0)]["boiler_tokens"] >= 2
+    # g2 doc10 has 'banner' but df=1/5 there -> not boiler
+    r = out[("g2", 10)]
+    assert r["n_tokens"] == 3  # banner, other, text
+    # 'other' (5/5) and 'text' (5/5) are boiler in g2; banner is not
+    assert r["boiler_tokens"] == 2
