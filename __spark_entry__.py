@@ -242,6 +242,72 @@ pages AS (
 """
 
 
+def _path_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-shape synth for the template miner: /item/<event_id> is an
+    unbounded id space over 7 content hashes (flags as unbounded),
+    /cat/<n>/list is a bounded 5-page route, /u/<16-hex> exercises the
+    <h> rewrite rule. Twin: _PATHPAGES_CTE."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.expr(
+            "concat('https://h', CAST(user_id % 4 AS STRING), '.test',"
+            " CASE CAST(event_id % 3 AS INT)"
+            " WHEN 0 THEN concat('/item/', CAST(event_id AS STRING))"
+            " WHEN 1 THEN concat('/cat/', CAST(event_id % 5 AS STRING), '/list')"
+            " ELSE concat('/u/', substring(md5(concat('s',"
+            "   CAST(event_id % 9 AS STRING))), 1, 16)) END)"
+        ).alias("url"),
+        F.md5(
+            F.expr(
+                "CASE CAST(event_id % 3 AS INT)"
+                " WHEN 0 THEN concat('i-', CAST(event_id % 7 AS STRING))"
+                " WHEN 1 THEN concat('c-h', CAST(user_id % 4 AS STRING), '-',"
+                "   CAST(event_id % 5 AS STRING))"
+                " ELSE concat('u-', CAST(event_id % 9 AS STRING)) END"
+            )
+        ).alias("content_hash"),
+    )
+
+
+# Shared twin pieces for the template family: the pathpages synth and the
+# host/template projection, used verbatim by BOTH the url_templates and
+# template_cap_apply oracles so the apply twin cannot drift from the miner.
+_PATHPAGES_CTE = """pathpages AS (
+  SELECT 'https://h' || CAST(user_id % 4 AS VARCHAR) || '.test'
+           || CASE event_id % 3
+              WHEN 0 THEN '/item/' || CAST(event_id AS VARCHAR)
+              WHEN 1 THEN '/cat/' || CAST(event_id % 5 AS VARCHAR) || '/list'
+              ELSE '/u/' || substr(md5('s' || CAST(event_id % 9 AS VARCHAR)), 1, 16)
+              END AS url,
+         md5(CASE event_id % 3
+             WHEN 0 THEN 'i-' || CAST(event_id % 7 AS VARCHAR)
+             WHEN 1 THEN 'c-h' || CAST(user_id % 4 AS VARCHAR) || '-'
+                         || CAST(event_id % 5 AS VARCHAR)
+             ELSE 'u-' || CAST(event_id % 9 AS VARCHAR) END) AS content_hash
+  FROM events
+)"""
+
+_TMPL_T_CTE = """t AS (
+  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+         array_to_string(list_transform(string_split(
+             CASE WHEN p = '' THEN '/' ELSE p END, '/'),
+             s -> CASE WHEN regexp_full_match(s, '[0-9]+') THEN '<n>'
+                       WHEN regexp_full_match(s, '[0-9a-f]{8,}') THEN '<h>'
+                       ELSE s END), '/') AS template,
+         url, content_hash
+  FROM (SELECT url, content_hash,
+               regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)?', 1) AS p
+        FROM pathpages)
+)"""
+
+_TMPL_G_CTE = """g AS (
+  SELECT host, template,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT content_hash) AS BIGINT) AS n_hashes
+  FROM t GROUP BY host, template
+)"""
+
+
 def _lpa_sql(iters: int = 3) -> str:
     """DuckDB twin of graph.label_propagation_int over the two-ring
     community topology, generated per iteration: each synchronous round
@@ -2030,32 +2096,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return crawlintel.change_rate_plan(visits)
 
     def url_templates(spark, sf):
-        # Path-shape synth: /item/<event_id> is an unbounded id space
-        # over 7 content hashes (flags), /cat/<n>/list is a bounded
-        # 5-page route, /u/<16-hex> exercises the <h> rule.
         from netrunner_spark.operators import crawlintel
 
-        ev = _t(spark, sf, "events")
-        pages = ev.select(
-            F.expr(
-                "concat('https://h', CAST(user_id % 4 AS STRING), '.test',"
-                " CASE CAST(event_id % 3 AS INT)"
-                " WHEN 0 THEN concat('/item/', CAST(event_id AS STRING))"
-                " WHEN 1 THEN concat('/cat/', CAST(event_id % 5 AS STRING), '/list')"
-                " ELSE concat('/u/', substring(md5(concat('s',"
-                "   CAST(event_id % 9 AS STRING))), 1, 16)) END)"
-            ).alias("url"),
-            F.md5(
-                F.expr(
-                    "CASE CAST(event_id % 3 AS INT)"
-                    " WHEN 0 THEN concat('i-', CAST(event_id % 7 AS STRING))"
-                    " WHEN 1 THEN concat('c-h', CAST(user_id % 4 AS STRING), '-',"
-                    "   CAST(event_id % 5 AS STRING))"
-                    " ELSE concat('u-', CAST(event_id % 9 AS STRING)) END"
-                )
-            ).alias("content_hash"),
-        )
-        return crawlintel.url_path_templates(pages)
+        return crawlintel.url_path_templates(_path_pages(spark, sf))
+
+    def template_cap_apply(spark, sf):
+        # the template loop CLOSED: mine unbounded templates, then cap
+        # each (host, template) id-space at 3 URLs by md5 order — the
+        # apply_dust_rules pattern for the path axis
+        from netrunner_spark.operators import crawlintel
+
+        pages = _path_pages(spark, sf)
+        verdicts = crawlintel.url_path_templates(pages)
+        return crawlintel.apply_template_caps(pages, verdicts, cap=3)
 
     def host_health(spark, sf):
         # Fetch-log synth: h0 ~25% 5xx (4x backoff), h1 ~8% 5xx (2x),
@@ -2081,6 +2134,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from netrunner_spark.operators import textops
 
         return textops.boilerplate_strip(_t(spark, sf, "documents"))
+
+    def crawl_policy_table(spark, sf):
+        # THE operational table: cache intelligence (harvest/mirror/trap
+        # -> budget) joined with fetch telemetry (error/latency ->
+        # backoff); a health-degraded host's round allocation shrinks by
+        # its backoff factor. Composed by CALLING the two constituent
+        # queries, so this cannot drift from them.
+        r = host_crawl_report(spark, sf)
+        h = host_health(spark, sf)
+        return (
+            r.join(h.select("host", "backoff", "crawl_delay_ms"), "host", "left")
+            .select(
+                "host",
+                "harvest_permille",
+                "is_trap",
+                "mirror_secondary",
+                "alloc",
+                F.coalesce("backoff", F.lit(1)).cast("long").alias("backoff"),
+                F.coalesce("crawl_delay_ms", F.lit(500)).cast("long").alias(
+                    "crawl_delay_ms"
+                ),
+            )
+            .withColumn("eff_alloc", F.expr("alloc DIV backoff"))
+        )
 
     def anchor_text_topk(spark, sf):
         from netrunner_spark.operators import crawlintel
@@ -2570,6 +2647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": url_templates,
         "host_health": host_health,
         "boilerplate_strip": boilerplate_strip,
+        "template_cap_apply": template_cap_apply,
+        "crawl_policy_table": crawl_policy_table,
     }
 
 
@@ -5035,42 +5114,45 @@ SELECT url, n_visits, n_changes,
             END AS BIGINT) AS next_interval_s
 FROM agg
 """
-    oracles["url_templates"] = """
-WITH pathpages AS (
-  SELECT 'https://h' || CAST(user_id % 4 AS VARCHAR) || '.test'
-           || CASE event_id % 3
-              WHEN 0 THEN '/item/' || CAST(event_id AS VARCHAR)
-              WHEN 1 THEN '/cat/' || CAST(event_id % 5 AS VARCHAR) || '/list'
-              ELSE '/u/' || substr(md5('s' || CAST(event_id % 9 AS VARCHAR)), 1, 16)
-              END AS url,
-         md5(CASE event_id % 3
-             WHEN 0 THEN 'i-' || CAST(event_id % 7 AS VARCHAR)
-             WHEN 1 THEN 'c-h' || CAST(user_id % 4 AS VARCHAR) || '-'
-                         || CAST(event_id % 5 AS VARCHAR)
-             ELSE 'u-' || CAST(event_id % 9 AS VARCHAR) END) AS content_hash
-  FROM events
-), t AS (
-  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
-         array_to_string(list_transform(string_split(
-             CASE WHEN p = '' THEN '/' ELSE p END, '/'),
-             s -> CASE WHEN regexp_full_match(s, '[0-9]+') THEN '<n>'
-                       WHEN regexp_full_match(s, '[0-9a-f]{8,}') THEN '<h>'
-                       ELSE s END), '/') AS template,
-         url, content_hash
-  FROM (SELECT url, content_hash,
-               regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)?', 1) AS p
-        FROM pathpages)
-), g AS (
-  SELECT host, template,
-         CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
-         CAST(count(DISTINCT content_hash) AS BIGINT) AS n_hashes
-  FROM t GROUP BY host, template
-)
+    oracles["url_templates"] = (
+        "WITH "
+        + _PATHPAGES_CTE
+        + ", "
+        + _TMPL_T_CTE
+        + ", "
+        + _TMPL_G_CTE
+        + """
 SELECT host, template, n_urls, n_hashes,
        CAST(n_urls * 1000 // n_hashes AS BIGINT) AS urls_per_hash_permille,
        (n_urls >= 5 AND n_urls * 1000 >= 3000 * n_hashes) AS unbounded
 FROM g
 """
+    )
+    oracles["template_cap_apply"] = (
+        "WITH "
+        + _PATHPAGES_CTE
+        + ", "
+        + _TMPL_T_CTE
+        + ", "
+        + _TMPL_G_CTE
+        + """
+, v AS (
+  SELECT host, template FROM g
+  WHERE n_urls >= 5 AND n_urls * 1000 >= 3000 * n_hashes
+), u AS (
+  SELECT DISTINCT t.host, t.template, t.url FROM t
+), rn AS (
+  SELECT u.url, u.host, u.template,
+         row_number() OVER (PARTITION BY u.host, u.template
+                            ORDER BY md5(u.url), u.url) AS rn
+  FROM u JOIN v ON v.host = u.host AND v.template = u.template
+)
+SELECT url, host, template, TRUE AS keep
+FROM u ANTI JOIN v ON v.host = u.host AND v.template = u.template
+UNION ALL
+SELECT url, host, template, rn <= 3 AS keep FROM rn
+"""
+    )
     oracles["host_health"] = """
 WITH fetchlog AS (
   SELECT 'h' || CAST(user_id % 8 AS VARCHAR) || '.test' AS host,
@@ -5130,5 +5212,15 @@ SELECT doc_id, tf.grp AS grp,
             // sum(tf) AS BIGINT) AS content_permille
 FROM tf JOIN dfb ON dfb.grp = tf.grp AND dfb.token = tf.token
 GROUP BY doc_id, tf.grp
+"""
+    # crawl_policy_table: the report and health twins nested verbatim
+    # (curation_pipeline no-drift trick) joined on host
+    oracles["crawl_policy_table"] = f"""
+WITH r AS ({oracles["host_crawl_report"]}), h AS ({oracles["host_health"]})
+SELECT r.host, r.harvest_permille, r.is_trap, r.mirror_secondary, r.alloc,
+       CAST(coalesce(h.backoff, 1) AS BIGINT) AS backoff,
+       CAST(coalesce(h.crawl_delay_ms, 500) AS BIGINT) AS crawl_delay_ms,
+       CAST(r.alloc // coalesce(h.backoff, 1) AS BIGINT) AS eff_alloc
+FROM r LEFT JOIN h ON h.host = r.host
 """
     return oracles

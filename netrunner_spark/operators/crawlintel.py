@@ -858,3 +858,55 @@ def host_health(
     return with_pm.withColumn("backoff", backoff).withColumn(
         "crawl_delay_ms", (F.lit(base_delay_ms) * F.col("backoff")).cast("long")
     )
+
+
+# -------------------------------------------------------- template caps
+def apply_template_caps(
+    pages: DataFrame,
+    verdicts: DataFrame,
+    cap: int = 100,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply :func:`url_path_templates` verdicts to a URL set →
+    ``(url, host, template, keep)``: URLs under an *unbounded* template
+    survive only up to ``cap`` per (host, template) — chosen by md5(url)
+    order, so the sample is deterministic and re-shard-stable — while
+    bounded-template URLs all pass. The template loop closed, exactly
+    the :func:`apply_dust_rules` pattern for the path axis: mine on the
+    cache, apply at admission, and the calendar/id-space trap stops
+    minting frontier rows past the cap.
+
+    Scale: verdicts are bounded (hosts × templates — broadcast); the
+    row_number window runs ONLY over the unbounded-template subset (the
+    trap mass being capped), never the whole frontier; everything else
+    is a projection.
+    """
+    path = F.regexp_extract(F.col(url_col), r"^https?://[^/?#]+(/[^?#]*)?", 1)
+    seg = lambda s: (
+        F.when(s.rlike("^[0-9]+$"), F.lit("<n>"))
+        .when(s.rlike("^[0-9a-f]{8,}$"), F.lit("<h>"))
+        .otherwise(s)
+    )
+    tmpl = F.array_join(
+        F.transform(F.split(F.when(path == "", F.lit("/")).otherwise(path), "/"), seg),
+        "/",
+    )
+    u = pages.select(F.col(url_col).alias("url")).dropDuplicates().select(
+        "url",
+        F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host"),
+        tmpl.alias("template"),
+    )
+    unb = verdicts.filter(F.col("unbounded")).select(
+        "host", "template", F.lit(True).alias("_unb")
+    )
+    j = u.join(F.broadcast(unb), ["host", "template"], "left")
+    bounded = j.filter(F.col("_unb").isNull()).select(
+        "url", "host", "template", F.lit(True).alias("keep")
+    )
+    w = Window.partitionBy("host", "template").orderBy(F.md5("url"), "url")
+    capped = (
+        j.filter(F.col("_unb").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .select("url", "host", "template", (F.col("_rn") <= cap).alias("keep"))
+    )
+    return bounded.unionByName(capped)

@@ -182,3 +182,38 @@ def test_boilerplate_strip_groups_independent(spark):
     assert r["n_tokens"] == 3  # banner, other, text
     # 'other' (5/5) and 'text' (5/5) are boiler in g2; banner is not
     assert r["boiler_tokens"] == 2
+
+
+# ---------------------------------------------------------- template caps
+def test_apply_template_caps_caps_only_unbounded(spark):
+    rows = [(f"https://a.test/item/{i}", "h0") for i in range(10)]  # unbounded
+    rows += [(f"https://a.test/cat/{i}/list", f"c{i}") for i in range(3)]  # bounded
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    verdicts = crawlintel.url_path_templates(pages, min_urls=5)
+    out = crawlintel.apply_template_caps(pages, verdicts, cap=4).collect()
+    by_tmpl = {}
+    for r in out:
+        by_tmpl.setdefault(r["template"], []).append(r)
+    item = by_tmpl["/item/<n>"]
+    assert len(item) == 10 and sum(r["keep"] for r in item) == 4
+    cat = by_tmpl["/cat/<n>/list"]
+    assert len(cat) == 3 and all(r["keep"] for r in cat)
+
+
+def test_apply_template_caps_deterministic_across_repartition(spark):
+    rows = [(f"https://a.test/item/{i}", "h") for i in range(20)]
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    verdicts = crawlintel.url_path_templates(pages, min_urls=5)
+    kept1 = {
+        r["url"]
+        for r in crawlintel.apply_template_caps(pages, verdicts, cap=5).collect()
+        if r["keep"]
+    }
+    kept2 = {
+        r["url"]
+        for r in crawlintel.apply_template_caps(
+            pages.repartition(7), verdicts, cap=5
+        ).collect()
+        if r["keep"]
+    }
+    assert kept1 == kept2 and len(kept1) == 5
