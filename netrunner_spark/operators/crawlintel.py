@@ -876,10 +876,18 @@ def apply_template_caps(
     cache, apply at admission, and the calendar/id-space trap stops
     minting frontier rows past the cap.
 
-    Scale: verdicts are bounded (hosts × templates — broadcast); the
-    row_number window runs ONLY over the unbounded-template subset (the
-    trap mass being capped), never the whole frontier; everything else
-    is a projection.
+    Scale: verdicts are bounded (hosts × templates — broadcast). The
+    cap itself is SKEW-PROOF: a naive per-(host, template) row_number
+    window would sort a mega-trap template (10^8 URLs of one calendar)
+    in a single task; instead the cap-th smallest sort key is found by
+    an exact two-level top-k — per-(group, input-partition) local
+    top-cap (the giant group splinters across P keys, collect_list
+    bounded by partition size), then a global top-cap over ≤ cap·P
+    survivors, then one broadcast threshold join. The sort key is
+    ``md5(url) || url`` (fixed-width hash prefix ⇒ concat order ==
+    (md5, url) tuple order; urls are distinct ⇒ keys unique ⇒ the
+    threshold keeps exactly min(cap, n) rows). No window, no skewed
+    shuffle; plan pinned window-free in tests.
     """
     path = F.regexp_extract(F.col(url_col), r"^https?://[^/?#]+(/[^?#]*)?", 1)
     seg = lambda s: (
@@ -903,10 +911,24 @@ def apply_template_caps(
     bounded = j.filter(F.col("_unb").isNull()).select(
         "url", "host", "template", F.lit(True).alias("keep")
     )
-    w = Window.partitionBy("host", "template").orderBy(F.md5("url"), "url")
-    capped = (
-        j.filter(F.col("_unb").isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .select("url", "host", "template", (F.col("_rn") <= cap).alias("keep"))
+    cand = j.filter(F.col("_unb").isNotNull()).withColumn(
+        "_k", F.concat(F.md5("url"), F.col("url"))
+    )
+    loc = (
+        cand.withColumn("_pid", F.spark_partition_id())
+        .groupBy("host", "template", "_pid")
+        .agg(F.slice(F.array_sort(F.collect_list("_k")), 1, cap).alias("_loc"))
+    )
+    thr = (
+        loc.select("host", "template", F.explode("_loc").alias("_k"))
+        .groupBy("host", "template")
+        .agg(
+            F.element_at(
+                F.slice(F.array_sort(F.collect_list("_k")), 1, cap), -1
+            ).alias("_thr")
+        )
+    )
+    capped = cand.join(F.broadcast(thr), ["host", "template"]).select(
+        "url", "host", "template", (F.col("_k") <= F.col("_thr")).alias("keep")
     )
     return bounded.unionByName(capped)

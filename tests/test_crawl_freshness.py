@@ -217,3 +217,24 @@ def test_apply_template_caps_deterministic_across_repartition(spark):
         if r["keep"]
     }
     assert kept1 == kept2 and len(kept1) == 5
+
+
+def test_apply_template_caps_plan_is_window_free(spark):
+    # the skew guard: no per-(host,template) sort window anywhere in the
+    # physical plan — the cap is a two-level top-k + broadcast threshold
+    rows = [(f"https://a.test/item/{i}", "h") for i in range(12)]
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    verdicts = crawlintel.url_path_templates(pages, min_urls=5)
+    out = crawlintel.apply_template_caps(pages, verdicts, cap=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert sum(r["keep"] for r in out.collect()) == 4
+
+
+def test_apply_template_caps_cap_exceeds_group(spark):
+    # groups smaller than the cap keep everything
+    rows = [(f"https://a.test/item/{i}", "h") for i in range(6)]
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    verdicts = crawlintel.url_path_templates(pages, min_urls=5)
+    out = crawlintel.apply_template_caps(pages, verdicts, cap=50).collect()
+    assert len(out) == 6 and all(r["keep"] for r in out)
