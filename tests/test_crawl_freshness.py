@@ -238,3 +238,48 @@ def test_apply_template_caps_cap_exceeds_group(spark):
     verdicts = crawlintel.url_path_templates(pages, min_urls=5)
     out = crawlintel.apply_template_caps(pages, verdicts, cap=50).collect()
     assert len(out) == 6 and all(r["keep"] for r in out)
+
+
+# -------------------------------------------- health -> politeness loop
+def test_health_feeds_politeness_budgets_e2e(spark):
+    """The adaptive-politeness loop closed end to end: the REAL fetch
+    surface (MockFetcher over a synthetic web with one all-5xx host)
+    produces the fetch log, host_health turns it into per-host delays,
+    and politeness.host_budgets hands the sick host proportionally
+    fewer slots in the next scheduling round."""
+    from netrunner_spark.operators import politeness
+    from netrunner_spark.sources.fetcher import MockFetcher
+    from netrunner_spark.synth import gen_web, host_name
+    from netrunner_spark.urlnorm import url_hash_col
+
+    web = gen_web(spark, 3, 12)
+    sick = host_name(0)
+    web = web.withColumn(
+        "status",
+        F.when(F.col("host") == sick, F.lit(503)).otherwise(F.col("status")),
+    ).withColumn("ia_status", F.lit(None).cast("int")).withColumn(
+        "flaky_once", F.lit(False)
+    )
+    frontier = web.select(
+        "url", "host", url_hash_col("url").alias("url_hash")
+    ).withColumn("depth", F.lit(0))
+    res = MockFetcher(web).fetch(frontier)
+    log = res.select(
+        "host",
+        F.coalesce(F.col("status"), F.lit(0)).alias("status"),
+        F.lit(0).cast("long").alias("latency_ms"),
+    )
+    health = crawlintel.host_health(log, base_delay_ms=1000)
+    by_host = {r["host"]: r for r in health.collect()}
+    assert by_host[sick]["backoff"] == 4
+    assert by_host[host_name(1)]["backoff"] in (1, 2)  # synth sprinkles some 5xx
+    delays = health.select(
+        "host", (F.col("crawl_delay_ms") / 1000.0).alias("crawl_delay")
+    )
+    budgets = {
+        r["host"]: r["budget"]
+        for r in politeness.host_budgets(delays, round_seconds=60.0).collect()
+    }
+    healthy = [h for h, r in by_host.items() if r["backoff"] == 1]
+    assert budgets[sick] * 4 == budgets[healthy[0]] if healthy else True
+    assert budgets[sick] == 15  # 60s / 4s widened delay
