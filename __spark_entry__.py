@@ -2159,6 +2159,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("eff_alloc", F.expr("alloc DIV backoff"))
         )
 
+    def split_leakage(spark, sf):
+        # the decontamination AUDIT: near-dup pairs whose members land
+        # in DIFFERENT hash-split buckets are train/test leakage. Pairs
+        # and split are the SAME operators (same params) as their
+        # standalone queries, so the audit pins their composition.
+        from netrunner_spark.operators.sampling import hash_split
+
+        d = _t(spark, sf, "documents")
+        pairs = textops.minhash_lsh_pairs(
+            d, max_doc_id=150, max_band_df=8
+        ).select("doc_a", "doc_b")
+        split = hash_split(d, "doc_id").select("doc_id", "split")
+        sa = split.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+        )
+        sb = split.select(
+            F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+        )
+        return (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .withColumn("leaky", F.col("split_a") != F.col("split_b"))
+        )
+
+    def image_curation_pipeline(spark, sf):
+        # the image-axis curation decision (text curation_pipeline's
+        # sibling): LAION metadata gate ∧ near-dup keeper (highest
+        # resolution per cluster) ∧ caption-boilerplate drop → admitted
+        # + first rejecting stage; every stage is the SAME callable as
+        # its standalone driver query
+        gate = image_quality_gate(spark, sf).select(
+            "image_id",
+            F.col("admitted").alias("q_pass"),
+            F.col("reject_reason").alias("q_reason"),
+        )
+        keep = image_cluster_keepers(spark, sf).select(
+            F.col("doc_id").alias("image_id"), "keep"
+        )
+        boiler = caption_boilerplate(spark, sf).select("image_id", "boilerplate")
+        cand = _image_meta(spark, sf).filter(F.col("image_id") < 150).select(
+            "image_id"
+        )
+        j = (
+            cand.join(gate, "image_id", "left")
+            .join(keep, "image_id", "left")
+            .join(boiler, "image_id", "left")
+        )
+        stage = (
+            F.when(~F.col("q_pass"), F.concat(F.lit("quality:"), F.col("q_reason")))
+            .when(~F.coalesce(F.col("keep"), F.lit(True)), F.lit("duplicate"))
+            .when(
+                F.coalesce(F.col("boilerplate"), F.lit(False)),
+                F.lit("boilerplate_caption"),
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return j.select(
+            "image_id",
+            stage.isNull().alias("admitted"),
+            stage.alias("reject_stage"),
+        )
+
     def anchor_text_topk(spark, sf):
         from netrunner_spark.operators import crawlintel
 
@@ -2649,6 +2713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": boilerplate_strip,
         "template_cap_apply": template_cap_apply,
         "crawl_policy_table": crawl_policy_table,
+        "split_leakage": split_leakage,
+        "image_curation_pipeline": image_curation_pipeline,
     }
 
 
@@ -5213,6 +5279,46 @@ SELECT doc_id, tf.grp AS grp,
 FROM tf JOIN dfb ON dfb.grp = tf.grp AND dfb.token = tf.token
 GROUP BY doc_id, tf.grp
 """
+    # split_leakage: capped-LSH pairs and hash_split twins nested
+    # verbatim; leakage = pair members in different split buckets
+    oracles["split_leakage"] = """
+WITH p AS ({m}), s AS ({spl})
+SELECT sa.split AS split_a, sb.split AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       sa.split <> sb.split AS leaky
+FROM p
+JOIN s sa ON sa.doc_id = p.doc_a
+JOIN s sb ON sb.doc_id = p.doc_b
+GROUP BY sa.split, sb.split
+""".format(
+        m=oracles["minhash_lsh_capped"], spl=oracles["sample_split"]
+    )
+    # image_curation_pipeline: the three image-stage twins nested
+    # verbatim (curation_pipeline no-drift trick)
+    oracles["image_curation_pipeline"] = """
+WITH q AS ({g}), k AS ({kp}), b AS ({bl}),
+cand AS (SELECT image_id FROM q WHERE image_id < 150),
+j AS (
+  SELECT cand.image_id, q.admitted AS q_pass, q.reject_reason AS q_reason,
+         k.keep, b.boilerplate
+  FROM cand
+  JOIN q ON q.image_id = cand.image_id
+  LEFT JOIN k ON k.doc_id = cand.image_id
+  LEFT JOIN b ON b.image_id = cand.image_id
+), staged AS (
+  SELECT image_id,
+         CASE WHEN NOT q_pass THEN 'quality:' || q_reason
+              WHEN NOT COALESCE(keep, TRUE) THEN 'duplicate'
+              WHEN COALESCE(boilerplate, FALSE) THEN 'boilerplate_caption'
+              ELSE NULL END AS reject_stage
+  FROM j
+)
+SELECT image_id, reject_stage IS NULL AS admitted, reject_stage FROM staged
+""".format(
+        g=oracles["image_quality_gate"],
+        kp=oracles["image_cluster_keepers"],
+        bl=oracles["caption_boilerplate"],
+    )
     # crawl_policy_table: the report and health twins nested verbatim
     # (curation_pipeline no-drift trick) joined on host
     oracles["crawl_policy_table"] = f"""

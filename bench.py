@@ -93,6 +93,14 @@ HEADLINE = [
     "phash_radius_search",
     "link_authority_report",
     "reciprocal_links",
+    "recrawl_schedule",
+    "url_templates",
+    "template_cap_apply",
+    "host_health",
+    "crawl_policy_table",
+    "boilerplate_strip",
+    "split_leakage",
+    "image_curation_pipeline",
 ]
 
 
