@@ -308,6 +308,32 @@ _TMPL_G_CTE = """g AS (
 )"""
 
 
+def _bfs_sql(max_hops: int = 6) -> str:
+    """DuckDB twin of graph.bfs_hops over the 50-node ring with seeds
+    {0, 25}: one frontier CTE (new nodes this level, anti-joined against
+    the settled set) + one settled CTE per level, unrolled exactly like
+    the operator's level-synchronous joins."""
+    parts = [
+        "WITH e AS (SELECT DISTINCT event_id % 50 AS src,"
+        " (event_id % 50 + 1) % 50 AS dst FROM events)",
+        ", d0 AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),"
+        " (25, 0)) AS t(id, hops))",
+        ", f0 AS (SELECT id FROM d0)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f", f{h} AS (SELECT DISTINCT e.dst AS id"
+            f" FROM f{h - 1} f JOIN e ON e.src = f.id"
+            f" ANTI JOIN d{h - 1} d ON d.id = e.dst)"
+        )
+        parts.append(
+            f", d{h} AS (SELECT id, hops FROM d{h - 1}"
+            f" UNION ALL SELECT id, CAST({h} AS BIGINT) AS hops FROM f{h})"
+        )
+    parts.append(f"SELECT id, hops FROM d{max_hops}")
+    return "\n".join(parts)
+
+
 def _lpa_sql(iters: int = 3) -> str:
     """DuckDB twin of graph.label_propagation_int over the two-ring
     community topology, generated per iteration: each synchronous round
@@ -2185,6 +2211,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("leaky", F.col("split_a") != F.col("split_b"))
         )
 
+    def quality_mixture(spark, sf):
+        # quality-weighted training mix (the DCLM/CCNet head-middle-tail
+        # recipe): the corpus's own unigram-LM surprisal bands replace
+        # the source column, so the mix upweights the fluent center band
+        # over boilerplate (low) and rare-token noise (high). Same
+        # mixture_plan operator as the standalone query; twin nests the
+        # doc_surprisal oracle.
+        from netrunner_spark.operators.sampling import mixture_plan
+
+        d = _t(spark, sf, "documents")
+        s = textops.doc_surprisal(d).select("doc_id", "surprisal_q")
+        tier = (
+            F.when(F.col("surprisal_q") < 30000, "low")
+            .when(F.col("surprisal_q") <= 31000, "mid")
+            .otherwise("high")
+        )
+        tiers = d.join(s, "doc_id").select(tier.alias("source"), "text")
+        targets = spark.createDataFrame(
+            [("mid", 700), ("low", 200), ("high", 100)],
+            "source string, target_permille long",
+        )
+        return mixture_plan(tiers, targets, token_budget=1_000_000)
+
+    def seed_distance(spark, sf):
+        # min-hop BFS distance from the seed set over a 50-node ring
+        # with seeds {0, 25}: hops = ring distance, capped at 6 levels
+        # (nodes farther than 6 from both seeds are absent)
+        from netrunner_spark.operators.graph import bfs_hops
+
+        ev = _t(spark, sf, "events")
+        edges = ev.select(
+            (F.col("event_id") % 50).alias("src"),
+            ((F.col("event_id") % 50 + 1) % 50).alias("dst"),
+        )
+        seeds = spark.createDataFrame([(0,), (25,)], "id long")
+        return bfs_hops(edges, seeds, max_hops=6)
+
     def image_curation_pipeline(spark, sf):
         # the image-axis curation decision (text curation_pipeline's
         # sibling): LAION metadata gate ∧ near-dup keeper (highest
@@ -2715,6 +2778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_policy_table": crawl_policy_table,
         "split_leakage": split_leakage,
         "image_curation_pipeline": image_curation_pipeline,
+        "quality_mixture": quality_mixture,
+        "seed_distance": seed_distance,
     }
 
 
@@ -5279,6 +5344,37 @@ SELECT doc_id, tf.grp AS grp,
 FROM tf JOIN dfb ON dfb.grp = tf.grp AND dfb.token = tf.token
 GROUP BY doc_id, tf.grp
 """
+    oracles["seed_distance"] = _bfs_sql(6)
+    # quality_mixture: the doc_surprisal twin nested verbatim as the
+    # tiering stage; mixture arithmetic mirrors the mixture_plan twin
+    oracles["quality_mixture"] = """
+WITH s AS ({sp}),
+tiers AS (
+  SELECT CASE WHEN s.surprisal_q < 30000 THEN 'low'
+              WHEN s.surprisal_q <= 31000 THEN 'mid'
+              ELSE 'high' END AS source,
+         d.text
+  FROM documents d JOIN s ON s.doc_id = d.doc_id
+),
+t(source, target_permille) AS (
+  VALUES ('mid', CAST(700 AS BIGINT)), ('low', 200), ('high', 100)
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM tiers GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       CAST(coalesce(t.target_permille, 0) AS BIGINT) AS target_permille,
+       CAST(1000000 * coalesce(t.target_permille, 0) // 1000 AS BIGINT)
+         AS target_tokens,
+       CAST(1000000 * coalesce(t.target_permille, 0) // 1000 * 1000 // p.n_tokens
+            AS BIGINT) AS repeat_permille
+FROM per_src p LEFT JOIN t ON t.source = p.source
+""".format(
+        sp=oracles["doc_surprisal"]
+    )
     # split_leakage: capped-LSH pairs and hash_split twins nested
     # verbatim; leakage = pair members in different split buckets
     oracles["split_leakage"] = """

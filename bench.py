@@ -101,6 +101,8 @@ HEADLINE = [
     "boilerplate_strip",
     "split_leakage",
     "image_curation_pipeline",
+    "quality_mixture",
+    "seed_distance",
 ]
 
 

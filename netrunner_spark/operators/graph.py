@@ -377,3 +377,58 @@ def label_propagation_int(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Min-hop distance from a seed set over a directed edge list →
+    ``(id, hops)``; nodes unreachable within ``max_hops`` are absent.
+
+    The crawl-depth prior made exact: the reference's frontier priority
+    is depth + host budget (crawler.rs scheduling) where depth is the
+    hop count from the Lens seed list — this computes that distance for
+    an ALREADY-CRAWLED graph so recrawl priorities can be re-derived
+    from the cache instead of trusted from frontier bookkeeping.
+    Complements personalized PageRank (authority concentrated near
+    seeds) with plain proximity.
+
+    Level-synchronous BFS as iterated equi-joins: per level one join
+    frontier⋈edges (edges pre-deduped, broadcastable frontier when
+    small), one anti-join against the settled set, lineage cut with an
+    eager localCheckpoint (O(1) DAG depth like pagerank_int). At most
+    ``max_hops`` levels; early-exits when a level is empty (bounded
+    driver actions, one isEmpty per level).
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
+        .dropDuplicates()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates()
+            .join(dist, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(
+            nxt.withColumn("hops", F.lit(h).cast("long"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -283,3 +283,29 @@ def test_health_feeds_politeness_budgets_e2e(spark):
     healthy = [h for h, r in by_host.items() if r["backoff"] == 1]
     assert budgets[sick] * 4 == budgets[healthy[0]] if healthy else True
     assert budgets[sick] == 15  # 60s / 4s widened delay
+
+
+# ------------------------------------------------------------- BFS hops
+def test_bfs_hops_ring_distance_and_cap(spark):
+    from netrunner_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    out = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=5).collect()}
+    assert out[0] == 0 and out[3] == 3 and out[5] == 5
+    assert 6 not in out and len(out) == 6  # cap at 5 hops on a one-way ring
+
+
+def test_bfs_hops_min_over_seeds_and_early_exit(spark):
+    from netrunner_spark.operators.graph import bfs_hops
+
+    # two chains meeting: 0->1->2 and 10->2; seeds {0,10}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 2)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (10,)], "id long")
+    out = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=9).collect()}
+    # node 2 reachable in 1 from seed 10 (min wins over the 2-hop path)
+    assert out == {0: 0, 10: 0, 1: 1, 2: 1}
