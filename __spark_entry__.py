@@ -2211,6 +2211,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("leaky", F.col("split_a") != F.col("split_b"))
         )
 
+    def robots_refetch_plan(spark, sf):
+        # RFC 9309 robots-cache revalidation: hosts h0..h9 have robots
+        # aged id*20000s (stale past the 86400 TTL from h5 up); the
+        # active set is h0..h10, so h10 (never fetched) must refetch too
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        meta = (
+            ev.select(
+                F.expr("concat('h', CAST(user_id % 10 AS STRING))").alias("host"),
+                F.expr("1000000 - (user_id % 10) * 20000").alias("fetched_at"),
+            )
+            .groupBy("host")
+            .agg(F.max("fetched_at").alias("fetched_at"))
+        )
+        active = ev.filter(F.col("event_id") % 12 <= 10).select(
+            F.expr("concat('h', CAST(event_id % 12 AS STRING))").alias("host")
+        )
+        return crawlintel.robots_revalidation(
+            meta, active, now_s=1_000_000, ttl_s=86400
+        )
+
+    def drain_eta_report(spark, sf):
+        # how many rounds until each host's queue drains at its
+        # health-adjusted allocation — the starvation audit over the
+        # SAME report/policy compositions as their standalone queries
+        r = host_crawl_report(spark, sf).select("host", "n_urls")
+        p = crawl_policy_table(spark, sf).select("host", "eff_alloc")
+        j = r.join(p, "host")
+        rounds = F.when(
+            F.col("eff_alloc") > 0,
+            F.expr("(n_urls + eff_alloc - 1) DIV eff_alloc"),
+        ).cast("long")
+        return j.select(
+            "host",
+            "n_urls",
+            "eff_alloc",
+            rounds.alias("rounds_to_drain"),
+            (rounds.isNull() | (rounds > 10)).alias("starved"),
+        )
+
     def quality_mixture(spark, sf):
         # quality-weighted training mix (the DCLM/CCNet head-middle-tail
         # recipe): the corpus's own unigram-LM surprisal bands replace
@@ -2780,6 +2821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_curation_pipeline": image_curation_pipeline,
         "quality_mixture": quality_mixture,
         "seed_distance": seed_distance,
+        "robots_refetch_plan": robots_refetch_plan,
+        "drain_eta_report": drain_eta_report,
     }
 
 
@@ -5345,6 +5388,27 @@ FROM tf JOIN dfb ON dfb.grp = tf.grp AND dfb.token = tf.token
 GROUP BY doc_id, tf.grp
 """
     oracles["seed_distance"] = _bfs_sql(6)
+    oracles["robots_refetch_plan"] = """
+WITH meta AS (
+  SELECT 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+         CAST(max(1000000 - (user_id % 10) * 20000) AS BIGINT) AS fetched_at
+  FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT 'h' || CAST(event_id % 12 AS VARCHAR) AS host
+  FROM events WHERE event_id % 12 <= 10
+), j AS (
+  SELECT coalesce(meta.host, active.host) AS host, meta.fetched_at,
+         active.host IS NOT NULL AS _active
+  FROM meta FULL OUTER JOIN active ON active.host = meta.host
+)
+SELECT host,
+       CASE WHEN fetched_at IS NOT NULL
+            THEN CAST(1000000 - fetched_at AS BIGINT) END AS age_s,
+       coalesce(1000000 - fetched_at > 86400, FALSE) AS stale,
+       _active AND (coalesce(1000000 - fetched_at > 86400, FALSE)
+                    OR fetched_at IS NULL) AS refetch
+FROM j
+"""
     # quality_mixture: the doc_surprisal twin nested verbatim as the
     # tiering stage; mixture arithmetic mirrors the mixture_plan twin
     oracles["quality_mixture"] = """
@@ -5424,5 +5488,17 @@ SELECT r.host, r.harvest_permille, r.is_trap, r.mirror_secondary, r.alloc,
        CAST(coalesce(h.crawl_delay_ms, 500) AS BIGINT) AS crawl_delay_ms,
        CAST(r.alloc // coalesce(h.backoff, 1) AS BIGINT) AS eff_alloc
 FROM r LEFT JOIN h ON h.host = r.host
+"""
+    # drain_eta_report: report (queue length) ⋈ policy (effective
+    # allocation) nested verbatim; ceil-division rounds-to-drain
+    oracles["drain_eta_report"] = f"""
+WITH r AS ({oracles["host_crawl_report"]}), p AS ({oracles["crawl_policy_table"]})
+SELECT r.host, r.n_urls, p.eff_alloc,
+       CASE WHEN p.eff_alloc > 0
+            THEN CAST((r.n_urls + p.eff_alloc - 1) // p.eff_alloc AS BIGINT)
+       END AS rounds_to_drain,
+       (p.eff_alloc = 0
+        OR (r.n_urls + p.eff_alloc - 1) // p.eff_alloc > 10) AS starved
+FROM r JOIN p ON p.host = r.host
 """
     return oracles

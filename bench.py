@@ -103,6 +103,8 @@ HEADLINE = [
     "image_curation_pipeline",
     "quality_mixture",
     "seed_distance",
+    "robots_refetch_plan",
+    "drain_eta_report",
 ]
 
 

@@ -932,3 +932,52 @@ def apply_template_caps(
         "url", "host", "template", (F.col("_k") <= F.col("_thr")).alias("keep")
     )
     return bounded.unionByName(capped)
+
+
+# ------------------------------------------------------ robots freshness
+def robots_revalidation(
+    robots_meta: DataFrame,
+    active_hosts: DataFrame,
+    now_s: int,
+    ttl_s: int = 86400,
+    host_col: str = "host",
+    fetched_col: str = "fetched_at",
+) -> DataFrame:
+    """Which hosts need a robots.txt refetch BEFORE their next scheduled
+    fetches → ``(host, age_s, stale, refetch)``.
+
+    RFC 9309 §2.4 allows caching robots for up to 24 hours (our
+    ``ttl_s`` default); a compliant crawler must revalidate stale rules
+    before drawing on a host's budget, and a host with planned fetches
+    but NO cached robots at all must fetch it first (the reference
+    probes robots per domain up front, `sources/robots.py` S2/S3 — this
+    is the recrawl-loop analog). ``refetch`` = active ∧ (stale ∨ never
+    fetched); inactive hosts never refetch (no budget wasted on rules
+    nobody will use).
+
+    One full-outer equi-join on host between two bounded per-host
+    tables (both already collapsed from the frontier by aggregates).
+    """
+    m = robots_meta.select(
+        F.col(host_col).alias("host"),
+        F.col(fetched_col).cast("long").alias("_fetched"),
+    ).dropDuplicates(["host"])
+    a = (
+        active_hosts.select(F.col(host_col).alias("host"))
+        .dropDuplicates()
+        .withColumn("_active", F.lit(True))
+    )
+    j = m.join(a, "host", "full_outer")
+    age = F.when(
+        F.col("_fetched").isNotNull(), F.lit(now_s) - F.col("_fetched")
+    ).cast("long")
+    stale = F.coalesce(age > ttl_s, F.lit(False))
+    return j.select(
+        "host",
+        age.alias("age_s"),
+        stale.alias("stale"),
+        (
+            F.coalesce(F.col("_active"), F.lit(False))
+            & (stale | F.col("_fetched").isNull())
+        ).alias("refetch"),
+    )

@@ -309,3 +309,27 @@ def test_bfs_hops_min_over_seeds_and_early_exit(spark):
     out = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=9).collect()}
     # node 2 reachable in 1 from seed 10 (min wins over the 2-hop path)
     assert out == {0: 0, 10: 0, 1: 1, 2: 1}
+
+
+# ------------------------------------------------------ robots revalidation
+def test_robots_revalidation_matrix(spark):
+    meta = spark.createDataFrame(
+        [("fresh.test", 990_000), ("stale.test", 100_000), ("idle.test", 50_000)],
+        "host string, fetched_at long",
+    )
+    active = spark.createDataFrame(
+        [("fresh.test",), ("stale.test",), ("new.test",)], "host string"
+    )
+    out = {
+        r["host"]: r
+        for r in crawlintel.robots_revalidation(
+            meta, active, now_s=1_000_000, ttl_s=86_400
+        ).collect()
+    }
+    assert not out["fresh.test"]["refetch"] and out["fresh.test"]["age_s"] == 10_000
+    assert out["stale.test"]["stale"] and out["stale.test"]["refetch"]
+    # stale but INACTIVE: no budget wasted
+    assert out["idle.test"]["stale"] and not out["idle.test"]["refetch"]
+    # active but never fetched: must fetch first
+    r = out["new.test"]
+    assert r["refetch"] and r["age_s"] is None and not r["stale"]
