@@ -2252,6 +2252,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (rounds.isNull() | (rounds > 10)).alias("starved"),
         )
 
+    def warc_cdx_index(spark, sf):
+        # the CDX(J) index for archives WE write: SURT urlkeys over a
+        # multi-label host (label reversal exercised), query strings on
+        # every 5th capture, per-file byte offsets from the (ts, url,
+        # digest) writer order; ts = event_id DIV 4 is unique per file
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        rec = ev.select(
+            F.expr(
+                "concat('https://h', CAST(event_id % 8 AS STRING), '.sub.test/p/',"
+                " CAST(event_id % 50 AS STRING),"
+                " CASE WHEN event_id % 5 = 0"
+                " THEN concat('?x=', CAST(event_id % 3 AS STRING)) ELSE '' END)"
+            ).alias("url"),
+            F.expr("event_id DIV 4").alias("ts"),
+            F.md5(F.expr("concat('d', CAST(event_id % 97 AS STRING))")).alias(
+                "digest"
+            ),
+            F.expr("100 + event_id % 900").alias("n_bytes"),
+            (F.col("event_id") % 4).alias("file_id"),
+        )
+        return crawlintel.cdx_index(rec)
+
+    def host_triangles(spark, sf):
+        # per-node triangle counts over a 30-node synthetic link graph —
+        # the clustering-coefficient numerator next to LPA communities
+        from netrunner_spark.operators.graph import triangle_count
+
+        ev = _t(spark, sf, "events")
+        # ring + chord: {x, x+1} and {x, x+2} edges -> every consecutive
+        # triple (x, x+1, x+2) is a triangle (30 in total, 3 per node).
+        # The family bit comes from event_id DIV 30 so it is independent
+        # of x = event_id % 30 (e % 2 would correlate with x's parity
+        # and leave each node only ONE family -> a triangle-free graph).
+        edges = ev.select(
+            (F.col("event_id") % 30).alias("src"),
+            F.expr("(event_id % 30 + 1 + (event_id DIV 30) % 2) % 30").alias("dst"),
+        )
+        return triangle_count(edges)
+
     def quality_mixture(spark, sf):
         # quality-weighted training mix (the DCLM/CCNet head-middle-tail
         # recipe): the corpus's own unigram-LM surprisal bands replace
@@ -2823,6 +2864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_distance": seed_distance,
         "robots_refetch_plan": robots_refetch_plan,
         "drain_eta_report": drain_eta_report,
+        "warc_cdx_index": warc_cdx_index,
+        "host_triangles": host_triangles,
     }
 
 
@@ -5388,6 +5431,65 @@ FROM tf JOIN dfb ON dfb.grp = tf.grp AND dfb.token = tf.token
 GROUP BY doc_id, tf.grp
 """
     oracles["seed_distance"] = _bfs_sql(6)
+    oracles["warc_cdx_index"] = """
+WITH rec AS (
+  SELECT 'https://h' || CAST(event_id % 8 AS VARCHAR) || '.sub.test/p/'
+           || CAST(event_id % 50 AS VARCHAR)
+           || CASE WHEN event_id % 5 = 0
+                   THEN '?x=' || CAST(event_id % 3 AS VARCHAR) ELSE '' END AS url,
+         CAST(event_id // 4 AS BIGINT) AS ts,
+         md5('d' || CAST(event_id % 97 AS VARCHAR)) AS digest,
+         CAST(100 + event_id % 900 AS BIGINT) AS length,
+         event_id % 4 AS file_id
+  FROM events
+), base AS (
+  SELECT *,
+         array_to_string(list_reverse(string_split(
+             regexp_extract(url, '^https?://([^/?#]+)', 1), '.')), ',')
+           || ')'
+           || CASE WHEN regexp_extract(url, '^https?://[^/?#]+(.*)$', 1) = ''
+                   THEN '/'
+                   ELSE regexp_extract(url, '^https?://[^/?#]+(.*)$', 1) END
+           AS urlkey
+  FROM rec
+)
+SELECT urlkey, file_id, ts, digest,
+       CAST(coalesce(sum(length) OVER (
+              PARTITION BY file_id ORDER BY ts, url, digest
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS "offset",
+       length
+FROM base
+"""
+    oracles["host_triangles"] = """
+WITH raw AS (
+  SELECT event_id % 30 AS x,
+         (event_id % 30 + 1 + (event_id // 30) % 2) % 30 AS y
+  FROM events
+), und AS (
+  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+  FROM raw WHERE x <> y
+), deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+  ) GROUP BY id
+), o AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN u ELSE v END AS s,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN v ELSE u END AS d
+  FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v
+), w AS (
+  SELECT a.s AS s, a.d AS d1, b.d AS d2
+  FROM o a JOIN o b ON a.s = b.s AND a.d < b.d
+), t AS (
+  SELECT w.s AS a, w.d1 AS b, w.d2 AS c
+  FROM w JOIN und ON und.u = w.d1 AND und.v = w.d2
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+GROUP BY id
+"""
     oracles["robots_refetch_plan"] = """
 WITH meta AS (
   SELECT 'h' || CAST(user_id % 10 AS VARCHAR) AS host,

@@ -105,6 +105,8 @@ HEADLINE = [
     "seed_distance",
     "robots_refetch_plan",
     "drain_eta_report",
+    "warc_cdx_index",
+    "host_triangles",
 ]
 
 

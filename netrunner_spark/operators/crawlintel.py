@@ -981,3 +981,61 @@ def robots_revalidation(
             & (stale | F.col("_fetched").isNull())
         ).alias("refetch"),
     )
+
+
+# --------------------------------------------------------------- CDX index
+def cdx_index(
+    records: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    bytes_col: str = "n_bytes",
+    file_col: str = "file_id",
+) -> DataFrame:
+    """Build the CDX(J) lookup index for a set of WARC records →
+    ``(urlkey, file_id, ts, digest, offset, length)``.
+
+    Web archives resolve a URL to (file, byte offset) through a CDX
+    index whose primary key is the SURT form of the URL (host labels
+    reversed and comma-joined, then ``)`` + path?query — so one host's
+    captures sort together and prefix scans cover subdomains); our CDX
+    *pager* reads such an index remotely (`sources/discovery.py` S7),
+    and this operator produces the same artifact for archives WE write
+    (`sources/warc.py` K3). ``offset`` is the byte position of each
+    record inside its WARC file: the running sum of preceding record
+    lengths in (ts, url) order — exactly the order a sequential writer
+    appends.
+
+    Scale: the SURT key is a projection; the offset cumsum is a window
+    per WARC FILE — bounded by the 1 GB-per-file WARC convention (a
+    file's record list fits one task by construction), with files
+    themselves unbounded in number. One shuffle on file_id.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1)
+    pathq = F.regexp_extract(F.col(url_col), r"^https?://[^/?#]+(.*)$", 1)
+    urlkey = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(pathq == "", F.lit("/")).otherwise(pathq),
+    )
+    w = (
+        Window.partitionBy("file_id")
+        .orderBy("ts", "url", "digest")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = records.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(digest_col).alias("digest"),
+        F.col(bytes_col).cast("long").alias("length"),
+        F.col(file_col).alias("file_id"),
+        urlkey.alias("urlkey"),
+    )
+    return base.select(
+        "urlkey",
+        "file_id",
+        "ts",
+        "digest",
+        F.coalesce(F.sum("length").over(w), F.lit(0)).cast("long").alias("offset"),
+        "length",
+    )

@@ -432,3 +432,71 @@ def bfs_hops(
         ).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph → ``(id,
+    n_triangles)`` (nodes in no triangle are absent).
+
+    Triangles are the densest local link structure — the clustering
+    signal behind spam-ring detection (link farms triangulate heavily;
+    organic link neighborhoods are sparse) and a community-strength
+    score to read next to :func:`label_propagation_int`'s labels.
+
+    Degree-ordered orientation (the standard shuffle-bound trick):
+    every undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher, so each triangle is counted exactly once
+    from its lowest-degree corner AND the wedge self-join fans out by
+    ORIENTED out-degree, which is O(√m) for any graph — a celebrity
+    node with 10^7 followers contributes no wedges from its own
+    adjacency because nearly all its edges point INTO it. One wedge
+    self-join on src + one closing equi-join against the canonical
+    edge set; no windows.
+    """
+    und = (
+        edges.select(
+            F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("u"),
+            F.greatest(F.col("src").cast("long"), F.col("dst").cast("long")).alias(
+                "v"
+            ),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("deg_v"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("deg_u") < F.col("deg_v"))
+                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    a = oriented.select(F.col("s"), F.col("d").alias("d1"))
+    b = oriented.select(F.col("s"), F.col("d").alias("d2"))
+    wedges = a.join(b, "s").filter(F.col("d1") < F.col("d2"))
+    tris = wedges.join(
+        und,
+        (wedges.d1 == und.u) & (wedges.d2 == und.v),
+    ).select(F.col("s").alias("a"), F.col("d1").alias("b"), F.col("d2").alias("c"))
+    corners = (
+        tris.select(F.col("a").alias("id"))
+        .unionByName(tris.select(F.col("b").alias("id")))
+        .unionByName(tris.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))

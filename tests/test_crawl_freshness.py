@@ -333,3 +333,57 @@ def test_robots_revalidation_matrix(spark):
     # active but never fetched: must fetch first
     r = out["new.test"]
     assert r["refetch"] and r["age_s"] is None and not r["stale"]
+
+
+# --------------------------------------------------------------- CDX index
+def test_cdx_index_surt_and_offsets(spark):
+    rows = [
+        ("https://www.a.test/p/1", 2, "d2", 100, 0),
+        ("https://www.a.test/p/0?x=1", 1, "d1", 50, 0),
+        ("https://b.test/", 5, "d3", 70, 1),
+    ]
+    rec = spark.createDataFrame(
+        rows, "url string, ts long, digest string, n_bytes long, file_id int"
+    )
+    out = {r["digest"]: r for r in crawlintel.cdx_index(rec).collect()}
+    # SURT: labels reversed, comma-joined; query string kept; bare / path
+    assert out["d1"]["urlkey"] == "test,a,www)/p/0?x=1"
+    assert out["d3"]["urlkey"] == "test,b)/"
+    # offsets: sequential-writer order (ts asc) within each file
+    assert out["d1"]["offset"] == 0 and out["d2"]["offset"] == 50
+    assert out["d3"]["offset"] == 0  # first record of its own file
+
+
+def test_cdx_index_resolves_record_bytes(spark):
+    # offset + length tiles the file exactly: no gaps, no overlaps
+    rows = [(f"https://a.test/{i}", i, f"d{i}", 10 + i, 0) for i in range(6)]
+    rec = spark.createDataFrame(
+        rows, "url string, ts long, digest string, n_bytes long, file_id int"
+    )
+    out = sorted(crawlintel.cdx_index(rec).collect(), key=lambda r: r["offset"])
+    pos = 0
+    for r in out:
+        assert r["offset"] == pos
+        pos += r["length"]
+
+
+# ---------------------------------------------------------------- triangles
+def test_triangle_count_k4_and_star(spark):
+    from netrunner_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(100, 200 + i) for i in range(8)]  # celebrity hub: no triangles
+    edges = spark.createDataFrame(k4 + star, "src long, dst long")
+    out = {r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    # K4 has C(4,3)=4 triangles, each node sits in exactly 3
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_direction_and_dup_insensitive(spark):
+    from netrunner_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2)], "src long, dst long"
+    )
+    out = {r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
