@@ -308,6 +308,32 @@ _TMPL_G_CTE = """g AS (
 )"""
 
 
+_TRI_CTE_CHAIN = """und AS (
+  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+  FROM raw WHERE x <> y
+), deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+  ) GROUP BY id
+), o AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN u ELSE v END AS s,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN v ELSE u END AS d
+  FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v
+), w AS (
+  SELECT a.s AS s, a.d AS d1, b.d AS d2
+  FROM o a JOIN o b ON a.s = b.s AND a.d < b.d
+), t AS (
+  SELECT w.s AS a, w.d1 AS b, w.d2 AS c
+  FROM w JOIN und ON und.u = w.d1 AND und.v = w.d2
+), tri AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+  GROUP BY id
+)"""
+
+
 def _bfs_sql(max_hops: int = 6) -> str:
     """DuckDB twin of graph.bfs_hops over the 50-node ring with seeds
     {0, 25}: one frontier CTE (new nodes this level, anti-joined against
@@ -2293,6 +2319,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return triangle_count(edges)
 
+    def recrawl_budget(spark, sf):
+        # the recrawl round's fetch budget: hosts weighted by how many
+        # of their URLs are DUE FAST (estimated recrawl interval within
+        # a day), split exactly by the same Hamilton apportionment as
+        # the crawl budget; composes the freshness estimator with the
+        # allocator, twins nested verbatim
+        from netrunner_spark.operators import crawlintel
+
+        plan = recrawl_schedule(spark, sf)
+        due = plan.filter(F.col("next_interval_s") <= 86400).select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+        )
+        counts = due.groupBy("host").agg(F.count(F.lit(1)).alias("n_due"))
+        return crawlintel.budget_alloc(counts, "n_due", total=500)
+
+    def clustering_coeff(spark, sf):
+        # the ring+chord graph plus a 10-spoke hub whose neighborhood is
+        # partially interconnected: hub coefficient sits between the
+        # tight ring nodes and an organic star's 0
+        from netrunner_spark.operators.graph import clustering_coefficient
+
+        ev = _t(spark, sf, "events")
+        base = ev.select(
+            (F.col("event_id") % 30).alias("src"),
+            F.expr("(event_id % 30 + 1 + (event_id DIV 30) % 2) % 30").alias("dst"),
+        )
+        hub = ev.filter(F.col("event_id") % 7 == 0).select(
+            F.lit(100).cast("long").alias("src"),
+            (F.col("event_id") % 10).alias("dst"),
+        )
+        return clustering_coefficient(base.unionByName(hub))
+
     def quality_mixture(spark, sf):
         # quality-weighted training mix (the DCLM/CCNet head-middle-tail
         # recipe): the corpus's own unigram-LM surprisal bands replace
@@ -2866,6 +2924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drain_eta_report": drain_eta_report,
         "warc_cdx_index": warc_cdx_index,
         "host_triangles": host_triangles,
+        "clustering_coeff": clustering_coeff,
+        "recrawl_budget": recrawl_budget,
     }
 
 
@@ -5461,35 +5521,34 @@ SELECT urlkey, file_id, ts, digest,
        length
 FROM base
 """
-    oracles["host_triangles"] = """
+    oracles["host_triangles"] = (
+        """
 WITH raw AS (
   SELECT event_id % 30 AS x,
          (event_id % 30 + 1 + (event_id // 30) % 2) % 30 AS y
   FROM events
-), und AS (
-  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
-  FROM raw WHERE x <> y
-), deg AS (
-  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
-    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
-  ) GROUP BY id
-), o AS (
-  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
-              THEN u ELSE v END AS s,
-         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
-              THEN v ELSE u END AS d
-  FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v
-), w AS (
-  SELECT a.s AS s, a.d AS d1, b.d AS d2
-  FROM o a JOIN o b ON a.s = b.s AND a.d < b.d
-), t AS (
-  SELECT w.s AS a, w.d1 AS b, w.d2 AS c
-  FROM w JOIN und ON und.u = w.d1 AND und.v = w.d2
-)
-SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
-FROM (SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
-GROUP BY id
+), """
+        + _TRI_CTE_CHAIN
+        + "\nSELECT id, n_triangles FROM tri\n"
+    )
+    oracles["clustering_coeff"] = (
+        """
+WITH raw AS (
+  SELECT event_id % 30 AS x,
+         (event_id % 30 + 1 + (event_id // 30) % 2) % 30 AS y
+  FROM events
+  UNION ALL
+  SELECT 100 AS x, event_id % 10 AS y FROM events WHERE event_id % 7 = 0
+), """
+        + _TRI_CTE_CHAIN
+        + """
+SELECT deg.id, deg.deg, coalesce(tri.n_triangles, 0) AS n_triangles,
+       CAST(CASE WHEN deg.deg >= 2
+                 THEN 2000 * coalesce(tri.n_triangles, 0) // (deg.deg * (deg.deg - 1))
+                 ELSE 0 END AS BIGINT) AS coeff_permille
+FROM deg LEFT JOIN tri ON tri.id = deg.id
 """
+    )
     oracles["robots_refetch_plan"] = """
 WITH meta AS (
   SELECT 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
@@ -5510,6 +5569,28 @@ SELECT host,
        _active AND (coalesce(1000000 - fetched_at > 86400, FALSE)
                     OR fetched_at IS NULL) AS refetch
 FROM j
+"""
+    # recrawl_budget: the freshness-plan twin nested verbatim, due-fast
+    # counts per host, then the same Hamilton apportionment SQL
+    oracles["recrawl_budget"] = f"""
+WITH plan AS ({oracles["recrawl_schedule"]}),
+cnt AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         CAST(count(*) AS BIGINT) AS w
+  FROM plan WHERE next_interval_s <= 86400 GROUP BY 1
+), sh AS (
+  SELECT host, w AS weight,
+         CAST(500 * w // sum(w) OVER () AS BIGINT) AS fl,
+         CAST(500 * w % sum(w) OVER () AS BIGINT) AS rem
+  FROM cnt
+), r AS (
+  SELECT *, 500 - sum(fl) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+  FROM sh
+)
+SELECT host, weight,
+       CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
 """
     # quality_mixture: the doc_surprisal twin nested verbatim as the
     # tiering stage; mixture arithmetic mirrors the mixture_plan twin

@@ -107,6 +107,8 @@ HEADLINE = [
     "drain_eta_report",
     "warc_cdx_index",
     "host_triangles",
+    "clustering_coeff",
+    "recrawl_budget",
 ]
 
 

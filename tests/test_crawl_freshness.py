@@ -387,3 +387,15 @@ def test_triangle_count_direction_and_dup_insensitive(spark):
     )
     out = {r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
     assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_clustering_coefficient_farm_vs_organic(spark):
+    from netrunner_spark.operators.graph import clustering_coefficient
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]  # farm: clique
+    star = [(100, 200 + i) for i in range(6)]  # organic hub
+    edges = spark.createDataFrame(k4 + star, "src long, dst long")
+    out = {r["id"]: r for r in clustering_coefficient(edges).collect()}
+    assert all(out[i]["coeff_permille"] == 1000 for i in range(4))  # clique
+    assert out[100]["coeff_permille"] == 0 and out[100]["deg"] == 6
+    assert out[200]["coeff_permille"] == 0 and out[200]["deg"] == 1  # deg<2 guard
