@@ -334,6 +334,49 @@ _TRI_CTE_CHAIN = """und AS (
 )"""
 
 
+def _kcore_sql(rounds: int = 4, k: int = 2) -> str:
+    """DuckDB twin of graph.k_core over the ring+chord+pendant-chain
+    synth: one degree CTE + one keep CTE + one surviving-edge CTE per
+    peel round, unrolled. The operator loops to the FIXPOINT; the twin
+    unrolls ``rounds`` ≥ the synth's peel depth (2), and extra rounds
+    are identity on a converged edge set, so the two always agree."""
+    parts = [
+        """WITH raw AS (
+  SELECT CASE (event_id // 30) % 4
+         WHEN 0 THEN event_id % 30
+         WHEN 1 THEN event_id % 30
+         WHEN 2 THEN (event_id % 30) % 10
+         ELSE 200 + (event_id % 30) % 10 END AS x,
+         CASE (event_id // 30) % 4
+         WHEN 0 THEN (event_id % 30 + 1) % 30
+         WHEN 1 THEN (event_id % 30 + 2) % 30
+         WHEN 2 THEN 200 + (event_id % 30) % 10
+         ELSE 230 + (event_id % 30) % 10 END AS y
+  FROM events
+), c0 AS (
+  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+  FROM raw WHERE x <> y
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM ("
+            f"SELECT u AS id FROM c{i - 1} UNION ALL SELECT v AS id FROM c{i - 1}"
+            f") GROUP BY id)"
+        )
+        parts.append(f", k{i} AS (SELECT id FROM d{i} WHERE deg >= {k})")
+        parts.append(
+            f", c{i} AS (SELECT c.u, c.v FROM c{i - 1} c"
+            f" JOIN k{i} a ON a.id = c.u JOIN k{i} b ON b.id = c.v)"
+        )
+    parts.append(
+        f"SELECT id, CAST(count(*) AS BIGINT) AS deg FROM ("
+        f"SELECT u AS id FROM c{rounds} UNION ALL SELECT v AS id FROM c{rounds}"
+        f") GROUP BY id"
+    )
+    return "\n".join(parts)
+
+
 def _bfs_sql(max_hops: int = 6) -> str:
     """DuckDB twin of graph.bfs_hops over the 50-node ring with seeds
     {0, 25}: one frontier CTE (new nodes this level, anti-joined against
@@ -2319,6 +2362,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return triangle_count(edges)
 
+    def link_kcore(spark, sf):
+        # 2-core extraction: pendant chains (ring node -> 200+i -> 230+i)
+        # peel away in two rounds, the ring+chord heart survives intact
+        from netrunner_spark.operators.graph import k_core
+
+        ev = _t(spark, sf, "events")
+        edges = ev.select(
+            F.expr(
+                "CASE (event_id DIV 30) % 4"
+                " WHEN 0 THEN event_id % 30"
+                " WHEN 1 THEN event_id % 30"
+                " WHEN 2 THEN (event_id % 30) % 10"
+                " ELSE 200 + (event_id % 30) % 10 END"
+            ).alias("src"),
+            F.expr(
+                "CASE (event_id DIV 30) % 4"
+                " WHEN 0 THEN (event_id % 30 + 1) % 30"
+                " WHEN 1 THEN (event_id % 30 + 2) % 30"
+                " WHEN 2 THEN 200 + (event_id % 30) % 10"
+                " ELSE 230 + (event_id % 30) % 10 END"
+            ).alias("dst"),
+        )
+        return k_core(edges, k=2)
+
     def recrawl_budget(spark, sf):
         # the recrawl round's fetch budget: hosts weighted by how many
         # of their URLs are DUE FAST (estimated recrawl interval within
@@ -2926,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": host_triangles,
         "clustering_coeff": clustering_coeff,
         "recrawl_budget": recrawl_budget,
+        "link_kcore": link_kcore,
     }
 
 
@@ -5491,6 +5559,7 @@ FROM tf JOIN dfb ON dfb.grp = tf.grp AND dfb.token = tf.token
 GROUP BY doc_id, tf.grp
 """
     oracles["seed_distance"] = _bfs_sql(6)
+    oracles["link_kcore"] = _kcore_sql(4, 2)
     oracles["warc_cdx_index"] = """
 WITH rec AS (
   SELECT 'https://h' || CAST(event_id % 8 AS VARCHAR) || '.sub.test/p/'

@@ -109,6 +109,7 @@ HEADLINE = [
     "host_triangles",
     "clustering_coeff",
     "recrawl_budget",
+    "link_kcore",
 ]
 
 

@@ -543,3 +543,60 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             .cast("long"),
         )
     )
+
+
+def k_core(edges: DataFrame, k: int = 2, max_iters: int = 50) -> DataFrame:
+    """The k-core of an undirected graph → ``(id, deg)`` for every node
+    surviving iterative removal of all nodes with degree < k (deg is
+    the degree INSIDE the core).
+
+    The k-core is the standard "dense heart" extraction: link-analysis
+    keeps only pages embedded in mutually-connected neighborhoods
+    (pendant chains and leaf clusters peel away), and spam rings show
+    up as unusually deep cores — read next to
+    :func:`clustering_coefficient` (local density) and
+    :func:`label_propagation_int` (membership).
+
+    Level-synchronous peeling: per round one degree aggregate over the
+    surviving edge set and two semi-joins dropping edges that touch a
+    sub-k node; lineage cut with eager localCheckpoints, one bounded
+    isEmpty per round, loop exits at the fixpoint (or ``max_iters`` —
+    a peel removes ≥1 node per round, so iterations are bounded by the
+    peel depth, rarely > tens on web graphs).
+    """
+    cur = (
+        edges.select(
+            F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("u"),
+            F.greatest(F.col("src").cast("long"), F.col("dst").cast("long")).alias(
+                "v"
+            ),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        deg = (
+            cur.select(F.col("u").alias("id"))
+            .unionByName(cur.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        drop = deg.filter(F.col("deg") < k)
+        if drop.isEmpty():
+            return deg
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        cur = (
+            cur.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.select(F.col("u").alias("id"))
+        .unionByName(cur.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= k)
+    )

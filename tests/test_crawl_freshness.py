@@ -399,3 +399,24 @@ def test_clustering_coefficient_farm_vs_organic(spark):
     assert all(out[i]["coeff_permille"] == 1000 for i in range(4))  # clique
     assert out[100]["coeff_permille"] == 0 and out[100]["deg"] == 6
     assert out[200]["coeff_permille"] == 0 and out[200]["deg"] == 1  # deg<2 guard
+
+
+# ------------------------------------------------------------------ k-core
+def test_k_core_peels_chains_keeps_clique(spark):
+    from netrunner_spark.operators.graph import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(0, 10), (10, 11), (11, 12)]  # pendant path off node 0
+    edges = spark.createDataFrame(k4 + chain, "src long, dst long")
+    out = {r["id"]: r["deg"] for r in k_core(edges, k=2).collect()}
+    # the whole chain peels (needs 3 rounds), the clique survives with
+    # its internal degrees only
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_empty_when_k_exceeds_graph(spark):
+    from netrunner_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    assert k_core(edges, k=3).count() == 0  # a triangle has no 3-core
+    assert {r["id"] for r in k_core(edges, k=2).collect()} == {0, 1, 2}
