@@ -2852,6 +2852,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = ring.unionByName(chord).unionByName(bridge)
         return label_propagation_int(edges, iters=3)
 
+    def line_dedup(spark, sf):
+        # RefinedWeb-style exact duplicated-LINE removal over a lined
+        # corpus synthesized from documents: nav/footer/newsletter
+        # chrome (corpus-wide doc-DF) is stripped from every page, the
+        # per-doc content lines survive in original order; the footer
+        # variant pair pins the whitespace/case normalization
+        from netrunner_spark.operators.textops import line_dedup as _ld
+
+        d = _t(spark, sf, "documents")
+        corpus = d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit("home about contact"),
+                F.substring("text", 1, 60),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("subscribe to the newsletter"),
+                ).otherwise(F.substring("text", 61, 60)),
+                F.when(
+                    F.col("doc_id") % 2 == 0, F.lit("  Copyright 2026  ")
+                ).otherwise(F.lit("copyright 2026")),
+            ).alias("text"),
+        )
+        return _ld(corpus, max_doc_df=2)
+
+    def sketch_hll_registers(spark, sf):
+        # HyperLogLog register table over event users: the mergeable
+        # per-shard distinct sketch next to KMV's one global estimate;
+        # registers (not the float estimate) are the oracle surface
+        from netrunner_spark.operators.sketches import hll_registers
+
+        ev = _t(spark, sf, "events")
+        return hll_registers(ev, "user_id", p=6)
+
     return {
         "w1_politeness_quota": w1_politeness_quota,
         "f2_admission_filter": f2_admission_filter,
@@ -2994,6 +3029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": clustering_coeff,
         "recrawl_budget": recrawl_budget,
         "link_kcore": link_kcore,
+        "line_dedup": line_dedup,
+        "sketch_hll_registers": sketch_hll_registers,
     }
 
 
@@ -5753,4 +5790,46 @@ SELECT r.host, r.n_urls, p.eff_alloc,
         OR (r.n_urls + p.eff_alloc - 1) // p.eff_alloc > 10) AS starved
 FROM r JOIN p ON p.host = r.host
 """
+    # line_dedup: identical lined-corpus synth + normalization + doc-DF
+    # rule as the Spark query (textops.line_dedup, max_doc_df=2)
+    oracles["line_dedup"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         'home about contact' || chr(10) ||
+         substr(text, 1, 60) || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN 'subscribe to the newsletter'
+              ELSE substr(text, 61, 60) END || chr(10) ||
+         CASE WHEN doc_id % 2 = 0 THEN '  Copyright 2026  '
+              ELSE 'copyright 2026' END AS text
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM t
+), nb AS (
+  SELECT doc_id, line, pos,
+         lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS norm
+  FROM l WHERE lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) <> ''
+), ldf AS (
+  SELECT norm, count(DISTINCT doc_id) AS doc_df FROM nb GROUP BY norm
+), k AS (
+  SELECT nb.doc_id, nb.line, nb.pos
+  FROM nb JOIN ldf USING (norm) WHERE ldf.doc_df <= 2
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM k GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM nb GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(tot.n_lines, 0) AS n_lines,
+       coalesce(agg.kept_lines, 0) AS kept_lines,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+"""
+    oracles["sketch_hll_registers"] = __import__(
+        "netrunner_spark.operators.sketches", fromlist=["hll_sql"]
+    ).hll_sql("events", "user_id", p=6)
     return oracles

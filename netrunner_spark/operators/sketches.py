@@ -229,3 +229,84 @@ def hist_quantiles_sql(
         GROUP BY q_permille
         ORDER BY q_permille
     """
+
+
+def _bitlen_case(expr: str, bits: int) -> str:
+    """SQL CASE computing bit_length(expr) for a non-negative integer
+    < 2**bits — EXACT integer arithmetic, no log2 float round-trip, and
+    the identical text runs in both Spark SQL (F.expr) and DuckDB, so
+    the twin cannot drift on a boundary value (floor(log2(2^k)) is one
+    ulp from disaster in either engine's double path)."""
+    whens = " ".join(
+        f"WHEN {expr} >= {1 << (b - 1)} THEN {b}" for b in range(bits, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def hll_registers(
+    df: DataFrame, key: str, p: int = 6, salt: str = "hll"
+) -> DataFrame:
+    """HyperLogLog register table over ``key`` → ``(bucket, rho)`` for
+    the NON-EMPTY buckets of an m = 2**p register array (Flajolet et
+    al. 2007). bucket = low p bits of the 52-bit md5 hash; rho =
+    leading-zero count of the remaining (52−p)-bit window + 1, i.e.
+    (52−p) + 1 − bit_length(rest); the register keeps max(rho).
+
+    Why next to KMV: KMV answers one global distinct count; the HLL
+    register TABLE is the mergeable per-partition / per-day sketch a
+    100 TB crawl unions across shards and time — merging = groupBy
+    bucket, max(rho), exactly this aggregate re-run over unions. The
+    register table is ≤ 2**p rows regardless of corpus size, built by
+    one map-side-combinable hash aggregate; empty buckets are implicit
+    (rho 0) so a sparse sketch of a small shard stays small.
+
+    Exactness: the bit_length step is a generated integer CASE chain
+    (`_bitlen_case`) rather than floor(log2(x)) — bit-identical in
+    Spark and DuckDB. The float harmonic-mean estimate lives in
+    :func:`hll_estimate` and is NOT part of the oracle-checked output.
+    """
+    rest_bits = 52 - p
+    rows = df.select(md5_hash52(key, salt).alias("h")).select(
+        (F.col("h") % (1 << p)).alias("bucket"),
+        F.expr(f"h DIV {1 << p}").alias("rest"),
+    )
+    bitlen = F.expr(_bitlen_case("rest", rest_bits))
+    return (
+        rows.withColumn("rho", (F.lit(rest_bits + 1) - bitlen).cast("int"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers, p: int = 6) -> float:
+    """Classic HLL harmonic-mean estimate from a ``(bucket, rho)``
+    register table (small-range linear counting below 2.5·m). Float —
+    for consumers, not for the oracle (which checks the registers)."""
+    m = 1 << p
+    regs = {int(r["bucket"]): int(r["rho"]) for r in registers.collect()}
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    s = sum(2.0 ** -regs.get(i, 0) for i in range(m))
+    est = alpha * m * m / s
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros:
+        import math
+
+        est = m * math.log(m / zeros)
+    return est
+
+
+def hll_sql(table: str, key: str, p: int = 6, salt: str = "hll") -> str:
+    """DuckDB twin of ``hll_registers`` — identical hash, bucket split,
+    and generated bit-length CASE."""
+    rest_bits = 52 - p
+    case = _bitlen_case("rest", rest_bits)
+    return f"""
+        WITH h AS (
+          SELECT CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 13) AS BIGINT) AS h
+          FROM {table}
+        ), split AS (
+          SELECT h % {1 << p} AS bucket, h // {1 << p} AS rest FROM h
+        )
+        SELECT bucket, CAST(max({rest_bits + 1} - {case}) AS INT) AS rho
+        FROM split GROUP BY bucket
+    """

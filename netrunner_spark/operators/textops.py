@@ -1471,3 +1471,67 @@ def boilerplate_strip(
             F.expr("(n_tokens - boiler_tokens) * 1000 DIV n_tokens"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_doc_df: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document exact LINE dedup → per-doc cleaned text
+    ``(doc_id, n_lines, kept_lines, clean_text)``.
+
+    The RefinedWeb/C4 curation step `boilerplate_strip` does NOT
+    cover: a *line* (nav bar, cookie banner, copyright footer) that
+    appears verbatim in more than ``max_doc_df`` distinct documents is
+    chrome, not content, and is removed from EVERY document it appears
+    in; surviving lines are re-joined in original order. Matching is
+    on a normalized form (lowercase, trimmed, inner whitespace
+    collapsed) so ``"  Copyright 2026 "`` and ``"copyright 2026"``
+    dedup together; normalized-empty lines are dropped outright.
+
+    Complements ``boilerplate_strip`` (token DF within a group) with
+    the corpus-wide exact-line rule the big pretraining sets actually
+    shipped: C4 dropped any 3-sentence span seen twice; RefinedWeb
+    removed exact duplicated lines. ``n_lines`` counts the doc's
+    non-blank lines, ``kept_lines`` the survivors.
+
+    Shape at 100 TB: posexplode (linear) → line-DF hash aggregate
+    (map-side combined; the DF table is the corpus's distinct-line
+    vocabulary) → one shuffle join on the normalized line → per-doc
+    re-aggregate. The re-join of surviving lines is
+    collect_list+array_sort per doc — bounded by the doc's own line
+    count, never corpus-wide. No windows, no self-joins, no UDFs.
+    """
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), sep)).alias("pos", "line")
+    ).withColumn(
+        "norm", F.lower(F.trim(F.regexp_replace(F.col("line"), r"\s+", " ")))
+    )
+    nonblank = lines.filter(F.col("norm") != "").localCheckpoint(eager=True)
+    line_df = nonblank.groupBy("norm").agg(
+        F.countDistinct("doc_id").alias("doc_df")
+    )
+    kept = nonblank.join(line_df, "norm").filter(F.col("doc_df") <= max_doc_df)
+    per_doc_kept = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    totals = nonblank.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -274,3 +274,51 @@ def test_winnow_differential_vs_python_reference(spark):
     want = ref(docs)
     assert got == want
     assert got  # seeded corpus yields fingerprints
+
+
+def test_line_dedup_strips_chrome_keeps_content_in_order(spark):
+    nav, footer = "home | about", "copyright 2026"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{nav}\nunique zero content\nmore zero\n{footer}"),
+            (1, f"{nav}\nunique one content\n{footer}"),
+            (2, f"{nav}\nunique two content\n  COPYRIGHT   2026 "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.line_dedup(docs, max_doc_df=1).collect()}
+    # nav appears in 3 docs, footer in 3 (normalization folds the
+    # shouty variant into the lowercase one) -> both stripped everywhere
+    assert out[0].clean_text == "unique zero content\nmore zero"
+    assert out[0].n_lines == 4 and out[0].kept_lines == 2
+    assert out[1].clean_text == "unique one content"
+    assert out[2].clean_text == "unique two content"
+
+
+def test_line_dedup_df_threshold_and_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "shared pair line\nalpha"),
+            (1, "shared pair line\nbeta"),
+            (2, "   \n\n"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.line_dedup(docs, max_doc_df=2).collect()}
+    # df == 2 <= threshold -> the shared line SURVIVES in both docs
+    assert out[0].clean_text == "shared pair line\nalpha"
+    assert out[1].clean_text == "shared pair line\nbeta"
+    # blank-only doc: zero non-blank lines, empty cleaned text, still reported
+    assert out[2].n_lines == 0 and out[2].kept_lines == 0
+    assert out[2].clean_text == ""
+
+
+def test_line_dedup_within_doc_repeat_survives(spark):
+    # a line repeated inside ONE doc has doc-DF 1 -> both copies stay
+    docs = spark.createDataFrame(
+        [(0, "la la la\nmiddle\nla la la"), (1, "other page")],
+        "doc_id long, text string",
+    )
+    row = textops.line_dedup(docs, max_doc_df=1).filter("doc_id = 0").first()
+    assert row.clean_text == "la la la\nmiddle\nla la la"
+    assert row.n_lines == 3 and row.kept_lines == 3

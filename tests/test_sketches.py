@@ -95,3 +95,52 @@ def test_hist_bins_merge_additively(spark):
     )
     as_map = lambda df: {r["bin"]: r["cnt"] for r in df.collect()}
     assert as_map(full) == as_map(merged)
+
+
+def test_hll_registers_mergeable_across_shards(spark):
+    df = spark.createDataFrame([(i % 500,) for i in range(3000)], "k long")
+    whole = {
+        (r.bucket, r.rho) for r in sketches.hll_registers(df, "k", p=6).collect()
+    }
+    a = sketches.hll_registers(df.filter("k % 2 = 0"), "k", p=6)
+    b = sketches.hll_registers(df.filter("k % 2 = 1"), "k", p=6)
+    merged = {
+        (r.bucket, r.rho)
+        for r in a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho")).collect()
+    }
+    assert merged == whole  # groupBy-max IS the sketch merge
+
+
+def test_hll_estimate_within_error_bound(spark):
+    n = 20_000
+    df = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    regs = sketches.hll_registers(df, "k", p=8)
+    est = sketches.hll_estimate(regs, p=8)
+    # HLL relative error ~ 1.04/sqrt(m) = 6.5% at m=256; allow 3σ
+    assert abs(est - n) / n < 0.20
+
+
+def test_hll_sql_twin_matches(spark):
+    import duckdb
+
+    rows = [(i % 77,) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long")
+    got = {(r.bucket, r.rho) for r in sketches.hll_registers(df, "k", p=5).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = set(con.execute(sketches.hll_sql("t", "k", p=5)).fetchall())
+    assert got == want
+
+
+def test_hll_bitlen_case_is_exact_at_boundaries(spark):
+    # powers of two are exactly where a float log2 path would wobble
+    vals = [0, 1, 2, 3, 4, 7, 8, 1 << 20, (1 << 20) - 1, (1 << 46) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "rest long")
+    got = {
+        r.rest: r.bl
+        for r in df.select(
+            "rest", F.expr(sketches._bitlen_case("rest", 46)).alias("bl")
+        ).collect()
+    }
+    assert got == {v: v.bit_length() for v in vals}
