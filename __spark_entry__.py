@@ -2878,6 +2878,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _ld(corpus, max_doc_df=2)
 
+    def crawl_shard_assign(spark, sf):
+        # rendezvous (HRW) host->worker map for the sharded frontier:
+        # minimal-disruption property unit-pinned; here the full
+        # assignment over 200 synthetic hosts, 8 workers
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        hosts = ev.select(
+            F.concat(
+                F.lit("h"),
+                (F.col("event_id") % 200).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host")
+        ).dropDuplicates()
+        return crawlintel.rendezvous_shards(hosts, n_workers=8)
+
+    def domain_rollup(spark, sf):
+        # eTLD+1 rollup over a host mix that exercises every PSL rule
+        # tier: 2-label suffix (shop.co.uk subdomains group; github.io
+        # users DON'T), 3-label suffix (s3.amazonaws.com), default rule
+        # (www/api.exampleK.com group), single-label passthrough
+        from netrunner_spark.urlnorm import registrable_domain_col
+
+        ev = _t(spark, sf, "events")
+        urls = ev.select(
+            F.expr(
+                "CASE event_id % 6"
+                " WHEN 0 THEN concat('a', CAST(event_id % 3 AS STRING), '.shop.co.uk')"
+                " WHEN 1 THEN concat('u', CAST(event_id % 5 AS STRING), '.github.io')"
+                " WHEN 2 THEN concat('www.example', CAST(event_id % 3 AS STRING), '.com')"
+                " WHEN 3 THEN concat('api.example', CAST(event_id % 3 AS STRING), '.com')"
+                " WHEN 4 THEN concat('b', CAST(event_id % 2 AS STRING), '.data.s3.amazonaws.com')"
+                " ELSE 'localhost' END"
+            ).alias("host")
+        )
+        return urls.groupBy(
+            registrable_domain_col("host").alias("etld1")
+        ).agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+
     def sketch_hll_registers(spark, sf):
         # HyperLogLog register table over event users: the mergeable
         # per-shard distinct sketch next to KMV's one global estimate;
@@ -3031,6 +3073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_kcore": link_kcore,
         "line_dedup": line_dedup,
         "sketch_hll_registers": sketch_hll_registers,
+        "crawl_shard_assign": crawl_shard_assign,
+        "domain_rollup": domain_rollup,
     }
 
 
@@ -5832,4 +5876,30 @@ FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
     oracles["sketch_hll_registers"] = __import__(
         "netrunner_spark.operators.sketches", fromlist=["hll_sql"]
     ).hll_sql("events", "user_id", p=6)
+    oracles["crawl_shard_assign"] = __import__(
+        "netrunner_spark.operators.crawlintel", fromlist=["rendezvous_sql"]
+    ).rendezvous_sql(
+        "(SELECT DISTINCT 'h' || CAST(event_id % 200 AS VARCHAR)"
+        " || '.example.com' AS host FROM events)",
+        n_workers=8,
+    )
+    _etld1 = __import__(
+        "netrunner_spark.urlnorm", fromlist=["registrable_domain_sql_expr"]
+    ).registrable_domain_sql_expr("host")
+    oracles["domain_rollup"] = f"""
+WITH u AS (
+  SELECT CASE event_id % 6
+   WHEN 0 THEN 'a' || CAST(event_id % 3 AS VARCHAR) || '.shop.co.uk'
+   WHEN 1 THEN 'u' || CAST(event_id % 5 AS VARCHAR) || '.github.io'
+   WHEN 2 THEN 'www.example' || CAST(event_id % 3 AS VARCHAR) || '.com'
+   WHEN 3 THEN 'api.example' || CAST(event_id % 3 AS VARCHAR) || '.com'
+   WHEN 4 THEN 'b' || CAST(event_id % 2 AS VARCHAR) || '.data.s3.amazonaws.com'
+   ELSE 'localhost' END AS host
+  FROM events
+)
+SELECT {_etld1} AS etld1,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM u GROUP BY 1
+"""
     return oracles

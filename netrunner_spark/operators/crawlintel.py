@@ -1039,3 +1039,78 @@ def cdx_index(
         F.coalesce(F.sum("length").over(w), F.lit(0)).cast("long").alias("offset"),
         "length",
     )
+
+
+def rendezvous_shards(
+    hosts: DataFrame,
+    n_workers: int = 16,
+    host_col: str = "host",
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) assignment of hosts to
+    crawler workers → input columns + ``(worker)``.
+
+    The frontier must be sharded host-sticky (politeness state —
+    robots rules, crawl-delay clocks, seen blooms — lives with the
+    host), and the shard map must survive worker-count changes without
+    reshuffling the world: HRW hashing (Thaler & Ravishankar '98, the
+    scheme memcached/Ceph style placement uses) moves ONLY the hosts
+    owned by a removed worker — the minimal-disruption property a
+    mod-N map lacks (mod-N reshuffles (N−1)/N of all hosts on N→N−1;
+    the reference pins one politeness governor per domain in a single
+    process, crawler.rs:237-260 — this is that governor's address map
+    at cluster scale).
+
+    worker(h) = argmax_w md5_52(salt‖h‖'#'‖w); ties (≈ W²·2⁻⁵² — never
+    in practice) break to the larger w in BOTH engines. Pure projection
+    — the argmax runs inside one array expression (sequence → transform
+    → array_max on (score, w) structs), zero shuffle, zero UDF; W is a
+    config constant ≪ 10³, so the per-row array is trivially bounded.
+    """
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(n_workers - 1)),
+        lambda w: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt),
+                            F.col(host_col),
+                            F.lit("#"),
+                            w.cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("score"),
+            w.alias("w"),
+        ),
+    )
+    return hosts.withColumn("worker", F.array_max(scores)["w"].cast("int"))
+
+
+def rendezvous_sql(
+    table: str, n_workers: int = 16, host_col: str = "host", salt: str = "hrw"
+) -> str:
+    """DuckDB twin of :func:`rendezvous_shards` — identical hash;
+    argmax spelled as a window (score DESC, w DESC = array_max's
+    struct order)."""
+    return f"""
+        WITH cand AS (
+          SELECT t.*, w,
+                 CAST('0x' || substr(md5('{salt}' || {host_col} || '#' || CAST(w AS VARCHAR)), 1, 13) AS BIGINT) AS score
+          FROM {table} t, (SELECT unnest(generate_series(0, {n_workers - 1})) AS w)
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY {host_col} ORDER BY score DESC, w DESC
+                 ) AS rn
+          FROM cand
+        )
+        SELECT * EXCLUDE (w, score, rn), CAST(w AS INT) AS worker
+        FROM ranked WHERE rn = 1
+    """

@@ -288,3 +288,51 @@ def test_dust_params_differential_vs_python_reference(spark):
     verdicts = {(h, p): irr for h, p, _, _, irr in want}
     assert any(irr for (h, p), irr in verdicts.items() if p in ("sid", "ref"))
     assert not any(irr for (h, p), irr in verdicts.items() if p == "sort")
+
+
+# ------------------------------------------------------- rendezvous shards
+def test_rendezvous_minimal_disruption(spark):
+    hosts = spark.createDataFrame(
+        [(f"h{i}.example.com",) for i in range(300)], "host string"
+    )
+    full = {
+        r.host: r.worker
+        for r in crawlintel.rendezvous_shards(hosts, n_workers=8).collect()
+    }
+    # dropping worker 7 (n_workers 8 -> 7) must move ONLY worker 7's
+    # hosts — every other host keeps its assignment (the property a
+    # mod-N map lacks: there, ~7/8 of all hosts would move)
+    shrunk = {
+        r.host: r.worker
+        for r in crawlintel.rendezvous_shards(hosts, n_workers=7).collect()
+    }
+    moved = {h for h in full if full[h] != shrunk[h]}
+    assert moved == {h for h, w in full.items() if w == 7}
+    assert len(moved) > 0  # worker 7 owned something
+
+
+def test_rendezvous_balance_and_determinism(spark):
+    hosts = spark.createDataFrame(
+        [(f"site{i}.test",) for i in range(800)], "host string"
+    )
+    out = crawlintel.rendezvous_shards(hosts, n_workers=8)
+    loads = {r.worker: r.n for r in out.groupBy("worker").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(loads) == set(range(8))
+    # md5 is uniform: 800 hosts over 8 workers, every load within 3 sigma
+    assert all(40 <= n <= 170 for n in loads.values())
+    again = crawlintel.rendezvous_shards(hosts, n_workers=8)
+    assert {(r.host, r.worker) for r in out.collect()} == {
+        (r.host, r.worker) for r in again.collect()
+    }
+
+
+def test_rendezvous_is_pure_projection(spark):
+    hosts = spark.createDataFrame([("a.test",), ("b.test",)], "host string")
+    plan = (
+        crawlintel.rendezvous_shards(hosts, n_workers=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # zero-shuffle argmax inside one row

@@ -55,3 +55,59 @@ def test_sanitize_and_host():
     assert sanitize_url("https://a.test/p?q=1", False) == "https://a.test/p?q=1"
     assert host_of("https://A.Test:8080/x") == "a.test"
     assert host_of("::bad::") is None
+
+
+def test_registrable_domain_rule_tiers(spark):
+    from pyspark.sql import functions as F
+
+    from netrunner_spark.urlnorm import registrable_domain_col
+
+    cases = {
+        "a.b.shop.co.uk": "shop.co.uk",   # 2-label suffix, deep subdomain
+        "shop.co.uk": "shop.co.uk",        # exactly eTLD+1
+        "co.uk": "co.uk",                  # the suffix itself (n not > 2)
+        "user.github.io": "user.github.io",  # PSL: every user is a site
+        "www.example.com": "example.com",  # default rule
+        "api.example.com": "example.com",
+        "b.data.s3.amazonaws.com": "data.s3.amazonaws.com",  # 3-label tier
+        "weird.internal": "weird.internal",  # unknown TLD -> last two
+        "localhost": "localhost",          # single label passthrough
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r.host: r.etld1
+        for r in df.select(
+            "host", registrable_domain_col("host").alias("etld1")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_registrable_domain_sql_twin_matches(spark):
+    import duckdb
+
+    from netrunner_spark.urlnorm import (
+        registrable_domain_col,
+        registrable_domain_sql_expr,
+    )
+
+    hosts = [
+        "a.b.shop.co.uk", "x.github.io", "www.example.com",
+        "b.data.s3.amazonaws.com", "localhost", "weird.internal", "co.uk",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        (r.host, r.etld1)
+        for r in df.select(
+            "host", registrable_domain_col("host").alias("etld1")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (host VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(h,) for h in hosts])
+    want = set(
+        con.execute(
+            f"SELECT host, {registrable_domain_sql_expr('host')} AS e FROM t"
+        ).fetchall()
+    )
+    assert got == want
