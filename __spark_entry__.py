@@ -2920,6 +2920,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_urls"),
         )
 
+    def event_funnel(spark, sf):
+        # ordered first-touch conversion funnel view > click > purchase:
+        # per-stage min-ts anchors chained by strictly-later joins
+        from netrunner_spark.operators.temporal import funnel
+
+        ev = _t(spark, sf, "events")
+        return funnel(ev, ["view", "click", "purchase"])
+
+    def bpe_train(spark, sf):
+        # first 4 BPE merge rules trained on the corpus word-frequency
+        # table; the merge choice stays in-plan (one-row broadcast per
+        # step), twin unrolls the identical recurrence
+        from netrunner_spark.operators.textops import bpe_merges
+
+        d = _t(spark, sf, "documents")
+        return bpe_merges(d, n_merges=4)
+
     def sketch_hll_registers(spark, sf):
         # HyperLogLog register table over event users: the mergeable
         # per-shard distinct sketch next to KMV's one global estimate;
@@ -3075,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": sketch_hll_registers,
         "crawl_shard_assign": crawl_shard_assign,
         "domain_rollup": domain_rollup,
+        "event_funnel": event_funnel,
+        "bpe_train": bpe_train,
     }
 
 
@@ -5902,4 +5921,34 @@ SELECT {_etld1} AS etld1,
        CAST(count(*) AS BIGINT) AS n_urls
 FROM u GROUP BY 1
 """
+    # event_funnel: per-stage min-ts anchor CTEs chained by strictly-
+    # later joins (first-touch semantics, same as temporal.funnel)
+    oracles["event_funnel"] = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s0 ON s0.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+         CAST(count(*) AS BIGINT) AS n_users FROM s0
+  UNION ALL SELECT CAST(1 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s1
+  UNION ALL SELECT CAST(2 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s2
+) WHERE n_users > 0
+"""
+    oracles["bpe_train"] = __import__(
+        "netrunner_spark.operators.textops", fromlist=["bpe_sql"]
+    ).bpe_sql(
+        "SELECT word FROM (SELECT unnest(string_split(regexp_replace("
+        "lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word FROM documents)"
+        " WHERE word <> ''",
+        n_merges=4,
+    )
     return oracles

@@ -146,3 +146,61 @@ def interval_join(
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
         .drop("_b")
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel → ``(stage_idx, stage, n_users)``:
+    users whose event stream contains stage₁ < stage₂ < … as a strictly
+    time-increasing subsequence (first-touch semantics: each stage
+    anchors at its EARLIEST occurrence after the previous anchor —
+    the standard product-analytics funnel, and the greedy choice is
+    optimal: no later stage₁ anchor can convert a user an earlier one
+    cannot).
+
+    Crawl relevance aside (discover → fetch → parse → index is itself
+    a funnel over per-URL pipeline events), this is the events-table
+    workhorse every analytics engine ships.
+
+    Shape at scale: one filtered aggregate per stage (min ts over the
+    stage's events, keyed by user) + one equi-join per stage on the
+    user key — stage tables shrink monotonically, and the per-user
+    anchor table is ≤ |users| rows. No windows over raw events, no
+    per-user sort.
+    """
+    u, t, c = user_col, ts_col, type_col
+    anchors = (
+        events.filter(F.col(c) == stages[0])
+        .groupBy(u)
+        .agg(F.min(t).alias("t0"))
+    )
+    out_rows = [anchors.select(F.lit(0).alias("stage_idx"), F.col(u))]
+    prev, prev_t = anchors, "t0"
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (
+            events.filter(F.col(c) == stage)
+            .join(prev.select(u, prev_t), u)
+            .filter(F.col(t) > F.col(prev_t))
+            .groupBy(u)
+            .agg(F.min(t).alias(f"t{i}"))
+        )
+        out_rows.append(nxt.select(F.lit(i).alias("stage_idx"), F.col(u)))
+        prev, prev_t = nxt, f"t{i}"
+    reached = out_rows[0]
+    for r in out_rows[1:]:
+        reached = reached.unionByName(r)
+    stage_names = F.array(*[F.lit(s) for s in stages])
+    return (
+        reached.groupBy("stage_idx")
+        .agg(F.countDistinct(u).alias("n_users"))
+        .select(
+            "stage_idx",
+            F.element_at(stage_names, F.col("stage_idx") + 1).alias("stage"),
+            "n_users",
+        )
+    )

@@ -1535,3 +1535,120 @@ def line_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    token_pattern: str = "[^a-z]+",
+) -> DataFrame:
+    """Byte-pair-encoding merge training over a corpus →
+    ``(step, pair, cnt)``: the first ``n_merges`` BPE merge rules
+    (Sennrich et al. 2016), each the most-frequent adjacent symbol
+    pair (count DESC, pair ASC tie-break) at that step, trained on the
+    word-frequency table exactly like the classic implementation.
+
+    The tokenizer-training half of the pretraining pipeline
+    (`pack_sequences`/`mixture_plan` consume token counts; this is
+    where the tokens come from). Words start as space-joined character
+    sequences; each step counts adjacent pairs weighted by word
+    frequency, picks the top pair, and rewrites every word with ONE
+    left-to-right non-overlapping replace pass over the space-padded
+    sequence — the retokenization semantics both engines (Spark
+    `replace`, DuckDB `replace`) implement identically, which is what
+    the oracle twin (:func:`bpe_sql`) unrolls.
+
+    Fully declarative — no driver loop over data: the chosen pair stays
+    in-plan via a one-row broadcast crossJoin per step. Scale shape:
+    everything after the first aggregate runs on the word-frequency
+    table (the VOCABULARY, ≪ corpus — explode/groupBy once over the
+    corpus, then k tiny aggregates); top-1 is TakeOrdered; lineage cut
+    per step with eager localCheckpoints (k ≤ tens).
+    """
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), token_pattern)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = words.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"), "freq"
+    ).localCheckpoint(eager=True)
+    merges = None
+    for step in range(1, n_merges + 1):
+        toks = F.split(F.col("seq"), " ")
+        pairs_arr = F.when(
+            F.size(toks) > 1,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat(
+                    F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            seqs.select(F.explode(pairs_arr).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .select(F.lit(step).alias("step"), "pair", "cnt")
+            .localCheckpoint(eager=True)  # ONE row
+        )
+        merges = top if merges is None else merges.unionByName(top)
+        seqs = (
+            seqs.crossJoin(F.broadcast(top.select("pair")))
+            .select(
+                F.trim(
+                    F.expr(
+                        "replace(concat(' ', seq, ' '), concat(' ', pair, ' '),"
+                        " concat(' ', replace(pair, ' ', ''), ' '))"
+                    )
+                ).alias("seq"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return merges
+
+
+def bpe_sql(words_sql: str, n_merges: int = 3) -> str:
+    """DuckDB twin of :func:`bpe_merges`: the same recurrence unrolled
+    — per step one pair aggregate, one top-1, one scalar-subquery
+    replace rewrite. ``words_sql`` must yield a ``word`` column (the
+    un-aggregated word stream; the twin builds the frequency table)."""
+    parts = [
+        f"""WITH w0 AS (
+  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM ({words_sql}) GROUP BY 1
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""", p{i} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(string_split(seq, ' ')) - 1),
+             j -> string_split(seq, ' ')[j] || ' ' || string_split(seq, ' ')[j + 1]
+           )) AS pair, freq
+    FROM {prev}
+  ) GROUP BY pair
+), m{i} AS (
+  SELECT CAST({i} AS INT) AS step, pair, cnt
+  FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+), w{i} AS (
+  SELECT trim(replace(' ' || seq || ' ',
+                      ' ' || (SELECT pair FROM m{i}) || ' ',
+                      ' ' || (SELECT replace(pair, ' ', '') FROM m{i}) || ' ')) AS seq,
+         freq
+  FROM {prev}
+)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT step, pair, cnt FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    return "\n".join(parts) + "\n" + sel

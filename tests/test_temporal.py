@@ -120,3 +120,45 @@ def test_interval_join_rejects_bad_width(spark):
     p = spark.range(1).select(F.col("id").alias("x"))
     with pytest.raises(ValueError):
         interval_join(p, p, "x", "x", "x", bucket_width=0)
+
+
+def test_funnel_requires_strict_order(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # user 1 converts fully: view < click < purchase
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: purchase BEFORE click -> stops at click
+        (2, t(1), "view"), (2, t(3), "click"), (2, t(2), "purchase"),
+        # user 3: click before view -> never enters stage 1
+        (3, t(2), "view"), (3, t(1), "click"),
+        # user 4: view only
+        (4, t(1), "view"),
+        # user 5: no view at all -> not even stage 0
+        (5, t(1), "click"), (5, t(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    from netrunner_spark.operators.temporal import funnel
+
+    got = {r.stage: r.n_users for r in funnel(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_first_touch_anchor(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    # click at s=2 is AFTER the first view (s=1): converts even though
+    # a later view (s=5) would not have; greedy first-touch is optimal
+    ev = spark.createDataFrame(
+        [(1, t(1), "view"), (1, t(5), "view"), (1, t(2), "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    from netrunner_spark.operators.temporal import funnel
+
+    got = {r.stage: r.n_users for r in funnel(ev, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 1}

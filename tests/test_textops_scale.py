@@ -431,3 +431,58 @@ def test_chunk_dedup_trailing_partial_and_truncation(spark):
     r2 = textops.chunk_dedup(docs, max_chunks=2).collect()[0]
     assert r2["n_chunks"] == 2
     assert r2["text_dedup"] == " ".join(f"w{i}" for i in range(20))
+
+
+def test_bpe_merges_classic_example(spark):
+    # Sennrich's canonical toy corpus: low*5 lower*2 newest*6 widest*3
+    docs = spark.createDataFrame(
+        [(0, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    rows = textops.bpe_merges(docs, n_merges=3).orderBy("step").collect()
+    # step 1: 'e s' appears in newest(6) + widest(3) = 9 — the max
+    assert (rows[0].pair, rows[0].cnt) == ("e s", 9)
+    # step 2: 'es t' (same 9) wins over everything else
+    assert (rows[1].pair, rows[1].cnt) == ("es t", 9)
+    # step 3: 'l o' in low(5)+lower(2) = 7
+    assert (rows[2].pair, rows[2].cnt) == ("l o", 7)
+
+
+def test_bpe_replace_semantics_match_duckdb_on_repeats(spark):
+    import duckdb
+
+    # 'aaaa' is the pathological case: the padded one-pass replace
+    # rewrites 'a a a a' -> 'aa a a' (trailing overlap unconsumed);
+    # both engines must agree on that exact semantics
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aa baab")], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.pair, r.cnt)
+        for r in textops.bpe_merges(docs, n_merges=3).orderBy("step").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (text VARCHAR)")
+    con.execute("INSERT INTO d VALUES ('aaaa aaaa aa baab')")
+    want = con.execute(
+        textops.bpe_sql(
+            "SELECT word FROM (SELECT unnest(string_split(regexp_replace("
+            "lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word FROM d)"
+            " WHERE word <> ''",
+            n_merges=3,
+        )
+        + " ORDER BY step"
+    ).fetchall()
+    assert got == want
+
+
+def test_bpe_vocab_sized_work(spark):
+    # the per-step aggregates run over the VOCABULARY (distinct words),
+    # not the corpus: 1000 docs of the same 4 words -> w0 has 4 rows
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    out = textops.bpe_merges(docs, n_merges=1).collect()
+    assert len(out) == 1
+    assert out[0].cnt >= 1000  # frequency-weighted, not vocab-weighted
