@@ -377,6 +377,50 @@ def _kcore_sql(rounds: int = 4, k: int = 2) -> str:
     return "\n".join(parts)
 
 
+def _bowtie_sql(levels: int = 12) -> str:
+    """DuckDB twin of graph.bowtie over the ring+chains synth: one
+    settled-union CTE per level per direction, unrolled past the
+    graph's diameter (9); extra levels are identity on a converged
+    closure."""
+    parts = [
+        """WITH e AS (
+  SELECT DISTINCT
+    CASE (event_id // 10) % 5
+      WHEN 0 THEN event_id % 10
+      WHEN 1 THEN CASE event_id % 2 WHEN 0 THEN 20 ELSE 21 END
+      WHEN 2 THEN CASE event_id % 2 WHEN 0 THEN 5 ELSE 30 END
+      WHEN 3 THEN 40 ELSE 21 END AS src,
+    CASE (event_id // 10) % 5
+      WHEN 0 THEN (event_id % 10 + 1) % 10
+      WHEN 1 THEN CASE event_id % 2 WHEN 0 THEN 21 ELSE 0 END
+      WHEN 2 THEN CASE event_id % 2 WHEN 0 THEN 30 ELSE 31 END
+      WHEN 3 THEN 41 ELSE 50 END AS dst
+  FROM events
+), f0 AS (SELECT CAST(0 AS BIGINT) AS id),
+   b0 AS (SELECT CAST(0 AS BIGINT) AS id)"""
+    ]
+    for i in range(1, levels + 1):
+        parts.append(
+            f", f{i} AS (SELECT DISTINCT id FROM (SELECT id FROM f{i - 1}"
+            f" UNION ALL SELECT e.dst FROM f{i - 1} f JOIN e ON e.src = f.id))"
+        )
+        parts.append(
+            f", b{i} AS (SELECT DISTINCT id FROM (SELECT id FROM b{i - 1}"
+            f" UNION ALL SELECT e.src FROM b{i - 1} b JOIN e ON e.dst = b.id))"
+        )
+    parts.append(
+        f""", n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))
+SELECT n.id,
+  CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'scc'
+       WHEN b.id IS NOT NULL THEN 'in'
+       WHEN f.id IS NOT NULL THEN 'out'
+       ELSE 'other' END AS component
+FROM n LEFT JOIN f{levels} f ON f.id = n.id
+       LEFT JOIN b{levels} b ON b.id = n.id"""
+    )
+    return "\n".join(parts)
+
+
 def _bfs_sql(max_hops: int = 6) -> str:
     """DuckDB twin of graph.bfs_hops over the 50-node ring with seeds
     {0, 25}: one frontier CTE (new nodes this level, anti-joined against
@@ -2920,6 +2964,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_urls"),
         )
 
+    def web_bowtie(spark, sf):
+        # Broder bow-tie map around pivot 0: SCC ring 0-9, IN chain
+        # 20->21->0, OUT chain 5->30->31, tendril 21->50 and the
+        # disconnected pair 40->41 land in OTHER
+        from netrunner_spark.operators.graph import bowtie
+
+        ev = _t(spark, sf, "events")
+        edges = ev.select(
+            F.expr(
+                "CASE (event_id DIV 10) % 5"
+                " WHEN 0 THEN event_id % 10"
+                " WHEN 1 THEN CASE event_id % 2 WHEN 0 THEN 20 ELSE 21 END"
+                " WHEN 2 THEN CASE event_id % 2 WHEN 0 THEN 5 ELSE 30 END"
+                " WHEN 3 THEN 40 ELSE 21 END"
+            ).alias("src"),
+            F.expr(
+                "CASE (event_id DIV 10) % 5"
+                " WHEN 0 THEN (event_id % 10 + 1) % 10"
+                " WHEN 1 THEN CASE event_id % 2 WHEN 0 THEN 21 ELSE 0 END"
+                " WHEN 2 THEN CASE event_id % 2 WHEN 0 THEN 30 ELSE 31 END"
+                " WHEN 3 THEN 41 ELSE 50 END"
+            ).alias("dst"),
+        )
+        return bowtie(edges, pivot=0)
+
+    def bpe_tokenize(spark, sf):
+        # the trained tokenizer applied back to its corpus: per-doc
+        # token counts after 3 BPE merges (vocab-sized recurrence, one
+        # broadcast word->ntok join back)
+        from netrunner_spark.operators.textops import bpe_token_counts
+
+        d = _t(spark, sf, "documents")
+        return bpe_token_counts(d, n_merges=3)
+
     def event_funnel(spark, sf):
         # ordered first-touch conversion funnel view > click > purchase:
         # per-stage min-ts anchors chained by strictly-later joins
@@ -3094,6 +3172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": domain_rollup,
         "event_funnel": event_funnel,
         "bpe_train": bpe_train,
+        "web_bowtie": web_bowtie,
+        "bpe_tokenize": bpe_tokenize,
     }
 
 
@@ -5950,5 +6030,14 @@ SELECT * FROM (
         "lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word FROM documents)"
         " WHERE word <> ''",
         n_merges=4,
+    )
+    oracles["web_bowtie"] = _bowtie_sql(12)
+    oracles["bpe_tokenize"] = __import__(
+        "netrunner_spark.operators.textops", fromlist=["bpe_tokens_sql"]
+    ).bpe_tokens_sql(
+        "SELECT doc_id, word FROM (SELECT doc_id, unnest(string_split("
+        "regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word"
+        " FROM documents) WHERE word <> ''",
+        n_merges=3,
     )
     return oracles

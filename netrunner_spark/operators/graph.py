@@ -600,3 +600,83 @@ def k_core(edges: DataFrame, k: int = 2, max_iters: int = 50) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .filter(F.col("deg") >= k)
     )
+
+
+def reach_closure(
+    edges: DataFrame,
+    seeds: DataFrame,
+    reverse: bool = False,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Transitive reachability closure from a seed set → ``(id)``:
+    every node reachable from (``reverse=False``) or reaching
+    (``reverse=True``) the seeds, seeds included. Level-synchronous
+    frontier joins with an anti-join against the settled set and an
+    eager localCheckpoint per level (same scaling shape as
+    :func:`bfs_hops`, minus the hop labels); terminates at the
+    fixpoint or ``max_iters`` (graph diameter bound)."""
+    a, b = ("dst", "src") if reverse else ("src", "dst")
+    e = (
+        edges.select(F.col(a).cast("long").alias("a"), F.col(b).cast("long").alias("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    settled = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for _ in range(max_iters):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["a"])
+            .select(F.col("b").alias("id"))
+            .dropDuplicates()
+            .join(settled, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled
+
+
+def bowtie(edges: DataFrame, pivot: int, max_iters: int = 50) -> DataFrame:
+    """Broder bow-tie decomposition of a directed graph around a pivot
+    → ``(id, component)`` with component ∈ {scc, in, out, other}.
+
+    The web graph's macroscopic map (Broder et al., WWW 2000): SCC =
+    the pivot's strongly connected component (forward ∩ backward
+    reachability — the FW-BW coloring step), IN = reaches the SCC
+    without belonging (backward \\ forward), OUT = reachable from it
+    (forward \\ backward), OTHER = tendrils/tubes/disconnected. A
+    crawler seeded inside the SCC eventually sees SCC+OUT and never
+    IN — which is precisely why seed lists need IN-side entries; this
+    operator measures that exposure over the discovered link graph.
+
+    Cost: two BFS closures (≤ diameter rounds of one equi-join +
+    anti-join each) + two membership left-joins over the node list —
+    no per-node loops, no all-pairs anything.
+    """
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame([(int(pivot),)], "id long")
+    fwd = reach_closure(edges, seeds, reverse=False, max_iters=max_iters)
+    bwd = reach_closure(edges, seeds, reverse=True, max_iters=max_iters)
+    nodes = (
+        edges.select(F.col("src").cast("long").alias("id"))
+        .unionByName(edges.select(F.col("dst").cast("long").alias("id")))
+        .dropDuplicates()
+    )
+    return (
+        nodes.join(fwd.withColumn("f", F.lit(True)), "id", "left")
+        .join(bwd.withColumn("b", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("f") & F.col("b"), "scc")
+            .when(F.col("b"), "in")
+            .when(F.col("f"), "out")
+            .otherwise("other")
+            .alias("component"),
+        )
+    )

@@ -1576,6 +1576,13 @@ def bpe_merges(
     seqs = words.select(
         F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"), "freq"
     ).localCheckpoint(eager=True)
+    merges, _ = _bpe_recurrence(seqs, n_merges)
+    return merges
+
+
+def _bpe_recurrence(seqs: DataFrame, n_merges: int):
+    """Shared BPE fixed-point: ``seqs`` must carry (seq, freq) plus any
+    passthrough columns (e.g. word). Returns (merges, final_seqs)."""
     merges = None
     for step in range(1, n_merges + 1):
         toks = F.split(F.col("seq"), " ")
@@ -1598,6 +1605,7 @@ def bpe_merges(
             .localCheckpoint(eager=True)  # ONE row
         )
         merges = top if merges is None else merges.unionByName(top)
+        passthrough = [c for c in seqs.columns if c != "seq"]
         seqs = (
             seqs.crossJoin(F.broadcast(top.select("pair")))
             .select(
@@ -1607,11 +1615,55 @@ def bpe_merges(
                         " concat(' ', replace(pair, ' ', ''), ' '))"
                     )
                 ).alias("seq"),
-                "freq",
+                *passthrough,
             )
             .localCheckpoint(eager=True)
         )
-    return merges
+    return merges, seqs
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int = 3,
+    token_pattern: str = "[^a-z]+",
+) -> DataFrame:
+    """Train ``n_merges`` BPE rules on the corpus and apply them BACK
+    to it → ``(doc_id, n_tokens)``: real tokenizer-aware token counts,
+    the number the packing/mixture planners actually need (input_hint
+    asks for "token counting (… a BPE-ish regex)"; this is the trained
+    upgrade of ``token_stats``' whitespace counts).
+
+    Scale shape: the recurrence runs on the VOCABULARY (word, seq,
+    freq) — corpus-sized work is exactly two passes: one explode →
+    (doc_id, word) counts, and one join of those counts against the
+    vocabulary-sized (word → tokens-after-merges) map, then a per-doc
+    sum. The map side is broadcastable (distinct words ≪ corpus).
+    """
+    doc_words = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), token_pattern)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = doc_words.groupBy("word").agg(F.sum("cnt").alias("freq"))
+    seqs = vocab.select(
+        "word",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+        "freq",
+    ).localCheckpoint(eager=True)
+    _, final = _bpe_recurrence(seqs, n_merges)
+    tok_map = final.select(
+        "word", F.size(F.split(F.col("seq"), " ")).alias("ntok")
+    )
+    return (
+        doc_words.join(F.broadcast(tok_map), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("ntok")).alias("n_tokens"))
+    )
 
 
 def bpe_sql(words_sql: str, n_merges: int = 3) -> str:
@@ -1652,3 +1704,46 @@ def bpe_sql(words_sql: str, n_merges: int = 3) -> str:
         f"SELECT step, pair, cnt FROM m{i}" for i in range(1, n_merges + 1)
     )
     return "\n".join(parts) + "\n" + sel
+
+
+def bpe_tokens_sql(doc_words_sql: str, n_merges: int = 3) -> str:
+    """DuckDB twin of :func:`bpe_token_counts`. ``doc_words_sql`` must
+    yield (doc_id, word) — one row per word OCCURRENCE."""
+    parts = [
+        f"""WITH dw AS (
+  SELECT doc_id, word FROM ({doc_words_sql})
+), w0 AS (
+  SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM dw GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""", p{i} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(string_split(seq, ' ')) - 1),
+             j -> string_split(seq, ' ')[j] || ' ' || string_split(seq, ' ')[j + 1]
+           )) AS pair, freq
+    FROM {prev}
+  ) GROUP BY pair
+), m{i} AS (SELECT pair FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+), w{i} AS (
+  SELECT word,
+         trim(replace(' ' || seq || ' ',
+                      ' ' || (SELECT pair FROM m{i}) || ' ',
+                      ' ' || (SELECT replace(pair, ' ', '') FROM m{i}) || ' ')) AS seq,
+         freq
+  FROM {prev}
+)"""
+        )
+    parts.append(
+        f""", tok AS (
+  SELECT word, CAST(len(string_split(seq, ' ')) AS INT) AS ntok FROM w{n_merges}
+)
+SELECT dw.doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+FROM dw JOIN tok USING (word) GROUP BY dw.doc_id"""
+    )
+    return "\n".join(parts)

@@ -394,3 +394,31 @@ def test_apply_mixture_materializes_epochs(spark):
     # re-run identical
     again = apply_mixture(docs, plan).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bowtie_components(spark):
+    from netrunner_spark.operators.graph import bowtie
+
+    edges = []
+    edges += [(i, (i + 1) % 10) for i in range(10)]   # SCC ring
+    edges += [(20, 21), (21, 0)]                      # IN chain
+    edges += [(5, 30), (30, 31)]                      # OUT chain
+    edges += [(40, 41)]                               # disconnected
+    edges += [(21, 50)]                               # tendril off IN
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.component for r in bowtie(df, pivot=0).collect()}
+    assert all(got[i] == "scc" for i in range(10))
+    assert got[20] == got[21] == "in"
+    assert got[30] == got[31] == "out"
+    assert got[40] == got[41] == got[50] == "other"
+
+
+def test_reach_closure_direction_and_fixpoint(spark):
+    from netrunner_spark.operators.graph import reach_closure
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (3, 0)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    fwd = {r.id for r in reach_closure(df, seeds).collect()}
+    bwd = {r.id for r in reach_closure(df, seeds, reverse=True).collect()}
+    assert fwd == {0, 1, 2}
+    assert bwd == {0, 3}

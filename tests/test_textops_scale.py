@@ -486,3 +486,43 @@ def test_bpe_vocab_sized_work(spark):
     out = textops.bpe_merges(docs, n_merges=1).collect()
     assert len(out) == 1
     assert out[0].cnt >= 1000  # frequency-weighted, not vocab-weighted
+
+
+def test_bpe_token_counts_apply_back(spark):
+    # corpus 'ab ab ab cd': merge 1 = 'a b' (freq 3) -> ab is 1 token,
+    # cd stays 2 chars
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab cd"), (1, "cd cd")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n_tokens
+        for r in textops.bpe_token_counts(docs, n_merges=1).collect()
+    }
+    # doc 0: 3 x 'ab'(1 tok after merge) + 'cd'(2) = 5
+    # doc 1: 2 x 'cd'(2) = 4
+    assert got == {0: 5, 1: 4}
+
+
+def test_bpe_token_counts_sql_twin(spark):
+    import duckdb
+
+    docs = [(0, "low low lower newest"), (1, "newest widest widest")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.n_tokens)
+        for r in textops.bpe_token_counts(df, n_merges=2).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    want = set(
+        con.execute(
+            textops.bpe_tokens_sql(
+                "SELECT doc_id, word FROM (SELECT doc_id, unnest(string_split("
+                "regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word"
+                " FROM d) WHERE word <> ''",
+                n_merges=2,
+            )
+        ).fetchall()
+    )
+    assert got == want
