@@ -2998,6 +2998,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return bpe_token_counts(d, n_merges=3)
 
+    def shard_drain_plan(spark, sf):
+        # the address map meets the budget: Hamilton host allocations
+        # (crawl_budget_alloc stage, twin nested verbatim) routed to
+        # workers by rendezvous hashing -> per-worker load plan
+        from netrunner_spark.operators import crawlintel
+
+        alloc = crawl_budget_alloc(spark, sf)
+        assigned = crawlintel.rendezvous_shards(alloc, n_workers=4)
+        return assigned.groupBy("worker").agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.sum("alloc").alias("alloc_total"),
+        )
+
     def event_funnel(spark, sf):
         # ordered first-touch conversion funnel view > click > purchase:
         # per-stage min-ts anchors chained by strictly-later joins
@@ -3174,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": bpe_train,
         "web_bowtie": web_bowtie,
         "bpe_tokenize": bpe_tokenize,
+        "shard_drain_plan": shard_drain_plan,
     }
 
 
@@ -6032,6 +6046,17 @@ SELECT * FROM (
         n_merges=4,
     )
     oracles["web_bowtie"] = _bowtie_sql(12)
+    # shard_drain_plan: the crawl_budget_alloc twin nested verbatim
+    # into the rendezvous twin's table slot, then the per-worker rollup
+    _rdvz = __import__(
+        "netrunner_spark.operators.crawlintel", fromlist=["rendezvous_sql"]
+    ).rendezvous_sql(f"({oracles['crawl_budget_alloc']})", n_workers=4)
+    oracles["shard_drain_plan"] = f"""
+SELECT worker, CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(alloc) AS BIGINT) AS alloc_total
+FROM ({_rdvz})
+GROUP BY worker
+"""
     oracles["bpe_tokenize"] = __import__(
         "netrunner_spark.operators.textops", fromlist=["bpe_tokens_sql"]
     ).bpe_tokens_sql(

@@ -310,3 +310,39 @@ def test_resume_bit_identity(spark, world, discovered, tmp_path_factory):
     fa = {(r["url"], r["state"]) for r in cat_a.read("frontier").collect()}
     fb = {(r["url"], r["state"]) for r in cat_b.read("frontier").collect()}
     assert fa == fb
+
+
+def test_sharded_drain_equals_unsharded(spark, world, discovered, crawled, tmp_path):
+    """Partition-and-drain invariance: splitting the frontier across
+    rendezvous workers (host-sticky, so per-host politeness state never
+    straddles a shard) and draining each shard independently yields
+    exactly the unsharded cache URL set, with disjoint shards — the
+    property that makes the HRW address map safe to deploy."""
+    from netrunner_spark.operators.crawlintel import rendezvous_shards
+
+    whole = {
+        r.url for r in crawled["cat"].read_slices("cache").select("url").collect()
+    }
+    assigned = rendezvous_shards(discovered, n_workers=2).cache()
+    shard_sets = []
+    for w in (0, 1):
+        cat = LakeCatalog(spark, str(tmp_path / f"w{w}"))
+        job = CrawlJob(
+            spark,
+            cat,
+            MockFetcher(world["web"]),
+            world["robots"],
+            CrawlConfig(round_seconds=10.0, max_rounds=30, n_bloom_shards=8),
+            lens=world["lens"],
+        )
+        shard = assigned.filter(F.col("worker") == w).drop("worker")
+        if shard.isEmpty():
+            shard_sets.append(set())
+            continue
+        job.init_frontier(shard)
+        job.run()
+        shard_sets.append(
+            {r.url for r in cat.read_slices("cache").select("url").collect()}
+        )
+    assert shard_sets[0] | shard_sets[1] == whole
+    assert not (shard_sets[0] & shard_sets[1])
