@@ -3011,6 +3011,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("alloc").alias("alloc_total"),
         )
 
+    def user_retention(spark, sf):
+        # cohort-by-first-signup retention matrix in day offsets
+        from netrunner_spark.operators.temporal import retention_cohorts
+
+        ev = _t(spark, sf, "events")
+        return retention_cohorts(ev, anchor_type="signup")
+
+    def event_transitions(spark, sf):
+        # first-order Markov transition counts, (ts, event_id) tie-break
+        from netrunner_spark.operators.temporal import transition_counts
+
+        ev = _t(spark, sf, "events")
+        return transition_counts(ev)
+
     def event_funnel(spark, sf):
         # ordered first-touch conversion funnel view > click > purchase:
         # per-stage min-ts anchors chained by strictly-later joins
@@ -3188,6 +3202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_bowtie": web_bowtie,
         "bpe_tokenize": bpe_tokenize,
         "shard_drain_plan": shard_drain_plan,
+        "user_retention": user_retention,
+        "event_transitions": event_transitions,
     }
 
 
@@ -6056,6 +6072,32 @@ SELECT worker, CAST(count(*) AS BIGINT) AS n_hosts,
        CAST(sum(alloc) AS BIGINT) AS alloc_total
 FROM ({_rdvz})
 GROUP BY worker
+"""
+    oracles["user_retention"] = """
+WITH fd AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT cohort_day,
+       CAST(datediff('day', cohort_day, day) AS INT) AS offset_day,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN fd ON fd.user_id = a.user_id
+WHERE day >= cohort_day
+GROUP BY 1, 2
+"""
+    oracles["event_transitions"] = """
+WITH lagged AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS src_type,
+         event_type AS dst_type
+  FROM events
+)
+SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS cnt
+FROM lagged WHERE src_type IS NOT NULL
+GROUP BY src_type, dst_type
 """
     oracles["bpe_tokenize"] = __import__(
         "netrunner_spark.operators.textops", fromlist=["bpe_tokens_sql"]

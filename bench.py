@@ -110,6 +110,17 @@ HEADLINE = [
     "clustering_coeff",
     "recrawl_budget",
     "link_kcore",
+    "line_dedup",
+    "sketch_hll_registers",
+    "crawl_shard_assign",
+    "domain_rollup",
+    "event_funnel",
+    "bpe_train",
+    "bpe_tokenize",
+    "web_bowtie",
+    "shard_drain_plan",
+    "user_retention",
+    "event_transitions",
 ]
 
 

@@ -204,3 +204,71 @@ def funnel(
             "n_users",
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    anchor_type: str = "signup",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort retention matrix → ``(cohort_day, offset_day, n_users)``:
+    users cohorted by their FIRST ``anchor_type`` day, counted on every
+    later day they show any activity (offset in days from the anchor).
+
+    The other events-table staple next to :func:`funnel` — and the
+    crawl reading is real too: cohort hosts by first-discovery day and
+    the matrix shows how long a discovery wave keeps yielding fetches.
+
+    Shape: one filtered min-aggregate (anchor day per user), one
+    distinct projection of (user, active day) — both map-side
+    combinable — and one user-key join; the output is |cohorts| ×
+    |offsets| rows, never event-sized. No windows.
+    """
+    u, t, c = user_col, ts_col, type_col
+    anchor = (
+        events.filter(F.col(c) == anchor_type)
+        .groupBy(u)
+        .agg(F.min(F.to_date(t)).alias("cohort_day"))
+    )
+    active = events.select(F.col(u), F.to_date(t).alias("day")).dropDuplicates()
+    return (
+        active.join(anchor, u)
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("offset_day"),
+        )
+        .agg(F.countDistinct(u).alias("n_users"))
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams
+    → ``(src_type, dst_type, cnt)``: one lag window per user ordered by
+    (ts, order_col) — the deterministic tie-break matters for exactness
+    — then a hash aggregate over type pairs.
+
+    Per-user window state is bounded by that user's own events (the
+    10^10-row table never sorts globally); the output is |types|² rows.
+    Session-path analysis, anomaly detection (error-loop hosts), and
+    the crawl reading: per-host fetch-status transition rates feed the
+    same host_health tiers.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("src_type"),
+        F.col(type_col).alias("dst_type"),
+    ).filter(F.col("src_type").isNotNull())
+    return pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

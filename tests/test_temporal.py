@@ -162,3 +162,53 @@ def test_funnel_first_touch_anchor(spark):
 
     got = {r.stage: r.n_users for r in funnel(ev, ["view", "click"]).collect()}
     assert got == {"view": 1, "click": 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    import datetime as dt
+
+    d = lambda day, typ, u: (u, dt.datetime(2026, 1, day, 12, 0, 0), typ)
+    rows = [
+        d(1, "signup", 1), d(1, "view", 1), d(3, "click", 1),
+        d(2, "signup", 2), d(2, "view", 2), d(3, "view", 2),
+        # user 3 active BEFORE signup: day-1 activity must not count
+        d(1, "view", 3), d(2, "signup", 3),
+        # user 4 never signs up: absent entirely
+        d(1, "view", 4),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    from netrunner_spark.operators.temporal import retention_cohorts
+
+    got = {
+        (str(r.cohort_day), r.offset_day): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2026-01-01", 0): 1,  # user 1 day 1
+        ("2026-01-01", 2): 1,  # user 1 day 3
+        ("2026-01-02", 0): 2,  # users 2 and 3 on their signup day
+        ("2026-01-02", 1): 1,  # user 2 day 3
+    }
+
+
+def test_transition_counts_order_and_ties(spark):
+    import datetime as dt
+
+    t = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: a -> b -> b ; the two ts-tied events order by event_id
+        (1, t, 10, "a"), (1, t, 11, "b"), (1, dt.datetime(2026, 1, 2), 12, "b"),
+        # user 2: single event, no transition
+        (2, t, 20, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    from netrunner_spark.operators.temporal import transition_counts
+
+    got = {
+        (r.src_type, r.dst_type): r.cnt for r in transition_counts(ev).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "b"): 1}
