@@ -322,3 +322,52 @@ def test_line_dedup_within_doc_repeat_survives(spark):
     row = textops.line_dedup(docs, max_doc_df=1).filter("doc_id = 0").first()
     assert row.clean_text == "la la la\nmiddle\nla la la"
     assert row.n_lines == 3 and row.kept_lines == 3
+
+
+def test_line_dedup_differential_vs_python_reference(spark):
+    """Seeded random lined docs (shared pool + whitespace/case variants):
+    Spark line_dedup must equal a straight Python reimplementation."""
+    import random
+    import re
+
+    rng = random.Random(53)
+    pool = [f"line {i} payload" for i in range(12)]
+    variants = [str.upper, str.lower, lambda s: "  " + s + " ", lambda s: s.replace(" ", "   ")]
+    docs = []
+    for i in range(25):
+        lines = [
+            rng.choice(variants)(rng.choice(pool))
+            for _ in range(rng.randint(0, 6))
+        ]
+        if rng.random() < 0.3:
+            lines.insert(rng.randrange(len(lines) + 1), "   ")  # blank-ish
+        docs.append((i, "\n".join(lines)))
+    max_df = 3
+
+    def norm(line):
+        return re.sub(r"\s+", " ", line).strip().lower()
+
+    def ref(rows):
+        from collections import defaultdict
+
+        df_docs = defaultdict(set)
+        for doc_id, text in rows:
+            for ln in text.split("\n"):
+                n = norm(ln)
+                if n:
+                    df_docs[n].add(doc_id)
+        out = {}
+        for doc_id, text in rows:
+            nb = [ln for ln in text.split("\n") if norm(ln)]
+            kept = [ln for ln in nb if len(df_docs[norm(ln)]) <= max_df]
+            out[doc_id] = (len(nb), len(kept), "\n".join(kept))
+        return out
+
+    got = {
+        r.doc_id: (r.n_lines, r.kept_lines, r.clean_text)
+        for r in textops.line_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            max_doc_df=max_df,
+        ).collect()
+    }
+    assert got == ref(docs)

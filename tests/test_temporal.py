@@ -212,3 +212,49 @@ def test_transition_counts_order_and_ties(spark):
         (r.src_type, r.dst_type): r.cnt for r in transition_counts(ev).collect()
     }
     assert got == {("a", "b"): 1, ("b", "b"): 1}
+
+
+def test_funnel_differential_vs_python_reference(spark):
+    """Seeded random event streams: funnel counts must equal a greedy
+    per-user Python scan (first-touch, strictly-later anchors)."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(61)
+    stages = ["view", "click", "purchase"]
+    types = stages + ["error", "signup"]
+    rows = []
+    for u in range(40):
+        for k in range(rng.randint(0, 12)):
+            rows.append(
+                (u, dt.datetime(2026, 1, 1) + dt.timedelta(
+                    seconds=rng.randint(0, 10_000)), rng.choice(types))
+            )
+
+    def ref(evs):
+        from collections import defaultdict
+
+        by_user = defaultdict(list)
+        for u, ts, t in evs:
+            by_user[u].append((ts, t))
+        counts = [0] * len(stages)
+        for u, stream in by_user.items():
+            anchor = None
+            for i, stage in enumerate(stages):
+                cand = [
+                    ts for ts, t in stream
+                    if t == stage and (anchor is None or ts > anchor)
+                ]
+                if not cand:
+                    break
+                anchor = min(cand)
+                counts[i] += 1
+        return {stages[i]: c for i, c in enumerate(counts) if c > 0}
+
+    from netrunner_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {r.stage: r.n_users for r in funnel(ev, stages).collect()}
+    assert got == ref(rows)

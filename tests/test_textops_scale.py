@@ -526,3 +526,55 @@ def test_bpe_token_counts_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_bpe_differential_vs_python_reference(spark):
+    """Seeded random corpora heavy on repeats/overlaps: Spark BPE must
+    equal an independent Python reimplementation (Counter pair counts,
+    cnt-desc/pair-asc tie-break, padded str.replace rewrite) exactly —
+    a third witness next to the DuckDB twin."""
+    import random
+    from collections import Counter
+
+    from netrunner_spark.operators.textops import bpe_merges
+
+    rng = random.Random(47)
+    vocab = ["aa", "aaa", "abab", "ba", "ab", "b", "aab", "bbaa", "abba"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(15)
+    ]
+
+    def ref(rows, n_merges):
+        freqs = Counter()
+        for _, text in rows:
+            for w in text.lower().split():
+                if w:
+                    freqs[w] += 1
+        seqs = {w: " ".join(w) for w in freqs}
+        merges = []
+        for step in range(1, n_merges + 1):
+            cnt = Counter()
+            for w, seq in seqs.items():
+                toks = seq.split(" ")
+                for a, b in zip(toks, toks[1:]):
+                    cnt[a + " " + b] += freqs[w]
+            if not cnt:
+                break
+            maxc = max(cnt.values())
+            pair = min(p for p, c in cnt.items() if c == maxc)
+            merges.append((step, pair, maxc))
+            for w, seq in seqs.items():
+                seqs[w] = (
+                    (" " + seq + " ")
+                    .replace(" " + pair + " ", " " + pair.replace(" ", "") + " ")
+                    .strip()
+                )
+        return merges
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.step, r.pair, r.cnt)
+        for r in bpe_merges(df, n_merges=5).orderBy("step").collect()
+    ]
+    assert got == ref(docs, 5)
