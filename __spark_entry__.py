@@ -3011,6 +3011,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("alloc").alias("alloc_total"),
         )
 
+    def robots_block_report(spark, sf):
+        # per-host frontier exposure under robots longest-match eval:
+        # h0 path-tier allow/disallow, h1 wildcard, h2 blanket
+        # disallow-/ over allow-'', h3 ruleless
+        from netrunner_spark.operators.politeness import (
+            robots_block_report as _rbr,
+        )
+
+        ev = _t(spark, sf, "events")
+        frontier = ev.select(
+            F.concat(
+                F.lit("h"), (F.col("event_id") % 4).cast("string"), F.lit(".test")
+            ).alias("host"),
+            F.expr(
+                "concat('https://h', CAST(event_id % 4 AS STRING), '.test',"
+                " CASE event_id % 5"
+                " WHEN 0 THEN concat('/p/', CAST(event_id % 7 AS STRING))"
+                " WHEN 1 THEN concat('/admin/', CAST(event_id % 7 AS STRING))"
+                " WHEN 2 THEN concat('/admin/public/', CAST(event_id % 7 AS STRING))"
+                " WHEN 3 THEN concat('/tmp/', CAST(event_id % 7 AS STRING))"
+                " ELSE '/' END)"
+            ).alias("url"),
+        )
+        robots = spark.createDataFrame(
+            [
+                ("h0.test", "disallow", "/admin"),
+                ("h0.test", "allow", "/admin/public"),
+                ("h1.test", "disallow", "/tmp"),
+                ("h1.test", "disallow", "/p/1*"),
+                ("h2.test", "allow", ""),
+                ("h2.test", "disallow", "/"),
+            ],
+            "host string, directive string, path_pattern string",
+        )
+        return _rbr(frontier, robots)
+
+    def sketch_hll_merged(spark, sf):
+        # per-day HLL register shards merged back (groupBy bucket, max
+        # rho): the oracle is the WHOLE-TABLE sketch, so merge-equals-
+        # whole is oracle-checked, not just unit-tested
+        from netrunner_spark.operators.sketches import hll_registers
+
+        ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+        daily = hll_registers(ev, "user_id", p=6, by=("day",))
+        return daily.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
     def user_retention(spark, sf):
         # cohort-by-first-signup retention matrix in day offsets
         from netrunner_spark.operators.temporal import retention_cohorts
@@ -3204,6 +3250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_drain_plan": shard_drain_plan,
         "user_retention": user_retention,
         "event_transitions": event_transitions,
+        "robots_block_report": robots_block_report,
+        "sketch_hll_merged": sketch_hll_merged,
     }
 
 
@@ -6099,6 +6147,59 @@ SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS cnt
 FROM lagged WHERE src_type IS NOT NULL
 GROUP BY src_type, dst_type
 """
+    # robots_block_report: independent longest-match reimplementation
+    # (regex from pattern, spec DESC / allow-wins window) over the same
+    # synthetic frontier + rule set
+    oracles["robots_block_report"] = """
+WITH f AS (
+  SELECT 'h' || CAST(event_id % 4 AS VARCHAR) || '.test' AS host,
+         CASE event_id % 5
+           WHEN 0 THEN '/p/' || CAST(event_id % 7 AS VARCHAR)
+           WHEN 1 THEN '/admin/' || CAST(event_id % 7 AS VARCHAR)
+           WHEN 2 THEN '/admin/public/' || CAST(event_id % 7 AS VARCHAR)
+           WHEN 3 THEN '/tmp/' || CAST(event_id % 7 AS VARCHAR)
+           ELSE '/' END AS path
+  FROM events
+), fd AS (
+  SELECT host, path, CAST(count(*) AS BIGINT) AS cnt
+  FROM f GROUP BY host, path
+), r AS (
+  SELECT * FROM (VALUES
+    ('h0.test', 'disallow', '/admin'),
+    ('h0.test', 'allow', '/admin/public'),
+    ('h1.test', 'disallow', '/tmp'),
+    ('h1.test', 'disallow', '/p/1*'),
+    ('h2.test', 'allow', ''),
+    ('h2.test', 'disallow', '/')
+  ) AS t(host, directive, path_pattern)
+), m AS (
+  SELECT fd.host, fd.path,
+         length(r.path_pattern) AS spec,
+         CASE WHEN r.directive = 'allow' THEN 1 ELSE 0 END AS is_allow
+  FROM fd JOIN r ON r.host = fd.host
+  WHERE r.path_pattern = ''
+     OR regexp_matches(fd.path, '^' || replace(r.path_pattern, '*', '.*'))
+), best AS (
+  SELECT host, path, is_allow,
+         row_number() OVER (
+           PARTITION BY host, path ORDER BY spec DESC, is_allow DESC
+         ) AS rn
+  FROM m
+), verdict AS (
+  SELECT fd.host, fd.cnt, coalesce(b.is_allow, 1) AS ok
+  FROM fd LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+    ON b.host = fd.host AND b.path = fd.path
+)
+SELECT host, CAST(sum(cnt) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN ok = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_allowed,
+       CAST((sum(cnt) - sum(CASE WHEN ok = 1 THEN cnt ELSE 0 END)) * 1000
+            // sum(cnt) AS BIGINT) AS blocked_permille
+FROM verdict GROUP BY host
+"""
+    # sketch_hll_merged: the oracle is the WHOLE-TABLE sketch — the
+    # Spark side computes per-day shards and merges, so mergeability
+    # is itself oracle-checked
+    oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
     oracles["bpe_tokenize"] = __import__(
         "netrunner_spark.operators.textops", fromlist=["bpe_tokens_sql"]
     ).bpe_tokens_sql(

@@ -121,6 +121,8 @@ HEADLINE = [
     "shard_drain_plan",
     "user_retention",
     "event_transitions",
+    "robots_block_report",
+    "sketch_hll_merged",
 ]
 
 

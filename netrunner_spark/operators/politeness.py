@@ -304,3 +304,36 @@ def recrawl_priority(
             F.expr("(age_us * 1000) div (period_us + 1)"),
         )
     )
+
+
+def robots_block_report(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Per-host robots exposure audit → ``(host, n_urls, n_allowed,
+    blocked_permille)``: how much of the frontier each host's
+    robots.txt actually forbids.
+
+    Operationally this is the first thing to check when a host's
+    harvest rate collapses (did they just disallow the section we
+    crawl?) and the input to seed-list triage — a lens whose frontier
+    is 90 % blocked needs new seeds, not more budget. Composes
+    :func:`robots_allowed` unchanged (same broadcast rules-array eval,
+    frontier never shuffled by the EVAL; the counts are two map-side
+    aggregates on host + one small join on the per-host table).
+    """
+    total = frontier.groupBy("host").agg(F.count(F.lit(1)).alias("n_urls"))
+    ok = (
+        robots_allowed(frontier, robots)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_allowed"))
+    )
+    return (
+        total.join(ok, "host", "left")
+        .select(
+            "host",
+            "n_urls",
+            F.coalesce("n_allowed", F.lit(0)).alias("n_allowed"),
+        )
+        .withColumn(
+            "blocked_permille",
+            F.expr("(n_urls - n_allowed) * 1000 DIV n_urls"),
+        )
+    )

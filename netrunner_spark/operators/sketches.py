@@ -244,7 +244,11 @@ def _bitlen_case(expr: str, bits: int) -> str:
 
 
 def hll_registers(
-    df: DataFrame, key: str, p: int = 6, salt: str = "hll"
+    df: DataFrame,
+    key: str,
+    p: int = 6,
+    salt: str = "hll",
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
     """HyperLogLog register table over ``key`` → ``(bucket, rho)`` for
     the NON-EMPTY buckets of an m = 2**p register array (Flajolet et
@@ -264,16 +268,23 @@ def hll_registers(
     (`_bitlen_case`) rather than floor(log2(x)) — bit-identical in
     Spark and DuckDB. The float harmonic-mean estimate lives in
     :func:`hll_estimate` and is NOT part of the oracle-checked output.
+
+    ``by``: optional grouping columns → one register table PER GROUP
+    (per-day / per-shard sketches); merging groups back is
+    ``groupBy(bucket).max(rho)``, and the merged table is identical to
+    sketching the whole input — the identity the `sketch_hll_merged`
+    driver query pins against the whole-table oracle.
     """
     rest_bits = 52 - p
-    rows = df.select(md5_hash52(key, salt).alias("h")).select(
+    rows = df.select(*by, md5_hash52(key, salt).alias("h")).select(
+        *by,
         (F.col("h") % (1 << p)).alias("bucket"),
         F.expr(f"h DIV {1 << p}").alias("rest"),
     )
     bitlen = F.expr(_bitlen_case("rest", rest_bits))
     return (
         rows.withColumn("rho", (F.lit(rest_bits + 1) - bitlen).cast("int"))
-        .groupBy("bucket")
+        .groupBy(*by, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
 

@@ -240,3 +240,27 @@ class TestCheckDomainCli:
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
+
+
+def test_robots_block_report_semantics(spark):
+    from netrunner_spark.operators.politeness import robots_block_report
+
+    frontier = spark.createDataFrame(
+        [
+            ("a.test", "https://a.test/ok/1"),
+            ("a.test", "https://a.test/admin/1"),
+            ("a.test", "https://a.test/admin/public/1"),  # allow overrides
+            ("a.test", "https://a.test/admin/2"),
+            ("b.test", "https://b.test/x"),  # ruleless host: all allowed
+        ],
+        "host string, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.test", "disallow", "/admin"), ("a.test", "allow", "/admin/public")],
+        "host string, directive string, path_pattern string",
+    )
+    got = {
+        r.host: (r.n_urls, r.n_allowed, r.blocked_permille)
+        for r in robots_block_report(frontier, robots).collect()
+    }
+    assert got == {"a.test": (4, 2, 500), "b.test": (1, 1, 0)}
