@@ -3011,6 +3011,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("alloc").alias("alloc_total"),
         )
 
+    def cocitation_links(spark, sf):
+        # mirrored section roots (100+j, 200+j) co-cited by the same 4
+        # sources; a 50-target hub source exceeds max_src_out and is
+        # dropped before the pair join
+        from netrunner_spark.operators.crawlintel import cocitation_pairs
+
+        ev = _t(spark, sf, "events")
+        edges = ev.select(
+            F.expr(
+                "CASE (event_id DIV 20) % 3 WHEN 2 THEN 19"
+                " ELSE event_id % 20 END"
+            ).alias("src"),
+            F.expr(
+                "CASE (event_id DIV 20) % 3"
+                " WHEN 0 THEN 100 + event_id % 20 % 5"
+                " WHEN 1 THEN 200 + event_id % 20 % 5"
+                " ELSE 400 + event_id % 50 END"
+            ).alias("dst"),
+        )
+        return cocitation_pairs(edges, min_common=2, max_src_out=20)
+
+    def budget_fairness(spark, sf):
+        # exact-integer Gini permille over the Hamilton allocation
+        # (alloc-asc, host-asc rank on the per-HOST table — bounded);
+        # the scheduler's fairness audit, alloc twin nested verbatim
+        from pyspark.sql import Window
+
+        alloc = crawl_budget_alloc(spark, sf)
+        w = Window.orderBy(F.col("alloc"), F.col("host"))
+        ranked = alloc.select(
+            "alloc", F.row_number().over(w).alias("i")
+        )
+        return ranked.agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.sum("alloc").alias("total_alloc"),
+            F.expr(
+                "(2 * sum(i * alloc) - (count(1) + 1) * sum(alloc)) * 1000"
+                " DIV (count(1) * sum(alloc))"
+            ).alias("gini_permille"),
+        )
+
     def robots_block_report(spark, sf):
         # per-host frontier exposure under robots longest-match eval:
         # h0 path-tier allow/disallow, h1 wildcard, h2 blanket
@@ -3252,6 +3293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": event_transitions,
         "robots_block_report": robots_block_report,
         "sketch_hll_merged": sketch_hll_merged,
+        "cocitation_links": cocitation_links,
+        "budget_fairness": budget_fairness,
     }
 
 
@@ -6200,6 +6243,36 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["cocitation_links"] = """
+WITH e AS (
+  SELECT DISTINCT
+    CASE (event_id // 20) % 3 WHEN 2 THEN 19 ELSE event_id % 20 END AS src,
+    CASE (event_id // 20) % 3
+      WHEN 0 THEN 100 + event_id % 20 % 5
+      WHEN 1 THEN 200 + event_id % 20 % 5
+      ELSE 400 + event_id % 50 END AS dst
+  FROM events
+), kept AS (
+  SELECT e.* FROM e JOIN (
+    SELECT src FROM e GROUP BY src HAVING count(*) <= 20
+  ) s ON s.src = e.src
+)
+SELECT a.dst AS dst_a, b.dst AS dst_b, CAST(count(*) AS BIGINT) AS n_common
+FROM kept a JOIN kept b ON a.src = b.src AND a.dst < b.dst
+GROUP BY a.dst, b.dst
+HAVING count(*) >= 2
+"""
+    oracles["budget_fairness"] = f"""
+WITH alloc AS ({oracles["crawl_budget_alloc"]}),
+ranked AS (
+  SELECT alloc, row_number() OVER (ORDER BY alloc, host) AS i FROM alloc
+)
+SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(alloc) AS BIGINT) AS total_alloc,
+       CAST((2 * sum(i * alloc) - (count(*) + 1) * sum(alloc)) * 1000
+            // (count(*) * sum(alloc)) AS BIGINT) AS gini_permille
+FROM ranked
+"""
     oracles["bpe_tokenize"] = __import__(
         "netrunner_spark.operators.textops", fromlist=["bpe_tokens_sql"]
     ).bpe_tokens_sql(

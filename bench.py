@@ -123,6 +123,8 @@ HEADLINE = [
     "event_transitions",
     "robots_block_report",
     "sketch_hll_merged",
+    "cocitation_links",
+    "budget_fairness",
 ]
 
 

@@ -1114,3 +1114,45 @@ def rendezvous_sql(
         SELECT * EXCLUDE (w, score, rn), CAST(w AS INT) AS worker
         FROM ranked WHERE rn = 1
     """
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_src_out: int = 20,
+) -> DataFrame:
+    """Co-citation similarity over a directed link graph →
+    ``(dst_a, dst_b, n_common)``: target pairs sharing ≥ ``min_common``
+    distinct link SOURCES (dst_a < dst_b).
+
+    The structural mirror signal next to :func:`mirror_hosts`' content
+    overlap: two URLs consistently cited together by the same pages
+    (navigation siblings, mirrored section roots, translated variants)
+    — Kessler's bibliographic-coupling dual, the classic web-IR
+    co-citation measure.
+
+    Scale guard — same class as ``mirror_hosts.max_hash_df``: the
+    self-join is quadratic in per-SOURCE out-degree, so sources with
+    more than ``max_src_out`` distinct targets (sitemap pages, "all
+    posts" indexes — structurally uninformative citers) are dropped
+    BEFORE the join, bounding pair emission at C(max_src_out, 2) per
+    source. One aggregate + one equi-self-join + one aggregate.
+    """
+    e = edges.select("src", "dst").dropDuplicates()
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    kept = e.join(
+        od.filter(F.col("od") <= max_src_out).select("src"), "src"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(
+            F.col("a.dst").alias("dst_a"), F.col("b.dst").alias("dst_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -336,3 +336,37 @@ def test_rendezvous_is_pure_projection(spark):
         .toString()
     )
     assert "Exchange" not in plan  # zero-shuffle argmax inside one row
+
+
+# --------------------------------------------------------- co-citation
+def test_cocitation_pairs_and_hub_cap(spark):
+    edges = (
+        # targets 100/200 co-cited by sources 0..3; target 300 only by 0
+        [(s, 100) for s in range(4)]
+        + [(s, 200) for s in range(4)]
+        + [(0, 300)]
+        # hub source 9 cites 30 targets -> dropped by max_src_out=20
+        + [(9, 1000 + i) for i in range(30)]
+        + [(9, 100), (9, 200)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.dst_a, r.dst_b): r.n_common
+        for r in crawlintel.cocitation_pairs(
+            df, min_common=2, max_src_out=20
+        ).collect()
+    }
+    # (100,200) share sources 0-3 (hub 9 excluded); (100,300) share only
+    # source 0 -> below min_common
+    assert got == {(100, 200): 4}
+
+
+def test_cocitation_pair_emission_bounded(spark):
+    # a 100-target hub with the cap at 10 must contribute nothing; the
+    # remaining sources emit at most C(od,2) each
+    edges = [(1, d) for d in range(100)] + [(2, 5), (2, 6), (3, 5), (3, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = crawlintel.cocitation_pairs(df, min_common=1, max_src_out=10)
+    assert {(r.dst_a, r.dst_b, r.n_common) for r in out.collect()} == {
+        (5, 6, 2)
+    }
