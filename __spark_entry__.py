@@ -3011,6 +3011,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("alloc").alias("alloc_total"),
         )
 
+    def rolling_active_sketch(spark, sf):
+        # rolling 7-day active-user HLL: per-day register shards merged
+        # per window END day (one range join on the 30-row day table +
+        # groupBy max) — O(days x m) state instead of re-scanning 7 days
+        # of raw events per window; the sliding-window reuse that makes
+        # register sketches worth keeping
+        from netrunner_spark.operators.sketches import hll_registers
+
+        ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+        daily = hll_registers(ev, "user_id", p=6, by=("day",))
+        ends = daily.select("day").dropDuplicates().alias("w")
+        d = daily.alias("d")
+        return (
+            ends.join(
+                d,
+                (F.col("d.day") <= F.col("w.day"))
+                & (F.col("d.day") >= F.date_sub(F.col("w.day"), 6)),
+            )
+            .groupBy(F.col("w.day").alias("win_end"), F.col("d.bucket").alias("bucket"))
+            .agg(F.max("d.rho").alias("rho"))
+        )
+
     def cocitation_links(spark, sf):
         # mirrored section roots (100+j, 200+j) co-cited by the same 4
         # sources; a 50-target hub source exceeds max_src_out and is
@@ -3295,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_merged": sketch_hll_merged,
         "cocitation_links": cocitation_links,
         "budget_fairness": budget_fairness,
+        "rolling_active_sketch": rolling_active_sketch,
     }
 
 
@@ -6243,6 +6266,25 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    _blc = __import__(
+        "netrunner_spark.operators.sketches", fromlist=["_bitlen_case"]
+    )._bitlen_case("rest", 46)
+    oracles["rolling_active_sketch"] = f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS h
+  FROM events
+), split AS (
+  SELECT day, h % 64 AS bucket, h // 64 AS rest FROM h
+), daily AS (
+  SELECT day, bucket, CAST(max(47 - {_blc}) AS INT) AS rho
+  FROM split GROUP BY day, bucket
+)
+SELECT w.day AS win_end, d.bucket, CAST(max(d.rho) AS INT) AS rho
+FROM (SELECT DISTINCT day FROM daily) w
+JOIN daily d ON d.day <= w.day AND d.day >= w.day - 6
+GROUP BY w.day, d.bucket
+"""
     oracles["cocitation_links"] = """
 WITH e AS (
   SELECT DISTINCT

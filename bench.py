@@ -125,6 +125,7 @@ HEADLINE = [
     "sketch_hll_merged",
     "cocitation_links",
     "budget_fairness",
+    "rolling_active_sketch",
 ]
 
 

@@ -144,3 +144,27 @@ def test_hll_bitlen_case_is_exact_at_boundaries(spark):
         ).collect()
     }
     assert got == {v: v.bit_length() for v in vals}
+
+
+def test_hll_registers_grouped_by_matches_merge(spark):
+    df = spark.createDataFrame(
+        [(i % 3, i % 400) for i in range(2000)], "g int, k long"
+    )
+    grouped = sketches.hll_registers(df, "k", p=6, by=("g",))
+    merged = {
+        (r.bucket, r.rho)
+        for r in grouped.groupBy("bucket").agg(F.max("rho").alias("rho")).collect()
+    }
+    whole = {
+        (r.bucket, r.rho) for r in sketches.hll_registers(df, "k", p=6).collect()
+    }
+    assert merged == whole
+    # each group's register table is itself a valid sketch of the slice
+    g0 = {
+        (r.bucket, r.rho) for r in grouped.filter("g = 0").select("bucket", "rho").collect()
+    }
+    slice0 = {
+        (r.bucket, r.rho)
+        for r in sketches.hll_registers(df.filter("g = 0"), "k", p=6).collect()
+    }
+    assert g0 == slice0
