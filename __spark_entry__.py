@@ -3011,6 +3011,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("alloc").alias("alloc_total"),
         )
 
+    def host_alias_fold(spark, sf):
+        # the www-mirror loop closed: mine www->bare fold rules from
+        # content-hash containment (sites 0-2,5 full share -> fold;
+        # site 3 disjoint, site 4 at 500 permille -> keep), apply to
+        # the frontier, report the folded per-host rollup
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        pg = ev.select(
+            F.expr(
+                "CASE event_id % 2 WHEN 0 THEN"
+                " concat('site', CAST(event_id % 6 AS STRING), '.test')"
+                " ELSE concat('www.site', CAST(event_id % 6 AS STRING), '.test') END"
+            ).alias("host"),
+            F.expr(
+                "CASE WHEN event_id % 6 IN (0,1,2,5) THEN"
+                " md5(concat('c', CAST(event_id % 6 AS STRING), '/',"
+                " CAST(event_id % 10 AS STRING)))"
+                " WHEN event_id % 6 = 3 THEN"
+                " md5(concat('c3', CAST(event_id % 2 AS STRING), '/',"
+                " CAST(event_id % 10 AS STRING)))"
+                " ELSE md5(concat('c4',"
+                " CASE WHEN event_id % 10 < 5 THEN concat('s', CAST(event_id % 10 AS STRING))"
+                " ELSE concat('d', CAST(event_id % 2 AS STRING), CAST(event_id % 10 AS STRING)) END)) END"
+            ).alias("content_hash"),
+        )
+        rules = crawlintel.host_alias_rules(pg, min_share_permille=800)
+        folded = crawlintel.fold_host_aliases(pg.select("host"), rules)
+        return folded.groupBy("host").agg(F.count(F.lit(1)).alias("n_urls"))
+
+    def sketch_bloom_probe(spark, sf):
+        # relational Bloom filter: 500 member keys, 800 probe keys ->
+        # zero false negatives and the EXACT same false positives in
+        # both engines (deterministic md5 bits, m=2048, k=3)
+        from netrunner_spark.operators.sketches import bloom_bits, bloom_probe
+
+        ev = _t(spark, sf, "events")
+        members = ev.select(
+            F.concat(F.lit("u"), (F.col("event_id") % 500).cast("string")).alias(
+                "key"
+            )
+        ).dropDuplicates()
+        probes = ev.select(
+            F.concat(F.lit("u"), (F.col("event_id") % 800).cast("string")).alias(
+                "key"
+            )
+        ).dropDuplicates()
+        bits = bloom_bits(members, "key", m=2048, k=3)
+        return bloom_probe(bits, probes, "key", m=2048, k=3)
+
     def rolling_active_sketch(spark, sf):
         # rolling 7-day active-user HLL: per-day register shards merged
         # per window END day (one range join on the 30-row day table +
@@ -3318,6 +3368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_links": cocitation_links,
         "budget_fairness": budget_fairness,
         "rolling_active_sketch": rolling_active_sketch,
+        "host_alias_fold": host_alias_fold,
+        "sketch_bloom_probe": sketch_bloom_probe,
     }
 
 
@@ -6266,6 +6318,50 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["host_alias_fold"] = """
+WITH pg AS (
+  SELECT CASE event_id % 2 WHEN 0 THEN 'site' || CAST(event_id % 6 AS VARCHAR) || '.test'
+          ELSE 'www.site' || CAST(event_id % 6 AS VARCHAR) || '.test' END AS host,
+         CASE
+           WHEN event_id % 6 IN (0, 1, 2, 5)
+             THEN md5('c' || CAST(event_id % 6 AS VARCHAR) || '/' || CAST(event_id % 10 AS VARCHAR))
+           WHEN event_id % 6 = 3
+             THEN md5('c3' || CAST(event_id % 2 AS VARCHAR) || '/' || CAST(event_id % 10 AS VARCHAR))
+           ELSE md5('c4' || CASE WHEN event_id % 10 < 5
+                                 THEN 's' || CAST(event_id % 10 AS VARCHAR)
+                                 ELSE 'd' || CAST(event_id % 2 AS VARCHAR) || CAST(event_id % 10 AS VARCHAR) END)
+         END AS content_hash
+  FROM events
+), www AS (
+  SELECT DISTINCT host AS alias, substr(host, 5) AS canonical, content_hash
+  FROM pg WHERE host LIKE 'www.%'
+), bare AS (
+  SELECT DISTINCT host AS canonical, content_hash FROM pg WHERE host NOT LIKE 'www.%'
+), tot AS (
+  SELECT alias, canonical, CAST(count(*) AS BIGINT) AS total FROM www GROUP BY 1, 2
+), sh AS (
+  SELECT w.alias, w.canonical, CAST(count(*) AS BIGINT) AS shared
+  FROM www w JOIN bare b ON b.canonical = w.canonical AND b.content_hash = w.content_hash
+  GROUP BY 1, 2
+), rules AS (
+  SELECT t.alias, t.canonical
+  FROM tot t LEFT JOIN sh ON sh.alias = t.alias AND sh.canonical = t.canonical
+  WHERE coalesce(sh.shared, 0) * 1000 // t.total >= 800
+), folded AS (
+  SELECT coalesce(r.canonical, pg.host) AS host
+  FROM pg LEFT JOIN rules r ON r.alias = pg.host
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM folded GROUP BY host
+"""
+    oracles["sketch_bloom_probe"] = __import__(
+        "netrunner_spark.operators.sketches", fromlist=["bloom_sql"]
+    ).bloom_sql(
+        "(SELECT DISTINCT 'u' || CAST(event_id % 500 AS VARCHAR) AS key FROM events)",
+        "key",
+        "SELECT DISTINCT 'u' || CAST(event_id % 800 AS VARCHAR) AS key FROM events",
+        m=2048,
+        k=3,
+    )
     _blc = __import__(
         "netrunner_spark.operators.sketches", fromlist=["_bitlen_case"]
     )._bitlen_case("rest", 46)

@@ -126,6 +126,8 @@ HEADLINE = [
     "cocitation_links",
     "budget_fairness",
     "rolling_active_sketch",
+    "host_alias_fold",
+    "sketch_bloom_probe",
 ]
 
 

@@ -1156,3 +1156,70 @@ def cocitation_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def host_alias_rules(
+    pages: DataFrame, min_share_permille: int = 800
+) -> DataFrame:
+    """Mine www→bare host-alias fold rules from the crawl cache →
+    ``(alias, canonical, shared, total, share_permille)``.
+
+    The single most common mirror class on the web is not an exotic
+    DUST rule but ``www.x`` ≡ ``x``; folding it halves those hosts'
+    frontier and doubles their effective politeness budget. A rule is
+    minted when the www variant's distinct content hashes are
+    ≥ ``min_share_permille`` covered by the bare host's (asymmetric
+    containment, like ``containment_pairs``) — a www host serving its
+    OWN content (share below threshold) never folds.
+
+    One hash-dedup per side + one equi-join on (bare-host,
+    content_hash) + one aggregate over the per-host-pair table; the
+    join key includes the content hash, so per-key fan-out is the
+    number of www-variants of one host with one hash — bounded by 1.
+    """
+    www = (
+        pages.filter(F.col("host").startswith("www."))
+        .select(
+            F.col("host").alias("alias"),
+            F.expr("substring(host, 5)").alias("canonical"),
+            "content_hash",
+        )
+        .dropDuplicates()
+    )
+    bare = (
+        pages.filter(~F.col("host").startswith("www."))
+        .select(F.col("host").alias("canonical"), "content_hash")
+        .dropDuplicates()
+    )
+    totals = www.groupBy("alias", "canonical").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    shared = (
+        www.join(bare, ["canonical", "content_hash"])
+        .groupBy("alias", "canonical")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        totals.join(shared, ["alias", "canonical"], "left")
+        .select(
+            "alias",
+            "canonical",
+            F.coalesce("shared", F.lit(0)).alias("shared"),
+            "total",
+        )
+        .withColumn("share_permille", F.expr("shared * 1000 DIV total"))
+        .filter(F.col("share_permille") >= min_share_permille)
+    )
+
+
+def fold_host_aliases(frontier: DataFrame, rules: DataFrame) -> DataFrame:
+    """Apply mined alias rules to a frontier(host, path, …) → the same
+    rows with ``host`` rewritten to its canonical form (the dust_apply
+    pattern: broadcast the small rule table, one left join, zero
+    frontier shuffles)."""
+    r = F.broadcast(rules.select(F.col("alias").alias("host"), "canonical"))
+    return (
+        frontier.join(r, "host", "left")
+        .withColumn("host", F.coalesce("canonical", F.col("host")))
+        .drop("canonical")
+    )

@@ -321,3 +321,123 @@ def hll_sql(table: str, key: str, p: int = 6, salt: str = "hll") -> str:
         SELECT bucket, CAST(max({rest_bits + 1} - {case}) AS INT) AS rho
         FROM split GROUP BY bucket
     """
+
+
+def bloom_bits(
+    df: DataFrame, key: str, m: int = 4096, k: int = 3, salt: str = "blm"
+) -> DataFrame:
+    """Relational Bloom filter → the DISTINCT set-bit table
+    ``(j, bit)`` (k hash rows × m-bit domain).
+
+    The oracle-expressible twin of the engine's numpy seen-shards
+    (`operators/seen.py`): bit j,i is set iff some key hashes there —
+    a groupBy-distinct, so building IS merging (union of shards =
+    union of bit tables), and the table is ≤ k·m rows regardless of
+    input size. Hashing reuses the md5-52 trick with per-row salts so
+    DuckDB reproduces every bit exactly.
+    """
+    rows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.struct(
+                j.alias("j"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(salt),
+                                    j.cast("string"),
+                                    F.lit("#"),
+                                    F.col(key).cast("string"),
+                                )
+                            ),
+                            1,
+                            13,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m
+                ).alias("bit"),
+            ),
+        )
+    )
+    return (
+        df.select(rows.alias("r"))
+        .select(F.col("r.j").alias("j"), F.col("r.bit").alias("bit"))
+        .dropDuplicates()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame, probes: DataFrame, key: str, m: int = 4096, k: int = 3,
+    salt: str = "blm",
+) -> DataFrame:
+    """Probe a :func:`bloom_bits` table → ``(<key>, maybe_present)``:
+    true iff ALL k probe bits are set (standard Bloom semantics — no
+    false negatives, false positives at the usual (1-e^{-kn/m})^k
+    rate, and the EXACT same false positives in both engines since the
+    bits are deterministic). One explode + one equi-join on (j, bit)
+    + a full-house count, the `boolean_search` counting pattern."""
+    prows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.struct(
+                j.alias("j"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(salt),
+                                    j.cast("string"),
+                                    F.lit("#"),
+                                    F.col(key).cast("string"),
+                                )
+                            ),
+                            1,
+                            13,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m
+                ).alias("bit"),
+            ),
+        )
+    )
+    exploded = probes.select(F.col(key), prows.alias("r")).select(
+        key, F.col("r.j").alias("j"), F.col("r.bit").alias("bit")
+    )
+    hits = (
+        exploded.join(bits.withColumn("_set", F.lit(1)), ["j", "bit"], "left")
+        .groupBy(key)
+        .agg(F.sum(F.coalesce("_set", F.lit(0))).alias("n_hits"))
+    )
+    return hits.select(key, (F.col("n_hits") == k).alias("maybe_present"))
+
+
+def bloom_sql(
+    table: str, key: str, probes_sql: str, m: int = 4096, k: int = 3,
+    salt: str = "blm",
+) -> str:
+    """DuckDB twin of bloom_bits + bloom_probe composed: identical
+    per-row-salted md5 bits, full-house membership."""
+    return f"""
+WITH ks AS (SELECT unnest(generate_series(0, {k - 1})) AS j),
+bits AS (
+  SELECT DISTINCT j,
+         CAST('0x' || substr(md5('{salt}' || CAST(j AS VARCHAR) || '#' || CAST({key} AS VARCHAR)), 1, 13) AS BIGINT) % {m} AS bit
+  FROM {table}, ks
+), p AS ({probes_sql}),
+pb AS (
+  SELECT p.{key}, j,
+         CAST('0x' || substr(md5('{salt}' || CAST(j AS VARCHAR) || '#' || CAST(p.{key} AS VARCHAR)), 1, 13) AS BIGINT) % {m} AS bit
+  FROM p, ks
+)
+SELECT pb.{key},
+       CAST(count(bits.bit) AS BIGINT) = {k} AS maybe_present
+FROM pb LEFT JOIN bits ON bits.j = pb.j AND bits.bit = pb.bit
+GROUP BY pb.{key}
+"""

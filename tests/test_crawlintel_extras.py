@@ -370,3 +370,39 @@ def test_cocitation_pair_emission_bounded(spark):
     assert {(r.dst_a, r.dst_b, r.n_common) for r in out.collect()} == {
         (5, 6, 2)
     }
+
+
+# ------------------------------------------------------ host alias fold
+def test_host_alias_rules_containment_threshold(spark):
+    rows = (
+        # full mirror: www.a == a
+        [("a.test", f"h{i}") for i in range(10)]
+        + [("www.a.test", f"h{i}") for i in range(10)]
+        # half mirror: below 800 permille -> no rule
+        + [("b.test", f"b{i}") for i in range(10)]
+        + [("www.b.test", f"b{i}") for i in range(5)]
+        + [("www.b.test", f"x{i}") for i in range(5)]
+        # www-only host: zero share
+        + [("www.c.test", f"c{i}") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "host string, content_hash string")
+    got = {
+        (r.alias, r.canonical): r.share_permille
+        for r in crawlintel.host_alias_rules(df, min_share_permille=800).collect()
+    }
+    assert got == {("www.a.test", "a.test"): 1000}
+
+
+def test_fold_host_aliases_rewrites_only_aliases(spark):
+    frontier = spark.createDataFrame(
+        [("www.a.test", 1), ("a.test", 2), ("other.test", 3)],
+        "host string, x int",
+    )
+    rules = spark.createDataFrame(
+        [("www.a.test", "a.test")], "alias string, canonical string"
+    )
+    got = {
+        (r.host, r.x)
+        for r in crawlintel.fold_host_aliases(frontier, rules).collect()
+    }
+    assert got == {("a.test", 1), ("a.test", 2), ("other.test", 3)}

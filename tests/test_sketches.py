@@ -168,3 +168,38 @@ def test_hll_registers_grouped_by_matches_merge(spark):
         for r in sketches.hll_registers(df.filter("g = 0"), "k", p=6).collect()
     }
     assert g0 == slice0
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(300)], "key string"
+    )
+    bits = sketches.bloom_bits(members, "key", m=4096, k=3)
+    # members ∪ strangers probed together
+    probes = spark.createDataFrame(
+        [(f"m{i}",) for i in range(300)] + [(f"s{i}",) for i in range(300)],
+        "key string",
+    )
+    got = {
+        r.key: r.maybe_present
+        for r in sketches.bloom_probe(bits, probes, "key", m=4096, k=3).collect()
+    }
+    assert all(got[f"m{i}"] for i in range(300))  # no false negatives
+    fps = sum(got[f"s{i}"] for i in range(300))
+    # expected FP rate (1-e^{-kn/m})^3 ~ 0.8%; 3 sigma head-room
+    assert fps <= 20
+
+
+def test_bloom_union_is_merge(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "key string")
+    both = a.unionByName(b)
+    merged = (
+        sketches.bloom_bits(a, "key")
+        .unionByName(sketches.bloom_bits(b, "key"))
+        .dropDuplicates()
+    )
+    whole = sketches.bloom_bits(both, "key")
+    assert {(r.j, r.bit) for r in merged.collect()} == {
+        (r.j, r.bit) for r in whole.collect()
+    }
