@@ -3011,6 +3011,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("alloc").alias("alloc_total"),
         )
 
+    def degree_profile(spark, sf):
+        # log2-binned in/out degree histogram over the ring+chord graph
+        # plus a 10-spoke hub (out-deg 10 -> bin 4) — the trap/farm
+        # early-warning profile that sizes every degree cap
+        from netrunner_spark.operators.graph import degree_histogram
+
+        ev = _t(spark, sf, "events")
+        base = ev.select(
+            (F.col("event_id") % 30).alias("src"),
+            F.expr("(event_id % 30 + 1 + (event_id DIV 30) % 2) % 30").alias("dst"),
+        )
+        hub = ev.filter(F.col("event_id") % 7 == 0).select(
+            F.lit(100).cast("long").alias("src"),
+            (F.col("event_id") % 10).alias("dst"),
+        )
+        return degree_histogram(base.unionByName(hub))
+
+    def event_spikes(spark, sf):
+        # per-type daily volume vs its own 7-day trailing window,
+        # exact-integer 1.5x threshold; warm-up days never flag
+        from netrunner_spark.operators.temporal import daily_spikes
+
+        ev = _t(spark, sf, "events")
+        return daily_spikes(ev)
+
     def host_alias_fold(spark, sf):
         # the www-mirror loop closed: mine www->bare fold rules from
         # content-hash containment (sites 0-2,5 full share -> fold;
@@ -3370,6 +3395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_sketch": rolling_active_sketch,
         "host_alias_fold": host_alias_fold,
         "sketch_bloom_probe": sketch_bloom_probe,
+        "degree_profile": degree_profile,
+        "event_spikes": event_spikes,
     }
 
 
@@ -6318,6 +6345,42 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    _dbl = __import__(
+        "netrunner_spark.operators.sketches", fromlist=["_bitlen_case"]
+    )._bitlen_case("deg", 48)
+    oracles["degree_profile"] = f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT event_id % 30 AS src,
+           (event_id % 30 + 1 + (event_id // 30) % 2) % 30 AS dst
+    FROM events
+    UNION ALL
+    SELECT 100 AS src, event_id % 10 AS dst FROM events WHERE event_id % 7 = 0
+  )
+), degs AS (
+  SELECT 'out' AS side, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+  UNION ALL
+  SELECT 'in' AS side, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY dst
+)
+SELECT side, CAST({_dbl} AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_nodes
+FROM degs GROUP BY side, bin
+"""
+    oracles["event_spikes"] = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT cur.day, cur.event_type, cur.cnt,
+       CAST(coalesce(sum(past.cnt), 0) AS BIGINT) AS trail_sum,
+       CAST(count(past.cnt) AS BIGINT) AS trail_days,
+       (count(past.cnt) >= 3
+        AND cur.cnt * count(past.cnt) * 10 > 15 * coalesce(sum(past.cnt), 0))
+         AS spike
+FROM d cur LEFT JOIN d past
+  ON past.event_type = cur.event_type
+ AND past.day < cur.day AND past.day >= cur.day - 7
+GROUP BY cur.day, cur.event_type, cur.cnt
+"""
     oracles["host_alias_fold"] = """
 WITH pg AS (
   SELECT CASE event_id % 2 WHEN 0 THEN 'site' || CAST(event_id % 6 AS VARCHAR) || '.test'

@@ -128,6 +128,8 @@ HEADLINE = [
     "rolling_active_sketch",
     "host_alias_fold",
     "sketch_bloom_probe",
+    "degree_profile",
+    "event_spikes",
 ]
 
 

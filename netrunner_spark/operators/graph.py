@@ -680,3 +680,41 @@ def bowtie(edges: DataFrame, pivot: int, max_iters: int = 50) -> DataFrame:
             .alias("component"),
         )
     )
+
+
+def degree_histogram(edges: DataFrame, max_bits: int = 48) -> DataFrame:
+    """Log2-binned degree distribution of a directed graph →
+    ``(side, bin, n_nodes)`` with side ∈ {in, out} and bin =
+    bit_length(degree) (so bin b covers degrees [2^(b-1), 2^b)).
+
+    The first diagnostic over a discovered link graph: a crawl whose
+    out-degree tail fattens round-over-round is walking into a link
+    farm or calendar trap long before harvest permille says so, and
+    the histogram is what sizes every downstream degree cap
+    (`cocitation_pairs.max_src_out`, `mirror_hosts.max_hash_df`).
+
+    Two hash aggregates (degree per node, nodes per bin) — the bin
+    step reuses the exact-integer bit-length CASE from the HLL sketch
+    (`sketches._bitlen_case`), so the DuckDB twin is bit-identical
+    with no float log2 anywhere.
+    """
+    from netrunner_spark.operators.sketches import _bitlen_case
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).dropDuplicates()
+    case = _bitlen_case("deg", max_bits)
+    out = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.lit("out").alias("side"), F.expr(case).alias("bin"))
+    )
+    inn = (
+        e.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.lit("in").alias("side"), F.expr(case).alias("bin"))
+    )
+    return (
+        out.unionByName(inn)
+        .groupBy("side", "bin")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

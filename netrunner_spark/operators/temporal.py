@@ -272,3 +272,56 @@ def transition_counts(
     return pairs.groupBy("src_type", "dst_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def daily_spikes(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    min_trail_days: int = 3,
+    num: int = 15,
+    den: int = 10,
+) -> DataFrame:
+    """Per-type daily volume spikes against a trailing window →
+    ``(day, event_type, cnt, trail_sum, trail_days, spike)``.
+
+    spike ⇔ at least ``min_trail_days`` of history AND
+    ``cnt · trail_days · den > num · trail_sum`` — i.e. today exceeds
+    num/den × the trailing mean, in EXACT integer arithmetic (the
+    mean is never materialized, both sides stay int64). The
+    error-burst / crawler-trap alarm next to ``host_health``'s level
+    tiers: health sees rates, this sees drift against each type's own
+    baseline.
+
+    Shape: one daily aggregate (days × types rows — tiny), one
+    bounded range self-join (≤ window_days matches per row), one
+    aggregate. The raw event table is touched exactly once.
+    """
+    d = events.groupBy(
+        F.to_date(ts_col).alias("day"), F.col(type_col).alias("event_type")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cur, past = d.alias("cur"), d.alias("past")
+    trail = (
+        cur.join(
+            past,
+            (F.col("past.event_type") == F.col("cur.event_type"))
+            & (F.col("past.day") < F.col("cur.day"))
+            & (F.col("past.day") >= F.date_sub(F.col("cur.day"), window_days)),
+            "left",
+        )
+        .groupBy(
+            F.col("cur.day").alias("day"),
+            F.col("cur.event_type").alias("event_type"),
+            F.col("cur.cnt").alias("cnt"),
+        )
+        .agg(
+            F.coalesce(F.sum("past.cnt"), F.lit(0)).alias("trail_sum"),
+            F.count("past.cnt").alias("trail_days"),
+        )
+    )
+    return trail.withColumn(
+        "spike",
+        (F.col("trail_days") >= min_trail_days)
+        & (F.col("cnt") * F.col("trail_days") * den > num * F.col("trail_sum")),
+    )

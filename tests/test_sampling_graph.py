@@ -422,3 +422,18 @@ def test_reach_closure_direction_and_fixpoint(spark):
     bwd = {r.id for r in reach_closure(df, seeds, reverse=True).collect()}
     assert fwd == {0, 1, 2}
     assert bwd == {0, 3}
+
+
+def test_degree_histogram_bins(spark):
+    from netrunner_spark.operators.graph import degree_histogram
+
+    # node 0 -> 9 targets (bin 4: deg 9), nodes 1..3 -> 1 target (bin 1)
+    edges = [(0, 100 + i) for i in range(9)] + [(1, 0), (2, 0), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.side, r.bin): r.n_nodes for r in degree_histogram(df).collect()
+    }
+    assert got[("out", 4)] == 1        # deg 9 -> bit_length 4
+    assert got[("out", 1)] == 3        # deg 1
+    assert got[("in", 1)] == 9         # the 9 targets
+    assert got[("in", 2)] == 1         # node 0 in-deg 3 -> bit_length 2

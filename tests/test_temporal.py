@@ -258,3 +258,29 @@ def test_funnel_differential_vs_python_reference(spark):
     )
     got = {r.stage: r.n_users for r in funnel(ev, stages).collect()}
     assert got == ref(rows)
+
+
+def test_daily_spikes_threshold_and_warmup(spark):
+    import datetime as dt
+
+    rows = []
+    # type 'a': 10/day for 7 days, then 16 on day 8 (16*7*10 > 15*70 -> spike)
+    for day in range(1, 8):
+        rows += [(i, dt.datetime(2026, 1, day, 1, 0, i), "a") for i in range(10)]
+    rows += [(i, dt.datetime(2026, 1, 8, 1, 0, i), "a") for i in range(16)]
+    # type 'b': big day-1 volume -> zero trail days, never flags
+    rows += [(i, dt.datetime(2026, 1, 1, 2, 0, i), "b") for i in range(50)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    from netrunner_spark.operators.temporal import daily_spikes
+
+    got = {
+        (str(r.day), r.event_type): (r.cnt, r.trail_days, r.spike)
+        for r in daily_spikes(ev).collect()
+    }
+    assert got[("2026-01-08", "a")] == (16, 7, True)
+    assert got[("2026-01-02", "a")][2] is False  # 1 trail day < min 3
+    assert got[("2026-01-01", "b")] == (50, 0, False)
+    # steady days never spike
+    assert got[("2026-01-07", "a")][2] is False
