@@ -3011,6 +3011,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("alloc").alias("alloc_total"),
         )
 
+    def caption_lang_mix(spark, sf):
+        # CLIP-style caption-language audit per image format: lang_id
+        # over the captions joined back to the image view; the mix
+        # table a multilingual image-text curation run starts from
+        img = _image_meta(spark, sf)
+        docs = img.select(
+            F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+        )
+        return (
+            textops.lang_id(docs)
+            .join(
+                img.select(F.col("image_id").alias("doc_id"), "fmt"), "doc_id"
+            )
+            .groupBy("pred_lang", "fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"))
+        )
+
+    def image_res_tiers(spark, sf):
+        # training-resolution tier plan: min-side thresholds route each
+        # image to drop/256/512/1024; per (fmt, tier) row and byte
+        # totals size the decode+resize stages
+        img = _image_meta(spark, sf)
+        tier = (
+            F.when(F.least("w", "h") < 256, "drop")
+            .when(F.least("w", "h") < 512, "t256")
+            .when(F.least("w", "h") < 1024, "t512")
+            .otherwise("t1024")
+        )
+        return img.groupBy("fmt", tier.alias("tier")).agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+
     def degree_profile(spark, sf):
         # log2-binned in/out degree histogram over the ring+chord graph
         # plus a 10-spoke hub (out-deg 10 -> bin 4) — the trap/farm
@@ -3397,6 +3430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_probe": sketch_bloom_probe,
         "degree_profile": degree_profile,
         "event_spikes": event_spikes,
+        "caption_lang_mix": caption_lang_mix,
+        "image_res_tiers": image_res_tiers,
     }
 
 
@@ -6345,6 +6380,29 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    # caption_lang_mix: lang_id twin nested verbatim over the captions
+    # (captions ARE the document texts), joined to the image view
+    oracles["caption_lang_mix"] = (
+        _IMG_CTE
+        + f""", lp AS ({oracles["lang_id"]})
+SELECT lp.pred_lang, img.fmt, CAST(count(*) AS BIGINT) AS n_images
+FROM lp JOIN img ON img.image_id = lp.doc_id
+GROUP BY 1, 2
+"""
+    )
+    oracles["image_res_tiers"] = (
+        _IMG_CTE
+        + """
+SELECT fmt,
+       CASE WHEN least(w, h) < 256 THEN 'drop'
+            WHEN least(w, h) < 512 THEN 't256'
+            WHEN least(w, h) < 1024 THEN 't512'
+            ELSE 't1024' END AS tier,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM img GROUP BY 1, 2
+"""
+    )
     _dbl = __import__(
         "netrunner_spark.operators.sketches", fromlist=["_bitlen_case"]
     )._bitlen_case("deg", 48)

@@ -130,6 +130,8 @@ HEADLINE = [
     "sketch_bloom_probe",
     "degree_profile",
     "event_spikes",
+    "caption_lang_mix",
+    "image_res_tiers",
 ]
 
 
