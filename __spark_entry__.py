@@ -3011,6 +3011,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("alloc").alias("alloc_total"),
         )
 
+    def sitemap_coverage(spark, sf):
+        # fetch-debt audit: cache paths 0-9 vs sitemap paths 3-10 per
+        # host -> both 3-9, cache-only 0-2, sitemap-only 10
+        from netrunner_spark.operators.crawlintel import (
+            sitemap_coverage as _smc,
+        )
+
+        ev = _t(spark, sf, "events")
+        host = F.concat(
+            F.lit("h"), (F.col("event_id") % 4).cast("string"), F.lit(".test")
+        )
+        cache = ev.select(
+            host.alias("host"),
+            F.concat(F.lit("/p/"), (F.col("event_id") % 10).cast("string")).alias(
+                "url"
+            ),
+        )
+        smap = ev.select(
+            host.alias("host"),
+            F.concat(
+                F.lit("/p/"), ((F.col("event_id") % 8) + 3).cast("string")
+            ).alias("url"),
+        )
+        return _smc(cache, smap)
+
+    def signature_bit_balance(spark, sf):
+        # LSH banding pre-flight: per-bit ones permille of the 16-bit
+        # simhash family; a stuck bit silently halves band count
+        from netrunner_spark.operators.textops import bit_balance
+
+        sigs = textops.simhash(_t(spark, sf, "documents"), max_doc_id=150)
+        return bit_balance(sigs, bits=16, sig_col="simhash")
+
     def caption_lang_mix(spark, sf):
         # CLIP-style caption-language audit per image format: lang_id
         # over the captions joined back to the image view; the mix
@@ -3432,6 +3465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_spikes": event_spikes,
         "caption_lang_mix": caption_lang_mix,
         "image_res_tiers": image_res_tiers,
+        "sitemap_coverage": sitemap_coverage,
+        "signature_bit_balance": signature_bit_balance,
     }
 
 
@@ -6380,6 +6415,40 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["sitemap_coverage"] = """
+WITH c AS (
+  SELECT DISTINCT 'h' || CAST(event_id % 4 AS VARCHAR) || '.test' AS host,
+         '/p/' || CAST(event_id % 10 AS VARCHAR) AS url
+  FROM events
+), s AS (
+  SELECT DISTINCT 'h' || CAST(event_id % 4 AS VARCHAR) || '.test' AS host,
+         '/p/' || CAST(event_id % 8 + 3 AS VARCHAR) AS url
+  FROM events
+), j AS (
+  SELECT coalesce(c.host, s.host) AS host,
+         CASE WHEN c.url IS NOT NULL AND s.url IS NOT NULL THEN 'b'
+              WHEN s.url IS NULL THEN 'c' ELSE 's' END AS k
+  FROM c FULL OUTER JOIN s ON s.host = c.host AND s.url = c.url
+)
+SELECT host,
+       CAST(sum(CASE WHEN k = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN k = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_cache_only,
+       CAST(sum(CASE WHEN k = 's' THEN 1 ELSE 0 END) AS BIGINT) AS n_sitemap_only,
+       CASE WHEN sum(CASE WHEN k IN ('b', 's') THEN 1 ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN k = 'b' THEN 1 ELSE 0 END) * 1000
+                 // sum(CASE WHEN k IN ('b', 's') THEN 1 ELSE 0 END) AS BIGINT)
+       END AS coverage_permille
+FROM j GROUP BY host
+"""
+    _pw = ", ".join(f"({i}, {1 << i})" for i in range(16))
+    oracles["signature_bit_balance"] = f"""
+WITH sg AS ({oracles["simhash"]}),
+ks AS (SELECT * FROM (VALUES {_pw}) AS t(bit, p))
+SELECT bit,
+       CAST(sum((simhash // p) % 2) * 1000 // count(*) AS BIGINT) AS ones_permille,
+       abs(sum((simhash // p) % 2) * 1000 // count(*) - 500) > 300 AS skewed
+FROM sg, ks GROUP BY bit
+"""
     # caption_lang_mix: lang_id twin nested verbatim over the captions
     # (captions ARE the document texts), joined to the image view
     oracles["caption_lang_mix"] = (

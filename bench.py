@@ -132,6 +132,8 @@ HEADLINE = [
     "event_spikes",
     "caption_lang_mix",
     "image_res_tiers",
+    "sitemap_coverage",
+    "signature_bit_balance",
 ]
 
 

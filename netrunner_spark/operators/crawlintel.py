@@ -1223,3 +1223,48 @@ def fold_host_aliases(frontier: DataFrame, rules: DataFrame) -> DataFrame:
         .withColumn("host", F.coalesce("canonical", F.col("host")))
         .drop("canonical")
     )
+
+
+def sitemap_coverage(
+    cache: DataFrame, sitemap: DataFrame
+) -> DataFrame:
+    """Cache-vs-sitemap coverage audit per host → ``(host, n_both,
+    n_cache_only, n_sitemap_only, coverage_permille)``.
+
+    :func:`sitemap_diff` compares two sitemap SNAPSHOTS; this compares
+    the sitemap against what the crawl actually banked. Low coverage =
+    fetch debt (the host publishes more than we take); high cache-only
+    = link-discovered URLs the publisher doesn't list — both feed the
+    next round's budget weights. Inputs are (host, url) sets; one
+    full-outer equi-join on the composite key + one host aggregate.
+    """
+    c = cache.select("host", "url").dropDuplicates().withColumn(
+        "in_cache", F.lit(1)
+    )
+    s = sitemap.select("host", "url").dropDuplicates().withColumn(
+        "in_map", F.lit(1)
+    )
+    j = c.join(s, ["host", "url"], "full_outer")
+    return (
+        j.groupBy("host")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("in_cache").isNotNull() & F.col("in_map").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_both"),
+            F.sum(F.when(F.col("in_map").isNull(), 1).otherwise(0)).alias(
+                "n_cache_only"
+            ),
+            F.sum(F.when(F.col("in_cache").isNull(), 1).otherwise(0)).alias(
+                "n_sitemap_only"
+            ),
+        )
+        .withColumn(
+            "coverage_permille",
+            F.expr(
+                "CASE WHEN n_both + n_sitemap_only > 0"
+                " THEN n_both * 1000 DIV (n_both + n_sitemap_only) END"
+            ),
+        )
+    )

@@ -1747,3 +1747,45 @@ SELECT dw.doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
 FROM dw JOIN tok USING (word) GROUP BY dw.doc_id"""
     )
     return "\n".join(parts)
+
+
+def bit_balance(
+    sigs: DataFrame, bits: int = 16, sig_col: str = "simhash"
+) -> DataFrame:
+    """Per-bit balance audit of a signature column → ``(bit,
+    ones_permille, skewed)``: the fraction of signatures with bit b
+    set, exact integer permille; ``skewed`` when it strays more than
+    300 from 500.
+
+    Why it matters: every hamming-LSH band scheme
+    (`hamming_near_dups`, `phash_radius_search`) assumes bits are
+    roughly balanced — a stuck bit makes its band uninformative
+    (everything collides) and silently halves effective band count.
+    This is the audit to run before choosing ``bands``. Pure
+    projection (per-bit literals, no lambda-shift) + one aggregate of
+    ``bits`` rows.
+    """
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("bit"),
+                    F.expr(
+                        f"CAST({sig_col} AS BIGINT) DIV {1 << i} % 2"
+                    ).alias("v"),
+                )
+                for i in range(bits)
+            ]
+        )
+    )
+    per_bit = (
+        sigs.select(pairs.alias("p"))
+        .select(F.col("p.bit").alias("bit"), F.col("p.v").alias("v"))
+        .groupBy("bit")
+        .agg(F.sum("v").alias("ones"), F.count(F.lit(1)).alias("n"))
+    )
+    return per_bit.select(
+        "bit",
+        F.expr("ones * 1000 DIV n").alias("ones_permille"),
+        F.expr("abs(ones * 1000 DIV n - 500) > 300").alias("skewed"),
+    )

@@ -406,3 +406,21 @@ def test_fold_host_aliases_rewrites_only_aliases(spark):
         for r in crawlintel.fold_host_aliases(frontier, rules).collect()
     }
     assert got == {("a.test", 1), ("a.test", 2), ("other.test", 3)}
+
+
+def test_sitemap_coverage_counts(spark):
+    cache = spark.createDataFrame(
+        [("a", "/1"), ("a", "/2"), ("a", "/extra"), ("b", "/x")],
+        "host string, url string",
+    )
+    smap = spark.createDataFrame(
+        [("a", "/1"), ("a", "/2"), ("a", "/unfetched"), ("c", "/only")],
+        "host string, url string",
+    )
+    got = {
+        r.host: (r.n_both, r.n_cache_only, r.n_sitemap_only, r.coverage_permille)
+        for r in crawlintel.sitemap_coverage(cache, smap).collect()
+    }
+    assert got["a"] == (2, 1, 1, 666)
+    assert got["b"] == (0, 1, 0, None)   # no sitemap: coverage undefined
+    assert got["c"] == (0, 0, 1, 0)

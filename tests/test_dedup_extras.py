@@ -371,3 +371,15 @@ def test_line_dedup_differential_vs_python_reference(spark):
         ).collect()
     }
     assert got == ref(docs)
+
+
+def test_bit_balance_detects_stuck_bit(spark):
+    # bit 0 always 1 (all odd), bit 1 balanced, bit 2 always 0
+    sigs = spark.createDataFrame(
+        [(i,) for i in (1, 3, 1, 3, 1, 3)], "simhash long"
+    )
+    got = {r.bit: (r.ones_permille, r.skewed) for r in
+           textops.bit_balance(sigs, bits=3).collect()}
+    assert got[0] == (1000, True)
+    assert got[1] == (500, False)
+    assert got[2] == (0, True)
