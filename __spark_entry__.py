@@ -3011,6 +3011,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("alloc").alias("alloc_total"),
         )
 
+    def url_depth_profile(spark, sf):
+        # frontier shape audit: per (host, path-depth) URL counts +
+        # how many carry query strings — deep tails and param-heavy
+        # levels are the calendar-trap silhouette url_templates then
+        # confirms; pure projection + one aggregate
+        ev = _t(spark, sf, "events")
+        urls = ev.select(
+            F.concat(
+                F.lit("h"), (F.col("event_id") % 4).cast("string"), F.lit(".test")
+            ).alias("host"),
+            F.expr(
+                "concat('/a', CASE WHEN event_id % 3 = 0 THEN '/b' ELSE '' END,"
+                " CASE WHEN event_id % 9 = 0 THEN '/c/d' ELSE '' END,"
+                " '/p', CAST(event_id % 10 AS STRING),"
+                " CASE WHEN event_id % 5 = 0 THEN '?page=' || CAST(event_id % 7 AS STRING)"
+                " ELSE '' END)"
+            ).alias("path"),
+        )
+        seg = F.expr("regexp_replace(path, '\\\\?.*$', '')")
+        return (
+            urls.select(
+                "host",
+                (F.size(F.split(seg, "/")) - 1).alias("depth"),
+                F.col("path").contains("?").cast("int").alias("has_q"),
+            )
+            .groupBy("host", "depth")
+            .agg(
+                F.count(F.lit(1)).alias("n_urls"),
+                F.sum("has_q").alias("n_with_query"),
+            )
+        )
+
+    def image_bpp_outliers(spark, sf):
+        # bytes-per-kilopixel audit: corrupt/suspicious payloads stick
+        # out as extreme storage density; exact integer permille, fixed
+        # threshold, per-format outlier counts
+        img = _image_meta(spark, sf)
+        bpp = F.expr("n_bytes * 1000 DIV (CAST(w AS BIGINT) * h)")
+        return (
+            img.select("fmt", bpp.alias("bytes_per_kpx"))
+            .groupBy("fmt")
+            .agg(
+                F.count(F.lit(1)).alias("n_images"),
+                F.max("bytes_per_kpx").alias("max_bpp"),
+                F.sum(
+                    (F.col("bytes_per_kpx") > 400).cast("long")
+                ).alias("n_outliers"),
+            )
+        )
+
     def sitemap_coverage(spark, sf):
         # fetch-debt audit: cache paths 0-9 vs sitemap paths 3-10 per
         # host -> both 3-9, cache-only 0-2, sitemap-only 10
@@ -3467,6 +3517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_res_tiers": image_res_tiers,
         "sitemap_coverage": sitemap_coverage,
         "signature_bit_balance": signature_bit_balance,
+        "url_depth_profile": url_depth_profile,
+        "image_bpp_outliers": image_bpp_outliers,
     }
 
 
@@ -6415,6 +6467,33 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["url_depth_profile"] = r"""
+WITH u AS (
+  SELECT 'h' || CAST(event_id % 4 AS VARCHAR) || '.test' AS host,
+         '/a' || CASE WHEN event_id % 3 = 0 THEN '/b' ELSE '' END
+              || CASE WHEN event_id % 9 = 0 THEN '/c/d' ELSE '' END
+              || '/p' || CAST(event_id % 10 AS VARCHAR)
+              || CASE WHEN event_id % 5 = 0
+                      THEN '?page=' || CAST(event_id % 7 AS VARCHAR)
+                      ELSE '' END AS path
+  FROM events
+)
+SELECT host,
+       CAST(len(string_split(regexp_replace(path, '\?.*$', ''), '/')) - 1 AS INT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN contains(path, '?') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_query
+FROM u GROUP BY 1, 2
+"""
+    oracles["image_bpp_outliers"] = (
+        _IMG_CTE
+        + """
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       max(n_bytes * 1000 // (CAST(w AS BIGINT) * h)) AS max_bpp,
+       CAST(sum(CASE WHEN n_bytes * 1000 // (CAST(w AS BIGINT) * h) > 400
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM img GROUP BY fmt
+"""
+    )
     oracles["sitemap_coverage"] = """
 WITH c AS (
   SELECT DISTINCT 'h' || CAST(event_id % 4 AS VARCHAR) || '.test' AS host,

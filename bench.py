@@ -134,6 +134,8 @@ HEADLINE = [
     "image_res_tiers",
     "sitemap_coverage",
     "signature_bit_balance",
+    "url_depth_profile",
+    "image_bpp_outliers",
 ]
 
 
