@@ -1242,6 +1242,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return keyed.withColumn("zval", layout.zvalue("x", "y", bits=10))
 
+    def hilbert_curve(spark, sf):
+        # Hilbert index over the same two event dimensions as
+        # zorder_curve — the locality-optimal clustering key (no
+        # Morton power-of-two seams); per-level rewrites collapse into
+        # one codegen stage
+        from netrunner_spark.operators import layout
+
+        e = _t(spark, sf, "events")
+        keyed = e.select(
+            "event_id",
+            (F.col("user_id") % 1024).alias("x"),
+            (F.length("props") % 1024).cast("long").alias("y"),
+        )
+        return layout.hilbert_df(keyed, "x", "y", bits=10)
+
     def multimodal_dup_pairs(spark, sf):
         # image axis: caption MinHash-LSH near-dup AND exact dims/fmt
         # agreement — the high-precision multimodal dedup pre-filter
@@ -3519,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signature_bit_balance": signature_bit_balance,
         "url_depth_profile": url_depth_profile,
         "image_bpp_outliers": image_bpp_outliers,
+        "hilbert_curve": hilbert_curve,
     }
 
 
@@ -6467,6 +6483,17 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    _hsql = __import__(
+        "netrunner_spark.operators.layout", fromlist=["hilbert_sql"]
+    ).hilbert_sql("x", "y", bits=10, src="k")
+    oracles["hilbert_curve"] = f"""
+WITH k AS (
+  SELECT event_id, user_id % 1024 AS x,
+         CAST(length(props) % 1024 AS BIGINT) AS y
+  FROM events
+){_hsql}
+SELECT event_id, x, y, hval FROM h0
+"""
     oracles["url_depth_profile"] = r"""
 WITH u AS (
   SELECT 'h' || CAST(event_id % 4 AS VARCHAR) || '.test' AS host,

@@ -136,6 +136,7 @@ HEADLINE = [
     "signature_bit_balance",
     "url_depth_profile",
     "image_bpp_outliers",
+    "hilbert_curve",
 ]
 
 

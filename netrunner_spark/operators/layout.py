@@ -117,3 +117,91 @@ def touched_partitions(
             & (F.col("min_b") <= b_hi)
         ).count()
     )
+
+
+def hilbert_df(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 10,
+    out: str = "hval",
+) -> DataFrame:
+    """Hilbert-curve index of two non-negative integer columns (low
+    ``bits`` each) → the input plus ``out``.
+
+    Z-order's locality has seams: Morton adjacency jumps at power-of-
+    two boundaries, so a rectangle can straddle distant z-ranges. The
+    Hilbert curve is the locality-optimal space-filling curve (every
+    curve-adjacent pair is grid-adjacent), giving measurably tighter
+    file rectangles for the same range-partitioned write — Delta/
+    Iceberg grew `OPTIMIZE ... HILBERT` for exactly this reason.
+
+    The classic per-level rotate-and-accumulate walk (Wikipedia's
+    `xy2d`, public domain) is sequential per row; here each level is
+    ONE chained projection rewriting (x, y, d) with branch-free CASEs
+    — Catalyst collapses all ``bits`` levels into a single codegen
+    stage, exact int64 throughout, and :func:`hilbert_sql` emits the
+    identical arithmetic as chained CTEs so the twin cannot drift.
+    """
+    assert 0 < bits <= 26  # d < 4^bits must fit comfortably in int64
+    res = df.withColumn("_hx", F.col(col_a).cast("long")).withColumn(
+        "_hy", F.col(col_b).cast("long")
+    ).withColumn(out, F.lit(0).cast("long"))
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = (F.col("_hx").bitwiseAND(F.lit(s)) > 0).cast("long")
+        ry = (F.col("_hy").bitwiseAND(F.lit(s)) > 0).cast("long")
+        # (3*rx) XOR ry spelled as a CASE so both engines share text
+        quad = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when((rx == 0) & (ry == 1), 1)
+            .when((rx == 1) & (ry == 1), 2)
+            .otherwise(3)
+        )
+        res = res.withColumn(out, F.col(out) + F.lit(s) * F.lit(s) * quad)
+        nx = (
+            F.when(ry == 1, F.col("_hx"))
+            .when(rx == 1, F.lit(s) - 1 - F.col("_hy"))
+            .otherwise(F.col("_hy"))
+        )
+        ny = (
+            F.when(ry == 1, F.col("_hy"))
+            .when(rx == 1, F.lit(s) - 1 - F.col("_hx"))
+            .otherwise(F.col("_hx"))
+        )
+        res = res.withColumn("_nx", nx).withColumn("_ny", ny).withColumn(
+            "_hx", F.col("_nx")
+        ).withColumn("_hy", F.col("_ny")).drop("_nx", "_ny")
+    return res.drop("_hx", "_hy")
+
+
+def hilbert_sql(a: str, b: str, bits: int = 10, src: str = "k") -> str:
+    """DuckDB twin of :func:`hilbert_df`: the identical per-level
+    rewrite as chained CTEs over source ``src`` (which must provide
+    ``{a}``, ``{b}`` and any passthrough columns). Returns the chain
+    ending in CTE ``hN`` with column ``hval``; callers SELECT from it."""
+    parts = [
+        f", h{bits} AS (SELECT *, CAST({a} AS BIGINT) AS _hx,"
+        f" CAST({b} AS BIGINT) AS _hy, CAST(0 AS BIGINT) AS hval FROM {src})"
+    ]
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        prev = f"h{level + 1}"
+        parts.append(
+            f""", h{level} AS (
+  SELECT * EXCLUDE (_hx, _hy, hval),
+         CASE WHEN (_hy & {s}) > 0 THEN _hx
+              WHEN (_hx & {s}) > 0 THEN {s} - 1 - _hy
+              ELSE _hy END AS _hx,
+         CASE WHEN (_hy & {s}) > 0 THEN _hy
+              WHEN (_hx & {s}) > 0 THEN {s} - 1 - _hx
+              ELSE _hx END AS _hy,
+         hval + {s}::BIGINT * {s} * (
+           CASE WHEN (_hx & {s}) = 0 AND (_hy & {s}) = 0 THEN 0
+                WHEN (_hx & {s}) = 0 THEN 1
+                WHEN (_hy & {s}) > 0 THEN 2
+                ELSE 3 END) AS hval
+  FROM {prev}
+)"""
+        )
+    return "".join(parts)

@@ -68,3 +68,49 @@ def test_zorder_prunes_2d_box(spark):
 
     # layout is a permutation, not a filter
     assert zdf.count() == n * n
+
+
+def _xy2d_ref(n_bits, x, y):
+    """Classic public-domain Hilbert xy2d walk (Wikipedia)."""
+    d = 0
+    s = 1 << (n_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_walk(spark):
+    import random
+
+    rng = random.Random(71)
+    pts = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(300)]
+    pts += [(0, 0), (1023, 1023), (0, 1023), (1023, 0), (512, 511)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.hval
+        for r in layout.hilbert_df(df, "x", "y", bits=10).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d_ref(10, x, y)
+
+
+def test_hilbert_is_bijective_and_adjacent(spark):
+    # full 16x16 grid: d must be a permutation of 0..255 and every
+    # consecutive pair of d values must be GRID-adjacent (the locality
+    # property z-order lacks)
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = layout.hilbert_df(df, "x", "y", bits=4).collect()
+    by_d = {r.hval: (r.x, r.y) for r in rows}
+    assert sorted(by_d) == list(range(256))
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
