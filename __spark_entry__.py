@@ -1242,6 +1242,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return keyed.withColumn("zval", layout.zvalue("x", "y", bits=10))
 
+    def tokenizer_fertility(spark, sf):
+        # tokens-per-word of the trained tokenizer, per source: the
+        # standard tokenizer-eval metric, composed from bpe_tokenize's
+        # counts (twin nested verbatim)
+        from netrunner_spark.operators.textops import bpe_token_counts
+
+        d = _t(spark, sf, "documents")
+        bt = bpe_token_counts(d, n_merges=3)
+        words = (
+            d.select(
+                "doc_id",
+                "source",
+                F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                    "word"
+                ),
+            )
+            .filter(F.col("word") != "")
+            .groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).alias("n_words"))
+        )
+        return (
+            words.join(bt, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.sum("n_words").alias("n_words"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            .withColumn(
+                "fertility_permille", F.expr("n_tokens * 1000 DIV n_words")
+            )
+        )
+
+    def token_budget_by_source(spark, sf):
+        # the pretraining budget in REAL tokenizer tokens: Hamilton
+        # apportionment of a 1M-token budget across sources weighted by
+        # trained-BPE token mass (bpe_tokenize + budget_alloc composed)
+        from netrunner_spark.operators import crawlintel
+        from netrunner_spark.operators.textops import bpe_token_counts
+
+        d = _t(spark, sf, "documents")
+        bt = bpe_token_counts(d, n_merges=3)
+        per_src = (
+            bt.join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.sum("n_tokens").alias("w"))
+        )
+        return crawlintel.budget_alloc(
+            per_src, "w", total=1_000_000, host_col="source"
+        ).select(F.col("host").alias("source"), "weight", "alloc")
+
     def hilbert_curve(spark, sf):
         # Hilbert index over the same two event dimensions as
         # zorder_curve — the locality-optimal clustering key (no
@@ -3535,6 +3585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_depth_profile": url_depth_profile,
         "image_bpp_outliers": image_bpp_outliers,
         "hilbert_curve": hilbert_curve,
+        "tokenizer_fertility": tokenizer_fertility,
+        "token_budget_by_source": token_budget_by_source,
     }
 
 
@@ -6483,6 +6535,48 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["bpe_tokenize"] = __import__(
+        "netrunner_spark.operators.textops", fromlist=["bpe_tokens_sql"]
+    ).bpe_tokens_sql(
+        "SELECT doc_id, word FROM (SELECT doc_id, unnest(string_split("
+        "regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word"
+        " FROM documents) WHERE word <> ''",
+        n_merges=3,
+    )
+    # tokenizer_fertility / token_budget_by_source: bpe_tokenize twin
+    # nested verbatim; Hamilton CTEs mirror budget_alloc exactly
+    oracles["tokenizer_fertility"] = f"""
+WITH bt AS ({oracles["bpe_tokenize"]}),
+wc AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_words
+  FROM (SELECT doc_id, source, unnest(string_split(regexp_replace(
+          lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY doc_id, source
+)
+SELECT source, CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_tokens) * 1000 // sum(n_words) AS BIGINT) AS fertility_permille
+FROM wc JOIN bt USING (doc_id) GROUP BY source
+"""
+    oracles["token_budget_by_source"] = f"""
+WITH bt AS ({oracles["bpe_tokenize"]}),
+w AS (
+  SELECT d.source, CAST(sum(bt.n_tokens) AS BIGINT) AS w
+  FROM bt JOIN documents d ON d.doc_id = bt.doc_id GROUP BY d.source
+), sh AS (
+  SELECT source, w AS weight,
+         CAST(1000000 * w // sum(w) OVER () AS BIGINT) AS fl,
+         CAST(1000000 * w % sum(w) OVER () AS BIGINT) AS rem
+  FROM w
+), r AS (
+  SELECT *, 1000000 - sum(fl) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+  FROM sh
+)
+SELECT source, weight,
+       CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
+"""
     _hsql = __import__(
         "netrunner_spark.operators.layout", fromlist=["hilbert_sql"]
     ).hilbert_sql("x", "y", bits=10, src="k")
@@ -6707,12 +6801,4 @@ SELECT CAST(count(*) AS BIGINT) AS n_hosts,
             // (count(*) * sum(alloc)) AS BIGINT) AS gini_permille
 FROM ranked
 """
-    oracles["bpe_tokenize"] = __import__(
-        "netrunner_spark.operators.textops", fromlist=["bpe_tokens_sql"]
-    ).bpe_tokens_sql(
-        "SELECT doc_id, word FROM (SELECT doc_id, unnest(string_split("
-        "regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word"
-        " FROM documents) WHERE word <> ''",
-        n_merges=3,
-    )
     return oracles

@@ -137,6 +137,8 @@ HEADLINE = [
     "url_depth_profile",
     "image_bpp_outliers",
     "hilbert_curve",
+    "tokenizer_fertility",
+    "token_budget_by_source",
 ]
 
 
