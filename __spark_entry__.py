@@ -1043,6 +1043,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sigs, bits=16, bands=4, max_hamming=2
         ).withColumn("hamming", F.col("hamming").cast("int"))
 
+    def hamming_distance_hist(spark, sf):
+        # banding calibration: the distance spectrum of verified LSH
+        # pairs (max_hamming twin nested) — where the near-dup
+        # threshold actually bites on this corpus
+        pairs = hamming_near_dups(spark, sf)
+        return pairs.groupBy("hamming").agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
+
     def ann_topk_int(spark, sf):
         return vectors.brute_topk_int(_t(spark, sf, "embeddings"))
 
@@ -3587,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_curve": hilbert_curve,
         "tokenizer_fertility": tokenizer_fertility,
         "token_budget_by_source": token_budget_by_source,
+        "hamming_distance_hist": hamming_distance_hist,
     }
 
 
@@ -6535,6 +6545,11 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["hamming_distance_hist"] = f"""
+WITH p AS ({oracles["hamming_near_dups"]})
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY hamming
+"""
     oracles["bpe_tokenize"] = __import__(
         "netrunner_spark.operators.textops", fromlist=["bpe_tokens_sql"]
     ).bpe_tokens_sql(

@@ -139,6 +139,7 @@ HEADLINE = [
     "hilbert_curve",
     "tokenizer_fertility",
     "token_budget_by_source",
+    "hamming_distance_hist",
 ]
 
 
