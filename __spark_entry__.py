@@ -1043,6 +1043,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sigs, bits=16, bands=4, max_hamming=2
         ).withColumn("hamming", F.col("hamming").cast("int"))
 
+    def pq_recall(spark, sf):
+        # PQ quality evaluation next to ann_recall's IVF: recall@5 of
+        # the ADC scan vs the L2 brute truth, integer percent — the
+        # compression-loss audit for the FAISS-family path
+        from netrunner_spark.operators import vectors
+
+        emb = _t(spark, sf, "embeddings")
+        t = vectors.brute_topk_int(emb, n_queries=10, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        a = vectors.pq_topk(
+            emb, m=4, ks=4, iters=2, n_queries=10, k=5
+        ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+        j = t.join(
+            a,
+            (t.query_id == a.query_id) & (t.neighbor_id == a.a_neighbor),
+            "left",
+        ).select(t.query_id, "neighbor_id", "a_neighbor")
+        return j.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("a_neighbor").alias("n_hit"),
+            F.expr("count(a_neighbor) * 100 div count(1)").alias("recall_pct"),
+        )
+
     def hamming_distance_hist(spark, sf):
         # banding calibration: the distance spectrum of verified LSH
         # pairs (max_hamming twin nested) — where the near-dup
@@ -3597,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": tokenizer_fertility,
         "token_budget_by_source": token_budget_by_source,
         "hamming_distance_hist": hamming_distance_hist,
+        "pq_recall": pq_recall,
     }
 
 
@@ -3610,6 +3635,18 @@ def oracle_sql() -> dict[str, str]:
     # never drift from the operators it measures
     d["ann_recall"] = f"""
         WITH t AS ({d["ann_topk_int"]}), a AS ({d["ann_ivf_topk"]})
+        SELECT t.query_id,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(count(a.neighbor_id) * 100 // count(*) AS BIGINT) AS recall_pct
+        FROM t LEFT JOIN a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+    """
+    # pq_recall: identical composition with the ADC scan as the
+    # approximate side
+    d["pq_recall"] = f"""
+        WITH t AS ({d["ann_topk_int"]}), a AS ({d["ann_pq_topk"]})
         SELECT t.query_id,
                CAST(count(*) AS BIGINT) AS k,
                CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,

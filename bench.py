@@ -140,6 +140,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "token_budget_by_source",
     "hamming_distance_hist",
+    "pq_recall",
 ]
 
 
