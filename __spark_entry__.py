@@ -1043,6 +1043,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sigs, bits=16, bands=4, max_hamming=2
         ).withColumn("hamming", F.col("hamming").cast("int"))
 
+    def mime_mismatch_report(spark, sf):
+        # payload integrity audit: claimed format vs magic-byte sniff
+        # over synthesized binary payloads (doc_id % 7 picks the real
+        # magic, % 3 the claimed label -> a full mismatch matrix);
+        # binary never crosses the oracle boundary, only the counts
+        from netrunner_spark.operators.imageops import sniff_mime
+
+        d = _t(spark, sf, "documents")
+        payload = d.select(
+            "doc_id",
+            F.expr(
+                "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'"
+                " ELSE 'gif' END"
+            ).alias("claimed_fmt"),
+            F.unhex(
+                F.concat(
+                    F.expr(
+                        "CASE doc_id % 7"
+                        " WHEN 0 THEN '89504E47'"
+                        " WHEN 1 THEN 'FFD8FFE0'"
+                        " WHEN 2 THEN '47494638'"
+                        " WHEN 3 THEN '25504446'"
+                        " WHEN 4 THEN '1F8B0800'"
+                        " WHEN 5 THEN '3C21444F'"
+                        " ELSE '00112233' END"
+                    ),
+                    F.md5(F.col("doc_id").cast("string")),
+                )
+            ).alias("bytes"),
+        )
+        return (
+            sniff_mime(payload)
+            .groupBy("claimed_fmt", "mime")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     def pq_recall(spark, sf):
         # PQ quality evaluation next to ann_recall's IVF: recall@5 of
         # the ADC scan vs the L2 brute truth, integer percent — the
@@ -3622,6 +3658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_by_source": token_budget_by_source,
         "hamming_distance_hist": hamming_distance_hist,
         "pq_recall": pq_recall,
+        "mime_mismatch_report": mime_mismatch_report,
     }
 
 
@@ -6582,6 +6619,34 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    # mime_mismatch_report: the twin works on hex text end-to-end (the
+    # engine's binary column never crosses the oracle boundary)
+    oracles["mime_mismatch_report"] = """
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+              ELSE 'gif' END AS claimed_fmt,
+         CASE doc_id % 7
+           WHEN 0 THEN '89504E47' WHEN 1 THEN 'FFD8FFE0'
+           WHEN 2 THEN '47494638' WHEN 3 THEN '25504446'
+           WHEN 4 THEN '1F8B0800' WHEN 5 THEN '3C21444F'
+           ELSE '00112233' END || upper(md5(CAST(doc_id AS VARCHAR))) AS hx
+  FROM documents
+), sniffed AS (
+  SELECT claimed_fmt,
+         CASE WHEN starts_with(hx, '89504E47') THEN 'image/png'
+              WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+              WHEN starts_with(hx, '47494638') THEN 'image/gif'
+              WHEN starts_with(hx, '25504446') THEN 'application/pdf'
+              WHEN starts_with(hx, '1F8B') THEN 'application/gzip'
+              WHEN starts_with(hx, '3C21444F') THEN 'text/html'
+              WHEN starts_with(hx, '3C68746D') THEN 'text/html'
+              ELSE 'application/octet-stream' END AS mime
+  FROM p
+)
+SELECT claimed_fmt, mime, CAST(count(*) AS BIGINT) AS n
+FROM sniffed GROUP BY 1, 2
+"""
     oracles["hamming_distance_hist"] = f"""
 WITH p AS ({oracles["hamming_near_dups"]})
 SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs

@@ -141,6 +141,7 @@ HEADLINE = [
     "token_budget_by_source",
     "hamming_distance_hist",
     "pq_recall",
+    "mime_mismatch_report",
 ]
 
 

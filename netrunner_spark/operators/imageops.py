@@ -373,3 +373,39 @@ def multimodal_dup_pairs(
             "fmt",
         )
     )
+
+
+# Magic-byte prefixes (hex, uppercase) -> MIME. The crawl stores payloads
+# as opaque binary; Content-Type headers lie (misconfigured origins,
+# mislabeled CDN caches), so the cache audit sniffs the leading bytes —
+# the same first check `images.decode_check_udf` makes before spending
+# decode time.
+MAGIC_PREFIXES = (
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("1F8B", "application/gzip"),
+    ("3C21444F", "text/html"),
+    ("3C68746D", "text/html"),
+)
+
+
+def sniff_mime(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Magic-byte MIME detection over a binary column → input +
+    ``mime`` (``application/octet-stream`` when nothing matches).
+
+    Pure projection: hex the first 8 payload bytes (JVM builtin) and
+    prefix-match the magic table — zero UDFs, zero shuffles, and the
+    bytes column is read only for its first bytes (Parquet still loads
+    the page, but nothing crosses to Python). The claimed-vs-sniffed
+    mismatch matrix is the image-axis integrity audit: a "jpeg" row
+    carrying a PNG magic is a mislabeled payload the resize stage
+    would otherwise reject at full decode cost.
+    """
+    head = F.upper(F.hex(F.substring(F.col(bytes_col), 1, 8)))
+    mime = None
+    for prefix, label in MAGIC_PREFIXES:
+        cond = head.startswith(prefix)
+        mime = F.when(cond, label) if mime is None else mime.when(cond, label)
+    return df.withColumn("mime", mime.otherwise("application/octet-stream"))

@@ -223,3 +223,29 @@ def test_metadata_ops_prune_bytes_at_scan(spark, tmp_path):
     assert schemas2 and all(
         "data" not in s and "caption" not in s for s in schemas2
     ), schemas2
+
+
+def test_sniff_mime_magic_table(spark):
+    cases = {
+        b"\x89PNG\r\n\x1a\n....": "image/png",
+        b"\xff\xd8\xff\xe0JFIF..": "image/jpeg",
+        b"GIF89a........": "image/gif",
+        b"%PDF-1.7......": "application/pdf",
+        b"\x1f\x8b\x08\x00......": "application/gzip",
+        b"<!DOCTYPE html>": "text/html",
+        b"<html><head></h": "text/html",
+        b"random payload.": "application/octet-stream",
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(cases)],
+        "i int, bytes binary",
+    )
+    got = {r.i: r.mime for r in imageops.sniff_mime(df).collect()}
+    for i, b in enumerate(cases):
+        assert got[i] == cases[b], b
+
+
+def test_sniff_mime_is_pure_projection(spark):
+    df = spark.createDataFrame([(bytearray(b"x"),)], "bytes binary")
+    plan = imageops.sniff_mime(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
