@@ -1043,6 +1043,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sigs, bits=16, bands=4, max_hamming=2
         ).withColumn("hamming", F.col("hamming").cast("int"))
 
+    def host_latency_quantiles(spark, sf):
+        # per-host P50/P95/P99 fetch latency, skew-safe: the raw log
+        # collapses to (host, bin) counts first; the only window runs
+        # over each host's BINS (host 5 carries a +2 s tail)
+        from netrunner_spark.operators.sketches import grouped_hist_quantiles
+
+        ev = _t(spark, sf, "events")
+        lat = ev.select(
+            F.concat(
+                F.lit("h"), (F.col("event_id") % 6).cast("string"), F.lit(".test")
+            ).alias("host"),
+            F.expr(
+                "20 + event_id % 500"
+                " + CASE WHEN event_id % 6 = 5 THEN 2000 ELSE 0 END"
+            ).alias("latency_ms"),
+        )
+        return grouped_hist_quantiles(
+            lat, "host", "latency_ms", bin_width=50
+        )
+
     def mime_mismatch_report(spark, sf):
         # payload integrity audit: claimed format vs magic-byte sniff
         # over synthesized binary payloads (doc_id % 7 picks the real
@@ -3659,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_distance_hist": hamming_distance_hist,
         "pq_recall": pq_recall,
         "mime_mismatch_report": mime_mismatch_report,
+        "host_latency_quantiles": host_latency_quantiles,
     }
 
 
@@ -6619,6 +6640,18 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["host_latency_quantiles"] = __import__(
+        "netrunner_spark.operators.sketches",
+        fromlist=["grouped_hist_quantiles_sql"],
+    ).grouped_hist_quantiles_sql(
+        "(SELECT 'h' || CAST(event_id % 6 AS VARCHAR) || '.test' AS host,"
+        " 20 + event_id % 500"
+        " + CASE WHEN event_id % 6 = 5 THEN 2000 ELSE 0 END AS latency_ms"
+        " FROM events)",
+        "host",
+        "latency_ms",
+        bin_width=50,
+    )
     # mime_mismatch_report: the twin works on hex text end-to-end (the
     # engine's binary column never crosses the oracle boundary)
     oracles["mime_mismatch_report"] = """

@@ -142,6 +142,7 @@ HEADLINE = [
     "hamming_distance_hist",
     "pq_recall",
     "mime_mismatch_report",
+    "host_latency_quantiles",
 ]
 
 

@@ -441,3 +441,81 @@ SELECT pb.{key},
 FROM pb LEFT JOIN bits ON bits.j = pb.j AND bits.bit = pb.bit
 GROUP BY pb.{key}
 """
+
+
+def grouped_hist_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: int = 10,
+    qs_permille: tuple[int, ...] = (500, 950, 990),
+) -> DataFrame:
+    """Per-GROUP histogram quantiles → ``(group, q_permille,
+    est_value)``: the lower bound of the first bin whose cumulative
+    count reaches rank ⌈q·n/1000⌉ within that group.
+
+    The skew-safe way to ask "P99 fetch latency PER HOST" at 10^10
+    rows: a naive per-group sort/percentile puts a hot host's entire
+    event stream into one task; here the raw table is collapsed by ONE
+    hash aggregate into (group, bin) counts first, and the only window
+    runs over each group's BINS — bounded by value-domain/bin_width
+    (e.g. latency 0–60 s at 10 ms bins = ≤ 6 000 rows per group, no
+    matter how hot the host). Same exact-integer contract as
+    :func:`hist_quantiles`, grouped.
+    """
+    from pyspark.sql import Window
+
+    bins = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(f"CAST({value_col} AS BIGINT) div {bin_width}").alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy("bin")
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in qs_permille])).alias("q_permille")
+    hit = cum.select("grp", "bin", "cum", "total", qs).filter(
+        F.col("cum") * 1000 >= F.col("q_permille") * F.col("total")
+    )
+    return (
+        hit.groupBy(F.col("grp").alias(group_col), "q_permille")
+        .agg(F.min("bin").alias("first_bin"))
+        .select(
+            group_col,
+            "q_permille",
+            (F.col("first_bin") * bin_width).alias("est_value"),
+        )
+    )
+
+
+def grouped_hist_quantiles_sql(
+    src: str,
+    group_col: str,
+    value_col: str,
+    bin_width: int = 10,
+    qs_permille: tuple[int, ...] = (500, 950, 990),
+) -> str:
+    """DuckDB twin of :func:`grouped_hist_quantiles` over source
+    ``src`` (must provide group and value columns)."""
+    qvals = ", ".join(f"({q})" for q in qs_permille)
+    return f"""
+WITH bins AS (
+  SELECT {group_col} AS grp, CAST({value_col} AS BIGINT) // {bin_width} AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM {src} GROUP BY 1, 2
+), cum AS (
+  SELECT grp, bin,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY grp) AS total
+  FROM bins
+), qs AS (SELECT * FROM (VALUES {qvals}) AS t(q_permille))
+SELECT grp AS {group_col}, q_permille,
+       CAST(min(bin) * {bin_width} AS BIGINT) AS est_value
+FROM cum, qs
+WHERE cum * 1000 >= q_permille * total
+GROUP BY 1, 2
+"""

@@ -203,3 +203,28 @@ def test_bloom_union_is_merge(spark):
     assert {(r.j, r.bit) for r in merged.collect()} == {
         (r.j, r.bit) for r in whole.collect()
     }
+
+
+def test_grouped_hist_quantiles_exactness_and_window_scope(spark):
+    # group a: 1..100 -> P50 bin holds 50, P99 bin holds 99 (width 10)
+    # group b: constant 5 -> every quantile lands in bin 0
+    rows = [("a", v) for v in range(1, 101)] + [("b", 5)] * 20
+    df = spark.createDataFrame(rows, "host string, v long")
+    got = {
+        (r.host, r.q_permille): r.est_value
+        for r in sketches.grouped_hist_quantiles(
+            df, "host", "v", bin_width=10, qs_permille=(500, 990)
+        ).collect()
+    }
+    assert got[("a", 500)] == 50   # rank 50 -> value 50 -> bin 5 -> 50
+    assert got[("a", 990)] == 90   # rank 99 -> value 99 -> bin 9 -> 90
+    assert got[("b", 500)] == 0 and got[("b", 990)] == 0
+    # plan: the only Window partitions by group over BINS, and the raw
+    # table is collapsed by a hash aggregate before any window
+    plan = (
+        sketches.grouped_hist_quantiles(df, "host", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan and "HashAggregate" in plan
