@@ -1043,6 +1043,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sigs, bits=16, bands=4, max_hamming=2
         ).withColumn("hamming", F.col("hamming").cast("int"))
 
+    def dup_cluster_size_hist(spark, sf):
+        # dedup economics: the size spectrum of near-dup clusters
+        # (dedup_clusters twin nested) — how much of the corpus sits in
+        # families of 2, 3, 5+ copies
+        cl = dedup_clusters(spark, sf)
+        sizes = cl.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return sizes.groupBy("cluster_size").agg(
+            F.count(F.lit(1)).alias("n_clusters")
+        )
+
+    def text_dedup_savings(spark, sf):
+        # what the keeper policy saves, per source: dropped docs and
+        # dropped chars (cluster_keepers twin nested + one documents
+        # join); the text-side mirror of image_dedup_savings
+        d = _t(spark, sf, "documents")
+        k = cluster_keepers(spark, sf)
+        return (
+            k.filter(~F.col("keep"))
+            .join(d.select("doc_id", "source", "n_chars"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_dropped"),
+                F.sum("n_chars").alias("chars_dropped"),
+            )
+        )
+
     def host_latency_quantiles(spark, sf):
         # per-host P50/P95/P99 fetch latency, skew-safe: the raw log
         # collapses to (host, bin) counts first; the only window runs
@@ -3680,6 +3708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": pq_recall,
         "mime_mismatch_report": mime_mismatch_report,
         "host_latency_quantiles": host_latency_quantiles,
+        "dup_cluster_size_hist": dup_cluster_size_hist,
+        "text_dedup_savings": text_dedup_savings,
     }
 
 
@@ -6640,6 +6670,22 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["dup_cluster_size_hist"] = f"""
+WITH cl AS ({oracles["dedup_clusters"]}),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cl GROUP BY cluster_id
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+    oracles["text_dedup_savings"] = f"""
+WITH k AS ({oracles["cluster_keepers"]})
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_dropped,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_dropped
+FROM k JOIN documents d ON d.doc_id = k.doc_id
+WHERE NOT k.keep GROUP BY d.source
+"""
     oracles["host_latency_quantiles"] = __import__(
         "netrunner_spark.operators.sketches",
         fromlist=["grouped_hist_quantiles_sql"],

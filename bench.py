@@ -143,6 +143,8 @@ HEADLINE = [
     "pq_recall",
     "mime_mismatch_report",
     "host_latency_quantiles",
+    "dup_cluster_size_hist",
+    "text_dedup_savings",
 ]
 
 
