@@ -1043,6 +1043,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sigs, bits=16, bands=4, max_hamming=2
         ).withColumn("hamming", F.col("hamming").cast("int"))
 
+    def embedding_norm_audit(spark, sf):
+        # unnormalized-vector detection: quantized squared-norm
+        # histogram (bin = ||q||^2 DIV 100000); cosine paths assume
+        # unit-ish norms, this is the pre-flight that catches raw
+        # (unscaled) embeddings before they skew every dot product
+        from netrunner_spark.operators.vectors import _quantized
+
+        emb = _t(spark, sf, "embeddings")
+        norm_sq = F.aggregate(
+            F.transform(
+                _quantized(F.col("embedding")), lambda x: x * x
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            emb.select(norm_sq.alias("nsq"))
+            .select(F.expr("nsq DIV 100000").alias("norm_bin"))
+            .groupBy("norm_bin")
+            .agg(F.count(F.lit(1)).alias("n_vecs"))
+        )
+
+    def kmeans_cell_balance(spark, sf):
+        # IVF/k-means health: cell occupancy + share permille (a hot
+        # cell makes every probe of it slow); kmeans twin nested
+        a = kmeans_clusters(spark, sf)
+        sizes = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+        total = sizes.agg(F.sum("n_vecs").alias("tot"))
+        return sizes.crossJoin(F.broadcast(total)).select(
+            "cid",
+            "n_vecs",
+            F.expr("n_vecs * 1000 DIV tot").alias("share_permille"),
+        )
+
     def dup_cluster_size_hist(spark, sf):
         # dedup economics: the size spectrum of near-dup clusters
         # (dedup_clusters twin nested) — how much of the corpus sits in
@@ -3710,6 +3744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_latency_quantiles": host_latency_quantiles,
         "dup_cluster_size_hist": dup_cluster_size_hist,
         "text_dedup_savings": text_dedup_savings,
+        "embedding_norm_audit": embedding_norm_audit,
+        "kmeans_cell_balance": kmeans_cell_balance,
     }
 
 
@@ -6670,6 +6706,25 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["embedding_norm_audit"] = """
+WITH q AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(embedding,
+               x -> CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT))),
+           (a, b) -> a + b) AS nsq
+  FROM embeddings
+)
+SELECT nsq // 100000 AS norm_bin, CAST(count(*) AS BIGINT) AS n_vecs
+FROM q GROUP BY 1
+"""
+    oracles["kmeans_cell_balance"] = f"""
+WITH a AS ({oracles["kmeans_clusters"]}),
+sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM a GROUP BY cid),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tot FROM sizes)
+SELECT cid, n_vecs, CAST(n_vecs * 1000 // tot AS BIGINT) AS share_permille
+FROM sizes, tot
+"""
     oracles["dup_cluster_size_hist"] = f"""
 WITH cl AS ({oracles["dedup_clusters"]}),
 sizes AS (

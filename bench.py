@@ -145,6 +145,8 @@ HEADLINE = [
     "host_latency_quantiles",
     "dup_cluster_size_hist",
     "text_dedup_savings",
+    "embedding_norm_audit",
+    "kmeans_cell_balance",
 ]
 
 
