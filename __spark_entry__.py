@@ -1043,6 +1043,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sigs, bits=16, bands=4, max_hamming=2
         ).withColumn("hamming", F.col("hamming").cast("int"))
 
+    def redirect_hops_hist(spark, sf):
+        # redirect-chain depth spectrum (+ the capped bucket): how much
+        # latency budget chains burn before content; nests the bounded
+        # multi-hop resolver twin
+        r = redirect_resolve(spark, sf)
+        return r.groupBy("hops", "status").agg(
+            F.count(F.lit(1)).alias("n_chains")
+        )
+
+    def postings_df_hist(spark, sf):
+        # index health: log2-binned document-frequency spectrum of the
+        # corpus vocabulary (the bit-length CASE again) — how heavy the
+        # stopword head is, how long the singleton tail
+        from netrunner_spark.operators.sketches import _bitlen_case
+
+        d = _t(spark, sf, "documents")
+        df_tab = (
+            d.select(
+                "doc_id",
+                F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                    "token"
+                ),
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.countDistinct("doc_id").alias("deg"))
+        )
+        return (
+            df_tab.select(F.expr(_bitlen_case("deg", 48)).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_tokens"))
+        )
+
     def embedding_norm_audit(spark, sf):
         # unnormalized-vector detection: quantized squared-norm
         # histogram (bin = ||q||^2 DIV 100000); cosine paths assume
@@ -3746,6 +3779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dedup_savings": text_dedup_savings,
         "embedding_norm_audit": embedding_norm_audit,
         "kmeans_cell_balance": kmeans_cell_balance,
+        "redirect_hops_hist": redirect_hops_hist,
+        "postings_df_hist": postings_df_hist,
     }
 
 
@@ -6706,6 +6741,27 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["redirect_hops_hist"] = f"""
+WITH r AS ({oracles["redirect_resolve"]})
+SELECT hops, status, CAST(count(*) AS BIGINT) AS n_chains
+FROM r GROUP BY hops, status
+"""
+    _pbl = __import__(
+        "netrunner_spark.operators.sketches", fromlist=["_bitlen_case"]
+    )._bitlen_case("deg", 48)
+    oracles["postings_df_hist"] = f"""
+WITH toks AS (
+  SELECT doc_id, word AS token FROM (
+    SELECT doc_id, unnest(string_split(regexp_replace(
+      lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word FROM documents
+  ) WHERE word <> ''
+), dfs AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS deg
+  FROM toks GROUP BY token
+)
+SELECT CAST({_pbl} AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_tokens
+FROM dfs GROUP BY 1
+"""
     oracles["embedding_norm_audit"] = """
 WITH q AS (
   SELECT list_reduce(

@@ -147,6 +147,8 @@ HEADLINE = [
     "text_dedup_savings",
     "embedding_norm_audit",
     "kmeans_cell_balance",
+    "redirect_hops_hist",
+    "postings_df_hist",
 ]
 
 
