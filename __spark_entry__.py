@@ -1043,6 +1043,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sigs, bits=16, bands=4, max_hamming=2
         ).withColumn("hamming", F.col("hamming").cast("int"))
 
+    def session_duration_hist(spark, sf):
+        # session-length spectrum in whole minutes (user_sessions twin
+        # nested): the engagement histogram product analytics reads
+        # first
+        s = user_sessions(spark, sf)
+        return (
+            s.select(
+                F.expr("(last_us - first_us) DIV 60000000").alias(
+                    "duration_min"
+                ),
+                "n_events",
+            )
+            .groupBy("duration_min")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+            )
+        )
+
+    def source_quality_matrix(spark, sf):
+        # the curation dashboard head-count: per (source, reject
+        # reason) document counts — text_quality_gate twin nested, one
+        # documents join
+        g = text_quality_gate(spark, sf)
+        d = _t(spark, sf, "documents").select("doc_id", "source")
+        return g.join(d, "doc_id").groupBy("source", "reject_reason").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+
     def redirect_hops_hist(spark, sf):
         # redirect-chain depth spectrum (+ the capped bucket): how much
         # latency budget chains burn before content; nests the bounded
@@ -3781,6 +3810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cell_balance": kmeans_cell_balance,
         "redirect_hops_hist": redirect_hops_hist,
         "postings_df_hist": postings_df_hist,
+        "session_duration_hist": session_duration_hist,
+        "source_quality_matrix": source_quality_matrix,
     }
 
 
@@ -6741,6 +6772,19 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["session_duration_hist"] = f"""
+WITH s AS ({oracles["user_sessions"]})
+SELECT (last_us - first_us) // 60000000 AS duration_min,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM s GROUP BY 1
+"""
+    oracles["source_quality_matrix"] = f"""
+WITH g AS ({oracles["text_quality_gate"]})
+SELECT d.source, g.reject_reason, CAST(count(*) AS BIGINT) AS n_docs
+FROM g JOIN documents d ON d.doc_id = g.doc_id
+GROUP BY d.source, g.reject_reason
+"""
     oracles["redirect_hops_hist"] = f"""
 WITH r AS ({oracles["redirect_resolve"]})
 SELECT hops, status, CAST(count(*) AS BIGINT) AS n_chains

@@ -149,6 +149,8 @@ HEADLINE = [
     "kmeans_cell_balance",
     "redirect_hops_hist",
     "postings_df_hist",
+    "session_duration_hist",
+    "source_quality_matrix",
 ]
 
 
