@@ -1043,6 +1043,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sigs, bits=16, bands=4, max_hamming=2
         ).withColumn("hamming", F.col("hamming").cast("int"))
 
+    def etld1_budget(spark, sf):
+        # politeness budget keyed on the SITE, not the hostname: the
+        # domain_rollup eTLD+1 counts feed Hamilton apportionment —
+        # blogspot subdomains share one site budget, every github.io
+        # user gets their own (rollup + alloc twins nested)
+        from netrunner_spark.operators import crawlintel
+
+        rolled = domain_rollup(spark, sf)
+        return crawlintel.budget_alloc(
+            rolled.select(F.col("etld1"), F.col("n_urls").alias("w")),
+            "w",
+            total=4999,
+            host_col="etld1",
+        ).select(F.col("host").alias("etld1"), "weight", "alloc")
+
     def session_duration_hist(spark, sf):
         # session-length spectrum in whole minutes (user_sessions twin
         # nested): the engagement histogram product analytics reads
@@ -3812,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_df_hist": postings_df_hist,
         "session_duration_hist": session_duration_hist,
         "source_quality_matrix": source_quality_matrix,
+        "etld1_budget": etld1_budget,
     }
 
 
@@ -6772,6 +6788,23 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["etld1_budget"] = f"""
+WITH rolled AS ({oracles["domain_rollup"]}),
+w AS (SELECT etld1, n_urls AS w FROM rolled),
+sh AS (
+  SELECT etld1, w AS weight,
+         CAST(4999 * w // sum(w) OVER () AS BIGINT) AS fl,
+         CAST(4999 * w % sum(w) OVER () AS BIGINT) AS rem
+  FROM w
+), r AS (
+  SELECT *, 4999 - sum(fl) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, etld1 ASC) AS rn
+  FROM sh
+)
+SELECT etld1, weight,
+       CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
+"""
     oracles["session_duration_hist"] = f"""
 WITH s AS ({oracles["user_sessions"]})
 SELECT (last_us - first_us) // 60000000 AS duration_min,

@@ -151,6 +151,7 @@ HEADLINE = [
     "postings_df_hist",
     "session_duration_hist",
     "source_quality_matrix",
+    "etld1_budget",
 ]
 
 
