@@ -424,3 +424,27 @@ def test_sitemap_coverage_counts(spark):
     assert got["a"] == (2, 1, 1, 666)
     assert got["b"] == (0, 1, 0, None)   # no sitemap: coverage undefined
     assert got["c"] == (0, 0, 1, 0)
+
+
+def test_rendezvous_differential_vs_python_reference(spark):
+    import hashlib
+
+    hosts = [f"host{i}.example" for i in range(250)]
+    W = 11
+
+    def ref(h):
+        best = max(
+            range(W),
+            key=lambda w: (
+                int(hashlib.md5(f"hrw{h}#{w}".encode()).hexdigest()[:13], 16),
+                w,
+            ),
+        )
+        return best
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r.host: r.worker
+        for r in crawlintel.rendezvous_shards(df, n_workers=W).collect()
+    }
+    assert got == {h: ref(h) for h in hosts}

@@ -228,3 +228,25 @@ def test_grouped_hist_quantiles_exactness_and_window_scope(spark):
         .toString()
     )
     assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_hll_registers_differential_vs_python_reference(spark):
+    import hashlib
+    import random
+
+    rng = random.Random(83)
+    keys = [rng.randrange(10_000) for _ in range(1500)]
+    p, rest_bits = 6, 46
+
+    def ref(ks):
+        regs = {}
+        for k in ks:
+            h = int(hashlib.md5(f"hll{k}".encode()).hexdigest()[:13], 16)
+            bucket, rest = h % (1 << p), h >> p
+            rho = rest_bits + 1 - rest.bit_length()
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        return set(regs.items())
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {(r.bucket, r.rho) for r in sketches.hll_registers(df, "k", p=p).collect()}
+    assert got == ref(keys)

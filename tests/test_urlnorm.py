@@ -111,3 +111,43 @@ def test_registrable_domain_sql_twin_matches(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_registrable_domain_differential_vs_python_reference(spark):
+    import random
+
+    from netrunner_spark.urlnorm import (
+        PSL_SNAPSHOT_2,
+        PSL_SNAPSHOT_3,
+        registrable_domain_col,
+    )
+
+    rng = random.Random(97)
+    labels = ["a", "bb", "shop", "www", "x9"]
+    tails = ["com", "co.uk", "github.io", "s3.amazonaws.com", "weird", "uk"]
+    hosts = list(
+        {
+            ".".join([rng.choice(labels) for _ in range(rng.randint(0, 3))] + [rng.choice(tails)]).strip(".")
+            for _ in range(300)
+        }
+    )
+
+    def ref(h):
+        ls = h.split(".")
+        n = len(ls)
+        if n > 3 and ".".join(ls[-3:]) in PSL_SNAPSHOT_3:
+            return ".".join(ls[-4:])
+        if n > 2 and ".".join(ls[-2:]) in PSL_SNAPSHOT_2:
+            return ".".join(ls[-3:])
+        if n > 1:
+            return ".".join(ls[-2:])
+        return h
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r.host: r.etld1
+        for r in df.select(
+            "host", registrable_domain_col("host").alias("etld1")
+        ).collect()
+    }
+    assert got == {h: ref(h) for h in hosts}
