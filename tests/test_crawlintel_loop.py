@@ -80,3 +80,57 @@ def test_cache_to_intelligence_to_budget_loop(spark, tmp_path):
     assert sum(arows.values()) == 1000
     # equal-URL hosts: the trap host earns a smaller slice than a clean one
     assert arows["host1.test"] < arows["host2.test"]
+
+
+def test_alias_fold_halves_mirror_drain_rounds(spark):
+    """Loop closure: mined www->bare alias rules feed the REAL
+    politeness scheduler. Unfolded, the mirror pair (a.test,
+    www.a.test) drains as two 'hosts' — double the site's politeness
+    allowance and duplicated pages; folded, the site drains under one
+    budget with the www duplicates collapsing into the same queue."""
+    from pyspark.sql import functions as F
+
+    from netrunner_spark.operators.crawlintel import (
+        fold_host_aliases,
+        host_alias_rules,
+    )
+    from netrunner_spark.operators.politeness import schedule_rounds
+
+    # crawl cache: a.test == www.a.test (full mirror), b.test standalone
+    pages = spark.createDataFrame(
+        [(h, f"h{i}") for h in ("a.test", "www.a.test") for i in range(20)]
+        + [("b.test", f"b{i}") for i in range(20)],
+        "host string, content_hash string",
+    )
+    rules = host_alias_rules(pages, min_share_permille=800)
+    # frontier: 20 URLs per host-name, priority by index
+    frontier = spark.createDataFrame(
+        [
+            (h, f"https://{h}/p/{i}", i, i * 1000 + hash(h) % 997)
+            for h in ("a.test", "www.a.test", "b.test")
+            for i in range(20)
+        ],
+        "host string, url string, priority long, url_hash long",
+    )
+    budget = 5
+
+    unfolded = schedule_rounds(frontier, default_budget=budget)
+    folded = schedule_rounds(
+        fold_host_aliases(frontier, rules), default_budget=budget
+    )
+
+    def per_host_rounds(df):
+        return {
+            r.host: r.n
+            for r in df.groupBy("host")
+            .agg((F.max("sched_round") + 1).alias("n"))
+            .collect()
+        }
+
+    un, fo = per_host_rounds(unfolded), per_host_rounds(folded)
+    # unfolded: the site's 40 URLs drain 10/round across TWO host queues
+    # (politeness violated at site level); folded: one queue, 5/round
+    assert un["a.test"] == 4 and un["www.a.test"] == 4
+    assert "www.a.test" not in fo
+    assert fo["a.test"] == 8  # 40 URLs / 5 per round — the honest rate
+    assert fo["b.test"] == un["b.test"] == 4
