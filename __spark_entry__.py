@@ -1043,6 +1043,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sigs, bits=16, bands=4, max_hamming=2
         ).withColumn("hamming", F.col("hamming").cast("int"))
 
+    def q5_local_supplier_volume(spark, sf):
+        # TPC-H Q5 shape: 6-way join (region>nation>customer>orders>
+        # lineitem>supplier) with the same-nation constraint, revenue
+        # in exact integer cents x (100 - disc_pct); the join-breadth
+        # benchmark row next to q1/q3
+        r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        joined = (
+            r.join(n, n.n_regionkey == r.r_regionkey)
+            .join(c, c.c_nationkey == n.n_nationkey)
+            .join(o, o.o_custkey == c.c_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .join(
+                s,
+                (s.s_suppkey == li.l_suppkey)
+                & (s.s_nationkey == c.c_nationkey),
+            )
+        )
+        rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+            F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+        )
+        return joined.groupBy("n_name").agg(
+            F.sum(rev).alias("revenue_scaled"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+
     def etld1_budget(spark, sf):
         # politeness budget keyed on the SITE, not the hostname: the
         # domain_rollup eTLD+1 counts feed Hamilton apportionment —
@@ -3828,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_duration_hist": session_duration_hist,
         "source_quality_matrix": source_quality_matrix,
         "etld1_budget": etld1_budget,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
     }
 
 
@@ -6788,6 +6822,22 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["q5_local_supplier_volume"] = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_scaled,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY n_name
+"""
     oracles["etld1_budget"] = f"""
 WITH rolled AS ({oracles["domain_rollup"]}),
 w AS (SELECT etld1, n_urls AS w FROM rolled),

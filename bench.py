@@ -152,6 +152,7 @@ HEADLINE = [
     "session_duration_hist",
     "source_quality_matrix",
     "etld1_budget",
+    "q5_local_supplier_volume",
 ]
 
 
