@@ -1043,6 +1043,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sigs, bits=16, bands=4, max_hamming=2
         ).withColumn("hamming", F.col("hamming").cast("int"))
 
+    def drain_schedule_table(spark, sf):
+        # the CORE scheduler oracle-checked per URL: schedule_rounds'
+        # precomputed (host, priority, url_hash) -> sched_round
+        # assignment over a 5-host frontier with per-host budgets
+        # (h0=3, h1=5, default 7); the twin replays the exact window
+        # recurrence
+        from netrunner_spark.operators.politeness import schedule_rounds
+
+        ev = _t(spark, sf, "events")
+        frontier = ev.select(
+            F.concat(F.lit("h"), (F.col("event_id") % 5).cast("string")).alias(
+                "host"
+            ),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("u"), F.col("event_id").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("url_hash"),
+            (F.col("event_id") % 3).alias("priority"),
+        )
+        budgets = spark.createDataFrame(
+            [("h0", 3), ("h1", 5)], "host string, budget int"
+        )
+        out = schedule_rounds(frontier, budgets, default_budget=7)
+        return out.select("host", "url_hash", "sched_round")
+
     def q5_local_supplier_volume(spark, sf):
         # TPC-H Q5 shape: 6-way join (region>nation>customer>orders>
         # lineitem>supplier) with the same-nation constraint, revenue
@@ -3862,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_matrix": source_quality_matrix,
         "etld1_budget": etld1_budget,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "drain_schedule_table": drain_schedule_table,
     }
 
 
@@ -6822,6 +6855,24 @@ FROM verdict GROUP BY host
     # Spark side computes per-day shards and merges, so mergeability
     # is itself oracle-checked
     oracles["sketch_hll_merged"] = oracles["sketch_hll_registers"]
+    oracles["drain_schedule_table"] = """
+WITH f AS (
+  SELECT 'h' || CAST(event_id % 5 AS VARCHAR) AS host,
+         CAST('0x' || substr(md5('u' || CAST(event_id AS VARCHAR)), 1, 13) AS BIGINT) AS url_hash,
+         CAST(event_id % 3 AS BIGINT) AS priority
+  FROM events
+), b AS (SELECT * FROM (VALUES ('h0', 3), ('h1', 5)) AS t(host, budget)),
+j AS (
+  SELECT f.*, coalesce(b.budget, 7) AS budget
+  FROM f LEFT JOIN b ON b.host = f.host
+), rk AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY host ORDER BY priority, url_hash
+         ) AS rn
+  FROM j
+)
+SELECT host, url_hash, CAST((rn - 1) // budget AS INT) AS sched_round FROM rk
+"""
     oracles["q5_local_supplier_volume"] = """
 SELECT n_name,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -153,6 +153,7 @@ HEADLINE = [
     "source_quality_matrix",
     "etld1_budget",
     "q5_local_supplier_volume",
+    "drain_schedule_table",
 ]
 
 
