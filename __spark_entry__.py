@@ -1075,6 +1075,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = schedule_rounds(frontier, budgets, default_budget=7)
         return out.select("host", "url_hash", "sched_round")
 
+    def drain_schedule_salted(spark, sf):
+        # the SALTED scheduler (north_rule's hot-host skew breaker)
+        # oracle-checked per URL: window partitions by (host, url_hash
+        # mod s_eff), each stripe gets floor(budget/s_eff) slots — the
+        # politeness bound preserved by construction, and now the full
+        # salted assignment is value-hashed too
+        from netrunner_spark.operators.politeness import schedule_rounds
+
+        ev = _t(spark, sf, "events")
+        frontier = ev.select(
+            F.concat(F.lit("h"), (F.col("event_id") % 5).cast("string")).alias(
+                "host"
+            ),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("u"), F.col("event_id").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("url_hash"),
+            (F.col("event_id") % 3).alias("priority"),
+        )
+        budgets = spark.createDataFrame(
+            [("h0", 9), ("h1", 5)], "host string, budget int"
+        )
+        out = schedule_rounds(frontier, budgets, default_budget=8, n_salts=4)
+        return out.select("host", "url_hash", "sched_round")
+
     def q5_local_supplier_volume(spark, sf):
         # TPC-H Q5 shape: 6-way join (region>nation>customer>orders>
         # lineitem>supplier) with the same-nation constraint, revenue
@@ -3895,6 +3927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etld1_budget": etld1_budget,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "drain_schedule_table": drain_schedule_table,
+        "drain_schedule_salted": drain_schedule_salted,
     }
 
 
@@ -6872,6 +6905,28 @@ j AS (
   FROM j
 )
 SELECT host, url_hash, CAST((rn - 1) // budget AS INT) AS sched_round FROM rk
+"""
+    oracles["drain_schedule_salted"] = """
+WITH f AS (
+  SELECT 'h' || CAST(event_id % 5 AS VARCHAR) AS host,
+         CAST('0x' || substr(md5('u' || CAST(event_id AS VARCHAR)), 1, 13) AS BIGINT) AS url_hash,
+         CAST(event_id % 3 AS BIGINT) AS priority
+  FROM events
+), b AS (SELECT * FROM (VALUES ('h0', 9), ('h1', 5)) AS t(host, budget)),
+j AS (
+  SELECT f.*, coalesce(b.budget, 8) AS budget,
+         least(4, coalesce(b.budget, 8)) AS s_eff
+  FROM f LEFT JOIN b ON b.host = f.host
+), rk AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY host, url_hash % s_eff
+           ORDER BY priority, url_hash
+         ) AS rn
+  FROM j
+)
+SELECT host, url_hash,
+       CAST((rn - 1) // (budget // s_eff) AS INT) AS sched_round
+FROM rk
 """
     oracles["q5_local_supplier_volume"] = """
 SELECT n_name,

@@ -154,6 +154,7 @@ HEADLINE = [
     "etld1_budget",
     "q5_local_supplier_volume",
     "drain_schedule_table",
+    "drain_schedule_salted",
 ]
 
 
