@@ -1155,6 +1155,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             host_col="etld1",
         ).select(F.col("host").alias("etld1"), "weight", "alloc")
 
+    def _trap_pages(spark, sf):
+        # deterministic spider-trap silhouette over events: hosts h0/h1
+        # serve mostly-clean routes (plus one deep-recursion page every
+        # 7th id); h2-h4 mix the three classic traps — /a/b relative-
+        # link loops, far-future calendar years, 16-hex session ids.
+        # Twin: _TRAPURLS_CTE (verbatim nested by both trap oracles).
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            F.expr(
+                "concat('https://h', CAST(event_id % 5 AS STRING), '.test',"
+                " CASE WHEN event_id % 5 < 2 THEN"
+                "   CASE WHEN event_id % 7 = 0"
+                "     THEN '/l0/l1/l2/l3/l4/l5/l6/l7/l8/l9/l10/l11/l12/page'"
+                "     ELSE concat('/page/', CAST(event_id % 20 AS STRING)) END"
+                " ELSE CASE CAST(event_id % 4 AS INT)"
+                "   WHEN 0 THEN concat(repeat('/a/b', CAST(2 + event_id % 3 AS INT)),"
+                "     '/p', CAST(event_id % 10 AS STRING))"
+                "   WHEN 1 THEN concat('/cal/', CAST(2024 + event_id % 15 AS STRING),"
+                "     '/', CAST(1 + event_id % 12 AS STRING))"
+                "   WHEN 2 THEN concat('/s/', substring(md5(concat('t',"
+                "     CAST(event_id % 50 AS STRING))), 1, 16), '/view')"
+                "   ELSE concat('/page/', CAST(event_id % 20 AS STRING)) END END)"
+            ).alias("url")
+        )
+
+    def trap_url_signals(spark, sf):
+        # admission-time spider-trap audit: per-URL structural signals
+        # (segment loops, far-future calendar years, opaque hex ids,
+        # path depth) read off the URL string BEFORE any fetch budget
+        # is spent — the pre-fetch complement to host_harvest's
+        # post-fetch harvest-rate trap flag. Pure projection, no UDF.
+        from netrunner_spark.operators import crawlintel
+
+        return crawlintel.trap_url_signals(_trap_pages(spark, sf))
+
+    def trap_hosts(spark, sf):
+        # host quarantine rollup over the per-URL trap signals: hosts
+        # whose link graph is >=25% synthetic stop minting frontier
+        # rows (IRLbot's budget defense as one hash aggregate)
+        from netrunner_spark.operators import crawlintel
+
+        return crawlintel.trap_hosts(
+            crawlintel.trap_url_signals(_trap_pages(spark, sf)),
+            quarantine_permille=250,
+        )
+
     def session_duration_hist(spark, sf):
         # session-length spectrum in whole minutes (user_sessions twin
         # nested): the engagement histogram product analytics reads
@@ -3928,6 +3974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "drain_schedule_table": drain_schedule_table,
         "drain_schedule_salted": drain_schedule_salted,
+        "trap_url_signals": trap_url_signals,
+        "trap_hosts": trap_hosts,
     }
 
 
@@ -7340,5 +7388,62 @@ SELECT CAST(count(*) AS BIGINT) AS n_hosts,
        CAST((2 * sum(i * alloc) - (count(*) + 1) * sum(alloc)) * 1000
             // (count(*) * sum(alloc)) AS BIGINT) AS gini_permille
 FROM ranked
+"""
+    # trap family: the synth CTE and the per-URL signal CTE are shared
+    # verbatim by BOTH oracles so the rollup twin cannot drift from the
+    # signal twin (same pattern as _PATHPAGES_CTE / _TMPL_T_CTE)
+    _trapurls_cte = """trapurls AS (
+  SELECT DISTINCT 'https://h' || CAST(event_id % 5 AS VARCHAR) || '.test'
+    || CASE WHEN event_id % 5 < 2 THEN
+         CASE WHEN event_id % 7 = 0
+              THEN '/l0/l1/l2/l3/l4/l5/l6/l7/l8/l9/l10/l11/l12/page'
+              ELSE '/page/' || CAST(event_id % 20 AS VARCHAR) END
+       ELSE CASE event_id % 4
+         WHEN 0 THEN repeat('/a/b', CAST(2 + event_id % 3 AS INT))
+                     || '/p' || CAST(event_id % 10 AS VARCHAR)
+         WHEN 1 THEN '/cal/' || CAST(2024 + event_id % 15 AS VARCHAR)
+                     || '/' || CAST(1 + event_id % 12 AS VARCHAR)
+         WHEN 2 THEN '/s/' || substr(md5('t' || CAST(event_id % 50 AS VARCHAR)), 1, 16)
+                     || '/view'
+         ELSE '/page/' || CAST(event_id % 20 AS VARCHAR) END
+       END AS url
+  FROM events
+)"""
+    _trapsig_cte = """trapsig AS (
+  SELECT host, url,
+         CAST(len(segs) AS INT) AS depth,
+         CAST(coalesce(list_aggregate(list_transform(segs,
+             s -> len(list_filter(segs, x -> x = s))), 'max'), 0) AS INT)
+           AS max_seg_repeat,
+         len(list_filter(segs,
+             x -> regexp_full_match(x, '20(3[1-9]|[4-9][0-9])'))) > 0 AS calendar,
+         len(list_filter(segs,
+             x -> regexp_full_match(x, '[0-9a-f]{16,}'))) > 0 AS opaque_id
+  FROM (SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host, url,
+               list_filter(string_split(
+                 regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)?', 1), '/'),
+                 x -> x <> '') AS segs
+        FROM trapurls)
+)"""
+    oracles["trap_url_signals"] = f"""
+WITH {_trapurls_cte}, {_trapsig_cte}
+SELECT host, url, depth, max_seg_repeat, calendar, opaque_id,
+       max_seg_repeat >= 3 AS seg_loop,
+       (max_seg_repeat >= 3) OR calendar OR depth > 12 AS trapped
+FROM trapsig
+"""
+    oracles["trap_hosts"] = f"""
+WITH sig AS ({oracles["trap_url_signals"]})
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN seg_loop THEN 1 ELSE 0 END) AS BIGINT) AS n_loop,
+       CAST(sum(CASE WHEN calendar THEN 1 ELSE 0 END) AS BIGINT) AS n_calendar,
+       CAST(sum(CASE WHEN opaque_id THEN 1 ELSE 0 END) AS BIGINT) AS n_opaque,
+       CAST(sum(CASE WHEN trapped THEN 1 ELSE 0 END) AS BIGINT) AS n_trapped,
+       max(depth) AS max_depth,
+       CAST(sum(CASE WHEN trapped THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         // CAST(count(*) AS BIGINT) AS trap_permille,
+       (CAST(sum(CASE WHEN trapped THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         // CAST(count(*) AS BIGINT)) >= 250 AS quarantine
+FROM sig GROUP BY host
 """
     return oracles

@@ -155,6 +155,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "drain_schedule_table",
     "drain_schedule_salted",
+    "trap_url_signals",
+    "trap_hosts",
 ]
 
 

@@ -1268,3 +1268,92 @@ def sitemap_coverage(
             ),
         )
     )
+
+
+# ------------------------------------------------------------ trap signals
+# far-future 4-digit year (2031-2099), matched textually so neither
+# engine needs a string->int cast inside a lambda (ANSI-safe)
+_TRAP_YEAR_RE = r"^20(3[1-9]|[4-9][0-9])$"
+# >=16-char lowercase-hex path segment: session ids / unbounded opaque
+# id spaces (reported, not a verdict on its own -- CDNs use hash paths)
+_TRAP_HEX_RE = r"^[0-9a-f]{16,}$"
+
+
+def trap_url_signals(
+    pages: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 12,
+) -> DataFrame:
+    """Per-URL structural crawler-trap signals -> ``(host, url, depth,
+    max_seg_repeat, calendar, opaque_id, seg_loop, trapped)``.
+
+    :func:`host_harvest` detects traps AFTER fetching (unbounded URLs
+    over bounded content); this is the admission-time complement -- the
+    classic spider-trap silhouettes are visible in the URL string
+    itself, before any budget is spent (Heritrix's pathological-path
+    rule; IRLbot's budget defense, Lee et al., TWEB'09):
+
+    * ``seg_loop`` -- some path segment appears >=3 times
+      (``/a/b/a/b/a/b``: relative-link cycles minting infinite
+      synthetic URLs),
+    * ``calendar`` -- a path segment names a far-future year (2031+):
+      auto-generated calendar pages with no content bound,
+    * ``opaque_id`` -- a >=16-char lowercase-hex segment (session ids;
+      reported for DUST/template mining, not a verdict alone),
+    * ``depth`` -- path-segment count; ``depth > max_depth`` marks
+      ``trapped`` (link-graph recursion that survived the loop rule).
+
+    ``trapped = seg_loop OR calendar OR depth > max_depth``. Pure
+    projection -- one split + higher-order array ops per row, no
+    shuffle, no UDF, no join -- safe at any frontier scale. The
+    admission filter consumes :func:`trap_hosts`' quarantine verdict
+    the same way it consumes robots disallow.
+    """
+    u = pages.select(F.col(url_col).alias("url")).dropDuplicates()
+    path = F.regexp_extract("url", r"^https?://[^/?#]+(/[^?#]*)?", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    rep = F.array_max(
+        F.transform(segs, lambda s: F.size(F.filter(segs, lambda x: x == s)))
+    )
+    sig = u.select(
+        F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host"),
+        "url",
+        F.size(segs).alias("depth"),
+        F.coalesce(rep, F.lit(0)).alias("max_seg_repeat"),
+        F.exists(segs, lambda x: x.rlike(_TRAP_YEAR_RE)).alias("calendar"),
+        F.exists(segs, lambda x: x.rlike(_TRAP_HEX_RE)).alias("opaque_id"),
+    )
+    return sig.withColumn("seg_loop", F.col("max_seg_repeat") >= 3).withColumn(
+        "trapped",
+        F.col("seg_loop") | F.col("calendar") | (F.col("depth") > max_depth),
+    )
+
+
+def trap_hosts(
+    signals: DataFrame, quarantine_permille: int = 300
+) -> DataFrame:
+    """Host rollup over :func:`trap_url_signals` -> ``(host, n_urls,
+    n_loop, n_calendar, n_opaque, n_trapped, max_depth, trap_permille,
+    quarantine)``.
+
+    ``quarantine`` (trap share >= ``quarantine_permille`` permille)
+    feeds admission: the frontier stops minting URLs for hosts whose
+    link graph is mostly synthetic -- IRLbot's budget defense as one
+    hash aggregate over the per-URL signal table. Exact integer
+    permille so the oracle twin matches bit-for-bit.
+    """
+    return (
+        signals.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.col("seg_loop").cast("int")).alias("n_loop"),
+            F.sum(F.col("calendar").cast("int")).alias("n_calendar"),
+            F.sum(F.col("opaque_id").cast("int")).alias("n_opaque"),
+            F.sum(F.col("trapped").cast("int")).alias("n_trapped"),
+            F.max("depth").alias("max_depth"),
+        )
+        .withColumn("trap_permille", F.expr("n_trapped * 1000 DIV n_urls"))
+        .withColumn(
+            "quarantine", F.col("trap_permille") >= quarantine_permille
+        )
+    )

@@ -448,3 +448,50 @@ def test_rendezvous_differential_vs_python_reference(spark):
         for r in crawlintel.rendezvous_shards(df, n_workers=W).collect()
     }
     assert got == {h: ref(h) for h in hosts}
+
+
+def test_trap_url_signals_silhouettes(spark):
+    urls = spark.createDataFrame(
+        [
+            ("https://t.example/a/b/a/b/a/b/p1",),      # segment loop
+            ("https://t.example/cal/2033/5/17",),       # far-future calendar
+            ("https://t.example/cal/2025/5/17",),       # near-past: clean
+            ("https://t.example/s/0123456789abcdef/view",),  # opaque hex
+            ("https://t.example/" + "/".join(f"d{i}" for i in range(13)),),
+            ("https://t.example/page/7?x=1",),          # query never counts
+            ("https://t.example",),                     # no path at all
+        ],
+        "url string",
+    )
+    got = {
+        r.url: (r.depth, r.max_seg_repeat, r.seg_loop, r.calendar,
+                r.opaque_id, r.trapped)
+        for r in crawlintel.trap_url_signals(urls).collect()
+    }
+    assert got["https://t.example/a/b/a/b/a/b/p1"] == (7, 3, True, False, False, True)
+    assert got["https://t.example/cal/2033/5/17"] == (4, 1, False, True, False, True)
+    assert got["https://t.example/cal/2025/5/17"] == (4, 1, False, False, False, False)
+    assert got["https://t.example/s/0123456789abcdef/view"] == (
+        3, 1, False, False, True, False)   # opaque alone is not a verdict
+    deep = "https://t.example/" + "/".join(f"d{i}" for i in range(13))
+    assert got[deep] == (13, 1, False, False, False, True)  # depth > 12
+    assert got["https://t.example/page/7?x=1"] == (2, 1, False, False, False, False)
+    assert got["https://t.example"] == (0, 0, False, False, False, False)
+
+
+def test_trap_hosts_quarantine_split(spark):
+    urls = spark.createDataFrame(
+        [("https://farm.example/a/b/a/b/a/b/p%d" % i,) for i in range(4)]
+        + [("https://farm.example/ok/%d" % i,) for i in range(4)]
+        + [("https://clean.example/p/%d" % i,) for i in range(9)]
+        + [("https://clean.example/cal/2040/1/1",)],
+        "url string",
+    )
+    sig = crawlintel.trap_url_signals(urls)
+    got = {
+        r.host: (r.n_urls, r.n_loop, r.n_calendar, r.n_trapped,
+                 r.trap_permille, r.quarantine)
+        for r in crawlintel.trap_hosts(sig, quarantine_permille=300).collect()
+    }
+    assert got["farm.example"] == (8, 4, 0, 4, 500, True)
+    assert got["clean.example"] == (10, 0, 1, 1, 100, False)
