@@ -1357,3 +1357,16 @@ def trap_hosts(
             "quarantine", F.col("trap_permille") >= quarantine_permille
         )
     )
+
+
+def apply_quarantine(frontier: DataFrame, verdicts: DataFrame) -> DataFrame:
+    """Drop frontier rows for quarantined hosts (the trap loop closed:
+    :func:`trap_url_signals` -> :func:`trap_hosts` -> this, before
+    ``politeness.schedule_rounds``). ``verdicts`` is trap_hosts output
+    — bounded per-host, so it broadcasts into a left-anti join and the
+    frontier itself never shuffles; same shape as robots disallow and
+    :func:`fold_host_aliases`."""
+    q = F.broadcast(
+        verdicts.filter(F.col("quarantine")).select("host").dropDuplicates()
+    )
+    return frontier.join(q, "host", "left_anti")

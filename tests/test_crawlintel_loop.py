@@ -134,3 +134,41 @@ def test_alias_fold_halves_mirror_drain_rounds(spark):
     assert "www.a.test" not in fo
     assert fo["a.test"] == 8  # 40 URLs / 5 per round — the honest rate
     assert fo["b.test"] == un["b.test"] == 4
+
+
+def test_trap_quarantine_frees_schedule_budget_e2e(spark):
+    """Loop closure for the trap family: per-URL structural signals ->
+    host quarantine -> frontier filter -> the REAL politeness
+    scheduler. The trap farm (relative-link loop minting unbounded
+    /a/b/a/b URLs) vanishes from the schedule entirely; the clean
+    hosts' rounds are untouched — the budget the farm was burning is
+    simply not spent."""
+    from pyspark.sql import functions as F
+
+    from netrunner_spark.operators.crawlintel import (
+        apply_quarantine,
+        trap_hosts,
+        trap_url_signals,
+    )
+    from netrunner_spark.operators.politeness import schedule_rounds
+
+    urls = [f"https://farm.test{'/a/b' * (2 + i % 3)}/p{i}" for i in range(24)]
+    urls += [f"https://ok.test/page/{i}" for i in range(24)]
+    urls += [f"https://news.test/2024/{1 + i % 12}/s{i}" for i in range(24)]
+    frontier = spark.createDataFrame(
+        [(u.split("/")[2], u, i, i * 2654435761 % (1 << 31)) for i, u in enumerate(urls)],
+        "host string, url string, priority long, url_hash long",
+    )
+
+    verdicts = trap_hosts(trap_url_signals(frontier), quarantine_permille=500)
+    v = {r.host: r.quarantine for r in verdicts.collect()}
+    assert v == {"farm.test": True, "ok.test": False, "news.test": False}
+
+    kept = apply_quarantine(frontier, verdicts)
+    sched = schedule_rounds(kept, default_budget=6)
+    rounds = {
+        r.host: r.n
+        for r in sched.groupBy("host").agg((F.max("sched_round") + 1).alias("n")).collect()
+    }
+    assert "farm.test" not in rounds
+    assert rounds == {"ok.test": 4, "news.test": 4}  # 24 URLs / 6 per round
