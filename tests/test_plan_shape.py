@@ -239,3 +239,39 @@ def test_bpe_rewrite_stays_broadcast(spark):
     plan = _explain(step, "formatted")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_trap_family_plan_shapes(spark):
+    """Trap-family scale pins: the per-URL signal pass is a pure
+    projection (the only exchange is dropDuplicates' own), the host
+    rollup adds exactly one aggregate shuffle, and the quarantine
+    filter reaches the frontier as a BROADCAST left-anti join — the
+    frontier itself never shuffles."""
+    from netrunner_spark.operators.crawlintel import (
+        apply_quarantine,
+        trap_hosts,
+        trap_url_signals,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 3}.test/p/{i}",) for i in range(30)], "url string"
+    )
+    sig = trap_url_signals(urls)
+    plan = _explain(sig, "formatted")
+    # one exchange total: the url dropDuplicates; no window, no join
+    assert plan.count("Exchange (") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+    plan = _explain(trap_hosts(sig), "formatted")
+    # + exactly one more for the host aggregate
+    assert plan.count("Exchange (") == 2
+    assert "Window" not in plan
+
+    frontier = spark.createDataFrame(
+        [(f"h{i % 3}.test", f"https://h{i % 3}.test/p/{i}") for i in range(30)],
+        "host string, url string",
+    )
+    plan = _explain(apply_quarantine(frontier, trap_hosts(sig)), "formatted")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the frontier side reaches the join with no exchange of its own
+    assert "SortMergeJoin" not in plan
