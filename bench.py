@@ -368,6 +368,10 @@ def main() -> None:
         # N->4N pair passes at 0.969 (BENCH/BASELINE.md §4e)
         ("scaling_10x_r5b.json", "scaling_10x_resident"),
         ("scaling_1x_r5b.json", "scaling_1x_resident"),
+        # r5c: 1x pairs with warm-JVM legs (SCALE_REPEATS honored) —
+        # isolates the 1x shortfall as per-core bus headroom, not JIT;
+        # BENCH/BASELINE.md §4g
+        ("scaling_1x_r5c.json", "scaling_1x_resident_warm"),
         ("controls.json", "controls"),
     ):
         path = os.path.join(REPO, "BENCH", name)

@@ -321,10 +321,17 @@ def gated_pair(
     total waiting. Healthy windows run small leg → control → large leg →
     control, all tags recorded. Stops at the first same-iteration pair
     ≥ 0.8; every failed pair then carries its bus tags. Writes
-    BENCH/scaling_<tag>.json."""
+    BENCH/scaling_<tag>.json.
+
+    SCALE_REPEATS is honored (default 1): the r5b 1x record showed a
+    single COLD drain per leg taxes the 4N leg ~4x harder (the ~12 s
+    JIT/codegen cost is per-JVM, not per-drain — BASELINE.md §2's
+    warm-JVM protocol), so short legs should run SCALE_REPEATS=2 and
+    keep the warm pass, exactly like bench.py's drain headline."""
     import time
 
-    env = dict(os.environ, SCALE_REPEATS="1")
+    env = dict(os.environ)
+    env.setdefault("SCALE_REPEATS", "1")
     attempts: list[dict] = []
     best_pair: dict | None = None
     legs_best: dict[int, dict] = {}
