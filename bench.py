@@ -397,7 +397,18 @@ def main() -> None:
     # smoke runs at reduced scale (BENCH_HOSTS/BENCH_PAGES overridden)
     # must not clobber the round's full-scale durable record
     full_scale = "BENCH_HOSTS" not in os.environ and "BENCH_PAGES" not in os.environ
-    fnames = [f"bench_{tag}.json", "bench_latest.json"] if full_scale else ["bench_smoke.json"]
+    if full_scale:
+        # append-only: a later run in a degraded bus window must never
+        # erase an earlier healthy-window record — first run owns
+        # bench_rN.json, reruns get bench_rN_c2.json, _c3.json, ...
+        name = f"bench_{tag}.json"
+        k = 2
+        while os.path.isfile(os.path.join(REPO, "BENCH", name)):
+            name = f"bench_{tag}_c{k}.json"
+            k += 1
+        fnames = [name, "bench_latest.json"]
+    else:
+        fnames = ["bench_smoke.json"]
     for fname in fnames:
         with open(os.path.join(REPO, "BENCH", fname), "w") as f:
             json.dump(out, f, indent=1)
