@@ -1201,6 +1201,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             quarantine_permille=250,
         )
 
+    def _pag_pages(spark, sf):
+        # pagination silhouette over events: ?page= walks 0..39 with
+        # per-page content (true traversal), ?sid= is numeric but never
+        # changes content (numeric DUST), ?item= is content-relevant
+        # but sparse (x17 stride: an id space, not a counter).
+        # Twin: the pages CTE inside the pagination_params oracle.
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            F.expr(
+                "concat('https://h', CAST(event_id % 2 AS STRING), '.test',"
+                " CASE CAST(event_id % 4 AS INT)"
+                " WHEN 0 THEN concat('/list?page=', CAST((event_id DIV 4) % 40 AS STRING))"
+                " WHEN 1 THEN concat('/doc?sid=', CAST(1000 + (event_id DIV 4) % 50 AS STRING))"
+                " WHEN 2 THEN concat('/shop?item=', CAST(((event_id DIV 4) % 30) * 17 AS STRING))"
+                " ELSE '/about' END)"
+            ).alias("url"),
+            F.md5(
+                F.expr(
+                    "CASE CAST(event_id % 4 AS INT)"
+                    " WHEN 0 THEN concat('pg-', CAST(event_id % 2 AS STRING), '-',"
+                    "   CAST((event_id DIV 4) % 40 AS STRING))"
+                    " WHEN 1 THEN concat('sess-', CAST(event_id % 2 AS STRING))"
+                    " WHEN 2 THEN concat('item-', CAST(event_id % 2 AS STRING), '-',"
+                    "   CAST((event_id DIV 4) % 30 AS STRING))"
+                    " ELSE concat('about-', CAST(event_id % 2 AS STRING)) END"
+                )
+            ).alias("content_hash"),
+        )
+
+    def pagination_params(spark, sf):
+        # the anti-DUST: integer query params whose variation CHANGES
+        # content in dense runs are page counters — cap the traversal
+        # instead of following ?page= forever; numeric session ids
+        # (content-constant) and sparse item ids both stay excluded
+        from netrunner_spark.operators import crawlintel
+
+        return crawlintel.pagination_params(_pag_pages(spark, sf))
+
+    def priority_compose(spark, sf):
+        # the north-star priority formula pinned per URL: depth +
+        # log10(host queue + 1)/10, on queue sizes 9 and 99 so the
+        # log10 points (1.0, 2.0) are bit-identical across engines —
+        # small hosts drain ahead of megahosts within a depth tier
+        from netrunner_spark.operators.politeness import with_priority
+
+        ev = _t(spark, sf, "events")
+        ids = ev.select((F.col("event_id") % 108).alias("i")).dropDuplicates()
+        frontier = ids.select(
+            F.expr("CASE WHEN i < 9 THEN 'h0.test' ELSE 'h1.test' END").alias(
+                "host"
+            ),
+            F.expr(
+                "concat('https://', CASE WHEN i < 9 THEN 'h0.test' ELSE 'h1.test' END,"
+                " '/d/', CAST(i AS STRING))"
+            ).alias("url"),
+            F.expr("CAST(i % 4 AS INT)").alias("depth"),
+        )
+        return with_priority(frontier)
+
     def session_duration_hist(spark, sf):
         # session-length spectrum in whole minutes (user_sessions twin
         # nested): the engagement histogram product analytics reads
@@ -3976,6 +4035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drain_schedule_salted": drain_schedule_salted,
         "trap_url_signals": trap_url_signals,
         "trap_hosts": trap_hosts,
+        "pagination_params": pagination_params,
+        "priority_compose": priority_compose,
     }
 
 
@@ -7445,5 +7506,82 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
        (CAST(sum(CASE WHEN trapped THEN 1 ELSE 0 END) AS BIGINT) * 1000
          // CAST(count(*) AS BIGINT)) >= 250 AS quarantine
 FROM sig GROUP BY host
+"""
+    oracles["pagination_params"] = """
+WITH pages AS (
+  SELECT 'https://h' || CAST(event_id % 2 AS VARCHAR) || '.test'
+    || CASE event_id % 4
+       WHEN 0 THEN '/list?page=' || CAST((event_id // 4) % 40 AS VARCHAR)
+       WHEN 1 THEN '/doc?sid=' || CAST(1000 + (event_id // 4) % 50 AS VARCHAR)
+       WHEN 2 THEN '/shop?item=' || CAST(((event_id // 4) % 30) * 17 AS VARCHAR)
+       ELSE '/about' END AS url,
+    md5(CASE event_id % 4
+        WHEN 0 THEN 'pg-' || CAST(event_id % 2 AS VARCHAR) || '-'
+                    || CAST((event_id // 4) % 40 AS VARCHAR)
+        WHEN 1 THEN 'sess-' || CAST(event_id % 2 AS VARCHAR)
+        WHEN 2 THEN 'item-' || CAST(event_id % 2 AS VARCHAR) || '-'
+                    || CAST((event_id // 4) % 30 AS VARCHAR)
+        ELSE 'about-' || CAST(event_id % 2 AS VARCHAR) END) AS content_hash
+  FROM events
+), u AS (
+  SELECT url, max(content_hash) AS chash FROM pages
+  WHERE url LIKE '%?%' GROUP BY url
+), pp AS (
+  SELECT url, chash,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         split_part(url, '?', 1) AS base,
+         split_part(kv, '=', 1) AS param,
+         split_part(kv, '=', 2) AS pval,
+         kv
+  FROM (SELECT url, chash, unnest(string_split(split_part(url, '?', 2), '&')) AS kv
+        FROM u)
+), gk AS (
+  SELECT h.url, h.param,
+         h.base || '?' || coalesce(string_agg(o.kv, '&' ORDER BY o.kv), '') AS group_key
+  FROM (SELECT DISTINCT url, base, param FROM pp) h
+  LEFT JOIN pp o ON o.url = h.url AND o.param <> h.param
+  GROUP BY h.url, h.param, h.base
+), g AS (
+  SELECT p.host, p.param, gk.group_key,
+         count(DISTINCT p.pval) AS n_vals,
+         count(DISTINCT p.chash) AS n_hashes
+  FROM pp p JOIN gk ON gk.url = p.url AND gk.param = p.param
+  GROUP BY p.host, p.param, gk.group_key
+), dust AS (
+  SELECT host, param,
+         CAST(sum(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_evidence,
+         CAST(sum(CASE WHEN n_vals >= 2 AND n_hashes >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+  FROM g GROUP BY host, param
+), vstats AS (
+  SELECT host, param,
+         CAST(count(DISTINCT pval) AS BIGINT) AS n_vals,
+         sum(CASE WHEN NOT regexp_full_match(pval, '[0-9]{1,15}') THEN 1 ELSE 0 END) = 0
+           AS all_int,
+         min(CASE WHEN regexp_full_match(pval, '[0-9]{1,15}')
+                  THEN CAST(pval AS BIGINT) END) AS min_val,
+         max(CASE WHEN regexp_full_match(pval, '[0-9]{1,15}')
+                  THEN CAST(pval AS BIGINT) END) AS max_val
+  FROM pp GROUP BY host, param
+)
+SELECT v.host, v.param, v.n_vals, v.all_int, v.min_val, v.max_val,
+       d.n_evidence, d.n_violations,
+       v.all_int AND v.n_vals >= 3 AND d.n_violations >= 1
+         AND (v.max_val - v.min_val + 1 <= 2 * v.n_vals) AS is_pagination
+FROM vstats v JOIN dust d ON d.host = v.host AND d.param = v.param
+"""
+    oracles["priority_compose"] = """
+WITH ids AS (SELECT DISTINCT event_id % 108 AS i FROM events),
+f AS (
+  SELECT CASE WHEN i < 9 THEN 'h0.test' ELSE 'h1.test' END AS host,
+         'https://' || CASE WHEN i < 9 THEN 'h0.test' ELSE 'h1.test' END
+           || '/d/' || CAST(i AS VARCHAR) AS url,
+         CAST(i % 4 AS INT) AS depth
+  FROM ids)
+SELECT host, url, depth,
+       CAST(depth AS DOUBLE)
+         + log10(CAST(count(*) OVER (PARTITION BY host) AS DOUBLE) + 1.0) / 10.0
+         AS priority
+FROM f
 """
     return oracles

@@ -157,6 +157,8 @@ HEADLINE = [
     "drain_schedule_salted",
     "trap_url_signals",
     "trap_hosts",
+    "pagination_params",
+    "priority_compose",
 ]
 
 

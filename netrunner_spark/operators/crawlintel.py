@@ -1370,3 +1370,72 @@ def apply_quarantine(frontier: DataFrame, verdicts: DataFrame) -> DataFrame:
         verdicts.filter(F.col("quarantine")).select("host").dropDuplicates()
     )
     return frontier.join(q, "host", "left_anti")
+
+
+# ---------------------------------------------------------- pagination
+# bounded decimal integer: the guarded long cast below cannot overflow
+_PAG_INT_RE = r"^[0-9]{1,15}$"
+
+
+def pagination_params(
+    pages: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+    min_vals: int = 3,
+    max_span_factor: int = 2,
+) -> DataFrame:
+    """Mine pagination-style traversal parameters — the anti-DUST →
+    ``(host, param, n_vals, all_int, min_val, max_val, n_evidence,
+    n_violations, is_pagination)``.
+
+    :func:`dust_params` finds parameters whose variation NEVER changes
+    content (strip them); this finds the complement worth budget caps:
+    a parameter is ``is_pagination`` on a host when every observed
+    value is a decimal integer, it takes ≥ ``min_vals`` distinct
+    values, varying it DOES change content (``n_violations ≥ 1`` from
+    the dust evidence groups — real traversal, not a session id that
+    happens to be numeric), and the values form a dense run
+    (``max−min+1 ≤ max_span_factor × n_vals`` — sparse ids are item
+    keys, not page counters). The crawl budget then caps the traversal
+    depth per (host, param) instead of following ``?page=`` forever —
+    the query-string sibling of the calendar trap
+    (:func:`trap_url_signals`).
+
+    Scale: one bounded explode (params-per-URL) + two hash aggregates
+    + the dust join on the bounded (host, param) key space. The long
+    cast is guarded by the integer regex (≤15 digits), so ANSI mode
+    can never throw.
+    """
+    base = (
+        pages.select(F.col(url_col).alias("url"), F.col(hash_col).alias("chash"))
+        .dropDuplicates(["url"])
+        .filter(F.col("url").contains("?"))
+    )
+    kv = base.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.explode(F.split(F.substring_index("url", "?", -1), "&")).alias("kvp"),
+    ).select(
+        "host",
+        F.substring_index("kvp", "=", 1).alias("param"),
+        F.substring_index("kvp", "=", -1).alias("pval"),
+    )
+    is_int = F.col("pval").rlike(_PAG_INT_RE)
+    stats = kv.groupBy("host", "param").agg(
+        F.countDistinct("pval").alias("n_vals"),
+        (F.sum(F.when(~is_int, 1).otherwise(0)) == 0).alias("all_int"),
+        F.min(F.when(is_int, F.col("pval").cast("long"))).alias("min_val"),
+        F.max(F.when(is_int, F.col("pval").cast("long"))).alias("max_val"),
+    )
+    dust = dust_params(pages, url_col=url_col, hash_col=hash_col).select(
+        "host", "param", "n_evidence", "n_violations"
+    )
+    return stats.join(dust, ["host", "param"]).withColumn(
+        "is_pagination",
+        F.col("all_int")
+        & (F.col("n_vals") >= min_vals)
+        & (F.col("n_violations") >= 1)
+        & (
+            F.col("max_val") - F.col("min_val") + 1
+            <= F.lit(max_span_factor) * F.col("n_vals")
+        ),
+    )

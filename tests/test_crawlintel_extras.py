@@ -495,3 +495,24 @@ def test_trap_hosts_quarantine_split(spark):
     }
     assert got["farm.example"] == (8, 4, 0, 4, 500, True)
     assert got["clean.example"] == (10, 0, 1, 1, 100, False)
+
+
+def test_pagination_params_verdicts(spark):
+    rows = []
+    # true pagination: dense 0..9, content varies
+    rows += [(f"https://s.test/l?page={i}", f"pg{i}") for i in range(10)]
+    # numeric session id: dense ints but content constant (DUST)
+    rows += [(f"https://s.test/d?sid={100 + i}", "same") for i in range(10)]
+    # sparse item ids: content varies but span 10x the count
+    rows += [(f"https://s.test/s?item={i * 50}", f"it{i}") for i in range(10)]
+    # too few values
+    rows += [(f"https://s.test/f?tab={i}", f"tb{i}") for i in range(2)]
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    got = {
+        r.param: (r.n_vals, r.all_int, r.n_violations, r.is_pagination)
+        for r in crawlintel.pagination_params(pages).collect()
+    }
+    assert got["page"] == (10, True, 1, True)
+    assert got["sid"] == (10, True, 0, False)    # numeric DUST, not traversal
+    assert got["item"] == (10, True, 1, False)   # id space, density fails
+    assert got["tab"] == (2, True, 1, False)     # below min_vals
