@@ -1239,6 +1239,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return crawlintel.pagination_params(_pag_pages(spark, sf))
 
+    def pagination_cap_apply(spark, sf):
+        # the pagination loop closed: mined page counters cap the
+        # traversal at 20 — ?page=20..39 stops minting frontier rows,
+        # session ids and item ids never gate (rules nested twin)
+        from netrunner_spark.operators import crawlintel
+
+        pages = _pag_pages(spark, sf)
+        return crawlintel.apply_pagination_caps(
+            pages, crawlintel.pagination_params(pages), cap=20
+        )
+
     def priority_compose(spark, sf):
         # the north-star priority formula pinned per URL: depth +
         # log10(host queue + 1)/10, on queue sizes 9 and 99 so the
@@ -4036,6 +4047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_url_signals": trap_url_signals,
         "trap_hosts": trap_hosts,
         "pagination_params": pagination_params,
+        "pagination_cap_apply": pagination_cap_apply,
         "priority_compose": priority_compose,
     }
 
@@ -7569,6 +7581,39 @@ SELECT v.host, v.param, v.n_vals, v.all_int, v.min_val, v.max_val,
        v.all_int AND v.n_vals >= 3 AND d.n_violations >= 1
          AND (v.max_val - v.min_val + 1 <= 2 * v.n_vals) AS is_pagination
 FROM vstats v JOIN dust d ON d.host = v.host AND d.param = v.param
+"""
+    oracles["pagination_cap_apply"] = f"""
+WITH rules AS ({oracles["pagination_params"]}),
+pages2 AS (
+  SELECT DISTINCT 'https://h' || CAST(event_id % 2 AS VARCHAR) || '.test'
+    || CASE event_id % 4
+       WHEN 0 THEN '/list?page=' || CAST((event_id // 4) % 40 AS VARCHAR)
+       WHEN 1 THEN '/doc?sid=' || CAST(1000 + (event_id // 4) % 50 AS VARCHAR)
+       WHEN 2 THEN '/shop?item=' || CAST(((event_id // 4) % 30) * 17 AS VARCHAR)
+       ELSE '/about' END AS url
+  FROM events
+),
+noq AS (
+  SELECT url, TRUE AS admit, CAST(NULL AS VARCHAR) AS capped_param
+  FROM pages2 WHERE NOT contains(url, '?')
+),
+kv AS (
+  SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         split_part(kvp, '=', 1) AS param, split_part(kvp, '=', 2) AS pval
+  FROM (SELECT url, unnest(string_split(split_part(url, '?', 2), '&')) AS kvp
+        FROM pages2 WHERE contains(url, '?'))
+),
+j AS (
+  SELECT kv.url,
+         CASE WHEN r.is_pagination
+                   AND regexp_full_match(kv.pval, '[0-9]{{1,15}}')
+                   AND TRY_CAST(kv.pval AS BIGINT) >= 20
+              THEN kv.param END AS cp
+  FROM kv LEFT JOIN rules r ON r.host = kv.host AND r.param = kv.param
+),
+a AS (SELECT url, min(cp) AS capped_param FROM j GROUP BY url)
+SELECT url, capped_param IS NULL AS admit, capped_param FROM a
+UNION ALL SELECT * FROM noq
 """
     oracles["priority_compose"] = """
 WITH ids AS (SELECT DISTINCT event_id % 108 AS i FROM events),

@@ -158,6 +158,7 @@ HEADLINE = [
     "trap_url_signals",
     "trap_hosts",
     "pagination_params",
+    "pagination_cap_apply",
     "priority_compose",
 ]
 

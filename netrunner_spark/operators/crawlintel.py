@@ -1439,3 +1439,65 @@ def pagination_params(
             <= F.lit(max_span_factor) * F.col("n_vals")
         ),
     )
+
+
+def apply_pagination_caps(
+    pages: DataFrame,
+    rules: DataFrame,
+    cap: int = 20,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply :func:`pagination_params` verdicts to a URL set → ``(url,
+    admit, capped_param)``: a URL is dropped when ANY of its query
+    parameters is a mined page counter on its host with an integer
+    value ≥ ``cap`` — the pagination loop closed, exactly the
+    :func:`apply_template_caps` pattern for the query-string axis:
+    ``?page=0..19`` keeps minting frontier rows, ``?page=20..∞`` stops,
+    and non-pagination params (session ids, item ids) never gate.
+
+    ``capped_param`` names the (first, alphabetically) parameter that
+    tripped the cap, for the crawl report. Query-less URLs pass
+    through. Scale: rules are bounded (hosts × params — broadcast into
+    the kv join); one bounded explode + one URL-keyed re-aggregate; no
+    window, no skewed shuffle; the value cap is a pure comparison so a
+    10^8-URL ?page= trap needs no sorting at all.
+    """
+    u = pages.select(F.col(url_col).alias("url")).dropDuplicates()
+    noq = u.filter(~F.col("url").contains("?")).select(
+        "url", F.lit(True).alias("admit"),
+        F.lit(None).cast("string").alias("capped_param"),
+    )
+    pg = F.broadcast(
+        rules.filter(F.col("is_pagination")).select(
+            F.col("host").alias("_rh"),
+            F.col("param").alias("_rp"),
+            F.lit(True).alias("_pg"),
+        )
+    )
+    kv = (
+        u.filter(F.col("url").contains("?"))
+        .select(
+            "url",
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            F.explode(F.split(F.substring_index("url", "?", -1), "&")).alias("kvp"),
+        )
+        .select(
+            "url",
+            "host",
+            F.substring_index("kvp", "=", 1).alias("param"),
+            F.substring_index("kvp", "=", -1).alias("pval"),
+        )
+    )
+    j = kv.join(pg, (kv.host == F.col("_rh")) & (kv.param == F.col("_rp")), "left")
+    # CASE-guarded cast (ANSI-safe: AND does not short-circuit casts);
+    # a non-integer value yields NULL, and NULL >= cap is NULL => not over
+    pval_int = F.when(F.col("pval").rlike(_PAG_INT_RE), F.col("pval").cast("long"))
+    over = F.col("_pg").isNotNull() & (pval_int >= cap)
+    agg = j.groupBy("url").agg(
+        F.min(F.when(over, F.col("param"))).alias("capped_param")
+    )
+    return noq.unionByName(
+        agg.select(
+            "url", F.col("capped_param").isNull().alias("admit"), "capped_param"
+        )
+    )

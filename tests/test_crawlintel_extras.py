@@ -516,3 +516,23 @@ def test_pagination_params_verdicts(spark):
     assert got["sid"] == (10, True, 0, False)    # numeric DUST, not traversal
     assert got["item"] == (10, True, 1, False)   # id space, density fails
     assert got["tab"] == (2, True, 1, False)     # below min_vals
+
+
+def test_apply_pagination_caps_gates_only_counters(spark):
+    pages = spark.createDataFrame(
+        [(f"https://s.test/l?page={i}", f"pg{i}") for i in range(30)]
+        + [(f"https://s.test/d?sid={100 + i}", "same") for i in range(10)]
+        + [("https://s.test/plain", "p")],
+        "url string, content_hash string",
+    )
+    rules = crawlintel.pagination_params(pages)
+    got = {
+        r.url: (r.admit, r.capped_param)
+        for r in crawlintel.apply_pagination_caps(pages, rules, cap=10).collect()
+    }
+    assert got["https://s.test/l?page=5"] == (True, None)
+    assert got["https://s.test/l?page=10"] == (False, "page")
+    assert got["https://s.test/l?page=29"] == (False, "page")
+    assert got["https://s.test/d?sid=109"] == (True, None)   # DUST, never gates
+    assert got["https://s.test/plain"] == (True, None)
+    assert sum(1 for a, _ in got.values() if not a) == 20
