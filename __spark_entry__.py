@@ -1250,6 +1250,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pages, crawlintel.pagination_params(pages), cap=20
         )
 
+    def politeness_compliance(spark, sf):
+        # post-hoc audit of the fetch log against the crawl-delay
+        # contract (the north rule's hard invariant, third leg after
+        # the scheduler plan and the wall-clock tests): hosts pace at
+        # their delay except h2 (one 200ms-short gap at fetch #5) and
+        # h4 (paces at half its delay — systematic violator)
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        log = ev.select(
+            F.expr("concat('h', CAST(event_id % 5 AS STRING), '.test')").alias(
+                "host"
+            ),
+            F.expr(
+                "concat('https://h', CAST(event_id % 5 AS STRING), '.test/p/',"
+                " CAST(event_id DIV 5 AS STRING))"
+            ).alias("url"),
+            F.expr(
+                "CASE WHEN event_id % 5 = 4 THEN (event_id DIV 5) * 1250"
+                " ELSE (event_id DIV 5) * (500 * (event_id % 5 + 1))"
+                "  - (CASE WHEN event_id % 5 = 2 AND event_id DIV 5 >= 5"
+                "     THEN 200 ELSE 0 END)"
+                " END"
+            ).cast("long").alias("ts_ms"),
+        )
+        delays = spark.createDataFrame(
+            [(f"h{i}.test", 500 * (i + 1)) for i in range(5)],
+            "host string, crawl_delay_ms long",
+        )
+        return crawlintel.politeness_compliance(log, delays)
+
     def priority_compose(spark, sf):
         # the north-star priority formula pinned per URL: depth +
         # log10(host queue + 1)/10, on queue sizes 9 and 99 so the
@@ -4049,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_params": pagination_params,
         "pagination_cap_apply": pagination_cap_apply,
         "priority_compose": priority_compose,
+        "politeness_compliance": politeness_compliance,
     }
 
 
@@ -7614,6 +7646,39 @@ j AS (
 a AS (SELECT url, min(cp) AS capped_param FROM j GROUP BY url)
 SELECT url, capped_param IS NULL AS admit, capped_param FROM a
 UNION ALL SELECT * FROM noq
+"""
+    oracles["politeness_compliance"] = """
+WITH log AS (
+  SELECT 'h' || CAST(event_id % 5 AS VARCHAR) || '.test' AS host,
+         'https://h' || CAST(event_id % 5 AS VARCHAR) || '.test/p/'
+           || CAST(event_id // 5 AS VARCHAR) AS url,
+         CAST(CASE WHEN event_id % 5 = 4 THEN (event_id // 5) * 1250
+              ELSE (event_id // 5) * (500 * (event_id % 5 + 1))
+                - (CASE WHEN event_id % 5 = 2 AND event_id // 5 >= 5
+                   THEN 200 ELSE 0 END)
+              END AS BIGINT) AS ts_ms
+  FROM events
+),
+delays AS (
+  SELECT 'h' || CAST(i AS VARCHAR) || '.test' AS host,
+         CAST(500 * (i + 1) AS BIGINT) AS crawl_delay_ms
+  FROM range(5) t(i)
+),
+gaps AS (
+  SELECT host, ts_ms,
+         ts_ms - lag(ts_ms) OVER (PARTITION BY host ORDER BY ts_ms, url) AS gap_ms
+  FROM log
+)
+SELECT g.host,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+       min(gap_ms) AS min_gap_ms,
+       d.crawl_delay_ms,
+       CAST(sum(CASE WHEN gap_ms < d.crawl_delay_ms THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       sum(CASE WHEN gap_ms < d.crawl_delay_ms THEN 1 ELSE 0 END) = 0 AS compliant
+FROM gaps g LEFT JOIN delays d ON d.host = g.host
+GROUP BY g.host, d.crawl_delay_ms
 """
     oracles["priority_compose"] = """
 WITH ids AS (SELECT DISTINCT event_id % 108 AS i FROM events),

@@ -160,6 +160,7 @@ HEADLINE = [
     "pagination_params",
     "pagination_cap_apply",
     "priority_compose",
+    "politeness_compliance",
 ]
 
 

@@ -1501,3 +1501,55 @@ def apply_pagination_caps(
             "url", F.col("capped_param").isNull().alias("admit"), "capped_param"
         )
     )
+
+
+def politeness_compliance(
+    fetches: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Audit the fetch log against the per-host crawl-delay contract →
+    ``(host, n_fetches, n_gaps, min_gap_ms, crawl_delay_ms,
+    n_violations, compliant)``.
+
+    The politeness bound is the north rule's hard invariant; the
+    scheduler *plans* it (`operators/politeness.py`) and the wall-clock
+    tests *enforce* it in-process — this is the third leg: a
+    post-hoc relational audit over the recorded fetch log, the query an
+    operator runs after an incident ("did round 412 actually respect
+    example.com's 2 s delay?"). A violation is any same-host
+    consecutive gap < ``crawl_delay_ms``. One lag window partitioned by
+    host (ordered by timestamp) + one hash aggregate; ``delays`` is
+    bounded per-host (broadcast). Hosts with a single fetch have no
+    gaps and are vacuously compliant (``min_gap_ms`` NULL).
+    """
+    w = Window.partitionBy(host_col).orderBy(F.col(ts_col), F.col("url"))
+    gaps = fetches.select(
+        F.col(host_col).alias("host"),
+        "url",
+        F.col(ts_col).alias("ts_ms"),
+    ).withColumn("gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w))
+    d = F.broadcast(delays.select("host", "crawl_delay_ms"))
+    return (
+        gaps.join(d, "host", "left")
+        .groupBy("host", "crawl_delay_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.count("gap_ms").alias("n_gaps"),
+            F.min("gap_ms").alias("min_gap_ms"),
+            F.sum(
+                F.when(F.col("gap_ms") < F.col("crawl_delay_ms"), 1).otherwise(0)
+            ).alias("n_violations"),
+        )
+        .withColumn("compliant", F.col("n_violations") == 0)
+        .select(
+            "host",
+            "n_fetches",
+            "n_gaps",
+            "min_gap_ms",
+            "crawl_delay_ms",
+            "n_violations",
+            "compliant",
+        )
+    )

@@ -536,3 +536,25 @@ def test_apply_pagination_caps_gates_only_counters(spark):
     assert got["https://s.test/d?sid=109"] == (True, None)   # DUST, never gates
     assert got["https://s.test/plain"] == (True, None)
     assert sum(1 for a, _ in got.values() if not a) == 20
+
+
+def test_politeness_compliance_flags_short_gaps(spark):
+    log = spark.createDataFrame(
+        [("a.test", f"https://a.test/{i}", i * 1000) for i in range(5)]
+        + [("b.test", "https://b.test/0", 0),
+           ("b.test", "https://b.test/1", 400),
+           ("b.test", "https://b.test/2", 1400)]
+        + [("c.test", "https://c.test/only", 7)],
+        "host string, url string, ts_ms long",
+    )
+    delays = spark.createDataFrame(
+        [("a.test", 1000), ("b.test", 1000), ("c.test", 1000)],
+        "host string, crawl_delay_ms long",
+    )
+    got = {
+        r.host: (r.n_fetches, r.n_gaps, r.min_gap_ms, r.n_violations, r.compliant)
+        for r in crawlintel.politeness_compliance(log, delays).collect()
+    }
+    assert got["a.test"] == (5, 4, 1000, 0, True)
+    assert got["b.test"] == (3, 2, 400, 1, False)
+    assert got["c.test"] == (1, 0, None, 0, True)  # vacuously compliant
