@@ -275,3 +275,39 @@ def test_trap_family_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     # the frontier side reaches the join with no exchange of its own
     assert "SortMergeJoin" not in plan
+
+
+def test_pagination_and_compliance_plan_shapes(spark):
+    """Scale pins for the pagination and compliance families: the
+    miner is window-free (hash aggregates + one bounded rule join),
+    the cap apply reaches URLs via a BROADCAST rule join (no
+    sort-merge, no window), and the compliance audit is exactly one
+    lag window + broadcast delays."""
+    from netrunner_spark.operators.crawlintel import (
+        apply_pagination_caps,
+        pagination_params,
+        politeness_compliance,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"https://s.test/l?page={i}", f"pg{i}") for i in range(12)],
+        "url string, content_hash string",
+    )
+    rules = pagination_params(pages)
+    plan = _explain(rules, "formatted")
+    assert "Window" not in plan and "Cartesian" not in plan
+
+    plan = _explain(apply_pagination_caps(pages, rules, cap=5), "formatted")
+    assert "Window" not in plan and "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    log = spark.createDataFrame(
+        [("a.test", f"https://a.test/{i}", i * 1000) for i in range(6)],
+        "host string, url string, ts_ms long",
+    )
+    delays = spark.createDataFrame(
+        [("a.test", 1000)], "host string, crawl_delay_ms long"
+    )
+    plan = _explain(politeness_compliance(log, delays), "formatted")
+    assert plan.count("Window (") == 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
