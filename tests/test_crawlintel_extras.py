@@ -558,3 +558,141 @@ def test_politeness_compliance_flags_short_gaps(spark):
     assert got["a.test"] == (5, 4, 1000, 0, True)
     assert got["b.test"] == (3, 2, 400, 1, False)
     assert got["c.test"] == (1, 0, None, 0, True)  # vacuously compliant
+
+
+def test_trap_signals_differential_vs_python_reference(spark):
+    """Seeded random URL corpora: the Spark trap signals must equal an
+    independent Python reimplementation of the segment/year/hex/depth
+    rules exactly."""
+    import random
+    import re
+
+    rng = random.Random(71)
+    seg_pool = ["a", "b", "cal", "2029", "2033", "2045", "x", "p1",
+                "0123456789abcdef", "deadbeefdeadbeefdead", "Dead",
+                "20ab", "page", "v2"]
+    rows = []
+    for _ in range(300):
+        host = f"h{rng.randint(0, 3)}.test"
+        depth = rng.randint(0, 15)
+        segs = [rng.choice(seg_pool) for _ in range(depth)]
+        url = f"https://{host}/" + "/".join(segs)
+        if rng.random() < 0.2:
+            url += f"?q={rng.randint(0, 9)}"
+        rows.append((url,))
+
+    YEAR = re.compile(r"^20(3[1-9]|[4-9][0-9])$")
+    HEX = re.compile(r"^[0-9a-f]{16,}$")
+
+    def ref(urls):
+        out = {}
+        for (u,) in urls:
+            if u in out:
+                continue
+            host = u.split("//")[1].split("/")[0].split("?")[0]
+            rest = u.split("//", 1)[1]
+            path = rest[len(host):].split("?", 1)[0].split("#", 1)[0]
+            segs = [s for s in path.split("/") if s]
+            rep = max((segs.count(s) for s in segs), default=0)
+            cal = any(YEAR.match(s) for s in segs)
+            opq = any(HEX.match(s) for s in segs)
+            out[u] = (host, len(segs), rep, cal, opq, rep >= 3,
+                      rep >= 3 or cal or len(segs) > 12)
+        return out
+
+    urls = spark.createDataFrame(rows, "url string")
+    got = {
+        r["url"]: (r["host"], r["depth"], r["max_seg_repeat"], r["calendar"],
+                   r["opaque_id"], r["seg_loop"], r["trapped"])
+        for r in crawlintel.trap_url_signals(urls).collect()
+    }
+    want = ref(rows)
+    assert got == want
+    assert any(v[6] for v in want.values()) and not all(v[6] for v in want.values())
+
+
+def test_pagination_caps_differential_vs_python_reference(spark):
+    """Seeded random (host, param, value) corpora: mined pagination
+    verdicts and the applied cap must equal an independent Python
+    reimplementation exactly."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(97)
+    rows = []
+    for _ in range(400):
+        host = f"h{rng.randint(0, 2)}.test"
+        kind = rng.randint(0, 3)
+        if kind == 0:   # dense counter, content varies
+            v = rng.randint(0, 30)
+            rows.append((f"https://{host}/l?page={v}", f"pg-{host}-{v}"))
+        elif kind == 1:  # numeric DUST
+            v = 100 + rng.randint(0, 30)
+            rows.append((f"https://{host}/d?sid={v}", f"sess-{host}"))
+        elif kind == 2:  # sparse ids, content varies
+            v = rng.randint(0, 25) * 31
+            rows.append((f"https://{host}/s?item={v}", f"it-{host}-{v}"))
+        else:
+            rows.append((f"https://{host}/about", f"ab-{host}"))
+
+    CAP = 12
+
+    def ref(pages):
+        seen = {}
+        for url, h in pages:
+            seen.setdefault(url, h)
+        vals = defaultdict(set)
+        groups = defaultdict(lambda: (set(), set()))
+        for url, h in seen.items():
+            if "?" not in url:
+                continue
+            host = url.split("//")[1].split("/")[0]
+            base, qs = url.split("?", 1)
+            for kv in qs.split("&"):
+                p, v = kv.split("=", 1)
+                vals[(host, p)].add(v)
+                others = "&".join(
+                    sorted(k for k in qs.split("&") if k.split("=", 1)[0] != p)
+                )
+                groups[(host, p, base + "?" + others)][0].add(v)
+                groups[(host, p, base + "?" + others)][1].add(h)
+        viol = defaultdict(int)
+        for (host, p, _), (vs, hs) in groups.items():
+            if len(vs) >= 2 and len(hs) >= 2:
+                viol[(host, p)] += 1
+        verdict = {}
+        for (host, p), vs in vals.items():
+            all_int = all(v.isdigit() and len(v) <= 15 for v in vs)
+            ints = sorted(int(v) for v in vs if v.isdigit() and len(v) <= 15)
+            dense = bool(ints) and (ints[-1] - ints[0] + 1 <= 2 * len(vs))
+            verdict[(host, p)] = (
+                all_int and len(vs) >= 3 and viol[(host, p)] >= 1 and dense
+            )
+        admit = {}
+        for url in seen:
+            if "?" not in url:
+                admit[url] = (True, None)
+                continue
+            host = url.split("//")[1].split("/")[0]
+            capped = sorted(
+                p for kv in url.split("?", 1)[1].split("&")
+                for p, v in [kv.split("=", 1)]
+                if verdict.get((host, p))
+                and v.isdigit() and len(v) <= 15 and int(v) >= CAP
+            )
+            admit[url] = (not capped, capped[0] if capped else None)
+        return verdict, admit
+
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    rules = crawlintel.pagination_params(pages)
+    got_verdict = {
+        (r["host"], r["param"]): r["is_pagination"] for r in rules.collect()
+    }
+    got_admit = {
+        r["url"]: (r["admit"], r["capped_param"])
+        for r in crawlintel.apply_pagination_caps(pages, rules, cap=CAP).collect()
+    }
+    want_verdict, want_admit = ref(rows)
+    assert got_verdict == want_verdict
+    assert got_admit == want_admit
+    assert any(not a for a, _ in want_admit.values())
