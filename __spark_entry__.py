@@ -2122,6 +2122,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return vectors.kmeans_int(_t(spark, sf, "embeddings"), k=4, iters=2)
 
+    def semdedup_prune(spark, sf):
+        # SemDeDup (Abbas et al. 2023): semantic dedup inside trained
+        # k-means cells — intra-cell pairs verified by exact quantized
+        # dot, duplicate groups = connected components, keeper = the
+        # member FARTHEST from its centroid (the paper's rule)
+        from netrunner_spark.operators import vectors
+
+        return vectors.semdedup(
+            _t(spark, sf, "embeddings"), k=4, iters=2, min_dot_q=300_000
+        )
+
     def doc_surprisal(spark, sf):
         # CCNet-style unigram-LM quality signal in exact positive
         # int64: corpus-trained inverse-probability weights, doc score
@@ -4081,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_cap_apply": pagination_cap_apply,
         "priority_compose": priority_compose,
         "politeness_compliance": politeness_compliance,
+        "semdedup_prune": semdedup_prune,
     }
 
 
@@ -7680,6 +7692,36 @@ SELECT g.host,
 FROM gaps g LEFT JOIN delays d ON d.host = g.host
 GROUP BY g.host, d.crawl_delay_ms
 """
+    # semdedup_prune: the generated Lloyd's body (identical to the
+    # kmeans_clusters twin) extended with the SemDeDup tail — intra-cell
+    # verified pairs, recursive-CTE components, farthest-from-centroid
+    # keeper — so the dedup oracle can never drift from the quantizer
+    # it clusters with.
+    oracles["semdedup_prune"] = _kmeans_sql(
+        k=4,
+        iters=2,
+        select=""", pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(generate_series(1, len(a.qe)),
+                i -> a.qe[i] * b.qe[i]), (x, y) -> x + y) >= 300000
+    ), uedges AS (
+      SELECT va AS u, vb AS v FROM pairs
+      UNION SELECT vb, va FROM pairs
+    ), reach(u, v) AS (
+      SELECT vec_id, vec_id FROM afinal
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN uedges e ON r.v = e.u
+    ), grp AS (
+      SELECT u AS vec_id, min(v) AS group_id FROM reach GROUP BY u
+    )
+    SELECT a.vec_id, a.cid, a.d AS dist_q, g.group_id,
+           row_number() OVER (
+             PARTITION BY g.group_id ORDER BY a.d DESC, a.vec_id ASC) = 1
+             AS is_keeper
+    FROM afinal a JOIN grp g ON g.vec_id = a.vec_id""",
+    ).replace("WITH q AS", "WITH RECURSIVE q AS", 1)
+
     oracles["priority_compose"] = """
 WITH ids AS (SELECT DISTINCT event_id % 108 AS i FROM events),
 f AS (

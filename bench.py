@@ -161,6 +161,7 @@ HEADLINE = [
     "pagination_cap_apply",
     "priority_compose",
     "politeness_compliance",
+    "semdedup_prune",
 ]
 
 

@@ -327,6 +327,85 @@ def embedding_dedup_clusters(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    min_dot_q: int = 300_000,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): candidate pairs come from the TRAINED k-means
+    cells (not LSH buckets — the paper's pre-clustering step), are
+    verified by exact quantized dot ≥ ``min_dot_q``, duplicate groups
+    are connected components of verified pairs, and the kept
+    representative is the member FARTHEST from its centroid (the
+    paper's low-centroid-similarity keeper rule, which preferentially
+    retains the cluster's outliers), ties → smaller vec_id.
+
+    → ``(vec_id, cid, dist_q, group_id, is_keeper)`` over the full
+    corpus; singletons are their own group and always keepers.
+
+    Shape at 100 TB: Lloyd's training + assignment are the map-only /
+    broadcast plan of :func:`kmeans_int`. The intra-cell self-join is
+    quadratic in CELL size by design (that is SemDeDup's accuracy
+    contract) — ``k`` is the knob: size it to ``n / target_cell`` so
+    the equi-join on ``cid`` has bounded per-key work, and audit the
+    actual occupancy with ``kmeans_cell_balance`` before running the
+    pairing. Components never span cells (edges are intra-cell), so
+    the keeper window partitions are bounded by cell size too.
+    """
+    base = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    cents = _lloyd(base, k, iters)
+    a = _kmeans_assign(base, cents)  # (vec_id, q, cid, dist_q)
+    left = a.select(
+        "cid", F.col("vec_id").alias("vec_a"), F.col("q").alias("qa")
+    )
+    right = a.select(
+        "cid", F.col("vec_id").alias("vec_b"), F.col("q").alias("qb")
+    )
+    pairs = (
+        left.join(right, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.aggregate(
+                F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+        .filter(F.col("dot_q") >= min_dot_q)
+    )
+    from netrunner_spark.operators.textops import connected_components
+
+    comp = connected_components(
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        ),
+        nodes=a.select(F.col("vec_id").alias("doc_id")),
+    )
+    scored = a.select("vec_id", "cid", "dist_q").join(
+        comp.select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("cluster_id").alias("group_id"),
+        ),
+        "vec_id",
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("dist_q").desc(), F.col("vec_id").asc()
+    )
+    return scored.select(
+        "vec_id",
+        "cid",
+        "dist_q",
+        "group_id",
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )
+
+
 def _sq_l2(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

@@ -662,3 +662,96 @@ def test_ivfpq_prunes_candidates_and_finds_cluster_neighbors(spark):
     for qid, hits in by_q.items():
         same = sum(1 for h in hits if h // 20 == qid // 20)
         assert same >= len(hits) * 0.7, (qid, hits)
+
+
+# -------------------------------------------------------------- semdedup
+
+
+def test_semdedup_matches_python_reference(spark):
+    # full-pipeline differential: kmeans cells (reusing the reference
+    # Lloyd's), intra-cell dot-threshold pairs, connected components,
+    # farthest-from-centroid keeper — all re-derived in plain Python
+    rng = np.random.default_rng(13)
+    vecs = rng.uniform(-1, 1, size=(30, 6)).astype(np.float32)
+    # plant two near-duplicate pairs so the dup structure is non-trivial
+    vecs[7] = vecs[3] + rng.normal(0, 0.001, size=6).astype(np.float32)
+    vecs[19] = vecs[3] + rng.normal(0, 0.001, size=6).astype(np.float32)
+    vecs[11] = vecs[5] + rng.normal(0, 0.001, size=6).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    k, iters, thr = 3, 2, 1_000_000
+    got = {
+        r["vec_id"]: (r["cid"], r["dist_q"], r["group_id"], r["is_keeper"])
+        for r in vectors.semdedup(df, k=k, iters=iters, min_dot_q=thr).collect()
+    }
+
+    ref_assign = _ref_kmeans(vecs, k=k, iters=iters)  # vid -> (cid, dist)
+    q = np.array(
+        [[int(round(x * 1000)) for x in v] for v in vecs], dtype=np.int64
+    )
+    # intra-cell verified pairs → adjacency
+    adj = {i: {i} for i in range(len(vecs))}
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            if ref_assign[a][0] != ref_assign[b][0]:
+                continue
+            if int((q[a] * q[b]).sum()) >= thr:
+                adj[a].add(b)
+                adj[b].add(a)
+    # components by BFS, label = min id
+    group = {}
+    for start in range(len(vecs)):
+        if start in group:
+            continue
+        seen, todo = set(), [start]
+        while todo:
+            x = todo.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            todo.extend(adj[x] - seen)
+        label = min(seen)
+        for x in seen:
+            group[x] = label
+    want = {}
+    for vid in range(len(vecs)):
+        members = [m for m in group if group[m] == group[vid]]
+        keeper = max(members, key=lambda m: (ref_assign[m][1], -m))
+        want[vid] = (
+            ref_assign[vid][0],
+            ref_assign[vid][1],
+            group[vid],
+            vid == keeper,
+        )
+    assert got == want
+    # the planted dups were actually grouped (same cell ⇒ same group)
+    if ref_assign[3][0] == ref_assign[7][0]:
+        assert got[3][2] == got[7][2]
+
+
+def test_semdedup_invariants(spark):
+    rng = np.random.default_rng(29)
+    vecs = rng.uniform(-1, 1, size=(40, 8)).astype(np.float32)
+    for dst, src in ((9, 2), (17, 2), (25, 14)):
+        vecs[dst] = vecs[src] + rng.normal(0, 0.001, size=8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    rows = vectors.semdedup(df, k=3, iters=2, min_dot_q=1_000_000).collect()
+    assert {r["vec_id"] for r in rows} == set(range(40))  # total
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for gid, members in by_group.items():
+        # exactly one keeper; groups never span k-means cells;
+        # keeper = (max dist_q, then min vec_id)
+        keepers = [r for r in members if r["is_keeper"]]
+        assert len(keepers) == 1, gid
+        assert len({r["cid"] for r in members}) == 1, gid
+        best = sorted(members, key=lambda r: (-r["dist_q"], r["vec_id"]))[0]
+        assert keepers[0]["vec_id"] == best["vec_id"]
+    # non-trivial: at least one multi-member group from the planted dups
+    assert any(len(m) > 1 for m in by_group.values())

@@ -311,3 +311,21 @@ def test_pagination_and_compliance_plan_shapes(spark):
     plan = _explain(politeness_compliance(log, delays), "formatted")
     assert plan.count("Window (") == 1
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_semdedup_plan_shape(spark):
+    """SemDeDup pins: centroid assignment is the packed one-row
+    broadcast (never a shuffled join of the corpus against centroids),
+    and the intra-cell pairing is an equi-join on cid — no cartesian
+    product anywhere in the plan."""
+    from netrunner_spark.operators.vectors import semdedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7) / 7.0, float(i % 3) / 3.0]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _explain(semdedup(df, k=2, iters=1, min_dot_q=1), "formatted")
+    assert "BroadcastNestedLoopJoin" in plan  # packed-centroid argmin
+    assert "CartesianProduct" not in plan
+    # the only window sorts are the bounded per-group keeper rank
+    assert plan.count("Window") <= 2
