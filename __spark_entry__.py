@@ -1975,6 +1975,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank_int(edges, iters=3)
 
+    def opic_importance(spark, sf):
+        # OPIC (Abiteboul et al. WWW'03): the online crawl-ordering
+        # importance metric — cash/history recurrence with a virtual
+        # page absorbing dangling mass and truncation remainders; rank
+        # frontier URLs by hist_e12 while the crawl is still running
+        from netrunner_spark.operators.graph import opic_int
+
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        return opic_int(edges, iters=3)
+
     def weighted_pagerank(spark, sf):
         # WEIGHTED PageRank: rank distributed proportional to link
         # multiplicity (raw edge rows carry w=1 and the operator sums
@@ -4093,6 +4108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_compose": priority_compose,
         "politeness_compliance": politeness_compliance,
         "semdedup_prune": semdedup_prune,
+        "opic_importance": opic_importance,
     }
 
 
@@ -4462,6 +4478,50 @@ WITH edges AS (
 )""".format(i=_i, p=_i - 1, damp=_damp, scale=_scale)
     weighted_pagerank_sql = _wp + f"\nSELECT id, rank_e12 FROM w{_iters}"
 
+    # opic_importance: graph.opic_int unrolled — per round, history
+    # absorbs the previous cash, the virtual-page pot collects dangling
+    # cash plus every div-truncation remainder in ONE aggregate, and
+    # new cash = in-edge contributions + pot // n. Exact int64.
+    _op = """
+WITH edges AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+  UNION
+  SELECT DISTINCT dst AS id FROM edges
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+), ncount AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes
+), s0 AS (
+  SELECT id, CAST({scale} // nc.n_nodes AS BIGINT) AS cash,
+         CAST(0 AS BIGINT) AS hist
+  FROM nodes CROSS JOIN ncount nc
+)""".format(scale=_scale)
+    for _i in range(1, _iters + 1):
+        _op += """, s{i} AS (
+  SELECT n.id AS id,
+         CAST(COALESCE(c.contrib, 0) + p.pot // nc.n_nodes AS BIGINT) AS cash,
+         CAST(pv.hist + pv.cash AS BIGINT) AS hist
+  FROM nodes n
+  JOIN s{p} pv ON pv.id = n.id
+  CROSS JOIN ncount nc
+  CROSS JOIN (SELECT CAST(COALESCE(SUM(
+                CASE WHEN dg.src IS NULL THEN s.cash
+                     ELSE s.cash - (s.cash // dg.outdeg) * dg.outdeg END), 0)
+                AS BIGINT) AS pot
+              FROM s{p} s LEFT JOIN deg dg ON dg.src = s.id) p
+  LEFT JOIN (SELECT e.dst AS id,
+                    CAST(SUM(s.cash // dg.outdeg) AS BIGINT) AS contrib
+             FROM edges e
+             JOIN s{p} s ON s.id = e.src
+             JOIN deg dg ON dg.src = e.src
+             GROUP BY e.dst) c ON c.id = n.id
+)""".format(i=_i, p=_i - 1)
+    opic_sql = _op + f"\nSELECT id, cash AS cash_e12, hist AS hist_e12 FROM s{_iters}"
+
     # link_hits: the IDENTICAL scaled-quotient HITS recurrence as
     # operators/graph.py:hits_int unrolled — per iteration one auth
     # half (sum of hubs over in-edges, coalesce-to-0, quotient norm)
@@ -4588,6 +4648,7 @@ WITH edges AS (
             ) ORDER BY cnt DESC, token ASC LIMIT 100
         """,
         "link_pagerank": link_pagerank_sql,
+        "opic_importance": opic_sql,
         "link_authority_report": link_authority_report_sql,
         "weighted_pagerank": weighted_pagerank_sql,
         "seed_pagerank": seed_pagerank_sql,

@@ -162,6 +162,7 @@ HEADLINE = [
     "priority_compose",
     "politeness_compliance",
     "semdedup_prune",
+    "opic_importance",
 ]
 
 

@@ -136,6 +136,107 @@ def pagerank_int(
     return ranks.select("id", "rank_e12")
 
 
+def opic_int(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobéna, WWW 2003) over a directed edge list ``(src, dst)``
+    → ``(id, cash_e12, hist_e12)``. THE crawl-ordering importance
+    metric: unlike PageRank it needs no damping parameter and its
+    history converges to importance *while the crawl is still
+    running*, which is why frontier schedulers use it to pick what to
+    fetch next (rank by ``hist_e12``).
+
+    Synchronous batch formulation in exact int64 arithmetic:
+
+    - every node starts with cash ``scale div n`` and zero history;
+    - each round: history += cash (the page is "read"); each out-edge
+      receives ``cash div outdeg``; the per-node truncation remainder
+      and ALL cash of dangling nodes go to OPIC's virtual page, which
+      redistributes its pot uniformly (``pot div n`` each — the
+      ``pot mod n`` tail simply decays, deterministic in both engines);
+    - new cash = incoming contributions + the virtual share.
+
+    Shape at 100 TB: per round ONE equi-join of the edge list with the
+    node-sized cash table + ONE hash aggregate on dst, plus a 1-row
+    broadcast pot (dangling + remainders in the same single aggregate);
+    state is localCheckpointed per round so lineage stays O(1). Same
+    skeleton as :func:`pagerank_int` — no windows, no driver loops.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    ids = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    )
+    if nodes is not None:
+        ids = ids.unionByName(nodes.select(F.col(nodes.columns[0]).alias("id")))
+    ids = ids.dropDuplicates().localCheckpoint(eager=True)
+    n = ids.count()  # single-row scalar, bounded (node count)
+    if n == 0:
+        return ids.select(
+            "id",
+            F.lit(0).cast("long").alias("cash_e12"),
+            F.lit(0).cast("long").alias("hist_e12"),
+        )
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    state = ids.select(
+        "id",
+        F.lit(scale // n).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    for _ in range(iters):
+        withdeg = state.join(outdeg, state.id == outdeg.src, "left")
+        # virtual-page pot: dangling cash + per-node share remainders,
+        # ONE row out of one aggregate
+        pot = withdeg.agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "case when src is null then cash"
+                        " else cash - (cash div outdeg) * outdeg end"
+                    )
+                ),
+                F.lit(0),
+            ).alias("pot")
+        )
+        contrib = (
+            e.join(
+                state.select(F.col("id").alias("src"), "cash"), "src"
+            )
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("cash div outdeg")).alias("contrib"))
+        )
+        state = (
+            state.join(contrib, state.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(pot))
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("contrib"), F.lit(0))
+                    + F.expr(f"pot div {n}")
+                ).cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "id",
+        F.col("cash").alias("cash_e12"),
+        F.col("hist").alias("hist_e12"),
+    )
+
+
 def hits_int(
     edges: DataFrame,
     iters: int = 3,

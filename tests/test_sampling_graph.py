@@ -437,3 +437,72 @@ def test_degree_histogram_bins(spark):
     assert got[("out", 1)] == 3        # deg 1
     assert got[("in", 1)] == 9         # the 9 targets
     assert got[("in", 2)] == 1         # node 0 in-deg 3 -> bit_length 2
+
+
+def _py_opic_int(edges, iters=3, scale=10**12):
+    """Reference implementation of the SAME OPIC integer recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    cash = {x: scale // n for x in nodes}
+    hist = {x: 0 for x in nodes}
+    for _ in range(iters):
+        contrib = {x: 0 for x in nodes}
+        for u, v in edges:
+            contrib[v] += cash[u] // out[u]
+        pot = 0
+        for x in nodes:
+            if x in out:
+                pot += cash[x] - (cash[x] // out[x]) * out[x]
+            else:
+                pot += cash[x]
+        hist = {x: hist[x] + cash[x] for x in nodes}
+        cash = {x: contrib[x] + pot // n for x in nodes}
+    return {x: (cash[x], hist[x]) for x in nodes}
+
+
+def test_opic_matches_python_reference_exactly(spark):
+    import random
+
+    from netrunner_spark.operators.graph import opic_int
+
+    rng = random.Random(17)
+    edges = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r["id"]: (r["cash_e12"], r["hist_e12"])
+        for r in opic_int(e, iters=3).collect()
+    }
+    assert got == _py_opic_int(edges)
+
+
+def test_opic_conserves_cash_and_accumulates_history(spark):
+    from netrunner_spark.operators.graph import opic_int
+
+    # ring + one dangling sink: cash is conserved up to the pot's
+    # div-n truncation (< n units per round); history after k rounds
+    # sums to ~k·scale
+    edges = [(i, (i + 1) % 6) for i in range(6)] + [(2, 9)]
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    iters, scale = 4, 10**12
+    got = {
+        r["id"]: (r["cash_e12"], r["hist_e12"])
+        for r in opic_int(e, iters=iters, scale=scale).collect()
+    }
+    n = len(got)
+    total_cash = sum(c for c, _ in got.values())
+    assert scale - iters * n <= total_cash <= scale
+    total_hist = sum(h for _, h in got.values())
+    assert iters * (scale - iters * n) <= total_hist <= iters * scale
+    # the dangling sink (9) never re-emits: its history still grows
+    assert got[9][1] > 0
+
+
+def test_opic_empty_graph(spark):
+    from netrunner_spark.operators.graph import opic_int
+
+    e = spark.createDataFrame([], "src: long, dst: long")
+    assert opic_int(e).count() == 0
