@@ -2148,6 +2148,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), k=4, iters=2, min_dot_q=300_000
         )
 
+    def dup_source_matrix(spark, sf):
+        # cross-source duplication matrix: for every dropped near-dup,
+        # which source keeps the canonical copy vs which source carried
+        # the duplicate — the signal mixture planners use to decide
+        # which redundant source to down-weight (text_dedup_savings
+        # gives the per-source total; this gives the source×source
+        # structure). dedup_clusters twin nested verbatim + one
+        # documents join + one hash aggregate.
+        d = _t(spark, sf, "documents")
+        cl = textops.dedup_clusters(d, max_doc_id=150, max_band_df=8)
+        j = cl.join(d.select("doc_id", "source", "n_chars"), "doc_id")
+        keep = j.filter(F.col("is_keeper")).select(
+            "cluster_id", F.col("source").alias("keeper_source")
+        )
+        dup = j.filter(~F.col("is_keeper")).select(
+            "cluster_id", F.col("source").alias("dup_source"), "n_chars"
+        )
+        return (
+            dup.join(keep, "cluster_id")
+            .groupBy("keeper_source", "dup_source")
+            .agg(
+                F.count(F.lit(1)).alias("n_dups"),
+                F.sum("n_chars").alias("dup_chars"),
+            )
+        )
+
     def doc_surprisal(spark, sf):
         # CCNet-style unigram-LM quality signal in exact positive
         # int64: corpus-trained inverse-probability weights, doc score
@@ -4109,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_compliance": politeness_compliance,
         "semdedup_prune": semdedup_prune,
         "opic_importance": opic_importance,
+        "dup_source_matrix": dup_source_matrix,
     }
 
 
@@ -5515,6 +5542,28 @@ WITH edges AS (
         + """
             SELECT u AS doc_id, min(v) AS cluster_id, min(v) = u AS is_keeper
             FROM reach GROUP BY u
+        """,
+        # dup_source_matrix: the same component closure, folded into the
+        # (keeper source × duplicate source) economics matrix
+        "dup_source_matrix": clusters_cte
+        + """
+            , cl AS (
+              SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+            ), j AS (
+              SELECT cl.doc_id, cl.cluster_id, d.source, d.n_chars
+              FROM cl JOIN documents d USING (doc_id)
+            ), keep AS (
+              SELECT cluster_id, source AS keeper_source
+              FROM j WHERE doc_id = cluster_id
+            ), dup AS (
+              SELECT cluster_id, source AS dup_source, n_chars
+              FROM j WHERE doc_id <> cluster_id
+            )
+            SELECT k.keeper_source, dr.dup_source,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   CAST(sum(dr.n_chars) AS BIGINT) AS dup_chars
+            FROM dup dr JOIN keep k USING (cluster_id)
+            GROUP BY 1, 2
         """,
         "cluster_keepers": clusters_cte
         + """

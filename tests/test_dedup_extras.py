@@ -383,3 +383,41 @@ def test_bit_balance_detects_stuck_bit(spark):
     assert got[0] == (1000, True)
     assert got[1] == (500, False)
     assert got[2] == (0, True)
+
+
+def test_dup_source_matrix_attributes_dups_to_keeper_source(spark):
+    # three exact copies of one doc across sources A, B, B (keeper =
+    # min doc_id, in source A) plus an unrelated singleton in C: the
+    # matrix must be exactly {(A,B): 2 dups} — singletons and keepers
+    # themselves never appear
+    from netrunner_spark.operators import textops
+    from pyspark.sql import functions as F
+
+    body = "the quick brown fox jumps over the lazy dog " * 20
+    docs = spark.createDataFrame(
+        [
+            (0, body, "A", len(body)),
+            (1, body, "B", len(body)),
+            (2, body, "B", len(body)),
+            (3, "completely different text about spark plans " * 20, "C", 880),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    cl = textops.dedup_clusters(docs, max_band_df=8)
+    j = cl.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    keep = j.filter(F.col("is_keeper")).select(
+        "cluster_id", F.col("source").alias("keeper_source")
+    )
+    dup = j.filter(~F.col("is_keeper")).select(
+        "cluster_id", F.col("source").alias("dup_source"), "n_chars"
+    )
+    out = (
+        dup.join(keep, "cluster_id")
+        .groupBy("keeper_source", "dup_source")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.sum("n_chars").alias("dup_chars"))
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r["keeper_source"], r["dup_source"]) == ("A", "B")
+    assert r["n_dups"] == 2 and r["dup_chars"] == 2 * len(body)
