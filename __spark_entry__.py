@@ -1990,6 +1990,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return opic_int(edges, iters=3)
 
+    def opic_budget_alloc(spark, sf):
+        # the OPIC loop closed: online importance (history) becomes the
+        # Hamilton-apportioned fetch budget — ranking the frontier by
+        # accumulated cash history is WHY crawlers run OPIC; this is
+        # the budget table the politeness governor consumes. Supplier
+        # nodes (odd ids) are the fetchable side; twins nested verbatim.
+        from netrunner_spark.operators import crawlintel
+        from netrunner_spark.operators.graph import opic_int
+
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        imp = opic_int(edges, iters=3)
+        stats = imp.filter(F.col("id") % 2 == 1).select(
+            F.concat(
+                F.lit("s"), ((F.col("id") - 1) / 2).cast("long").cast("string")
+            ).alias("host"),
+            "hist_e12",
+        )
+        return crawlintel.budget_alloc(stats, "hist_e12", total=997)
+
     def weighted_pagerank(spark, sf):
         # WEIGHTED PageRank: rank distributed proportional to link
         # multiplicity (raw edge rows carry w=1 and the operator sums
@@ -4135,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_compliance": politeness_compliance,
         "semdedup_prune": semdedup_prune,
         "opic_importance": opic_importance,
+        "opic_budget_alloc": opic_budget_alloc,
         "dup_source_matrix": dup_source_matrix,
     }
 
@@ -4676,6 +4701,29 @@ WITH edges AS (
         """,
         "link_pagerank": link_pagerank_sql,
         "opic_importance": opic_sql,
+        # opic_budget_alloc: the OPIC twin nested verbatim, supplier
+        # history mass through the same Hamilton tail as
+        # crawl_budget_alloc (total 997, ties by host)
+        "opic_budget_alloc": f"""
+WITH o AS ({opic_sql}),
+hh AS (
+  SELECT 's' || CAST((id - 1) // 2 AS VARCHAR) AS host,
+         hist_e12 AS w
+  FROM o WHERE id % 2 = 1
+), sh AS (
+  SELECT host, w AS weight,
+         CAST(997 * w // sum(w) OVER () AS BIGINT) AS fl,
+         CAST(997 * w % sum(w) OVER () AS BIGINT) AS rem
+  FROM hh
+), r AS (
+  SELECT *, 997 - sum(fl) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+  FROM sh
+)
+SELECT host, weight,
+       CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
+""",
         "link_authority_report": link_authority_report_sql,
         "weighted_pagerank": weighted_pagerank_sql,
         "seed_pagerank": seed_pagerank_sql,

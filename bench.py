@@ -163,6 +163,7 @@ HEADLINE = [
     "politeness_compliance",
     "semdedup_prune",
     "opic_importance",
+    "opic_budget_alloc",
     "dup_source_matrix",
 ]
 

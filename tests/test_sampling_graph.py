@@ -506,3 +506,28 @@ def test_opic_empty_graph(spark):
 
     e = spark.createDataFrame([], "src: long, dst: long")
     assert opic_int(e).count() == 0
+
+
+def test_opic_budget_composition_sums_exactly(spark):
+    # OPIC history -> Hamilton apportionment: allocs sum to the budget
+    # exactly and a node with strictly larger history never gets a
+    # smaller allocation than a same-tie-rank smaller one
+    from netrunner_spark.operators.crawlintel import budget_alloc
+    from netrunner_spark.operators.graph import opic_int
+    from pyspark.sql import functions as F
+
+    edges = [(i, (i + 1) % 8) for i in range(8)] + [(0, 9), (1, 9), (2, 9)]
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    imp = opic_int(e, iters=3)
+    stats = imp.select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        "hist_e12",
+    )
+    out = budget_alloc(stats, "hist_e12", total=101).collect()
+    assert sum(r["alloc"] for r in out) == 101
+    by_host = {r["host"]: r for r in out}
+    # node 9 has 3 extra in-edges: strictly more history than its ring
+    # peers, so at least as many slots as any of them
+    assert by_host["h9"]["alloc"] >= max(
+        by_host[f"h{i}"]["alloc"] for i in range(3, 8)
+    )
