@@ -1635,6 +1635,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return sketches.kmv_distinct(_t(spark, sf, "events"), "event_id", k=64)
 
+    def sketch_kmv_intersect(spark, sf):
+        # KMV set algebra (Beyer et al. 2007): union-merge of the
+        # view-day and purchase-day user-activity sketches + the
+        # rho-fraction intersection estimator, exact int64 — the
+        # cross-segment overlap question ("how many user-days did
+        # BOTH") answered from two k-row synopses instead of a
+        # distinct-join of the raw logs; user-day keys keep both sets
+        # well past k so the ESTIMATOR branch is the one oracle-checked
+        from netrunner_spark.operators import sketches
+
+        ev = _t(spark, sf, "events").select(
+            "event_type",
+            F.concat_ws(
+                "#",
+                F.col("user_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("uday"),
+        )
+        return sketches.kmv_set_ops(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+            key="uday",
+            k=64,
+        )
+
     def sketch_cms_tokens(spark, sf):
         # count-min frequency sketch over word occurrences (4×256
         # cells, minhash-family row hashes) + broadcast point queries
@@ -4161,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_importance": opic_importance,
         "opic_budget_alloc": opic_budget_alloc,
         "dup_source_matrix": dup_source_matrix,
+        "sketch_kmv_intersect": sketch_kmv_intersect,
     }
 
 
@@ -5502,6 +5528,16 @@ FROM r
         "sketch_kmv_events": __import__(
             "netrunner_spark.operators.sketches", fromlist=["kmv_sql"]
         ).kmv_sql("events", "event_id", k=64),
+        "sketch_kmv_intersect": __import__(
+            "netrunner_spark.operators.sketches", fromlist=["kmv_set_sql"]
+        ).kmv_set_sql(
+            "(SELECT CAST(user_id AS VARCHAR) || '#' || strftime(ts, '%Y-%m-%d')"
+            " AS uday FROM events WHERE event_type = 'view')",
+            "(SELECT CAST(user_id AS VARCHAR) || '#' || strftime(ts, '%Y-%m-%d')"
+            " AS uday FROM events WHERE event_type = 'purchase')",
+            "uday",
+            k=64,
+        ),
         "sketch_hist_quantiles": __import__(
             "netrunner_spark.operators.sketches", fromlist=["hist_quantiles_sql"]
         ).hist_quantiles_sql("documents", "n_chars", (500, 900, 990), 100),

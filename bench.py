@@ -165,6 +165,7 @@ HEADLINE = [
     "opic_importance",
     "opic_budget_alloc",
     "dup_source_matrix",
+    "sketch_kmv_intersect",
 ]
 
 

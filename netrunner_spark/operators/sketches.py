@@ -92,6 +92,115 @@ def kmv_sql(table: str, key: str, k: int = 256, salt: str = "kmv") -> str:
     """
 
 
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key: str = "user_id",
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al., SIGMOD 2007: synopses for
+    distinct-value estimation under multiset operations) → ONE row
+    ``(k_used, kth_hash, rho, est_union, est_intersect)``.
+
+    The union sketch is the k smallest of the two sketches' merged
+    hash sets (KMV's closure property — merging sketches IS the union
+    sketch); ``rho`` counts its members present in BOTH input sketches,
+    and the intersection estimate is the textbook
+    ``rho · est_union div k_used`` in exact int64 — deterministic given
+    the shared md5-prefix hash, so the DuckDB twin is bit-identical.
+    When the union has fewer than k distinct hashes every sketch is the
+    exact set and the "estimates" are exact counts.
+
+    Scale shape: two distinct-hash projections each collapsed by
+    TakeOrderedAndProject (per-partition top-k, only k·P candidates
+    ever move), then joins over k-row frames — broadcast-sized by
+    construction. The sketch algebra itself never touches the big side
+    again: this is why engines ship KMV for cross-segment distinct
+    set-overlap questions at 10^10 rows.
+    """
+    ha = df_a.select(md5_hash52(key, salt).alias("h")).dropDuplicates()
+    hb = df_b.select(md5_hash52(key, salt).alias("h")).dropDuplicates()
+    sa = ha.orderBy("h").limit(k)
+    sb = hb.orderBy("h").limit(k)
+    u = sa.unionByName(sb).dropDuplicates().orderBy("h").limit(k)
+    marked = u.join(
+        sa.withColumn("in_a", F.lit(1)), "h", "left"
+    ).join(sb.withColumn("in_b", F.lit(1)), "h", "left")
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.sum(
+            F.when(
+                F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rho"),
+    )
+    return agg.select(
+        "k_used",
+        "kth_hash",
+        "rho",
+        F.when(F.col("k_used") < k, F.col("k_used").cast("long"))
+        .otherwise(F.expr(f"CAST(({k} - 1) * {HASH_MAX} AS BIGINT) div kth_hash"))
+        .alias("est_union"),
+    ).select(
+        "k_used",
+        "kth_hash",
+        "rho",
+        "est_union",
+        F.expr("CAST(rho * est_union div k_used AS BIGINT)").alias(
+            "est_intersect"
+        ),
+    )
+
+
+def kmv_set_sql(
+    from_a: str,
+    from_b: str,
+    key: str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> str:
+    """DuckDB twin of :func:`kmv_set_ops` — identical hash, merge and
+    estimator arithmetic. ``from_a``/``from_b`` are FROM-clause bodies
+    (table or subquery) supplying the ``key`` column."""
+    h = (
+        f"CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 13)"
+        " AS BIGINT)"
+    )
+    return f"""
+        WITH sa AS (
+          SELECT DISTINCT {h} AS h FROM {from_a} ORDER BY h LIMIT {k}
+        ), sb AS (
+          SELECT DISTINCT {h} AS h FROM {from_b} ORDER BY h LIMIT {k}
+        ), u AS (
+          SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+          ORDER BY h LIMIT {k}
+        ), m AS (
+          SELECT u.h,
+                 CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                      THEN 1 ELSE 0 END AS in_both
+          FROM u LEFT JOIN sa ON sa.h = u.h LEFT JOIN sb ON sb.h = u.h
+        ), a AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
+                 CAST(sum(in_both) AS BIGINT) AS rho
+          FROM m
+        ), e AS (
+          SELECT k_used, kth_hash, rho,
+                 CASE WHEN k_used < {k} THEN k_used
+                      ELSE CAST(({k} - 1) * CAST({HASH_MAX} AS BIGINT)
+                                // kth_hash AS BIGINT)
+                 END AS est_union
+          FROM a
+        )
+        SELECT k_used, kth_hash, rho, est_union,
+               CAST(rho * est_union // k_used AS BIGINT) AS est_intersect
+        FROM e
+    """
+
+
 def cms_cells(
     tokens: DataFrame,
     token_col: str = "gram",

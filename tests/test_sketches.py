@@ -250,3 +250,47 @@ def test_hll_registers_differential_vs_python_reference(spark):
     df = spark.createDataFrame([(k,) for k in keys], "k long")
     got = {(r.bucket, r.rho) for r in sketches.hll_registers(df, "k", p=p).collect()}
     assert got == ref(keys)
+
+
+def test_kmv_set_ops_exact_when_under_k(spark):
+    # tiny sets: every sketch is the full set, so the "estimates" are
+    # the exact union / intersection cardinalities
+    a = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], "k long")
+    r = sketches.kmv_set_ops(a, b, key="k", k=64).collect()[0]
+    assert r["k_used"] == 15  # |A ∪ B|
+    assert r["est_union"] == 15
+    assert r["rho"] == 5  # |A ∩ B| members inside the union sketch
+    assert r["est_intersect"] == 5
+
+
+def test_kmv_set_ops_estimates_within_error_bound(spark):
+    # 1200 ∪-distinct keys with a 400-key overlap at k=128: the KMV
+    # standard error is ~1/sqrt(k-2) ≈ 9%, assert a generous 3-sigma
+    n, overlap, k = 800, 400, 128
+    a = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    b = spark.createDataFrame(
+        [(i,) for i in range(n - overlap, 2 * n - overlap)], "k long"
+    )
+    r = sketches.kmv_set_ops(a, b, key="k", k=k).collect()[0]
+    true_union = 2 * n - overlap
+    assert r["k_used"] == k
+    assert abs(r["est_union"] - true_union) <= true_union * 0.3
+    assert abs(r["est_intersect"] - overlap) <= true_union * 0.3
+    # determinism: identical rerun
+    r2 = sketches.kmv_set_ops(a, b, key="k", k=k).collect()[0]
+    assert r.asDict() == r2.asDict()
+
+
+def test_kmv_set_ops_plan_is_take_ordered(spark):
+    # both input sketches and the union re-sketch must plan as
+    # TakeOrdered (per-partition top-k), never a global sort
+    a = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(25, 75)], "k long")
+    plan = (
+        sketches.kmv_set_ops(a, b, key="k", k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
