@@ -294,3 +294,47 @@ def test_kmv_set_ops_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_set_ops_differential_vs_python_reference(spark):
+    # full-algebra differential: same md5-prefix hash, merge and
+    # integer estimator re-derived with hashlib — several random set
+    # shapes including subset, disjoint-heavy and saturated cases
+    import hashlib
+    import random
+
+    def ref(A, B, k):
+        def h(v):
+            return int(hashlib.md5(f"kmv{v}".encode()).hexdigest()[:13], 16)
+
+        sa = sorted({h(v) for v in A})[:k]
+        sb = sorted({h(v) for v in B})[:k]
+        u = sorted(set(sa) | set(sb))[:k]
+        k_used, kth = len(u), max(u)
+        rho = sum(1 for x in u if x in set(sa) and x in set(sb))
+        est_union = k_used if k_used < k else (k - 1) * 16**13 // kth
+        return {
+            "k_used": k_used,
+            "kth_hash": kth,
+            "rho": rho,
+            "est_union": est_union,
+            "est_intersect": rho * est_union // k_used,
+        }
+
+    rng = random.Random(97)
+    shapes = [
+        (list(range(40)), list(range(20, 60))),          # partial overlap
+        (list(range(300)), list(range(150, 450))),       # saturated
+        (list(range(100)), list(range(100))),            # identical
+        (list(range(100)), list(range(200, 260))),       # disjoint
+        (list(range(500)), list(range(10, 20))),         # B ⊂ A, tiny B
+        (
+            [rng.randrange(10_000) for _ in range(400)],
+            [rng.randrange(10_000) for _ in range(400)],
+        ),
+    ]
+    for A, B in shapes:
+        a = spark.createDataFrame([(v,) for v in A], "k long")
+        b = spark.createDataFrame([(v,) for v in B], "k long")
+        got = sketches.kmv_set_ops(a, b, key="k", k=32).collect()[0].asDict()
+        assert got == ref(A, B, 32), (len(A), len(B))
