@@ -2223,6 +2223,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def sketch_kmv_difference(spark, sf):
+        # the COMPLETE KMV set algebra over the same two user-day
+        # activity sets as sketch_kmv_intersect: union-sketch members
+        # classified both/a-only/b-only -> difference estimators
+        # ("view-days that never purchased") + the permille Jaccard
+        # resemblance, all exact int64 over two k-row synopses
+        from netrunner_spark.operators import sketches
+
+        ev = _t(spark, sf, "events").select(
+            "event_type",
+            F.concat_ws(
+                "#",
+                F.col("user_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("uday"),
+        )
+        return sketches.kmv_set_full(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+            key="uday",
+            k=64,
+        )
+
+    def caption_consensus(spark, sf):
+        # duplicate-image caption election: images sharing a content
+        # key (byte-dedup groups) carry variant alt texts across
+        # mirrors; majority -> shorter -> lexicographic picks ONE
+        # canonical caption per group. Hash-agg votes, winner window
+        # over each group's DISTINCT captions (never the raw copies)
+        from netrunner_spark.operators import imageops
+
+        img = _image_meta(spark, sf).select(
+            "image_id",
+            (F.col("image_id") % 40).alias("content_key"),
+            F.when(
+                F.col("image_id") % 4 < 2,
+                F.concat(
+                    F.lit("stock photo "), (F.col("image_id") % 40).cast("string")
+                ),
+            )
+            .when(F.col("image_id") % 4 == 2, F.substring("caption", 1, 24))
+            .otherwise(F.substring("caption", 1, 16))
+            .alias("caption"),
+        )
+        return imageops.caption_consensus(img)
+
+    def adaptive_delay_plan(spark, sf):
+        # Heritrix-style adaptive politeness: next-round per-host
+        # crawl delay = clamp(2 x p95 latency, 0.5s, 30s), doubled for
+        # hosts erroring above 100 permille; p95 via the skew-safe
+        # grouped histogram (one hash agg + per-host bin window)
+        from netrunner_spark.operators import crawlintel
+
+        ev = _t(spark, sf, "events")
+        log = ev.select(
+            F.concat(
+                F.lit("h"), (F.col("event_id") % 6).cast("string"), F.lit(".test")
+            ).alias("host"),
+            F.expr(
+                "20 + event_id % 500"
+                " + CASE WHEN event_id % 6 = 5 THEN 2000 ELSE 0 END"
+            ).alias("latency_ms"),
+            # h3.test errors on half its fetches (ids ≡3 mod 12 are
+            # half of the ≡3-mod-6 host-3 stream) -> err_pm ≈ 500
+            # exercises the ×2 escalation; other hosts stay ≈ 59 pm
+            F.expr(
+                "NOT (event_id % 17 = 0 OR event_id % 12 = 3)"
+            ).alias("ok"),
+        )
+        return crawlintel.adaptive_delay_plan(log)
+
+    def batch_novelty(spark, sf):
+        # incremental-crawl novelty: summarize the already-cached
+        # corpus' content hashes into a bloom bit table (<= k*m rows,
+        # broadcast), probe this round's batch against it, report
+        # per-host novel-content permille — the corpus is never joined
+        # against the batch directly
+        from netrunner_spark.operators import sketches
+
+        pages = _crawl_pages(spark, sf)
+        is_batch = F.substring(F.md5("url"), 1, 1).isin("0", "1", "2")
+        corpus = pages.filter(~is_batch).select("content_hash")
+        batch = pages.filter(is_batch).select("host", "content_hash")
+        return sketches.bloom_novelty(
+            corpus, batch, key="content_hash", group_col="host"
+        )
+
     def doc_surprisal(spark, sf):
         # CCNet-style unigram-LM quality signal in exact positive
         # int64: corpus-trained inverse-probability weights, doc score
@@ -4187,6 +4274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_budget_alloc": opic_budget_alloc,
         "dup_source_matrix": dup_source_matrix,
         "sketch_kmv_intersect": sketch_kmv_intersect,
+        "sketch_kmv_difference": sketch_kmv_difference,
+        "caption_consensus": caption_consensus,
+        "adaptive_delay_plan": adaptive_delay_plan,
+        "batch_novelty": batch_novelty,
     }
 
 
@@ -5538,6 +5629,41 @@ FROM r
             "uday",
             k=64,
         ),
+        "sketch_kmv_difference": __import__(
+            "netrunner_spark.operators.sketches", fromlist=["kmv_full_sql"]
+        ).kmv_full_sql(
+            "(SELECT CAST(user_id AS VARCHAR) || '#' || strftime(ts, '%Y-%m-%d')"
+            " AS uday FROM events WHERE event_type = 'view')",
+            "(SELECT CAST(user_id AS VARCHAR) || '#' || strftime(ts, '%Y-%m-%d')"
+            " AS uday FROM events WHERE event_type = 'purchase')",
+            "uday",
+            k=64,
+        ),
+        "caption_consensus": __import__(
+            "netrunner_spark.operators.imageops",
+            fromlist=["caption_consensus_sql"],
+        ).caption_consensus_sql(
+            """
+            SELECT image_id, image_id % 40 AS content_key,
+                   CASE WHEN image_id % 4 < 2
+                        THEN 'stock photo ' || CAST(image_id % 40 AS VARCHAR)
+                        WHEN image_id % 4 = 2 THEN substr(caption, 1, 24)
+                        ELSE substr(caption, 1, 16) END AS caption
+            FROM (SELECT doc_id AS image_id, text AS caption FROM documents)
+            """
+        ),
+        "adaptive_delay_plan": __import__(
+            "netrunner_spark.operators.crawlintel",
+            fromlist=["adaptive_delay_sql"],
+        ).adaptive_delay_sql(
+            """
+            SELECT 'h' || CAST(event_id % 6 AS VARCHAR) || '.test' AS host,
+                   20 + event_id % 500
+                      + CASE WHEN event_id % 6 = 5 THEN 2000 ELSE 0 END AS latency_ms,
+                   NOT (event_id % 17 = 0 OR event_id % 12 = 3) AS ok
+            FROM events
+            """
+        ),
         "sketch_hist_quantiles": __import__(
             "netrunner_spark.operators.sketches", fromlist=["hist_quantiles_sql"]
         ).hist_quantiles_sql("documents", "n_chars", (500, 900, 990), 100),
@@ -6201,6 +6327,17 @@ FROM staged
     )
 
     # crawl-intelligence twins over the shared deterministic pages CTE
+    oracles["batch_novelty"] = __import__(
+        "netrunner_spark.operators.sketches", fromlist=["bloom_novelty_sql"]
+    ).bloom_novelty_sql(
+        "SELECT content_hash FROM pages"
+        " WHERE substr(md5(url), 1, 1) NOT IN ('0', '1', '2')",
+        "SELECT host, content_hash FROM pages"
+        " WHERE substr(md5(url), 1, 1) IN ('0', '1', '2')",
+        key="content_hash",
+        group_col="host",
+        extra_cte=_PAGES_CTE,
+    )
     oracles["mirror_hosts"] = (
         "WITH "
         + _PAGES_CTE

@@ -1553,3 +1553,120 @@ def politeness_compliance(
             "compliant",
         )
     )
+
+
+def adaptive_delay_plan(
+    fetches: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    ok_col: str = "ok",
+    delay_factor_pct: int = 200,
+    min_delay_ms: int = 500,
+    max_delay_ms: int = 30_000,
+    err_escalate_pm: int = 100,
+    bin_width: int = 50,
+) -> DataFrame:
+    """Next-round per-host crawl delay ADAPTED to observed server
+    health → ``(host, n_fetches, p95_ms, err_pm, delay_ms)``.
+
+    The reference drains at a fixed per-domain pace (crawler.rs fetch
+    loop, 2 req/s); production crawlers (Heritrix's politeness policy
+    is the public model) scale the delay with the server's own response
+    time — a struggling origin gets backed off, a fast CDN gets the
+    floor. The plan here is deterministic integer math so the next
+    round's scheduler input is oracle-checkable:
+
+      base     = p95_latency · delay_factor_pct / 100
+      escalate = ×2 when the error rate exceeds ``err_escalate_pm``
+      delay_ms = clamp(base·escalation, min_delay_ms, max_delay_ms)
+
+    p95 comes from :func:`~netrunner_spark.operators.sketches.
+    grouped_hist_quantiles` — the skew-safe per-group histogram
+    quantile (a hot host's 10^8 fetch rows collapse to (host, bin)
+    counts in ONE hash aggregate; the only window runs over each
+    host's ≤ domain/bin_width bins), not a per-host sort. The error
+    tally is a second hash aggregate on the same key; the two
+    host-level frames join on host (both already partitioned by it).
+    """
+    from netrunner_spark.operators.sketches import grouped_hist_quantiles
+
+    p95 = (
+        grouped_hist_quantiles(
+            fetches.select(host_col, latency_col),
+            host_col,
+            latency_col,
+            bin_width=bin_width,
+            qs_permille=(950,),
+        )
+        .select(F.col(host_col).alias("host"), F.col("est_value").alias("p95_ms"))
+    )
+    health = (
+        fetches.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.sum(F.when(F.col(ok_col), 0).otherwise(1)).alias("n_err"),
+        )
+        .select(
+            "host",
+            "n_fetches",
+            F.expr("CAST(n_err * 1000 div n_fetches AS BIGINT)").alias("err_pm"),
+        )
+    )
+    esc = F.when(F.col("err_pm") > err_escalate_pm, 2).otherwise(1)
+    base = F.expr(f"CAST(p95_ms * {delay_factor_pct} div 100 AS BIGINT)")
+    return (
+        health.join(p95, "host")
+        .select(
+            "host",
+            "n_fetches",
+            "p95_ms",
+            "err_pm",
+            F.least(
+                F.lit(max_delay_ms).cast("long"),
+                F.greatest(F.lit(min_delay_ms).cast("long"), base * esc),
+            ).alias("delay_ms"),
+        )
+    )
+
+
+def adaptive_delay_sql(
+    src: str,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    ok_col: str = "ok",
+    delay_factor_pct: int = 200,
+    min_delay_ms: int = 500,
+    max_delay_ms: int = 30_000,
+    err_escalate_pm: int = 100,
+    bin_width: int = 50,
+) -> str:
+    """DuckDB twin of :func:`adaptive_delay_plan` over source ``src``
+    (must provide host, latency and ok columns)."""
+    return f"""
+WITH f AS ({src}),
+bins AS (
+  SELECT {host_col} AS host, CAST({latency_col} AS BIGINT) // {bin_width} AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM f GROUP BY 1, 2
+), cum AS (
+  SELECT host, bin,
+         sum(cnt) OVER (PARTITION BY host ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY host) AS total
+  FROM bins
+), p95 AS (
+  SELECT host, CAST(min(bin) * {bin_width} AS BIGINT) AS p95_ms
+  FROM cum WHERE cum * 1000 >= 950 * total GROUP BY host
+), health AS (
+  SELECT {host_col} AS host, CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN {ok_col} THEN 0 ELSE 1 END) * 1000
+              // count(*) AS BIGINT) AS err_pm
+  FROM f GROUP BY 1
+)
+SELECT h.host, h.n_fetches, p.p95_ms, h.err_pm,
+       least(CAST({max_delay_ms} AS BIGINT),
+             greatest(CAST({min_delay_ms} AS BIGINT),
+                      CAST(p.p95_ms * {delay_factor_pct} // 100 AS BIGINT)
+                      * CASE WHEN h.err_pm > {err_escalate_pm} THEN 2 ELSE 1 END)
+       ) AS delay_ms
+FROM health h JOIN p95 p ON p.host = h.host
+"""

@@ -409,3 +409,99 @@ def sniff_mime(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         cond = head.startswith(prefix)
         mime = F.when(cond, label) if mime is None else mime.when(cond, label)
     return df.withColumn("mime", mime.otherwise("application/octet-stream"))
+
+
+def caption_consensus(
+    images: DataFrame,
+    group_col: str = "content_key",
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Canonical-caption election for duplicate-image groups →
+    ``(<id>, <group>, <caption>, canon_caption, n_copies, n_captions,
+    agrees)``.
+
+    The same image bytes recur across mirrors/CDNs with DIFFERENT alt
+    texts (reference cache dedups bytes by content hash, archive.rs
+    content_hash; the caption side is left ambiguous). A training pair
+    wants ONE caption per distinct image: the election is majority
+    caption per content group, ties broken by shorter length then
+    lexicographic order — fully deterministic, so the DuckDB twin is
+    exact.
+
+    Scale shape: captions collapse to (group, caption, votes) by ONE
+    hash aggregate (map-side combine eats the per-image fan-in), the
+    winner window runs over each group's DISTINCT captions (bounded by
+    caption variety, not copies — a 10^6-copy boilerplate image is
+    still a handful of variant rows), and the winner table joins back
+    on the group key reusing the aggregate's partitioning. No
+    image-bytes column is ever touched.
+    """
+    from pyspark.sql import Window
+
+    votes = (
+        images.groupBy(F.col(group_col).alias("grp"), F.col(caption_col).alias("cap"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("votes").desc(), F.length("cap").asc(), F.col("cap").asc()
+    )
+    grp_w = Window.partitionBy("grp")
+    winners = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_captions", F.count(F.lit(1)).over(grp_w))
+        # copies per group = Σ votes — computed over the VARIANT rows,
+        # never a window over the raw per-copy table (hot-image skew)
+        .withColumn("n_copies", F.sum("votes").over(grp_w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("grp"),
+            F.col("cap").alias("canon_caption"),
+            "n_copies",
+            "n_captions",
+        )
+    )
+    return (
+        images.select(id_col, group_col, caption_col)
+        .join(winners, F.col(group_col) == F.col("grp"))
+        .select(
+            id_col,
+            group_col,
+            caption_col,
+            "canon_caption",
+            "n_copies",
+            "n_captions",
+            (F.col(caption_col) == F.col("canon_caption")).alias("agrees"),
+        )
+    )
+
+
+def caption_consensus_sql(
+    src: str,
+    group_col: str = "content_key",
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+) -> str:
+    """DuckDB twin of :func:`caption_consensus` over source ``src``
+    (must provide id, group and caption columns)."""
+    return f"""
+WITH imgs AS ({src}),
+votes AS (
+  SELECT {group_col} AS grp, {caption_col} AS cap,
+         CAST(count(*) AS BIGINT) AS votes
+  FROM imgs GROUP BY 1, 2
+), winners AS (
+  SELECT grp, cap AS canon_caption,
+         CAST(sum(votes) OVER (PARTITION BY grp) AS BIGINT) AS n_copies,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n_captions,
+         row_number() OVER (
+           PARTITION BY grp
+           ORDER BY votes DESC, length(cap) ASC, cap ASC
+         ) AS rk
+  FROM votes
+)
+SELECT s.{id_col}, s.{group_col}, s.{caption_col},
+       w.canon_caption, w.n_copies, w.n_captions,
+       s.{caption_col} = w.canon_caption AS agrees
+FROM imgs s JOIN winners w ON w.grp = s.{group_col} AND w.rk = 1
+"""

@@ -201,6 +201,228 @@ def kmv_set_sql(
     """
 
 
+def kmv_set_full(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key: str = "user_id",
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """The COMPLETE KMV set algebra (Beyer et al., SIGMOD 2007 §4) →
+    ONE row ``(k_used, kth_hash, rho_ab, rho_a_only, rho_b_only,
+    est_union, est_intersect, est_a_minus_b, est_b_minus_a,
+    jaccard_pm)``.
+
+    :func:`kmv_set_ops` answers "how many in BOTH"; the remaining
+    multiset questions a crawl corpus asks of two synopses are the
+    DIFFERENCES ("how many URLs did source A contribute that B never
+    saw") and the resemblance. All come from the same union sketch:
+    each member of the k smallest union hashes is classified
+    a∩b / a-only / b-only against the two input sketches, and every
+    estimate is the textbook ``count · est_union div k_used`` in exact
+    int64; ``jaccard_pm`` is ``rho_ab · 1000 div k_used`` (the KMV
+    resemblance estimator, permille). Sub-k inputs degrade to exact
+    counts, same as the sibling.
+
+    Scale shape: identical to :func:`kmv_set_ops` — two
+    TakeOrderedAndProject sketches (k·P candidate rows move, no wide
+    shuffle), then joins over ≤k-row frames. The raw tables are
+    touched exactly once each.
+    """
+    ha = df_a.select(md5_hash52(key, salt).alias("h")).dropDuplicates()
+    hb = df_b.select(md5_hash52(key, salt).alias("h")).dropDuplicates()
+    sa = ha.orderBy("h").limit(k)
+    sb = hb.orderBy("h").limit(k)
+    u = sa.unionByName(sb).dropDuplicates().orderBy("h").limit(k)
+    marked = u.join(
+        sa.withColumn("in_a", F.lit(1)), "h", "left"
+    ).join(sb.withColumn("in_b", F.lit(1)), "h", "left")
+    a_in = F.col("in_a").isNotNull()
+    b_in = F.col("in_b").isNotNull()
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.when(a_in & b_in, 1).otherwise(0)).cast("long").alias("rho_ab"),
+        F.sum(F.when(a_in & ~b_in, 1).otherwise(0))
+        .cast("long")
+        .alias("rho_a_only"),
+        F.sum(F.when(~a_in & b_in, 1).otherwise(0))
+        .cast("long")
+        .alias("rho_b_only"),
+    )
+    est_u = (
+        F.when(F.col("k_used") < k, F.col("k_used").cast("long"))
+        .otherwise(F.expr(f"CAST(({k} - 1) * {HASH_MAX} AS BIGINT) div kth_hash"))
+        .alias("est_union")
+    )
+    return agg.select(
+        "k_used", "kth_hash", "rho_ab", "rho_a_only", "rho_b_only", est_u
+    ).select(
+        "*",
+        F.expr("CAST(rho_ab * est_union div k_used AS BIGINT)").alias(
+            "est_intersect"
+        ),
+        F.expr("CAST(rho_a_only * est_union div k_used AS BIGINT)").alias(
+            "est_a_minus_b"
+        ),
+        F.expr("CAST(rho_b_only * est_union div k_used AS BIGINT)").alias(
+            "est_b_minus_a"
+        ),
+        F.expr("CAST(rho_ab * 1000 div k_used AS BIGINT)").alias("jaccard_pm"),
+    )
+
+
+def kmv_full_sql(
+    from_a: str,
+    from_b: str,
+    key: str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> str:
+    """DuckDB twin of :func:`kmv_set_full` — identical hash, merge,
+    classification and estimator arithmetic."""
+    h = (
+        f"CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 13)"
+        " AS BIGINT)"
+    )
+    return f"""
+        WITH sa AS (
+          SELECT DISTINCT {h} AS h FROM {from_a} ORDER BY h LIMIT {k}
+        ), sb AS (
+          SELECT DISTINCT {h} AS h FROM {from_b} ORDER BY h LIMIT {k}
+        ), u AS (
+          SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+          ORDER BY h LIMIT {k}
+        ), m AS (
+          SELECT u.h,
+                 CASE WHEN sa.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+                 CASE WHEN sb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+          FROM u LEFT JOIN sa ON sa.h = u.h LEFT JOIN sb ON sb.h = u.h
+        ), a AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
+                 CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rho_ab,
+                 CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rho_a_only,
+                 CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rho_b_only
+          FROM m
+        ), e AS (
+          SELECT *,
+                 CASE WHEN k_used < {k} THEN k_used
+                      ELSE CAST(({k} - 1) * CAST({HASH_MAX} AS BIGINT)
+                                // kth_hash AS BIGINT)
+                 END AS est_union
+          FROM a
+        )
+        SELECT k_used, kth_hash, rho_ab, rho_a_only, rho_b_only, est_union,
+               CAST(rho_ab * est_union // k_used AS BIGINT) AS est_intersect,
+               CAST(rho_a_only * est_union // k_used AS BIGINT) AS est_a_minus_b,
+               CAST(rho_b_only * est_union // k_used AS BIGINT) AS est_b_minus_a,
+               CAST(rho_ab * 1000 // k_used AS BIGINT) AS jaccard_pm
+        FROM e
+    """
+
+
+def bloom_novelty(
+    corpus: DataFrame,
+    batch: DataFrame,
+    key: str,
+    group_col: str,
+    m: int = 4096,
+    k: int = 3,
+    salt: str = "blm",
+) -> DataFrame:
+    """Per-group NOVELTY of a new batch against an existing corpus,
+    answered from a Bloom synopsis of the corpus → ``(<group>,
+    n_batch, n_maybe_dup, n_novel, novelty_pm)``.
+
+    The incremental-crawl question ("how much NEW content did this
+    round's fetches bring per host", reference crawler's seen-set role,
+    crawler.rs dedup pass) at 10^10 rows: the corpus is summarized once
+    into a ≤k·m-row bit table (:func:`bloom_bits` — building is
+    merging, so per-partition partial filters union for free) and the
+    batch is probed against it. Bloom has no false negatives, so
+    ``n_novel`` is a LOWER bound on true novelty (false positives
+    deflate it at the standard rate); with the deterministic md5 bits
+    the DuckDB twin reproduces the exact same false positives.
+    ``novelty_pm`` = ``n_novel·1000 div n_batch`` (permille, exact
+    int).
+
+    Scale shape: one hash-dedup of corpus keys into the bit table
+    (bounded k·m rows → auto-broadcast), one explode+equi-join probe
+    of the batch, one group aggregate. The corpus is never joined
+    against the batch directly.
+    """
+    keys = batch.select(F.col(group_col).alias("grp"), F.col(key)).dropDuplicates()
+    bits = bloom_bits(corpus, key, m=m, k=k, salt=salt)
+    probed = bloom_probe(bits, keys.select(key).dropDuplicates(), key, m=m, k=k, salt=salt)
+    j = keys.join(probed, key)
+    return (
+        j.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_maybe_dup"),
+        )
+        .select(
+            group_col,
+            "n_batch",
+            "n_maybe_dup",
+            (F.col("n_batch") - F.col("n_maybe_dup")).alias("n_novel"),
+            F.expr(
+                "CAST((n_batch - n_maybe_dup) * 1000 div n_batch AS BIGINT)"
+            ).alias("novelty_pm"),
+        )
+    )
+
+
+def bloom_novelty_sql(
+    corpus_sql: str,
+    batch_sql: str,
+    key: str,
+    group_col: str,
+    m: int = 4096,
+    k: int = 3,
+    salt: str = "blm",
+    extra_cte: str = "",
+) -> str:
+    """DuckDB twin of :func:`bloom_novelty`: ``corpus_sql`` yields the
+    corpus ``key`` column, ``batch_sql`` yields ``(group_col, key)``;
+    ``extra_cte`` (a ``name AS (...)`` body) is prepended to the WITH
+    chain so both inputs can reference a shared source CTE."""
+    pre = f"{extra_cte}," if extra_cte else ""
+    return f"""
+WITH {pre} ks AS (SELECT unnest(generate_series(0, {k - 1})) AS j),
+corpus AS ({corpus_sql}),
+bits AS (
+  SELECT DISTINCT j,
+         CAST('0x' || substr(md5('{salt}' || CAST(j AS VARCHAR) || '#' || CAST({key} AS VARCHAR)), 1, 13) AS BIGINT) % {m} AS bit
+  FROM corpus, ks
+), batch AS (
+  SELECT DISTINCT {group_col}, {key} FROM ({batch_sql})
+), pk AS (SELECT DISTINCT {key} FROM batch),
+pb AS (
+  SELECT pk.{key}, j,
+         CAST('0x' || substr(md5('{salt}' || CAST(j AS VARCHAR) || '#' || CAST(pk.{key} AS VARCHAR)), 1, 13) AS BIGINT) % {m} AS bit
+  FROM pk, ks
+), probed AS (
+  SELECT pb.{key},
+         CAST(count(bits.bit) AS BIGINT) = {k} AS maybe_present
+  FROM pb LEFT JOIN bits ON bits.j = pb.j AND bits.bit = pb.bit
+  GROUP BY pb.{key}
+), agg AS (
+  SELECT batch.{group_col},
+         CAST(count(*) AS BIGINT) AS n_batch,
+         CAST(sum(CASE WHEN maybe_present THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe_dup
+  FROM batch JOIN probed ON probed.{key} = batch.{key}
+  GROUP BY batch.{group_col}
+)
+SELECT {group_col}, n_batch, n_maybe_dup,
+       n_batch - n_maybe_dup AS n_novel,
+       CAST((n_batch - n_maybe_dup) * 1000 // n_batch AS BIGINT) AS novelty_pm
+FROM agg
+"""
+
+
 def cms_cells(
     tokens: DataFrame,
     token_col: str = "gram",

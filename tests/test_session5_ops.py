@@ -1,0 +1,125 @@
+"""Unit semantics for the round-5 continuation operators: KMV full set
+algebra, caption consensus election, adaptive politeness delays, and
+bloom batch novelty. The entry-level oracle parity is covered by
+test_entry_oracle; these pin the BRANCHES the synthetic driver data may
+or may not hit (tie-breaks, clamps, escalation, exact sub-k regime)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from netrunner_spark.operators.crawlintel import adaptive_delay_plan
+from netrunner_spark.operators.imageops import caption_consensus
+from netrunner_spark.operators.sketches import bloom_novelty, kmv_set_full
+
+
+def test_kmv_set_full_exact_subk_regime(spark):
+    # |union| < k -> every sketch is the exact set: the "estimates"
+    # must be exact set-algebra counts
+    a = spark.createDataFrame([(i,) for i in range(1, 11)], "key long")
+    b = spark.createDataFrame([(i,) for i in range(6, 16)], "key long")
+    row = kmv_set_full(a, b, key="key", k=64).collect()[0]
+    assert row.k_used == 15
+    assert row.rho_ab == 5
+    assert row.rho_a_only == 5
+    assert row.rho_b_only == 5
+    assert row.est_union == 15
+    assert row.est_intersect == 5
+    assert row.est_a_minus_b == 5
+    assert row.est_b_minus_a == 5
+    assert row.jaccard_pm == 5 * 1000 // 15
+
+
+def test_kmv_set_full_estimator_partitions_union(spark):
+    # estimator regime: the three rho classes partition the union
+    # sketch, so the three estimates sum to ~est_union (integer-div
+    # truncation loses at most 2)
+    a = spark.createDataFrame([(i,) for i in range(2000)], "key long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], "key long")
+    row = kmv_set_full(a, b, key="key", k=32).collect()[0]
+    assert row.k_used == 32
+    assert row.rho_ab + row.rho_a_only + row.rho_b_only == row.k_used
+    s = row.est_intersect + row.est_a_minus_b + row.est_b_minus_a
+    assert row.est_union - 2 <= s <= row.est_union
+    # true union is 3000; KMV at k=32 should land the right decade
+    assert 1500 <= row.est_union <= 6000
+
+
+def test_caption_consensus_majority_and_tiebreaks(spark):
+    rows = [
+        # g1: clear majority
+        (1, 10, "a cat"),
+        (2, 10, "a cat"),
+        (3, 10, "the second variant"),
+        # g2: count tie -> shorter caption wins
+        (4, 20, "wordy caption"),
+        (5, 20, "short"),
+        # g3: count+length tie -> lexicographically smallest
+        (6, 30, "bbb"),
+        (7, 30, "aaa"),
+    ]
+    img = spark.createDataFrame(
+        rows, "image_id long, content_key long, caption string"
+    )
+    out = {
+        r.image_id: r for r in caption_consensus(img).collect()
+    }
+    assert out[1].canon_caption == "a cat" and out[1].agrees
+    assert out[3].canon_caption == "a cat" and not out[3].agrees
+    assert out[3].n_copies == 3 and out[3].n_captions == 2
+    assert out[4].canon_caption == "short" and not out[4].agrees
+    assert out[6].canon_caption == "aaa"
+    assert out[7].agrees
+
+
+def test_adaptive_delay_clamps_and_escalation(spark):
+    rows = []
+    # fast.test: p95 = 0-bin (latency 10ms) -> base 20 -> clamp to min
+    rows += [("fast.test", 10, True)] * 20
+    # slow.test: p95 ~ 60s -> base 120s -> clamp to max
+    rows += [("slow.test", 60_000, True)] * 20
+    # flaky.test: p95 bin 1000 -> base 2000; 50% errors -> x2 = 4000
+    rows += [("flaky.test", 1000, ok) for ok in (True, False) * 10]
+    log = spark.createDataFrame(rows, "host string, latency_ms long, ok boolean")
+    out = {r.host: r for r in adaptive_delay_plan(log).collect()}
+    assert out["fast.test"].delay_ms == 500
+    assert out["slow.test"].delay_ms == 30_000
+    assert out["flaky.test"].err_pm == 500
+    assert out["flaky.test"].delay_ms == 4000
+    assert out["fast.test"].n_fetches == 20
+
+
+def test_bloom_novelty_no_false_negatives(spark):
+    corpus = spark.createDataFrame(
+        [(f"k{i}",) for i in range(5)], "content_hash string"
+    )
+    batch = spark.createDataFrame(
+        [("hx", "k0"), ("hx", "k1"), ("hx", "new-a"), ("hx", "new-b"),
+         ("hy", "k2"), ("hy", "new-c")],
+        "host string, content_hash string",
+    )
+    out = {r.host: r for r in
+           bloom_novelty(corpus, batch, "content_hash", "host").collect()}
+    # bloom has NO false negatives: every corpus-present key must count
+    # as maybe_dup; at 5 keys in 4096x3 bits false positives are
+    # deterministic-absent for these literals
+    assert out["hx"].n_batch == 4
+    assert out["hx"].n_maybe_dup == 2
+    assert out["hx"].n_novel == 2 and out["hx"].novelty_pm == 500
+    assert out["hy"].n_maybe_dup == 1 and out["hy"].novelty_pm == 500
+
+
+def test_bloom_novelty_plan_never_joins_corpus_to_batch(spark):
+    # the corpus reaches the batch only through the <=k*m-row bit
+    # table; the physical plan must not contain a sort-merge join
+    # (bounded side -> broadcast hash joins only)
+    corpus = spark.range(0, 1000).select(
+        F.concat(F.lit("c"), F.col("id")).alias("content_hash")
+    )
+    batch = spark.range(0, 1000).select(
+        F.lit("h0").alias("host"),
+        F.concat(F.lit("c"), (F.col("id") * 2)).alias("content_hash"),
+    )
+    plan = bloom_novelty(
+        corpus, batch, "content_hash", "host"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
