@@ -119,6 +119,32 @@ def host_budgets(robots: DataFrame, round_seconds: float, rps: float = DEFAULT_R
     )
 
 
+def budgets_from_delays(
+    delays: DataFrame, round_seconds: float, delay_col: str = "delay_ms"
+) -> DataFrame:
+    """host → fetch slots from an ADAPTIVE per-host delay plan
+    (`crawlintel.adaptive_delay_plan` output): slots = max(1,
+    floor(round_ms / delay_ms)).
+
+    This closes the feedback loop the reference leaves open (its pace
+    is static config, mod.rs:37-51): round N's observed latencies and
+    error rates become round N+1's politeness budgets through the SAME
+    ``budgets`` interface `host_budgets` feeds — robots-declared delays
+    and learned delays compose by taking whichever slot count is
+    smaller (`least` after a join, or just pass the stricter frame).
+    Output is per-host (broadcast-sized), exact integer.
+    """
+    round_ms = int(round_seconds * 1000)
+    return delays.select(
+        "host",
+        F.greatest(
+            F.lit(1), (F.lit(round_ms) / F.col(delay_col)).cast("int")
+        )
+        .cast("int")
+        .alias("budget"),
+    )
+
+
 def rank_round(
     frontier: DataFrame,
     budgets: DataFrame | None = None,

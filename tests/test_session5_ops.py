@@ -123,3 +123,43 @@ def test_bloom_novelty_plan_never_joins_corpus_to_batch(spark):
         corpus, batch, "content_hash", "host"
     )._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_adaptive_delays_close_into_scheduler(spark):
+    # E2E loop closure: wave-1 fetch observations -> adaptive delay
+    # plan -> slot budgets -> wave-2 schedule. The slow host is
+    # throttled, the erroring host doubly so, the fast host gets the
+    # 500 ms floor; every (host, round) batch respects its budget.
+    from netrunner_spark.operators.politeness import (
+        budgets_from_delays,
+        schedule_rounds,
+    )
+
+    rows = []
+    rows += [("fast.test", 10, True)] * 20
+    rows += [("slow.test", 1000, True)] * 20
+    rows += [("flaky.test", 1000, ok) for ok in (True, False) * 10]
+    log = spark.createDataFrame(rows, "host string, latency_ms long, ok boolean")
+    budgets = budgets_from_delays(adaptive_delay_plan(log), round_seconds=10.0)
+    b = {r.host: r.budget for r in budgets.collect()}
+    # fast: clamp floor 500ms -> 20 slots; slow: 2xp95=2s -> 5;
+    # flaky: escalated 4s -> 2
+    assert b == {"fast.test": 20, "slow.test": 5, "flaky.test": 2}
+
+    frontier = spark.createDataFrame(
+        [(h, i * 7919 + j, 0) for h in b for j, i in enumerate(range(30))],
+        "host string, url_hash long, priority long",
+    ).dropDuplicates(["host", "url_hash"])
+    sched = schedule_rounds(frontier, budgets)
+    per = {
+        (r.host, r.sched_round): r.n
+        for r in sched.groupBy("host", "sched_round")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for (host, rnd), n in per.items():
+        assert n <= b[host], (host, rnd, n)
+    # full rounds are exactly at budget (30 URLs each)
+    assert per[("flaky.test", 0)] == 2 and per[("flaky.test", 14)] == 2
+    assert per[("slow.test", 0)] == 5
+    assert per[("fast.test", 0)] == 20 and per[("fast.test", 1)] == 10
