@@ -2310,6 +2310,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corpus, batch, key="content_hash", group_col="host"
         )
 
+    def soft_dedup_weights(spark, sf):
+        # duplication-aware sampling weights: each near-dup family
+        # contributes one document's probability mass (1000/m permille
+        # per member) — the down-weighting alternative to hard drops,
+        # composed over the SAME dedup_clusters stage as cluster_keepers
+        cl = textops.dedup_clusters(
+            _t(spark, sf, "documents"), max_doc_id=150, max_band_df=8
+        )
+        return textops.soft_dedup_weights(cl)
+
+    def image_canonical_pairs(spark, sf):
+        # the image-side END PRODUCT: one (keeper image, canonical
+        # caption) training pair per near-dup cluster — composes
+        # image_cluster_keepers (bytes-side decision) with
+        # caption_consensus (caption-side election), both unchanged
+        keepers = image_cluster_keepers(spark, sf).filter(F.col("keep"))
+        cons = caption_consensus(spark, sf).select(
+            "image_id", "canon_caption", "n_copies"
+        )
+        meta = _image_meta(spark, sf).select("image_id", "w", "h", "fmt")
+        return (
+            keepers.select(F.col("doc_id").alias("image_id"), "cluster_id")
+            .join(cons, "image_id")
+            .join(meta, "image_id")
+            .select(
+                "image_id", "cluster_id", "w", "h", "fmt",
+                "canon_caption", "n_copies",
+            )
+        )
+
     def doc_surprisal(spark, sf):
         # CCNet-style unigram-LM quality signal in exact positive
         # int64: corpus-trained inverse-probability weights, doc score
@@ -4278,6 +4308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_consensus": caption_consensus,
         "adaptive_delay_plan": adaptive_delay_plan,
         "batch_novelty": batch_novelty,
+        "soft_dedup_weights": soft_dedup_weights,
+        "image_canonical_pairs": image_canonical_pairs,
     }
 
 
@@ -6864,6 +6896,41 @@ SELECT img.fmt,
             // sum(img.n_bytes) AS BIGINT) AS saved_permille
 FROM k JOIN img ON img.image_id = k.doc_id
 GROUP BY img.fmt
+"""
+    )
+    # soft_dedup_weights: the dedup_clusters twin nested verbatim +
+    # one window over the cluster table (1000/m permille per member)
+    oracles["soft_dedup_weights"] = (
+        "WITH c AS (\n"
+        + oracles["dedup_clusters"]
+        + """
+), sized AS (
+  SELECT doc_id, cluster_id,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         is_keeper
+  FROM c
+)
+SELECT doc_id, cluster_id, cluster_size,
+       CAST(1000 // cluster_size AS BIGINT) AS weight_pm, is_keeper
+FROM sized
+"""
+    )
+    # image_canonical_pairs: keeper twin + caption-consensus twin
+    # nested verbatim (no-drift), joined to the image meta CTE
+    oracles["image_canonical_pairs"] = (
+        "WITH kp AS (\n"
+        + oracles["image_cluster_keepers"]
+        + "\n), cc AS (\n"
+        + oracles["caption_consensus"]
+        + "\n)"
+        + _IMG_CTE.replace("\nWITH img AS", ", img AS")
+        + """
+SELECT kp.doc_id AS image_id, kp.cluster_id, img.w, img.h, img.fmt,
+       cc.canon_caption, cc.n_copies
+FROM kp
+JOIN cc ON cc.image_id = kp.doc_id
+JOIN img ON img.image_id = kp.doc_id
+WHERE kp.keep
 """
     )
     oracles["recrawl_schedule"] = """

@@ -166,6 +166,12 @@ HEADLINE = [
     "opic_budget_alloc",
     "dup_source_matrix",
     "sketch_kmv_intersect",
+    "sketch_kmv_difference",
+    "caption_consensus",
+    "adaptive_delay_plan",
+    "batch_novelty",
+    "soft_dedup_weights",
+    "image_canonical_pairs",
 ]
 
 
@@ -381,6 +387,9 @@ def main() -> None:
         # isolates the 1x shortfall as per-core bus headroom, not JIT;
         # BENCH/BASELINE.md §4g
         ("scaling_1x_r5c.json", "scaling_1x_resident_warm"),
+        # r5d: healthy-window 1x pair PASSES at 0.934 (BASELINE.md §4i)
+        # — the criterion is now evidenced at both input sizes
+        ("scaling_1x_r5d.json", "scaling_1x_pass"),
         ("controls.json", "controls"),
     ):
         path = os.path.join(REPO, "BENCH", name)

@@ -564,6 +564,37 @@ def dedup_clusters(
     )
 
 
+def soft_dedup_weights(clusters: DataFrame) -> DataFrame:
+    """Duplication-aware SAMPLING WEIGHTS over near-dup clusters →
+    ``(doc_id, cluster_id, cluster_size, weight_pm, is_keeper)``.
+
+    The soft alternative to hard dropping (the published ablations —
+    e.g. Lee et al. 2022 §6 discussion — keep duplicates DOWN-WEIGHTED
+    rather than deleted when diversity inside a family matters): every
+    member of an m-doc cluster gets weight 1000/m permille, so each
+    near-dup family contributes exactly one document's probability
+    mass to the training mixture, singletons stay at 1000.
+
+    Shape: one window over ``cluster_id`` on the CLUSTERS table —
+    already corpus-keyed rows, partition size bounded by the largest
+    near-dup family, which the upstream ``max_band_df`` hub-star cap
+    bounds in turn. No corpus re-scan.
+    """
+    w = Window.partitionBy("cluster_id")
+    return (
+        clusters.withColumn(
+            "cluster_size", F.count(F.lit(1)).over(w).cast("long")
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.expr("CAST(1000 div cluster_size AS BIGINT)").alias("weight_pm"),
+            "is_keeper",
+        )
+    )
+
+
 def chunk_dedup(
     docs: DataFrame,
     chunk_words: int = 10,
