@@ -2299,16 +2299,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus' content hashes into a bloom bit table (<= k*m rows,
         # broadcast), probe this round's batch against it, report
         # per-host novel-content permille — the corpus is never joined
-        # against the batch directly
+        # against the batch directly. The corpus holds pages 0-2; the
+        # round refetches the boilerplate page 0 (dup) and crawls the
+        # fresh page 3 everywhere plus page 4 on even hosts — so the
+        # per-host novelty matrix is genuinely mixed (667 vs 500 pm)
         from netrunner_spark.operators import sketches
 
         pages = _crawl_pages(spark, sf)
-        is_batch = F.substring(F.md5("url"), 1, 1).isin("0", "1", "2")
-        corpus = pages.filter(~is_batch).select("content_hash")
-        batch = pages.filter(is_batch).select("host", "content_hash")
+        pg = F.regexp_extract("url", "/p/([0-9])", 1)
+        hd = F.regexp_extract("url", "^https://h([0-9])", 1)
+        corpus = pages.filter(pg.isin("0", "1", "2")).select("content_hash")
+        batch = pages.filter(
+            pg.isin("0", "3") | ((pg == "4") & hd.isin("0", "2", "4", "6"))
+        ).select("host", "content_hash")
         return sketches.bloom_novelty(
             corpus, batch, key="content_hash", group_col="host"
         )
+
+    def kmv_source_overlap(spark, sf):
+        # pairwise segment-overlap MATRIX from per-group KMV synopses:
+        # which event-type audiences (user-days) overlap, estimated
+        # from G sketches of k hashes instead of G^2 distinct-joins —
+        # the sketch-scale sibling of the exact cross_source_dups
+        from netrunner_spark.operators import sketches
+
+        ev = _t(spark, sf, "events").select(
+            "event_type",
+            F.concat_ws(
+                "#",
+                F.col("user_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("uday"),
+        )
+        return sketches.kmv_group_overlap(
+            ev, key="uday", group_col="event_type", k=32
+        )
+
+    def novelty_budget_alloc(spark, sf):
+        # the novelty loop closed into the budget: hosts whose batches
+        # bring more NOVEL content (bloom-synopsis novelty permille)
+        # win proportionally more of the next round's fetch slots via
+        # the same largest-remainder apportionment the harvest budget
+        # uses — batch_novelty's stage reused unchanged
+        from netrunner_spark.operators import crawlintel
+
+        nov = batch_novelty(spark, sf)
+        return crawlintel.budget_alloc(nov, "novelty_pm", total=997)
 
     def soft_dedup_weights(spark, sf):
         # duplication-aware sampling weights: each near-dup family
@@ -4310,6 +4346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_novelty": batch_novelty,
         "soft_dedup_weights": soft_dedup_weights,
         "image_canonical_pairs": image_canonical_pairs,
+        "kmv_source_overlap": kmv_source_overlap,
+        "novelty_budget_alloc": novelty_budget_alloc,
     }
 
 
@@ -5671,6 +5709,16 @@ FROM r
             "uday",
             k=64,
         ),
+        "kmv_source_overlap": __import__(
+            "netrunner_spark.operators.sketches",
+            fromlist=["kmv_group_overlap_sql"],
+        ).kmv_group_overlap_sql(
+            "SELECT event_type, CAST(user_id AS VARCHAR) || '#'"
+            " || strftime(ts, '%Y-%m-%d') AS uday FROM events",
+            key="uday",
+            group_col="event_type",
+            k=32,
+        ),
         "caption_consensus": __import__(
             "netrunner_spark.operators.imageops",
             fromlist=["caption_consensus_sql"],
@@ -6363,13 +6411,37 @@ FROM staged
         "netrunner_spark.operators.sketches", fromlist=["bloom_novelty_sql"]
     ).bloom_novelty_sql(
         "SELECT content_hash FROM pages"
-        " WHERE substr(md5(url), 1, 1) NOT IN ('0', '1', '2')",
+        " WHERE regexp_extract(url, '/p/([0-9])', 1) IN ('0', '1', '2')",
         "SELECT host, content_hash FROM pages"
-        " WHERE substr(md5(url), 1, 1) IN ('0', '1', '2')",
+        " WHERE regexp_extract(url, '/p/([0-9])', 1) IN ('0', '3')"
+        " OR (regexp_extract(url, '/p/([0-9])', 1) = '4'"
+        " AND regexp_extract(url, '^https://h([0-9])', 1)"
+        " IN ('0', '2', '4', '6'))",
         key="content_hash",
         group_col="host",
         extra_cte=_PAGES_CTE,
     )
+    # novelty_budget_alloc: the novelty twin nested verbatim, fed into
+    # the same largest-remainder apportionment as crawl_budget_alloc
+    oracles["novelty_budget_alloc"] = f"""
+WITH nv AS ({oracles["batch_novelty"]}),
+sh AS (
+  SELECT host, novelty_pm AS weight,
+         sum(novelty_pm) OVER () AS s_tot,
+         CAST(CASE WHEN sum(novelty_pm) OVER () = 0 THEN 0
+              ELSE 997 * novelty_pm // sum(novelty_pm) OVER () END AS BIGINT) AS fl,
+         CAST(CASE WHEN sum(novelty_pm) OVER () = 0 THEN 0
+              ELSE 997 * novelty_pm % sum(novelty_pm) OVER () END AS BIGINT) AS rem
+  FROM nv
+), r AS (
+  SELECT *, CASE WHEN s_tot = 0 THEN 0 ELSE 997 - sum(fl) OVER () END AS leftover,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+  FROM sh
+)
+SELECT host, weight,
+       CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
+"""
     oracles["mirror_hosts"] = (
         "WITH "
         + _PAGES_CTE

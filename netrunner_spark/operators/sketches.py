@@ -850,3 +850,164 @@ FROM cum, qs
 WHERE cum * 1000 >= q_permille * total
 GROUP BY 1, 2
 """
+
+
+def kmv_group_overlap(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Pairwise set-overlap MATRIX across groups from per-group KMV
+    sketches → one row per group pair ``(grp_a, grp_b, k_used,
+    est_union, est_intersect, jaccard_pm)`` (``grp_a < grp_b``).
+
+    The group-level generalization of :func:`kmv_set_full`: "how much
+    do my sources/segments overlap, pairwise" answered from G synopses
+    of k hashes each instead of G² distinct-joins of the raw data —
+    the sketch-scale sibling of the exact ``cross_source_dups``
+    matrix. Same md5-52 hash and estimator arithmetic, so the DuckDB
+    twin is bit-identical; sub-k pairs degrade to exact counts.
+
+    Scale shape: the raw table is touched ONCE (distinct (group, hash)
+    projection). Per-group top-k is the TWO-LEVEL window — first rank
+    within (group, pmod(h, 64)) stripes, then rank the ≤64·k
+    survivors per group — so no window ever sorts a whole hot group's
+    hash set (the exact top-k is preserved: a group's k smallest are
+    each within their stripe's k smallest). Everything after operates
+    on ≤G·k sketch rows: the pair matrix is G²-bounded, never
+    data-bounded.
+    """
+    from pyspark.sql import Window
+
+    hashes = df.select(
+        F.col(group_col).alias("grp"), md5_hash52(key, salt).alias("h")
+    ).dropDuplicates()
+    w1 = Window.partitionBy("grp", F.pmod(F.col("h"), F.lit(64))).orderBy("h")
+    pruned = hashes.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= k
+    )
+    w2 = Window.partitionBy("grp").orderBy("h")
+    sk = (
+        pruned.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .select("grp", "h")
+    )
+    groups = sk.select("grp").dropDuplicates()
+    pairs = (
+        groups.alias("ga")
+        .join(groups.alias("gb"), F.col("ga.grp") < F.col("gb.grp"))
+        .select(F.col("ga.grp").alias("grp_a"), F.col("gb.grp").alias("grp_b"))
+    )
+    cand = (
+        pairs.join(sk.alias("sa"), F.col("sa.grp") == F.col("grp_a"))
+        .select("grp_a", "grp_b", "h")
+        .unionByName(
+            pairs.join(sk.alias("sb"), F.col("sb.grp") == F.col("grp_b")).select(
+                "grp_a", "grp_b", "h"
+            )
+        )
+        .dropDuplicates()
+    )
+    wu = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    u = cand.withColumn("_ru", F.row_number().over(wu)).filter(F.col("_ru") <= k)
+    m = (
+        u.join(
+            sk.select(F.col("grp").alias("_ga"), F.col("h").alias("_ha")),
+            (F.col("_ga") == F.col("grp_a")) & (F.col("_ha") == F.col("h")),
+            "left",
+        )
+        .join(
+            sk.select(F.col("grp").alias("_gb"), F.col("h").alias("_hb")),
+            (F.col("_gb") == F.col("grp_b")) & (F.col("_hb") == F.col("h")),
+            "left",
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "h",
+            (F.col("_ha").isNotNull() & F.col("_hb").isNotNull()).alias("in_both"),
+        )
+    )
+    agg = m.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("_kth"),
+        F.sum(F.when(F.col("in_both"), 1).otherwise(0)).cast("long").alias("_rho"),
+    )
+    return (
+        agg.withColumn(
+            "est_union",
+            F.when(F.col("k_used") < k, F.col("k_used").cast("long")).otherwise(
+                F.expr(f"CAST(({k} - 1) * {HASH_MAX} AS BIGINT) div _kth")
+            ),
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "k_used",
+            "est_union",
+            F.expr("CAST(_rho * est_union div k_used AS BIGINT)").alias(
+                "est_intersect"
+            ),
+            F.expr("CAST(_rho * 1000 div k_used AS BIGINT)").alias("jaccard_pm"),
+        )
+    )
+
+
+def kmv_group_overlap_sql(
+    src: str,
+    key: str,
+    group_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> str:
+    """DuckDB twin of :func:`kmv_group_overlap` over source ``src``
+    (must provide group and key columns)."""
+    h = (
+        f"CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 13)"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH hs AS (
+  SELECT DISTINCT {group_col} AS grp, {h} AS h FROM ({src})
+), sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM hs
+  ) WHERE rn <= {k}
+), g AS (SELECT DISTINCT grp FROM sk),
+p AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b FROM g a JOIN g b ON a.grp < b.grp
+), cand AS (
+  SELECT grp_a, grp_b, h FROM p JOIN sk ON sk.grp = p.grp_a
+  UNION
+  SELECT grp_a, grp_b, h FROM p JOIN sk ON sk.grp = p.grp_b
+), u AS (
+  SELECT grp_a, grp_b, h FROM (
+    SELECT grp_a, grp_b, h,
+           row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+    FROM cand
+  ) WHERE rn <= {k}
+), m AS (
+  SELECT u.grp_a, u.grp_b, u.h,
+         CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END AS in_both
+  FROM u
+  LEFT JOIN sk sa ON sa.grp = u.grp_a AND sa.h = u.h
+  LEFT JOIN sk sb ON sb.grp = u.grp_b AND sb.h = u.h
+), a AS (
+  SELECT grp_a, grp_b, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth,
+         CAST(sum(in_both) AS BIGINT) AS rho
+  FROM m GROUP BY 1, 2
+), e AS (
+  SELECT grp_a, grp_b, k_used, rho,
+         CASE WHEN k_used < {k} THEN k_used
+              ELSE CAST(({k} - 1) * CAST({HASH_MAX} AS BIGINT) // kth AS BIGINT)
+         END AS est_union
+  FROM a
+)
+SELECT grp_a, grp_b, k_used, est_union,
+       CAST(rho * est_union // k_used AS BIGINT) AS est_intersect,
+       CAST(rho * 1000 // k_used AS BIGINT) AS jaccard_pm
+FROM e
+"""

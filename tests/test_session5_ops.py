@@ -163,3 +163,51 @@ def test_adaptive_delays_close_into_scheduler(spark):
     assert per[("flaky.test", 0)] == 2 and per[("flaky.test", 14)] == 2
     assert per[("slow.test", 0)] == 5
     assert per[("fast.test", 0)] == 20 and per[("fast.test", 1)] == 10
+
+
+def test_kmv_group_overlap_exact_and_matches_pairwise(spark):
+    from netrunner_spark.operators.sketches import kmv_group_overlap
+
+    rows = (
+        [("a", i) for i in range(0, 20)]
+        + [("b", i) for i in range(10, 30)]
+        + [("c", i) for i in range(100, 105)]
+    )
+    df = spark.createDataFrame(rows, "grp string, key long")
+    # k large -> exact regime: the matrix must be exact set algebra
+    out = {
+        (r.grp_a, r.grp_b): r
+        for r in kmv_group_overlap(df, "key", "grp", k=64).collect()
+    }
+    assert out[("a", "b")].est_union == 30
+    assert out[("a", "b")].est_intersect == 10
+    assert out[("a", "b")].jaccard_pm == 10 * 1000 // 30
+    assert out[("a", "c")].est_intersect == 0
+    assert out[("b", "c")].est_union == 25
+
+
+def test_kmv_group_overlap_equals_kmv_set_full(spark):
+    # the group matrix must reproduce the two-set operator's numbers
+    # bit-for-bit for the same (key, k, salt) — same hash, same union
+    # sketch, same estimator arithmetic; pins the two-level top-k as
+    # an EXACT per-group top-k, not an approximation
+    from netrunner_spark.operators.sketches import (
+        kmv_group_overlap,
+        kmv_set_full,
+    )
+
+    rows = [("a", i * 13) for i in range(800)] + [
+        ("b", i * 13) for i in range(400, 1600)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    mat = kmv_group_overlap(df, "key", "grp", k=16).collect()[0]
+    two = kmv_set_full(
+        df.filter(F.col("grp") == "a"),
+        df.filter(F.col("grp") == "b"),
+        key="key",
+        k=16,
+    ).collect()[0]
+    assert mat.k_used == two.k_used
+    assert mat.est_union == two.est_union
+    assert mat.est_intersect == two.est_intersect
+    assert mat.jaccard_pm == two.jaccard_pm
