@@ -1986,6 +1986,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer-training first step: corpus top-100 token frequencies
         return textops.vocab_topk(_t(spark, sf, "documents"), k=100)
 
+    def vocab_drift(spark, sf):
+        # between-round corpus drift monitor: doc_id parity stands in
+        # for two crawl rounds; exact integer-ppm frequency deltas
+        docs = _t(spark, sf, "documents")
+        return textops.vocab_drift(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            k=50,
+        )
+
     def link_pagerank(spark, sf):
         # crawl-priority authority signal: integer fixed-point PageRank
         # (exact int64 arithmetic → bit-identical re-runs, exact oracle)
@@ -4202,6 +4212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": cross_source_dups,
         "pii_pattern_scan": pii_pattern_scan,
         "vocab_topk": vocab_topk,
+        "vocab_drift": vocab_drift,
         "link_pagerank": link_pagerank,
         "weighted_pagerank": weighted_pagerank,
         "user_sessions": user_sessions,
@@ -4885,6 +4896,37 @@ WITH edges AS (
               ) WHERE token <> ''
               GROUP BY token
             ) ORDER BY cnt DESC, token ASC LIMIT 100
+        """,
+        # vocab_drift: same tokenizer CTE as vocab_topk per round half,
+        # integer-ppm arithmetic (all BIGINT casts — DuckDB sum() is
+        # HUGEINT), total order (delta DESC, token ASC; token unique)
+        "vocab_drift": """
+            WITH ca AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt_a FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+                FROM documents WHERE doc_id % 2 = 0
+              ) WHERE token <> '' GROUP BY token
+            ), cb AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt_b FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+                FROM documents WHERE doc_id % 2 = 1
+              ) WHERE token <> '' GROUP BY token
+            ), j AS (
+              SELECT coalesce(ca.token, cb.token) AS token,
+                     coalesce(cnt_a, 0) AS cnt_a,
+                     coalesce(cnt_b, 0) AS cnt_b
+              FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+            ), t AS (
+              SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+                     CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM j
+            )
+            SELECT token, cnt_a, cnt_b,
+                   CAST(cnt_a * 1000000 // tot_a AS BIGINT) AS freq_a_ppm,
+                   CAST(cnt_b * 1000000 // tot_b AS BIGINT) AS freq_b_ppm,
+                   CAST(abs(cnt_a * 1000000 // tot_a
+                            - cnt_b * 1000000 // tot_b) AS BIGINT) AS delta_ppm
+            FROM j, t
+            ORDER BY delta_ppm DESC, token ASC LIMIT 50
         """,
         "link_pagerank": link_pagerank_sql,
         "opic_importance": opic_sql,

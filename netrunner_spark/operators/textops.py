@@ -1820,3 +1820,61 @@ def bit_balance(
         F.expr("ones * 1000 DIV n").alias("ones_permille"),
         F.expr("abs(ones * 1000 DIV n - 500) > 300").alias("skewed"),
     )
+
+
+def vocab_drift(
+    docs_a: DataFrame, docs_b: DataFrame, k: int = 50, pattern: str = "[^a-z]+"
+) -> DataFrame:
+    """Corpus drift between two crawl rounds → the ``k`` tokens whose
+    relative frequency moved most: ``(token, cnt_a, cnt_b, freq_a_ppm,
+    freq_b_ppm, delta_ppm)`` ordered by drift.
+
+    The monitoring step a continuous crawl runs between rounds: a
+    sudden vocabulary shift (new spam campaign, a big host changing
+    language, a template rollout) shows up as high-``delta_ppm``
+    tokens long before aggregate quality scores move. Frequencies are
+    exact integer parts-per-million (``cnt * 1e6 DIV total``) so the
+    result is bit-identical across engines — no float log-ratios.
+
+    Shape at 100 TB: two explode → map-side-combined hash aggregates
+    (one per round), a vocabulary-sized full-outer join on token
+    (Zipf-headed input is absorbed by the partial aggregation; the
+    join itself is vocab-sized, millions not billions), a broadcast
+    1-row totals join, then a global top-k. No quadratic anywhere;
+    nothing driver-side. Precondition: both corpora non-empty
+    (ppm denominators).
+    """
+
+    def _counts(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.split(F.lower(F.col("text")), pattern)
+                ).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(f"cnt_{tag}"))
+        )
+
+    both = (
+        _counts(docs_a, "a")
+        .join(_counts(docs_b, "b"), "token", "full_outer")
+        .fillna(0, ["cnt_a", "cnt_b"])
+    )
+    totals = both.agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    scored = both.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "cnt_a",
+        "cnt_b",
+        F.expr("cnt_a * 1000000 DIV tot_a").alias("freq_a_ppm"),
+        F.expr("cnt_b * 1000000 DIV tot_b").alias("freq_b_ppm"),
+        F.expr(
+            "abs(cnt_a * 1000000 DIV tot_a - cnt_b * 1000000 DIV tot_b)"
+        ).alias("delta_ppm"),
+    )
+    return scored.orderBy(
+        F.col("delta_ppm").desc(), F.col("token").asc()
+    ).limit(k)

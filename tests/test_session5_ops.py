@@ -211,3 +211,37 @@ def test_kmv_group_overlap_equals_kmv_set_full(spark):
     assert mat.est_union == two.est_union
     assert mat.est_intersect == two.est_intersect
     assert mat.jaccard_pm == two.jaccard_pm
+
+
+def test_vocab_drift_detects_shift_and_is_exact_ppm(spark):
+    from netrunner_spark.operators.textops import vocab_drift
+
+    # round A: "cat" heavy; round B: "dog" heavy; "the" stable filler
+    a = spark.createDataFrame(
+        [(1, "the cat cat cat"), (2, "the cat")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, "the dog dog dog"), (4, "the dog")], "doc_id long, text string"
+    )
+    rows = {r.token: r for r in vocab_drift(a, b, k=10).collect()}
+    # totals: 6 tokens per round
+    assert rows["cat"].cnt_a == 4 and rows["cat"].cnt_b == 0
+    assert rows["dog"].cnt_a == 0 and rows["dog"].cnt_b == 4
+    assert rows["cat"].freq_a_ppm == 4 * 1000000 // 6
+    assert rows["cat"].delta_ppm == 4 * 1000000 // 6
+    assert rows["the"].delta_ppm == 0
+    # drift order: cat/dog (tied) before the; tie broken token asc
+    ordered = [r.token for r in vocab_drift(a, b, k=10).collect()]
+    assert ordered[:2] == ["cat", "dog"]
+    assert ordered[-1] == "the"
+
+
+def test_vocab_drift_unseen_tokens_survive_full_outer(spark):
+    from netrunner_spark.operators.textops import vocab_drift
+
+    a = spark.createDataFrame([(1, "only alpha")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "only beta")], "doc_id long, text string")
+    toks = {r.token: (r.cnt_a, r.cnt_b) for r in vocab_drift(a, b).collect()}
+    assert toks["alpha"] == (1, 0)
+    assert toks["beta"] == (0, 1)
+    assert toks["only"] == (1, 1)
