@@ -1986,14 +1986,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer-training first step: corpus top-100 token frequencies
         return textops.vocab_topk(_t(spark, sf, "documents"), k=100)
 
+    # Round split for the drift family: alternating blocks of 20
+    # doc_ids. The generator assigns source = src(doc_id % 20), so a
+    # plain parity split would put every source wholly in one round
+    # (degenerate TV ≈ 0.5 everywhere); block parity gives every
+    # source presence in both rounds.
+    _ROUND_A = "(doc_id DIV 20) % 2 = 0"
+
     def vocab_drift(spark, sf):
-        # between-round corpus drift monitor: doc_id parity stands in
+        # between-round corpus drift monitor: block split stands in
         # for two crawl rounds; exact integer-ppm frequency deltas
         docs = _t(spark, sf, "documents")
         return textops.vocab_drift(
-            docs.filter(F.col("doc_id") % 2 == 0),
-            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.expr(_ROUND_A)),
+            docs.filter(~F.expr(_ROUND_A)),
             k=50,
+        )
+
+    def _source_drift_df(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return textops.source_drift(
+            docs.filter(F.expr(_ROUND_A)),
+            docs.filter(~F.expr(_ROUND_A)),
+        )
+
+    def source_drift(spark, sf):
+        # drift rolled up to the recrawl-budget unit: per-source
+        # total-variation distance between the two rounds
+        return _source_drift_df(spark, sf)
+
+    def drift_recrawl_alloc(spark, sf):
+        # close the drift loop: 499 recrawl slots apportioned by
+        # measured per-source drift (largest-remainder, exact ints)
+        from netrunner_spark.operators.crawlintel import budget_alloc
+
+        return (
+            budget_alloc(
+                _source_drift_df(spark, sf),
+                weight_col="tv_ppm",
+                total=499,
+                host_col="source",
+            )
+            .withColumnRenamed("host", "source")
+            .orderBy(F.col("alloc").desc(), F.col("source").asc())
         )
 
     def link_pagerank(spark, sf):
@@ -4213,6 +4248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_pattern_scan": pii_pattern_scan,
         "vocab_topk": vocab_topk,
         "vocab_drift": vocab_drift,
+        "source_drift": source_drift,
+        "drift_recrawl_alloc": drift_recrawl_alloc,
         "link_pagerank": link_pagerank,
         "weighted_pagerank": weighted_pagerank,
         "user_sessions": user_sessions,
@@ -4399,6 +4436,37 @@ def _oracle_sql_dict() -> dict[str, str]:
     # notes: list_reduce has no init arg → prepend 0; generate_series as a
     # lateral table function cannot take column bounds → constant bound +
     # WHERE filter (documents are ≤ ~2000 chars).
+
+    # source_drift twin: per-source integer-ppm total-variation between
+    # the doc_id-parity "rounds"; shared verbatim with the
+    # drift_recrawl_alloc Hamilton tail (no-drift composition).
+    source_drift_sql = """
+        WITH cnt AS (
+          SELECT source, token,
+                 CAST(sum(CASE WHEN rnd = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+                 CAST(sum(CASE WHEN rnd = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+          FROM (
+            SELECT source,
+                   CASE WHEN (doc_id // 20) % 2 = 0 THEN 'a' ELSE 'b' END AS rnd,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+            FROM documents
+          ) WHERE token <> ''
+          GROUP BY source, token
+        ), tot AS (
+          SELECT source, CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+                 CAST(sum(cnt_b) AS BIGINT) AS tot_b
+          FROM cnt GROUP BY source
+        ), d AS (
+          SELECT cnt.source,
+                 abs(CASE WHEN tot_a = 0 THEN 0 ELSE cnt_a * 1000000 // tot_a END
+                   - CASE WHEN tot_b = 0 THEN 0 ELSE cnt_b * 1000000 // tot_b END) AS d
+          FROM cnt JOIN tot ON cnt.source = tot.source
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(d) // 2 AS BIGINT) AS tv_ppm
+        FROM d GROUP BY source
+        ORDER BY tv_ppm DESC, source ASC
+    """
 
     # doc_surprisal / doc_lm_score twins, shared verbatim with the
     # text_quality_gate composition (nested-WITH scoping keeps their
@@ -4897,6 +4965,29 @@ WITH edges AS (
               GROUP BY token
             ) ORDER BY cnt DESC, token ASC LIMIT 100
         """,
+        "source_drift": source_drift_sql,
+        # drift_recrawl_alloc: the source_drift twin nested verbatim,
+        # then the same Hamilton tail as opic_budget_alloc (total 499,
+        # remainder ties by source)
+        "drift_recrawl_alloc": f"""
+WITH sd AS ({source_drift_sql}),
+sh AS (
+  SELECT source, tv_ppm AS weight,
+         CAST(CASE WHEN sum(tv_ppm) OVER () = 0 THEN 0
+              ELSE 499 * tv_ppm // sum(tv_ppm) OVER () END AS BIGINT) AS fl,
+         CAST(CASE WHEN sum(tv_ppm) OVER () = 0 THEN 0
+              ELSE 499 * tv_ppm % sum(tv_ppm) OVER () END AS BIGINT) AS rem,
+         sum(tv_ppm) OVER () AS s_tot
+  FROM sd
+), r AS (
+  SELECT *, CASE WHEN s_tot = 0 THEN 0 ELSE 499 - sum(fl) OVER () END AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+  FROM sh
+)
+SELECT source, weight,
+       CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r ORDER BY alloc DESC, source ASC
+""",
         # vocab_drift: same tokenizer CTE as vocab_topk per round half,
         # integer-ppm arithmetic (all BIGINT casts — DuckDB sum() is
         # HUGEINT), total order (delta DESC, token ASC; token unique)
@@ -4904,12 +4995,12 @@ WITH edges AS (
             WITH ca AS (
               SELECT token, CAST(count(*) AS BIGINT) AS cnt_a FROM (
                 SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
-                FROM documents WHERE doc_id % 2 = 0
+                FROM documents WHERE (doc_id // 20) % 2 = 0
               ) WHERE token <> '' GROUP BY token
             ), cb AS (
               SELECT token, CAST(count(*) AS BIGINT) AS cnt_b FROM (
                 SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
-                FROM documents WHERE doc_id % 2 = 1
+                FROM documents WHERE (doc_id // 20) % 2 = 1
               ) WHERE token <> '' GROUP BY token
             ), j AS (
               SELECT coalesce(ca.token, cb.token) AS token,

@@ -1878,3 +1878,69 @@ def vocab_drift(
     return scored.orderBy(
         F.col("delta_ppm").desc(), F.col("token").asc()
     ).limit(k)
+
+
+def source_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    source_col: str = "source",
+    pattern: str = "[^a-z]+",
+) -> DataFrame:
+    """Per-source corpus drift between two crawl rounds →
+    ``(source, n_tokens, tv_ppm)``: the exact integer total-variation
+    distance (×10⁶, i.e. ``Σ|p_a − p_b| DIV 2`` over per-source
+    integer-ppm frequencies) between the source's round-A and round-B
+    token distributions, plus its distinct-token vocabulary size.
+
+    This is :func:`vocab_drift` rolled up to the unit a recrawl
+    scheduler actually budgets by: a feed whose content distribution
+    moved is worth refetching; a static one is not (see
+    ``drift_recrawl_alloc``, which apportions budget ∝ ``tv_ppm``).
+    A source present in only one round scores the degenerate maximum
+    (≈500000) via the ``tot=0 → freq 0`` convention — mirrored in the
+    oracle so both engines agree on the edge.
+
+    Shape at 100 TB: union (no shuffle) → explode → one hash aggregate
+    on (source, token) with map-side combine → per-source totals
+    (second tiny aggregate, broadcast join back; #sources rows) → one
+    final per-source aggregate. Never wider than the (source, token)
+    count table; no window over data.
+    """
+    tagged = docs_a.select(
+        F.col(source_col).alias("source"), F.lit("a").alias("round"), "text"
+    ).unionByName(
+        docs_b.select(
+            F.col(source_col).alias("source"), F.lit("b").alias("round"), "text"
+        )
+    )
+    counts = (
+        tagged.select(
+            "source",
+            "round",
+            F.explode(F.split(F.lower(F.col("text")), pattern)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(
+            F.sum(F.when(F.col("round") == "a", 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("round") == "b", 1).otherwise(0)).alias("cnt_b"),
+        )
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    per_token = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        F.expr(
+            "abs(CASE WHEN tot_a = 0 THEN 0 ELSE cnt_a * 1000000 DIV tot_a END"
+            " - CASE WHEN tot_b = 0 THEN 0 ELSE cnt_b * 1000000 DIV tot_b END)"
+        ).alias("d"),
+    )
+    return (
+        per_token.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("CAST(sum(d) DIV 2 AS BIGINT)").alias("tv_ppm"),
+        )
+        .orderBy(F.col("tv_ppm").desc(), F.col("source").asc())
+    )

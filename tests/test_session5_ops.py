@@ -245,3 +245,40 @@ def test_vocab_drift_unseen_tokens_survive_full_outer(spark):
     assert toks["alpha"] == (1, 0)
     assert toks["beta"] == (0, 1)
     assert toks["only"] == (1, 1)
+
+
+def test_source_drift_identical_rounds_zero_and_single_round_max(spark):
+    from netrunner_spark.operators.textops import source_drift
+
+    # s_same: identical text both rounds -> tv 0
+    # s_only_a: present only in round A -> degenerate max (~500000)
+    a = spark.createDataFrame(
+        [("s_same", "alpha beta alpha"), ("s_only_a", "gamma gamma")],
+        "source string, text string",
+    )
+    b = spark.createDataFrame(
+        [("s_same", "alpha beta alpha")], "source string, text string"
+    )
+    rows = {r.source: r for r in source_drift(a, b).collect()}
+    assert rows["s_same"].tv_ppm == 0
+    # one token at freq 1e6 in A, tot_b=0 -> freqs (1e6, 0) -> tv 500000
+    assert rows["s_only_a"].tv_ppm == 500000
+    # ordering: drifted source first
+    ordered = [r.source for r in source_drift(a, b).collect()]
+    assert ordered == ["s_only_a", "s_same"]
+
+
+def test_source_drift_half_swap_is_half_tv(spark):
+    from netrunner_spark.operators.textops import source_drift
+
+    # round A: 2x alpha 2x beta; round B: 2x alpha 2x gamma
+    # p_a = {alpha:.5, beta:.5}; p_b = {alpha:.5, gamma:.5} -> TV = 0.5
+    a = spark.createDataFrame(
+        [("s", "alpha beta alpha beta")], "source string, text string"
+    )
+    b = spark.createDataFrame(
+        [("s", "alpha gamma alpha gamma")], "source string, text string"
+    )
+    row = source_drift(a, b).collect()[0]
+    assert row.tv_ppm == 500000
+    assert row.n_tokens == 3
