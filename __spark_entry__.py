@@ -2015,6 +2015,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # total-variation distance between the two rounds
         return _source_drift_df(spark, sf)
 
+    def dup_spans(spark, sf):
+        # exact duplicate-span detection (Lee-et-al-style substring
+        # dedup, fixed 30-char shingles at stride 10): docs enriched
+        # with a shared syndication prefix on doc_id % 4 = 0 so real
+        # cross-doc duplicate spans exist at synth scale
+        docs = _t(spark, sf, "documents").withColumn(
+            "text",
+            F.expr(
+                "CASE WHEN doc_id % 4 = 0 THEN"
+                " 'all rights reserved contact the admin at example dot com '"
+                " || text ELSE text END"
+            ),
+        )
+        return textops.dup_spans(docs, width=30, stride=10).orderBy("doc_id")
+
     def drift_recrawl_alloc(spark, sf):
         # close the drift loop: 499 recrawl slots apportioned by
         # measured per-source drift (largest-remainder, exact ints)
@@ -4250,6 +4265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": vocab_drift,
         "source_drift": source_drift,
         "drift_recrawl_alloc": drift_recrawl_alloc,
+        "dup_spans": dup_spans,
         "link_pagerank": link_pagerank,
         "weighted_pagerank": weighted_pagerank,
         "user_sessions": user_sessions,
@@ -4966,6 +4982,35 @@ WITH edges AS (
             ) ORDER BY cnt DESC, token ASC LIMIT 100
         """,
         "source_drift": source_drift_sql,
+        # dup_spans: same enrichment CASE + same span positions
+        # (1, 11, 21, … — constant-bound series, column-bound WHERE;
+        # docs are ≤ ~640 chars enriched). Grouping is by raw span
+        # text where Spark groups by xxhash64(span) — identical
+        # modulo 2⁻⁶⁴ collisions, absent at test scale.
+        "dup_spans": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN
+                       'all rights reserved contact the admin at example dot com '
+                       || text ELSE text END AS text
+              FROM documents
+            ), s AS (
+              SELECT doc_id, substr(text, CAST(pos AS INT), 30) AS span
+              FROM t CROSS JOIN generate_series(1, 1000, 10) AS g(pos)
+              WHERE pos <= len(text) - 29
+            ), dfs AS (
+              SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_df
+              FROM s GROUP BY span
+            )
+            SELECT s.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN doc_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_spans,
+                   CAST(sum(CASE WHEN doc_df >= 2 THEN 1 ELSE 0 END) * 1000000
+                        // count(*) AS BIGINT) AS dup_ppm
+            FROM s JOIN dfs USING (span)
+            GROUP BY s.doc_id ORDER BY doc_id
+        """,
         # drift_recrawl_alloc: the source_drift twin nested verbatim,
         # then the same Hamilton tail as opic_budget_alloc (total 499,
         # remainder ties by source)

@@ -282,3 +282,36 @@ def test_source_drift_half_swap_is_half_tv(spark):
     row = source_drift(a, b).collect()[0]
     assert row.tv_ppm == 500000
     assert row.n_tokens == 3
+
+
+def test_dup_spans_counts_shared_shingles_only(spark):
+    from netrunner_spark.operators.textops import dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "0123456789abcdefghij"),   # shares span@1 with doc 2
+            (2, "0123456789zzzzzzzzzz"),
+            (3, "unique-text-here-xyz"),   # no shared spans
+            (4, "short"),                   # < width -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_spans(docs, width=10, stride=5).collect()}
+    assert set(out) == {1, 2, 3}
+    # len 20, width 10, stride 5 -> positions 1, 6, 11 -> 3 spans
+    assert out[1].n_spans == 3 and out[1].n_dup_spans == 1
+    assert out[1].dup_ppm == 1_000_000 // 3
+    assert out[2].n_dup_spans == 1
+    assert out[3].n_dup_spans == 0 and out[3].dup_ppm == 0
+
+
+def test_dup_spans_within_doc_repeat_is_not_cross_doc_dup(spark):
+    from netrunner_spark.operators.textops import dup_spans
+
+    # the same span repeated INSIDE one doc is not a duplicate (doc_df
+    # counts distinct docs) — substring dedup targets cross-doc copy
+    docs = spark.createDataFrame(
+        [(1, "ababababab" * 3)], "doc_id long, text string"
+    )
+    row = dup_spans(docs, width=10, stride=10).collect()[0]
+    assert row.n_dup_spans == 0
