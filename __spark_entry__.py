@@ -2030,6 +2030,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.dup_spans(docs, width=30, stride=10).orderBy("doc_id")
 
+    def pii_scrub(spark, sf):
+        # PII redaction over docs enriched with deterministic injected
+        # contacts (emails / IPs / phones) so every branch fires;
+        # scrubbed body compared via md5
+        docs = _t(spark, sf, "documents").withColumn(
+            "text",
+            F.expr(
+                "text"
+                " || CASE WHEN doc_id % 5 = 0 THEN"
+                "   ' contact user' || CAST(doc_id AS STRING) || '@example.com'"
+                "   ELSE '' END"
+                " || CASE WHEN doc_id % 7 = 0 THEN"
+                "   ' call +1 415 555 0132 now' ELSE '' END"
+                " || CASE WHEN doc_id % 11 = 0 THEN"
+                "   ' origin 10.42.7.' || CAST(doc_id % 256 AS STRING)"
+                "   ELSE '' END"
+            ),
+        )
+        return textops.pii_scrub(docs).orderBy("doc_id")
+
     def drift_recrawl_alloc(spark, sf):
         # close the drift loop: 499 recrawl slots apportioned by
         # measured per-source drift (largest-remainder, exact ints)
@@ -4266,6 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift": source_drift,
         "drift_recrawl_alloc": drift_recrawl_alloc,
         "dup_spans": dup_spans,
+        "pii_scrub": pii_scrub,
         "link_pagerank": link_pagerank,
         "weighted_pagerank": weighted_pagerank,
         "user_sessions": user_sessions,
@@ -4982,6 +5003,37 @@ WITH edges AS (
             ) ORDER BY cnt DESC, token ASC LIMIT 100
         """,
         "source_drift": source_drift_sql,
+        # pii_scrub: same injection CASEs; counts via
+        # len(regexp_extract_all) on the original text, scrub via the
+        # same ordered replace chain with the 'g' flag (DuckDB defaults
+        # to first-match-only). Patterns are in the Java∩RE2 subset.
+        "pii_scrub": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0 THEN
+                          ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN
+                          ' call +1 415 555 0132 now' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN
+                          ' origin 10.42.7.' || CAST(doc_id % 256 AS VARCHAR)
+                          ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text,
+                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+              CAST(len(regexp_extract_all(text,
+                '\+?[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones,
+              md5(regexp_replace(regexp_replace(regexp_replace(text,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                  '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
+            FROM t ORDER BY doc_id
+        """,
         # dup_spans: same enrichment CASE + same span positions
         # (1, 11, 21, … — constant-bound series, column-bound WHERE;
         # docs are ≤ ~640 chars enriched). Grouping is by raw span

@@ -2018,3 +2018,44 @@ def dup_spans(
             F.expr("n_dup_spans * 1000000 DIV n_spans").alias("dup_ppm"),
         )
     )
+
+
+# PII scrub patterns: kept to the regex subset Java (Spark) and RE2
+# (DuckDB) evaluate identically — character classes, bounded repeats,
+# \b anchors; no backrefs or lookaround. Replacement order is part of
+# the contract (emails first, then IPs, then phone-ish runs, so digit
+# runs inside an already-redacted token are never double-scrubbed).
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the curation step after :func:`pattern_scan`'s
+    routing: replace emails, IPv4s, and phone-like digit runs with
+    typed placeholders → ``(doc_id, n_emails, n_ips, n_phones,
+    scrubbed_md5)``.
+
+    Counts are measured on the ORIGINAL text; the scrub applies the
+    replacements in ``PII_PATTERNS`` order so later patterns cannot
+    re-match inside an earlier placeholder. ``scrubbed_md5`` stands in
+    for the (potentially huge) scrubbed body in oracle comparisons —
+    the cache writer stores the scrubbed text itself.
+
+    Map-only at 100 TB: every expression is JVM-codegen
+    (``regexp_count`` / chained ``regexp_replace``), zero shuffles,
+    column-pruned to (doc_id, text).
+    """
+    text = F.col(text_col)
+    scrubbed = text
+    for _, rx, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, rx, repl)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(PII_PATTERNS[0][1])).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_PATTERNS[1][1])).cast("long").alias("n_ips"),
+        F.regexp_count(text, F.lit(PII_PATTERNS[2][1])).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

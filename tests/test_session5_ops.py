@@ -315,3 +315,33 @@ def test_dup_spans_within_doc_repeat_is_not_cross_doc_dup(spark):
     )
     row = dup_spans(docs, width=10, stride=10).collect()[0]
     assert row.n_dup_spans == 0
+
+
+def test_pii_scrub_redacts_all_types_in_order(spark):
+    from netrunner_spark.operators.textops import pii_scrub, PII_PATTERNS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@mail-host.org today"),
+            (2, "server 192.168.1.250 then call +44 20 7946 0958 done"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 0)
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 1, 1)
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+    # md5 equals the md5 of the expected scrubbed bodies
+    import hashlib
+
+    exp = {
+        1: "mail me at <EMAIL> today",
+        2: "server <IP> then call <PHONE> done",
+        3: "no pii here at all",
+    }
+    for i, s in exp.items():
+        assert out[i].scrubbed_md5 == hashlib.md5(s.encode()).hexdigest(), i
+    # order contract: phone runs inside an IP are never double-counted
+    # (IP is replaced before the phone pass; dots break the phone class)
+    assert len(PII_PATTERNS) == 3
