@@ -2050,6 +2050,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.pii_scrub(docs).orderBy("doc_id")
 
+    def scrub_admission(spark, sf):
+        # the scrub loop CLOSED: dup-span gate ∧ PII gate → verdict
+        # with the first rejecting stage, one row per doc. Both stages
+        # ARE the standalone driver queries called verbatim (same
+        # enrichment, same params), so composability is pinned.
+        spans = dup_spans(spark, sf).select("doc_id", "dup_ppm")
+        pii = pii_scrub(spark, sf).select(
+            "doc_id",
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias(
+                "n_pii"
+            ),
+        )
+        verdict = (
+            F.when(F.col("dup_ppm") > 100000, F.lit("dup_spans"))
+            .when(F.col("n_pii") >= 2, F.lit("pii"))
+            .otherwise(F.lit("admitted"))
+        )
+        return (
+            spans.join(pii, "doc_id")
+            .select("doc_id", "dup_ppm", "n_pii", verdict.alias("verdict"))
+            .orderBy("doc_id")
+        )
+
     def drift_recrawl_alloc(spark, sf):
         # close the drift loop: 499 recrawl slots apportioned by
         # measured per-source drift (largest-remainder, exact ints)
@@ -4287,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_recrawl_alloc": drift_recrawl_alloc,
         "dup_spans": dup_spans,
         "pii_scrub": pii_scrub,
+        "scrub_admission": scrub_admission,
         "link_pagerank": link_pagerank,
         "weighted_pagerank": weighted_pagerank,
         "user_sessions": user_sessions,
@@ -4441,6 +4465,18 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_dict()
     # the index-backed paths must reproduce their direct twins exactly
     d["phrase_index_search"] = d["phrase_search"]
+    # scrub_admission composes the dup_spans and pii_scrub twins
+    # verbatim — the composed gate can never drift from the parts
+    d["scrub_admission"] = f"""
+        WITH ds AS ({d["dup_spans"]}), p AS ({d["pii_scrub"]})
+        SELECT ds.doc_id, ds.dup_ppm,
+               CAST(p.n_emails + p.n_ips + p.n_phones AS BIGINT) AS n_pii,
+               CASE WHEN ds.dup_ppm > 100000 THEN 'dup_spans'
+                    WHEN p.n_emails + p.n_ips + p.n_phones >= 2 THEN 'pii'
+                    ELSE 'admitted' END AS verdict
+        FROM ds JOIN p ON ds.doc_id = p.doc_id
+        ORDER BY ds.doc_id
+    """
     # ann_recall composes the exact-ANN and IVF twins verbatim (nested
     # WITH keeps their CTE names scoped), so the recall oracle can
     # never drift from the operators it measures
