@@ -329,3 +329,35 @@ def test_semdedup_plan_shape(spark):
     assert "CartesianProduct" not in plan
     # the only window sorts are the bounded per-group keeper rank
     assert plan.count("Window") <= 2
+
+
+def test_scrub_family_plan_shapes(spark):
+    """Scale pins for the round-5 scrub family: pii_scrub is map-only
+    (no exchange at all); dup_spans is linear — span-hash aggregate +
+    join back, no cartesian, no window; source_drift's totals join is
+    a broadcast (never a sort-merge of the count table against the
+    per-source totals)."""
+    from netrunner_spark.operators.textops import (
+        dup_spans,
+        pii_scrub,
+        source_drift,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " * 3)
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = _explain(pii_scrub(docs), "formatted")
+    assert "Exchange" not in plan          # pure projection, map-only
+    assert "[codegen id" in plan           # regex exprs stay in codegen
+
+    plan = _explain(dup_spans(docs), "formatted")
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    a = docs.withColumn("source", F.lit("s1"))
+    b = docs.withColumn("source", F.lit("s1"))
+    plan = _explain(source_drift(a, b), "formatted")
+    assert "BroadcastHashJoin" in plan     # totals join back
+    assert "CartesianProduct" not in plan and "Window" not in plan
