@@ -2049,13 +2049,32 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     column-pruned to (doc_id, text).
     """
     text = F.col(text_col)
-    scrubbed = text
-    for _, rx, repl in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, rx, repl)
     return docs.select(
         "doc_id",
         F.regexp_count(text, F.lit(PII_PATTERNS[0][1])).cast("long").alias("n_emails"),
         F.regexp_count(text, F.lit(PII_PATTERNS[1][1])).cast("long").alias("n_ips"),
         F.regexp_count(text, F.lit(PII_PATTERNS[2][1])).cast("long").alias("n_phones"),
-        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.md5(scrubbed_text(text_col)).alias("scrubbed_md5"),
     )
+
+
+def scrubbed_text(text_col: str = "text"):
+    """The PII-scrubbed body as a Column — the ordered
+    ``PII_PATTERNS`` replace chain. Shared by :func:`pii_scrub` (which
+    hashes it for oracle comparison) and the preprocess plan (which
+    stores it); one definition so the two can never diverge."""
+    col = F.col(text_col)
+    for _, rx, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, rx, repl)
+    return col
+
+
+def pii_count(text_col: str = "text"):
+    """Total PII matches in the original body as a Column (sum over
+    ``PII_PATTERNS``) — the per-row metric the preprocess plan
+    observes."""
+    c = None
+    for _, rx, _repl in PII_PATTERNS:
+        cnt = F.regexp_count(F.col(text_col), F.lit(rx)).cast("long")
+        c = cnt if c is None else c + cnt
+    return c

@@ -38,3 +38,25 @@ def parse_one(url: str, html: str) -> dict:
     from netrunner_spark.parser.html import html_to_text
 
     return html_to_text(url, html).as_row()
+
+
+def scrub_parsed(parsed: DataFrame, content_col: str = "content") -> DataFrame:
+    """PII-scrub the parsed archive before it is written/exported: the
+    page body is replaced by its redacted form (ordered
+    ``PII_PATTERNS`` chain — same column definition the ``pii_scrub``
+    driver query hashes, so the stored body and the audited hash can
+    never diverge) and the row is annotated with ``n_pii``, the match
+    count in the ORIGINAL body.
+
+    The count is attached via ``observe`` too (``scrub`` /
+    ``n_pii_total``) so the pipeline's metrics come from the same
+    single pass that writes the data — no second scan. Map-only:
+    regex projections, zero shuffles (pinned by
+    tests/test_plan_shape.py's scrub-family test for the operator
+    core).
+    """
+    from netrunner_spark.operators.textops import pii_count, scrubbed_text
+
+    return parsed.withColumn("n_pii", pii_count(content_col)).observe(
+        "scrub", F.sum("n_pii").alias("n_pii_total")
+    ).withColumn(content_col, scrubbed_text(content_col))

@@ -73,3 +73,49 @@ def test_cli_parse(argv):
     doc = json.loads(out.stdout)
     assert doc["title"] == "Old School RuneScape Wiki"
     assert len(doc["links"]) == 58
+
+
+def test_scrub_parsed_redacts_and_observes(spark, tmp_path):
+    # e2e through the ENGINE path: synthetic web -> WARC -> preprocess
+    # -> scrub stage. A PII-bearing page comes out redacted; the
+    # observe metric equals the sum of per-row counts from the SAME
+    # single pass.
+    from netrunner_spark.plans.preprocess import preprocess_warc, scrub_parsed
+    from netrunner_spark.sources.warc import warc_export
+    from netrunner_spark.synth import gen_web
+
+    web = gen_web(spark, 2, 10).filter(F.col("status") == 200)
+    pii_html = (
+        "<html><title>contact</title><body>write to ops@leak.example.org "
+        "or call +1 415 555 0000 from 10.0.0.7</body></html>"
+    )
+    extra = spark.createDataFrame(
+        [("https://host0.test/contact", "host0.test", 200, pii_html)],
+        "url string, host string, status int, content string",
+    ).withColumn(
+        "headers",
+        F.array(
+            F.struct(
+                F.lit("content-type").alias("name"),
+                F.lit("text/html").alias("value"),
+            )
+        ),
+    )
+    warc_dir = str(tmp_path / "warc")
+    warc_export(
+        web.select("url", "host", "status", "headers", "content").unionByName(
+            extra
+        ),
+        warc_dir,
+    ).collect()
+
+    scrubbed = scrub_parsed(preprocess_warc(spark, warc_dir))
+    rows = scrubbed.collect()
+    target = [r for r in rows if r.url == "https://host0.test/contact"]
+    assert len(target) == 1
+    body = target[0].content
+    assert "<EMAIL>" in body and "<PHONE>" in body and "<IP>" in body
+    assert "leak.example.org" not in body and "415 555" not in body
+    assert target[0].n_pii == 3
+    # every non-injected page is untouched (n_pii 0) at synth scale
+    assert all(r.n_pii == 0 for r in rows if r.url != target[0].url)
