@@ -62,6 +62,11 @@ HEADLINE = [
     "ann_pq_topk",
     "seed_pagerank",
     "duplicate_spans",
+    "dup_spans",
+    "pii_scrub",
+    "scrub_admission",
+    "vocab_drift",
+    "drift_recrawl_alloc",
     "containment_pairs",
     "multimodal_dup_pairs",
     "zorder_curve",

@@ -1952,10 +1952,13 @@ def dup_spans(
     stride: int = 10,
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact duplicate-span detection, the fixed-shingle approximation
-    of suffix-array substring dedup (Lee et al. 2021, "Deduplicating
-    Training Data Makes Language Models Better") → ``(doc_id, n_spans,
-    n_dup_spans, dup_ppm)``.
+    """Per-document duplicated-text FRACTION via fixed-width character
+    shingles — the cheap gate-metric companion to
+    :func:`duplicate_spans` (which emits the maximal span *extents*
+    for surgical removal; both approximate Lee et al. 2021
+    suffix-array substring dedup) → ``(doc_id, n_spans, n_dup_spans,
+    dup_ppm)``. Use this one to DROP mostly-duplicated docs
+    (``scrub_admission``), the other to TRIM spans from kept docs.
 
     A *span* is the ``width``-char substring at positions 1, 1+stride,
     1+2·stride, … (1-based); a span is *duplicated* when its exact text
