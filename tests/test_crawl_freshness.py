@@ -420,3 +420,58 @@ def test_k_core_empty_when_k_exceeds_graph(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
     assert k_core(edges, k=3).count() == 0  # a triangle has no 3-core
     assert {r["id"] for r in k_core(edges, k=2).collect()} == {0, 1, 2}
+
+
+# ------------------------------------------------------------ drift loop
+def test_drift_loop_reallocates_recrawl_budget(spark):
+    """E2E through the engine path: fetch round A (MockFetcher) →
+    parse (X2) → fetch round B after two hosts roll out a template
+    rewrite → parse → source_drift over the two parsed corpora keyed
+    by host → budget_alloc. Unchanged hosts drift EXACTLY 0 (identical
+    parsed text both rounds) and get zero recrawl budget; the whole
+    budget lands on the two rewritten hosts."""
+    from netrunner_spark.operators.crawlintel import budget_alloc
+    from netrunner_spark.operators.textops import source_drift
+    from netrunner_spark.parser.udf import parse_pages
+    from netrunner_spark.sources.fetcher import MockFetcher
+    from netrunner_spark.synth import gen_web
+    from netrunner_spark.urlnorm import url_hash_col
+
+    web_a = gen_web(spark, 4, 10).filter(F.col("status") == 200)
+    changed = ("host0.test", "host2.test")
+    web_b = web_a.withColumn(
+        "content",
+        F.when(
+            F.col("host").isin(*changed),
+            F.regexp_replace("content", "[aeiou]", "y"),
+        ).otherwise(F.col("content")),
+    )
+
+    def corpus(web):
+        fetched = MockFetcher(web).fetch(
+            web.select(
+                "url", "host", url_hash_col("url").alias("url_hash")
+            ),
+            prefer_broadcast=True,
+        )
+        parsed = parse_pages(
+            fetched.filter(F.col("status").between(200, 299)).select(
+                "url", "content"
+            )
+        )
+        return parsed.join(
+            web.select("url", "host").distinct(), "url"
+        ).select(F.col("host").alias("source"), F.col("content").alias("text"))
+
+    drift = source_drift(corpus(web_a), corpus(web_b))
+    tv = {r.source: r.tv_ppm for r in drift.collect()}
+    assert set(tv) == {f"host{i}.test" for i in range(4)}
+    assert tv["host1.test"] == 0 and tv["host3.test"] == 0
+    assert tv["host0.test"] > 0 and tv["host2.test"] > 0
+
+    alloc = {
+        r.host: r.alloc
+        for r in budget_alloc(drift, "tv_ppm", total=100, host_col="source").collect()
+    }
+    assert alloc["host1.test"] == 0 and alloc["host3.test"] == 0
+    assert alloc["host0.test"] + alloc["host2.test"] == 100
