@@ -345,3 +345,89 @@ def test_pii_scrub_redacts_all_types_in_order(spark):
     # order contract: phone runs inside an IP are never double-counted
     # (IP is replaced before the phone pass; dots break the phone class)
     assert len(PII_PATTERNS) == 3
+
+
+def test_pii_scrub_differential_vs_python_re(spark):
+    """One Spark job over 300 seeded random bodies; Java-regex scrub
+    must equal a pure-Python `re` reference (same ordered chain) on
+    counts AND the scrubbed body hash — the patterns live in the
+    Java∩RE2∩`re` subset, so any divergence is a real bug."""
+    import hashlib
+    import random
+    import re
+
+    from netrunner_spark.operators.textops import PII_PATTERNS, pii_scrub
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "kappa", "call", "at", "mail", "now", "ip"]
+    piis = [
+        lambda i: f"user{i}@ex{i % 7}.org",
+        lambda i: f"{10 + i % 200}.{i % 256}.{(i * 7) % 256}.{(i * 13) % 256}",
+        lambda i: f"+{1 + i % 9} {400 + i % 500} {500 + i % 400} {1000 + i % 9000}",
+        lambda i: f"{i}" ,                     # bare number: NOT pii unless long
+        lambda i: "a@b",                        # not a valid email (no tld)
+        lambda i: "1.2.3",                      # not an ip (3 octets)
+    ]
+    rows = []
+    for i in range(300):
+        toks = [rng.choice(words) for _ in range(rng.randrange(0, 8))]
+        for _ in range(rng.randrange(0, 3)):
+            toks.insert(rng.randrange(0, len(toks) + 1), rng.choice(piis)(i))
+        rows.append((i, " ".join(toks)))
+    got = {
+        r.doc_id: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for i, text in rows:
+        exp_counts = [len(re.findall(rx, text)) for _, rx, _ in PII_PATTERNS]
+        scrubbed = text
+        for _, rx, repl in PII_PATTERNS:
+            scrubbed = re.sub(rx, repl, scrubbed)
+        r = got[i]
+        assert (r.n_emails, r.n_ips, r.n_phones) == tuple(exp_counts), (i, text)
+        assert r.scrubbed_md5 == hashlib.md5(scrubbed.encode()).hexdigest(), (
+            i,
+            text,
+            scrubbed,
+        )
+
+
+def test_dup_spans_differential_vs_python(spark):
+    """50 seeded docs over a 3-word alphabet (shared shingles occur
+    naturally); Spark result must equal the brute-force Python
+    reference exactly."""
+    import random
+    from collections import defaultdict
+
+    from netrunner_spark.operators.textops import dup_spans
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(rng.choice(["ab", "cd", "ef"]) for _ in range(rng.randrange(5, 20))))
+        for i in range(50)
+    ]
+    W, S = 12, 4
+    span_docs = defaultdict(set)
+    per_doc = {}
+    for i, text in rows:
+        spans = [text[p : p + W] for p in range(0, len(text) - W + 1, S)]
+        per_doc[i] = spans
+        for s in spans:
+            span_docs[s].add(i)
+    exp = {}
+    for i, spans in per_doc.items():
+        if not spans:
+            continue
+        ndup = sum(1 for s in spans if len(span_docs[s]) >= 2)
+        exp[i] = (len(spans), ndup, ndup * 1_000_000 // len(spans))
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_ppm)
+        for r in dup_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            width=W,
+            stride=S,
+        ).collect()
+    }
+    assert got == exp
