@@ -438,12 +438,17 @@ def main() -> None:
     out["full_record"] = f"BENCH/{fnames[0]}"
 
     # stdout stays SMALL enough that the headline numbers survive the
-    # driver's tail window: summaries instead of the full attachments
+    # driver's tail window AS VALID JSON: with 145 headline queries the
+    # full timings dict alone is ~4 KB, so a ~2 KB tail would truncate
+    # mid-line (the r4 failure mode, shifted one field left). Budget the
+    # whole line: emit the slowest timings that fit, point at the
+    # durable record for the rest.
     slim = {
         "metric": out["metric"],
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_total": len(timings),
         "sf": out["sf"],
         "cpus": CPUS,
         "frontier": {
@@ -483,6 +488,14 @@ def main() -> None:
             }
             if summary:
                 slim[key] = summary
+    # shrink to the tail window: keep dropping the FASTEST timings
+    # (least informative) until the line fits; the durable record
+    # (slim["full_record"]) always has every number.
+    budget = int(os.environ.get("BENCH_STDOUT_BUDGET", "1900"))
+    by_speed = sorted(timings, key=timings.get)  # fastest first
+    while len(json.dumps(slim)) > budget and by_speed:
+        slim["queries"] = dict(slim["queries"])  # don't mutate `timings`
+        slim["queries"].pop(by_speed.pop(0), None)
     print(json.dumps(slim))
 
 
