@@ -447,6 +447,97 @@ def _bfs_sql(max_hops: int = 6) -> str:
     return "\n".join(parts)
 
 
+def _hyperball_parts(iters: int, p: int, salt: str) -> list[str]:
+    """Shared CTE prefix for the HyperBall twins over the 50-node
+    directed ring (the bfs_hops topology): the identical md5-52 hash,
+    bucket split, and generated bit-length CASE as
+    operators/graph.py:_hyperball_r0, then one unrolled CTE per round
+    — each round is the IDENTICAL register-wise max-merge (edges ⋈
+    registers on dst, union, group-by max), so the match is exact
+    int64, no float tolerance."""
+    from netrunner_spark.operators.sketches import _bitlen_case
+
+    m, rest_bits = 1 << p, 52 - p
+    rmax = rest_bits + 1
+    case = _bitlen_case("rest", rest_bits)
+    parts = [
+        "WITH e AS (SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS src,"
+        " CAST((event_id % 50 + 1) % 50 AS BIGINT) AS dst FROM events)",
+        ", nodes AS (SELECT DISTINCT src AS id FROM e"
+        " UNION SELECT DISTINCT dst AS id FROM e)",
+        f", hh AS (SELECT id, CAST('0x' || substr(md5('{salt}' ||"
+        " CAST(id AS VARCHAR)), 1, 13) AS BIGINT) AS h FROM nodes)",
+        f", sp AS (SELECT id, h % {m} AS bucket, h // {m} AS rest FROM hh)",
+        f", r0 AS (SELECT id, bucket, CAST({rmax} - {case} AS INT) AS rho"
+        " FROM sp)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f", r{t} AS (SELECT id, bucket, CAST(max(rho) AS INT) AS rho"
+            " FROM ("
+            f"SELECT e.src AS id, r.bucket, r.rho FROM e"
+            f" JOIN r{t - 1} r ON r.id = e.dst"
+            f" UNION ALL SELECT id, bucket, rho FROM r{t - 1}"
+            ") GROUP BY id, bucket)"
+        )
+    return parts
+
+
+def _hyperball_sql(iters: int = 3, p: int = 4, salt: str = "hb") -> str:
+    """DuckDB twin of graph.hyperball_registers → (id, bucket, rho)."""
+    parts = _hyperball_parts(iters, p, salt)
+    parts.append(f"SELECT id, bucket, rho FROM r{iters}")
+    return "\n".join(parts)
+
+
+def _hyperball_nf_sql(iters: int = 3, p: int = 4, salt: str = "hb") -> str:
+    """DuckDB twin of graph.hyperball_nf → (id, t, nonzero_buckets,
+    denom): per round, count occupied registers and the exact integer
+    harmonic denominator Σ 2^(rmax−rho) with empty buckets contributing
+    2^rmax — pure int64 in both engines (denom ≤ m·2^rmax < 2^63)."""
+    m = 1 << p
+    rmax = 52 - p + 1
+    parts = _hyperball_parts(iters, p, salt)
+    levels = [
+        f"SELECT id, CAST({t} AS INT) AS t,"
+        " CAST(count(*) AS BIGINT) AS nonzero_buckets,"
+        f" CAST(sum(CAST(1 AS BIGINT) << ({rmax} - rho))"
+        f" + ({m} - count(*)) * (CAST(1 AS BIGINT) << {rmax}) AS BIGINT)"
+        f" AS denom FROM r{t} GROUP BY id"
+        for t in range(iters + 1)
+    ]
+    parts.append("\nUNION ALL ".join(levels))
+    return "\n".join(parts)
+
+
+def _ball_sizes_sql(iters: int = 3) -> str:
+    """DuckDB twin of graph.ball_sizes_exact over the 50-node ring →
+    (id, t, ball): the exact pair closure unrolled per level, the
+    diagnostic HyperBall exists to replace (kept small-scale for
+    accuracy evaluation)."""
+    parts = [
+        "WITH e AS (SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS src,"
+        " CAST((event_id % 50 + 1) % 50 AS BIGINT) AS dst FROM events)",
+        ", nodes AS (SELECT DISTINCT src AS id FROM e"
+        " UNION SELECT DISTINCT dst AS id FROM e)",
+        ", p0 AS (SELECT id, id AS member FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f", p{t} AS (SELECT DISTINCT id, member FROM ("
+            f"SELECT e.src AS id, p.member FROM e"
+            f" JOIN p{t - 1} p ON p.id = e.dst"
+            f" UNION ALL SELECT id, member FROM p{t - 1}))"
+        )
+    levels = [
+        f"SELECT id, CAST({t} AS INT) AS t, CAST(count(*) AS BIGINT) AS ball"
+        f" FROM p{t} GROUP BY id"
+        for t in range(iters + 1)
+    ]
+    parts.append("\nUNION ALL ".join(levels))
+    return "\n".join(parts)
+
+
 def _lpa_sql(iters: int = 3) -> str:
     """DuckDB twin of graph.label_propagation_int over the two-ring
     community topology, generated per iteration: each synchronous round
@@ -3393,6 +3484,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = spark.createDataFrame([(0,), (25,)], "id long")
         return bfs_hops(edges, seeds, max_hops=6)
 
+    def _ring_edges(spark, sf):
+        # the bfs_hops 50-node directed ring — multi-hop growth so the
+        # ball genuinely expands each round (t+1 nodes after t hops)
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            (F.col("event_id") % 50).alias("src"),
+            ((F.col("event_id") % 50 + 1) % 50).alias("dst"),
+        )
+
+    def graph_hyperball(spark, sf):
+        # HyperBall (Boldi & Vigna 2013) register table after 3 rounds:
+        # per-node HLL sketch of the 3-hop out-ball — THE web-scale
+        # distance-analytics primitive (one join + one hash agg per
+        # round, ≤ |V|·m rows of state; exact all-pairs BFS is
+        # impossible at 10^10 nodes). Integer registers → exact oracle.
+        from netrunner_spark.operators.graph import hyperball_registers
+
+        return hyperball_registers(_ring_edges(spark, sf), iters=3, p=4)
+
+    def graph_hyperball_nf(spark, sf):
+        # neighborhood function per node and radius t=0..3: occupied
+        # registers + the exact integer harmonic-mean denominator; the
+        # float ball-size estimate is a consumer-side division, so the
+        # oracle surface stays pure int64
+        from netrunner_spark.operators.graph import hyperball_nf
+
+        return hyperball_nf(_ring_edges(spark, sf), iters=3, p=4)
+
+    def graph_ball_sizes(spark, sf):
+        # exact out-ball sizes (the quadratic diagnostic HyperBall
+        # replaces) — small-scale ground truth for the estimator eval
+        from netrunner_spark.operators.graph import ball_sizes_exact
+
+        return ball_sizes_exact(_ring_edges(spark, sf), iters=3)
+
     def image_curation_pipeline(spark, sf):
         # the image-axis curation decision (text curation_pipeline's
         # sibling): LAION metadata gate ∧ near-dup keeper (highest
@@ -4386,6 +4512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_curation_pipeline": image_curation_pipeline,
         "quality_mixture": quality_mixture,
         "seed_distance": seed_distance,
+        "graph_hyperball": graph_hyperball,
+        "graph_hyperball_nf": graph_hyperball_nf,
+        "graph_ball_sizes": graph_ball_sizes,
         "robots_refetch_plan": robots_refetch_plan,
         "drain_eta_report": drain_eta_report,
         "warc_cdx_index": warc_cdx_index,
@@ -7406,6 +7535,9 @@ FROM tf JOIN dfb ON dfb.grp = tf.grp AND dfb.token = tf.token
 GROUP BY doc_id, tf.grp
 """
     oracles["seed_distance"] = _bfs_sql(6)
+    oracles["graph_hyperball"] = _hyperball_sql(3, 4, "hb")
+    oracles["graph_hyperball_nf"] = _hyperball_nf_sql(3, 4, "hb")
+    oracles["graph_ball_sizes"] = _ball_sizes_sql(3)
     oracles["link_kcore"] = _kcore_sql(4, 2)
     oracles["warc_cdx_index"] = """
 WITH rec AS (

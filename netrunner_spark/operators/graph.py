@@ -819,3 +819,172 @@ def degree_histogram(edges: DataFrame, max_bits: int = 48) -> DataFrame:
         .groupBy("side", "bin")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+def _hyperball_r0(edges: DataFrame, p: int, salt: str):
+    """Shared init for the HyperBall family: deduped long edges, the
+    node set, and the t=0 register table (each node's ball is itself).
+    Returns ``(e, nodes, r0, m, rmax)``."""
+    from netrunner_spark.operators.sketches import _bitlen_case, md5_hash52
+
+    m, rest_bits = 1 << p, 52 - p
+    rmax = rest_bits + 1
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    bitlen = F.expr(_bitlen_case("rest", rest_bits))
+    r0 = (
+        nodes.select("id", md5_hash52("id", salt).alias("h"))
+        .select(
+            "id",
+            (F.col("h") % m).alias("bucket"),
+            F.expr(f"h DIV {m}").alias("rest"),
+        )
+        .select(
+            "id",
+            "bucket",
+            (F.lit(rmax) - bitlen).cast("int").alias("rho"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return e, nodes, r0, m, rmax
+
+
+def _hyperball_step(e: DataFrame, r: DataFrame) -> DataFrame:
+    """One HyperBall iteration: B(v, t) = {v} ∪ ⋃_{v→w} B(w, t−1),
+    realized on register tables as a register-wise max-merge — one
+    equi-join edges⋈registers on dst plus one (id, bucket) hash
+    aggregate. max() is orderless so the merge is shuffle-order
+    independent (bit-identical re-runs, same contract as
+    pagerank_int)."""
+    moved = e.join(r, r.id == e.dst).select(
+        e.src.alias("id"), r.bucket.alias("bucket"), r.rho.alias("rho")
+    )
+    return (
+        moved.unionByName(r.select("id", "bucket", "rho"))
+        .groupBy("id", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def hyperball_registers(
+    edges: DataFrame, iters: int = 3, p: int = 4, salt: str = "hb"
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, 2013) register table after ``iters``
+    rounds → ``(id, bucket, rho)``: per node, the HLL sketch of its
+    out-ball B(id, iters) = nodes reachable in ≤ iters hops.
+
+    THE published algorithm for distance metrics on 10^10-node web
+    graphs (it produced the Facebook "four degrees of separation"
+    numbers): exact per-node ball sizes need all-pairs BFS (quadratic,
+    impossible); HyperBall keeps one m=2**p-register HLL per node and
+    iterates register-wise max-merges, so each round is ONE equi-join
+    + ONE hash aggregate over ≤ |V|·m rows — the same join/agg shape
+    as pagerank_int, with the same linear-per-iteration scale story.
+
+    Identity the tests pin: these registers are EXACTLY
+    ``hll_registers(exact-ball pairs, by=id)`` — the sketch of the
+    true ball, not an approximation of a sketch. (The reference has no
+    graph analytics at all; this extends the crawl-intel family that
+    feeds frontier priority, cf. crawler.rs scheduling depth prior.)
+    """
+    e, _, r, _, _ = _hyperball_r0(edges, p, salt)
+    for _ in range(iters):
+        r = _hyperball_step(e, r)
+    return r
+
+
+def hyperball_nf(
+    edges: DataFrame, iters: int = 3, p: int = 4, salt: str = "hb"
+) -> DataFrame:
+    """HyperBall neighborhood-function table → one row per (id, t),
+    t = 0..iters: ``(id, t, nonzero_buckets, denom)`` where
+    nonzero_buckets counts occupied registers and denom is the EXACT
+    integer harmonic-mean denominator Σ_buckets 2^(rmax − rho) scaled
+    by 2^rmax (empty bucket ⇒ rho = 0 ⇒ 2^rmax), rmax = 52 − p + 1.
+
+    The float HLL ball-size estimate is alpha·m²·2^rmax / denom — a
+    CONSUMER-side division; the oracle-checked surface stays pure
+    int64 (denom ≤ m·2^rmax = 2^(p + 53 − p) < 2^63 ✓). From this
+    table per node: ball growth curve, harmonic centrality
+    Σ_t (|B(t)|−|B(t−1)|)/t, and (summed over nodes) the graph's
+    neighborhood function / effective diameter.
+    """
+    e, _, r, m, rmax = _hyperball_r0(edges, p, salt)
+
+    def nf_at(t: int, regs: DataFrame) -> DataFrame:
+        return regs.groupBy("id").agg(
+            F.lit(t).cast("int").alias("t"),
+            F.count(F.lit(1)).alias("nonzero_buckets"),
+            (
+                F.sum(F.expr(f"shiftleft(1L, {rmax} - rho)"))
+                + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << rmax)
+            )
+            .cast("long")
+            .alias("denom"),
+        )
+
+    out = nf_at(0, r)
+    for t in range(1, iters + 1):
+        r = _hyperball_step(e, r)
+        out = out.unionByName(nf_at(t, r))
+    return out.select("id", "t", "nonzero_buckets", "denom")
+
+
+def ball_sizes_exact(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """EXACT out-ball sizes for every node → ``(id, t, ball)`` for
+    t = 0..iters, via an iterated (id, member) pair closure — the
+    all-sources analog of :func:`reach_closure`.
+
+    Quadratic in the worst case (dense balls ⇒ |V|·ball rows): this is
+    the DIAGNOSTIC twin HyperBall exists to replace, kept for
+    small-scale accuracy evaluation (`hyperball_eval`, the graph
+    analog of ann_recall's self-measurement) — run it on a sample,
+    never the full web graph.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    pairs = nodes.select("id", F.col("id").alias("member")).localCheckpoint(
+        eager=True
+    )
+
+    def sizes_at(t: int, pr: DataFrame) -> DataFrame:
+        return pr.groupBy("id").agg(
+            F.lit(t).cast("int").alias("t"), F.count(F.lit(1)).alias("ball")
+        )
+
+    out = sizes_at(0, pairs)
+    for t in range(1, iters + 1):
+        pairs = (
+            e.join(pairs, pairs.id == e.dst)
+            .select(e.src.alias("id"), pairs.member.alias("member"))
+            .unionByName(pairs)
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(sizes_at(t, pairs))
+    return out.select("id", "t", "ball")

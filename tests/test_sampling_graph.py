@@ -531,3 +531,149 @@ def test_opic_budget_composition_sums_exactly(spark):
     assert by_host["h9"]["alloc"] >= max(
         by_host[f"h{i}"]["alloc"] for i in range(3, 8)
     )
+
+
+# ---------------------------------------------------------------- HyperBall
+
+
+def _exact_ball_pairs(edges, iters):
+    """Pure-Python (id, member) closure: B(v, t) = {v} ∪ ⋃_{v→w} B(w, t−1)."""
+    out_nbrs = {}
+    nodes = set()
+    for s, d in edges:
+        out_nbrs.setdefault(s, set()).add(d)
+        nodes.update((s, d))
+    balls = {v: {v} for v in nodes}
+    for _ in range(iters):
+        balls = {
+            v: {v}.union(*(balls[w] for w in out_nbrs.get(v, ()))) | balls[v]
+            for v in nodes
+        }
+    return balls
+
+
+@pytest.fixture(scope="module")
+def hb_edges():
+    # deterministic sparse digraph with real multi-hop structure:
+    # ring + skip-3 chords + a few cross links
+    e = [(i, (i + 1) % 20) for i in range(20)]
+    e += [(i, (i + 3) % 20) for i in range(0, 20, 4)]
+    e += [(2, 11), (7, 0), (15, 4)]
+    return e
+
+
+def test_hyperball_registers_equal_hll_of_exact_ball(spark, hb_edges):
+    """THE correctness pin: after t rounds, a node's register row-set is
+    EXACTLY hll_registers(exact-ball pairs, by=id) — the sketch of the
+    true ball, not an approximation of a sketch."""
+    from netrunner_spark.operators.graph import hyperball_registers
+    from netrunner_spark.operators.sketches import hll_registers
+
+    e = spark.createDataFrame(hb_edges, "src long, dst long")
+    got = {
+        (r["id"], r["bucket"]): r["rho"]
+        for r in hyperball_registers(e, iters=3, p=4, salt="hb").collect()
+    }
+    balls = _exact_ball_pairs(hb_edges, 3)
+    pairs = spark.createDataFrame(
+        [(v, m) for v, ball in balls.items() for m in ball],
+        "id long, member long",
+    )
+    want = {
+        (r["id"], r["bucket"]): r["rho"]
+        for r in hll_registers(pairs, "member", p=4, salt="hb", by=("id",)).collect()
+    }
+    assert got == want
+
+
+def test_hyperball_nf_monotone_and_consistent(spark, hb_edges):
+    from netrunner_spark.operators.graph import hyperball_nf
+
+    e = spark.createDataFrame(hb_edges, "src long, dst long")
+    rows = hyperball_nf(e, iters=3, p=4).collect()
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r["id"], {})[r["t"]] = (
+            r["nonzero_buckets"],
+            r["denom"],
+        )
+    m, rmax = 16, 49
+    for nid, levels in by_node.items():
+        assert sorted(levels) == [0, 1, 2, 3]
+        # t=0: the ball is {v} — exactly one occupied register
+        assert levels[0][0] == 1
+        for t in range(1, 4):
+            # registers only grow: occupancy up, harmonic denom down
+            assert levels[t][0] >= levels[t - 1][0]
+            assert levels[t][1] <= levels[t - 1][1]
+            assert 1 <= levels[t][0] <= m
+            assert levels[t][1] <= m * (1 << rmax)
+
+
+def test_ball_sizes_exact_ring_growth(spark):
+    """On a directed 50-ring the t-ball is exactly the t+1 next nodes."""
+    from netrunner_spark.operators.graph import ball_sizes_exact
+
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    rows = ball_sizes_exact(e, iters=3).collect()
+    assert len(rows) == 50 * 4
+    for r in rows:
+        assert r["ball"] == r["t"] + 1
+
+
+def test_ball_sizes_match_python_closure(spark, hb_edges):
+    from netrunner_spark.operators.graph import ball_sizes_exact
+
+    got = {
+        (r["id"], r["t"]): r["ball"]
+        for r in ball_sizes_exact(
+            spark.createDataFrame(hb_edges, "src long, dst long"), iters=3
+        ).collect()
+    }
+    balls = _exact_ball_pairs(hb_edges, 0)
+    want = {(v, 0): len(b) for v, b in balls.items()}
+    for t in range(1, 4):
+        balls = _exact_ball_pairs(hb_edges, t)
+        want.update({(v, t): len(b) for v, b in balls.items()})
+    assert got == want
+
+
+def test_hyperball_estimate_tracks_exact_ball(spark):
+    """End-to-end accuracy eval (the graph analog of ann_recall's
+    self-measurement): the float HLL estimate derived from the nf
+    denominator stays within the usual HLL error envelope of the exact
+    ball size on a 200-node ring at p=6."""
+    from netrunner_spark.operators.graph import hyperball_nf
+
+    n, p = 200, 6
+    m = 1 << p
+    rmax = 52 - p + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    rows = hyperball_nf(e, iters=8, p=p).collect()
+    # every node's 8-ball on the ring is exactly 9 nodes
+    errs = []
+    for r in rows:
+        if r["t"] != 8:
+            continue
+        est = alpha * m * m * (2.0**rmax) / r["denom"]
+        zeros = m - r["nonzero_buckets"]
+        if est <= 2.5 * m and zeros:
+            import math
+
+            est = m * math.log(m / zeros)
+        errs.append(abs(est - 9.0) / 9.0)
+    assert len(errs) == n
+    # small-range linear counting: well under the 1.04/sqrt(m)≈13% envelope
+    assert sum(errs) / len(errs) < 0.13
+
+
+def test_hyperball_empty_graph(spark):
+    from netrunner_spark.operators.graph import hyperball_registers
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert hyperball_registers(e, iters=2, p=4).count() == 0
