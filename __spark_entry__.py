@@ -538,6 +538,77 @@ def _ball_sizes_sql(iters: int = 3) -> str:
     return "\n".join(parts)
 
 
+def _rich_closure_parts(iters: int) -> list[str]:
+    """Unrolled exact-ball pair closure over the ring-20 + chord
+    topology (ring edges for every event, +7 chords for event_id%4==0
+    nodes) — multi-hop variety so harmonic centrality genuinely
+    differs across nodes. Identical expressions to the Spark query."""
+    parts = [
+        "WITH e AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT CAST(event_id % 20 AS BIGINT) AS src,"
+        " CAST((event_id + 1) % 20 AS BIGINT) AS dst FROM events"
+        " UNION ALL"
+        " SELECT CAST(event_id % 20 AS BIGINT),"
+        " CAST((event_id + 7) % 20 AS BIGINT) FROM events"
+        " WHERE event_id % 4 = 0))",
+        ", nodes AS (SELECT DISTINCT src AS id FROM e"
+        " UNION SELECT DISTINCT dst AS id FROM e)",
+        ", p0 AS (SELECT id, id AS member FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f", p{t} AS (SELECT DISTINCT id, member FROM ("
+            f"SELECT e.src AS id, p.member FROM e"
+            f" JOIN p{t - 1} p ON p.id = e.dst"
+            f" UNION ALL SELECT id, member FROM p{t - 1}))"
+        )
+    for t in range(iters + 1):
+        parts.append(
+            f", b{t} AS (SELECT id, CAST(count(*) AS BIGINT) AS ball"
+            f" FROM p{t} GROUP BY id)"
+        )
+    return parts
+
+
+def _harmonic_sql(iters: int = 3) -> str:
+    """DuckDB twin of graph.harmonic_centrality_exact → (id, hc6):
+    lcm-scaled Σ Δball/t, exact int64 in both engines."""
+    import math
+
+    lcm = math.lcm(*range(1, iters + 1))
+    parts = _rich_closure_parts(iters)
+    terms = " + ".join(
+        f"{lcm // t} * (b{t}.ball - b{t - 1}.ball)"
+        for t in range(1, iters + 1)
+    )
+    joins = " ".join(f"JOIN b{t} USING (id)" for t in range(1, iters + 1))
+    parts.append(
+        f"SELECT id, CAST({terms} AS BIGINT) AS hc{lcm} FROM b0 {joins}"
+    )
+    return "\n".join(parts)
+
+
+def _nf_exact_sql(iters: int = 3) -> str:
+    """DuckDB twin of graph.neighborhood_function_exact →
+    (t, nf_pairs, frac_e6)."""
+    parts = _rich_closure_parts(iters)
+    levels = " UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS t,"
+        f" CAST(sum(ball) AS BIGINT) AS nf_pairs FROM b{t}"
+        for t in range(iters + 1)
+    )
+    parts.append(f", nf AS ({levels})")
+    parts.append(
+        f", tot AS (SELECT nf_pairs AS nf_total FROM nf WHERE t = {iters})"
+    )
+    parts.append(
+        "SELECT t, nf_pairs,"
+        " CAST(1000000 * nf_pairs // nf_total AS BIGINT) AS frac_e6"
+        " FROM nf CROSS JOIN tot"
+    )
+    return "\n".join(parts)
+
+
 def _lpa_sql(iters: int = 3) -> str:
     """DuckDB twin of graph.label_propagation_int over the two-ring
     community topology, generated per iteration: each synchronous round
@@ -3519,6 +3590,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ball_sizes_exact(_ring_edges(spark, sf), iters=3)
 
+    def _rich_edges(spark, sf):
+        # ring-20 + chords (+7 skip for event_id%4==0) — enough hop
+        # variety that harmonic centrality differs across nodes
+        ev = _t(spark, sf, "events")
+        ring = ev.select(
+            (F.col("event_id") % 20).alias("src"),
+            ((F.col("event_id") + 1) % 20).alias("dst"),
+        )
+        chords = ev.filter(F.col("event_id") % 4 == 0).select(
+            (F.col("event_id") % 20).alias("src"),
+            ((F.col("event_id") + 7) % 20).alias("dst"),
+        )
+        return ring.unionByName(chords)
+
+    def graph_harmonic_centrality(spark, sf):
+        # truncated harmonic centrality HC_3(v) = Σ Δball/t, scaled by
+        # lcm(1..3)=6 to stay pure int64 — the centrality HyperBall
+        # estimates at 10^10 nodes (Boldi & Vigna 2014); the exact
+        # closure is the small-scale ground truth the estimate is
+        # judged against
+        from netrunner_spark.operators.graph import harmonic_centrality_exact
+
+        return harmonic_centrality_exact(_rich_edges(spark, sf), iters=3)
+
+    def graph_neighborhood_function(spark, sf):
+        # graph-level NF(t) + integerized cumulative-reach fraction:
+        # the effective-diameter curve (first t with frac_e6 ≥ 900000)
+        from netrunner_spark.operators.graph import (
+            neighborhood_function_exact,
+        )
+
+        return neighborhood_function_exact(_rich_edges(spark, sf), iters=3)
+
     def image_curation_pipeline(spark, sf):
         # the image-axis curation decision (text curation_pipeline's
         # sibling): LAION metadata gate ∧ near-dup keeper (highest
@@ -4515,6 +4619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hyperball": graph_hyperball,
         "graph_hyperball_nf": graph_hyperball_nf,
         "graph_ball_sizes": graph_ball_sizes,
+        "graph_harmonic_centrality": graph_harmonic_centrality,
+        "graph_neighborhood_function": graph_neighborhood_function,
         "robots_refetch_plan": robots_refetch_plan,
         "drain_eta_report": drain_eta_report,
         "warc_cdx_index": warc_cdx_index,
@@ -7538,6 +7644,8 @@ GROUP BY doc_id, tf.grp
     oracles["graph_hyperball"] = _hyperball_sql(3, 4, "hb")
     oracles["graph_hyperball_nf"] = _hyperball_nf_sql(3, 4, "hb")
     oracles["graph_ball_sizes"] = _ball_sizes_sql(3)
+    oracles["graph_harmonic_centrality"] = _harmonic_sql(3)
+    oracles["graph_neighborhood_function"] = _nf_exact_sql(3)
     oracles["link_kcore"] = _kcore_sql(4, 2)
     oracles["warc_cdx_index"] = """
 WITH rec AS (

@@ -988,3 +988,60 @@ def ball_sizes_exact(edges: DataFrame, iters: int = 3) -> DataFrame:
         )
         out = out.unionByName(sizes_at(t, pairs))
     return out.select("id", "t", "ball")
+
+
+def harmonic_centrality_exact(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """EXACT truncated harmonic centrality → ``(id, hc_lcm)``:
+    HC_R(v) = Σ_{t=1..R} |B(v,t) − B(v,t−1)| / t, scaled by
+    lcm(1..R) so the oracle surface stays pure int64 (hc6 for R=3).
+
+    The standard centrality HyperBall was built to estimate at
+    10^10 nodes (Boldi & Vigna 2014 use exactly this Δball/t form);
+    this exact variant is the small-scale ground truth, derived from
+    the same pair closure as :func:`ball_sizes_exact` — run on a
+    sample, never the full web graph.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    lcm = math.lcm(*range(1, iters + 1))
+    sizes = ball_sizes_exact(edges, iters)
+    w = Window.partitionBy("id").orderBy("t")
+    delta = sizes.withColumn("prev", F.lag("ball").over(w)).filter(
+        F.col("t") > 0
+    )
+    return delta.groupBy("id").agg(
+        F.sum(F.expr(f"({lcm} DIV t) * (ball - prev)"))
+        .cast("long")
+        .alias(f"hc{lcm}")
+    )
+
+
+def neighborhood_function_exact(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """EXACT graph neighborhood function → ``(t, nf_pairs, frac_e6)``:
+    NF(t) = Σ_v |B(v,t)| (reachable pairs within t hops) and
+    frac_e6 = 10^6·NF(t) // NF(R) — the integerized cumulative-reach
+    fraction whose first t with frac ≥ 0.9·10^6 is the classic
+    effective-diameter read-off. Ground truth for the HyperBall
+    estimate (sum the per-node HLL ball estimates from
+    :func:`hyperball_nf` at scale); exact closure → diagnostic only.
+    """
+    nf = (
+        ball_sizes_exact(edges, iters)
+        .groupBy("t")
+        .agg(F.sum("ball").cast("long").alias("nf_pairs"))
+    )
+    total = nf.filter(F.col("t") == iters).select(
+        F.col("nf_pairs").alias("nf_total")
+    )
+    return (
+        nf.crossJoin(total)
+        .select(
+            "t",
+            "nf_pairs",
+            F.expr("CAST(1000000 * nf_pairs DIV nf_total AS BIGINT)").alias(
+                "frac_e6"
+            ),
+        )
+    )

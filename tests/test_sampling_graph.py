@@ -677,3 +677,41 @@ def test_hyperball_empty_graph(spark):
 
     e = spark.createDataFrame([], "src long, dst long")
     assert hyperball_registers(e, iters=2, p=4).count() == 0
+
+
+def test_harmonic_centrality_matches_python_closure(spark, hb_edges):
+    from netrunner_spark.operators.graph import harmonic_centrality_exact
+
+    e = spark.createDataFrame(hb_edges, "src long, dst long")
+    got = {
+        r["id"]: r["hc6"]
+        for r in harmonic_centrality_exact(e, iters=3).collect()
+    }
+    prev = {v: len(b) for v, b in _exact_ball_pairs(hb_edges, 0).items()}
+    want = {v: 0 for v in prev}
+    for t in (1, 2, 3):
+        cur = {v: len(b) for v, b in _exact_ball_pairs(hb_edges, t).items()}
+        for v in want:
+            want[v] += (6 // t) * (cur[v] - prev[v])
+        prev = cur
+    assert got == want
+
+
+def test_neighborhood_function_exact_ring(spark):
+    """On a 50-ring NF(t) = 50·(t+1); frac_e6 is the integerized
+    cumulative fraction of NF(3)=200."""
+    from netrunner_spark.operators.graph import neighborhood_function_exact
+
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    rows = {
+        r["t"]: (r["nf_pairs"], r["frac_e6"])
+        for r in neighborhood_function_exact(e, iters=3).collect()
+    }
+    assert rows == {
+        0: (50, 250000),
+        1: (100, 500000),
+        2: (150, 750000),
+        3: (200, 1000000),
+    }
