@@ -538,21 +538,25 @@ def _ball_sizes_sql(iters: int = 3) -> str:
     return "\n".join(parts)
 
 
+_RICH_EDGE_PARTS = [
+    "WITH e AS (SELECT DISTINCT src, dst FROM ("
+    "SELECT CAST(event_id % 20 AS BIGINT) AS src,"
+    " CAST((event_id + 1) % 20 AS BIGINT) AS dst FROM events"
+    " UNION ALL"
+    " SELECT CAST(event_id % 20 AS BIGINT),"
+    " CAST((event_id + 7) % 20 AS BIGINT) FROM events"
+    " WHERE event_id % 4 = 0))",
+    ", nodes AS (SELECT DISTINCT src AS id FROM e"
+    " UNION SELECT DISTINCT dst AS id FROM e)",
+]
+
+
 def _rich_closure_parts(iters: int) -> list[str]:
     """Unrolled exact-ball pair closure over the ring-20 + chord
     topology (ring edges for every event, +7 chords for event_id%4==0
     nodes) — multi-hop variety so harmonic centrality genuinely
     differs across nodes. Identical expressions to the Spark query."""
-    parts = [
-        "WITH e AS (SELECT DISTINCT src, dst FROM ("
-        "SELECT CAST(event_id % 20 AS BIGINT) AS src,"
-        " CAST((event_id + 1) % 20 AS BIGINT) AS dst FROM events"
-        " UNION ALL"
-        " SELECT CAST(event_id % 20 AS BIGINT),"
-        " CAST((event_id + 7) % 20 AS BIGINT) FROM events"
-        " WHERE event_id % 4 = 0))",
-        ", nodes AS (SELECT DISTINCT src AS id FROM e"
-        " UNION SELECT DISTINCT dst AS id FROM e)",
+    parts = list(_RICH_EDGE_PARTS) + [
         ", p0 AS (SELECT id, id AS member FROM nodes)",
     ]
     for t in range(1, iters + 1):
@@ -607,6 +611,65 @@ def _nf_exact_sql(iters: int = 3) -> str:
         " FROM nf CROSS JOIN tot"
     )
     return "\n".join(parts)
+
+
+def _md5_52(expr: str, salt: str) -> str:
+    """The engines' shared 52-bit hash as DuckDB SQL text —
+    CAST(first 13 md5 hex chars AS BIGINT), same as
+    sketches.md5_hash52."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || {expr}), 1, 13) AS BIGINT)"
+    )
+
+
+def _random_walks_sql(
+    walk_len: int = 4, walks_per_node: int = 2, salt: str = "rw"
+) -> str:
+    """DuckDB twin of graph.random_walks over the ring-20 + chord
+    topology → (walk_id, step, node): per step, the identical
+    argmin-of-md5 next-hop pick (ROW_NUMBER ordered by score, dst =
+    the struct-min the Spark side takes)."""
+    ws = ", ".join(f"({w})" for w in range(walks_per_node))
+    parts = list(_RICH_EDGE_PARTS) + [
+        f", c0 AS (SELECT id * {walks_per_node} + w AS walk_id,"
+        f" id AS node FROM nodes CROSS JOIN (VALUES {ws}) AS t(w))",
+    ]
+    for i in range(1, walk_len + 1):
+        score = _md5_52(
+            "CAST(c.walk_id AS VARCHAR) || '#' ||"
+            f" '{i}' || '#' || CAST(e.dst AS VARCHAR)",
+            salt,
+        )
+        parts.append(
+            f", c{i} AS (SELECT walk_id, dst AS node FROM ("
+            f"SELECT c.walk_id, e.dst, ROW_NUMBER() OVER ("
+            f"PARTITION BY c.walk_id ORDER BY {score}, e.dst) AS rn"
+            f" FROM c{i - 1} c JOIN e ON e.src = c.node"
+            ") WHERE rn = 1)"
+        )
+    levels = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({i} AS INT) AS step, node FROM c{i}"
+        for i in range(walk_len + 1)
+    )
+    parts.append(levels)
+    return "\n".join(parts)
+
+
+def _neighbor_sample_sql(k: int = 3, salt: str = "ns") -> str:
+    """DuckDB twin of graph.neighbor_sample over the ring-20 + chord
+    topology → (src, dst, rk)."""
+    score = _md5_52(
+        "CAST(src AS VARCHAR) || '#' || CAST(dst AS VARCHAR)", salt
+    )
+    return "\n".join(
+        list(_RICH_EDGE_PARTS)
+        + [
+            ", rk AS (SELECT src, dst, CAST(ROW_NUMBER() OVER ("
+            f"PARTITION BY src ORDER BY {score}, dst) AS INT) AS rk"
+            " FROM e)",
+            f"SELECT src, dst, rk FROM rk WHERE rk <= {k}",
+        ]
+    )
 
 
 def _lpa_sql(iters: int = 3) -> str:
@@ -3623,6 +3686,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return neighborhood_function_exact(_rich_edges(spark, sf), iters=3)
 
+    def graph_random_walks(spark, sf):
+        # DeepWalk corpus generation (Perozzi et al. 2014): 2 walks of
+        # length 4 from every node — walks are the token sequences a
+        # graph-embedding trainer consumes; next hop is the
+        # argmin-of-md5 deterministic uniform draw, one join + one agg
+        # per step (state = |walks| rows at any moment)
+        from netrunner_spark.operators.graph import random_walks
+
+        return random_walks(
+            _rich_edges(spark, sf), walk_len=4, walks_per_node=2
+        )
+
+    def graph_neighbor_sample(spark, sf):
+        # GraphSAGE fan-out capping: keep 3 deterministic-uniform out-
+        # neighbors per node, the minibatch prep for GNN training on a
+        # web graph where hub fan-out is unbounded
+        from netrunner_spark.operators.graph import neighbor_sample
+
+        return neighbor_sample(_rich_edges(spark, sf), k=3)
+
     def image_curation_pipeline(spark, sf):
         # the image-axis curation decision (text curation_pipeline's
         # sibling): LAION metadata gate ∧ near-dup keeper (highest
@@ -4621,6 +4704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ball_sizes": graph_ball_sizes,
         "graph_harmonic_centrality": graph_harmonic_centrality,
         "graph_neighborhood_function": graph_neighborhood_function,
+        "graph_random_walks": graph_random_walks,
+        "graph_neighbor_sample": graph_neighbor_sample,
         "robots_refetch_plan": robots_refetch_plan,
         "drain_eta_report": drain_eta_report,
         "warc_cdx_index": warc_cdx_index,
@@ -7646,6 +7731,8 @@ GROUP BY doc_id, tf.grp
     oracles["graph_ball_sizes"] = _ball_sizes_sql(3)
     oracles["graph_harmonic_centrality"] = _harmonic_sql(3)
     oracles["graph_neighborhood_function"] = _nf_exact_sql(3)
+    oracles["graph_random_walks"] = _random_walks_sql(4, 2, "rw")
+    oracles["graph_neighbor_sample"] = _neighbor_sample_sql(3, "ns")
     oracles["link_kcore"] = _kcore_sql(4, 2)
     oracles["warc_cdx_index"] = """
 WITH rec AS (

@@ -1045,3 +1045,121 @@ def neighborhood_function_exact(edges: DataFrame, iters: int = 3) -> DataFrame:
             ),
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    salt: str = "rw",
+) -> DataFrame:
+    """Deterministic uniform random walks → ``(walk_id, step, node)``:
+    ``walks_per_node`` walks from every node, each ``walk_len`` steps
+    (or shorter at a dangling node) — the DeepWalk / node2vec (p=q=1)
+    corpus generator (Perozzi et al. 2014), THE graph-structured
+    training-data op: walks become token sequences for embedding
+    training exactly like documents become text batches.
+
+    Determinism instead of RNG: the next hop from walk w at step i is
+    argmin over out-edges of md5_52(salt‖walk_id‖#‖i‖#‖dst) — a fresh
+    uniform draw per (walk, step) that both engines reproduce exactly
+    (same trick as sampling.hash_split; ties broken by (score, dst)
+    struct-min, so even a hash collision is order-stable). Each step
+    is ONE equi-join current-frontier⋈edges plus ONE hash aggregate
+    over candidate rows — state is |walks| rows, never materializing
+    multi-hop paths, so a 10^10-edge graph costs walk_len scans of the
+    (bucketable) edge table. walk_id = node·walks_per_node + w keeps
+    ids collision-free in int64 for node ids < 2^58.
+    """
+    from netrunner_spark.operators.sketches import md5_hash52
+
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    starts = nodes.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("w"),
+        F.col("id"),
+    ).select(
+        (F.col("id") * walks_per_node + F.col("w")).alias("walk_id"),
+        F.lit(0).cast("int").alias("step"),
+        F.col("id").alias("node"),
+    ).localCheckpoint(eager=True)
+    out = starts
+    cur = starts.select("walk_id", "node")
+    for i in range(1, walk_len + 1):
+        score = md5_hash52(
+            F.concat(
+                F.col("walk_id").cast("string"),
+                F.lit("#"),
+                F.lit(str(i)),
+                F.lit("#"),
+                F.col("dst").cast("string"),
+            ),
+            salt,
+        )
+        nxt = (
+            cur.join(e, cur.node == e.src)
+            .select("walk_id", e.dst.alias("dst"))
+            .withColumn("score", score)
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("score", "dst")).alias("m"))
+            .select("walk_id", F.col("m.dst").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            nxt.select(
+                "walk_id", F.lit(i).cast("int").alias("step"), "node"
+            )
+        )
+        cur = nxt
+    return out.select("walk_id", "step", "node")
+
+
+def neighbor_sample(edges: DataFrame, k: int = 3, salt: str = "ns") -> DataFrame:
+    """Deterministic k-out-neighbor sample → ``(src, dst, rk)``: per
+    source, the k out-edges with the smallest md5_52(salt‖src‖#‖dst)
+    — GraphSAGE-style minibatch fan-out capping (Hamilton et al.
+    2017), the standard prep before training GNNs on a web graph
+    (unbounded hub fan-out would blow up any sampled subgraph).
+
+    One window (partitionBy src, orderBy score,dst) over the edge
+    table; rank order is a fresh uniform permutation per src, so the
+    sample is unbiased and re-runs bit-identically. Hot hubs with
+    10^6+ out-edges make the per-key sort the cost ceiling — at that
+    scale pre-filter candidates with a score threshold (keep rows
+    with score < c·k·2^52/outdeg) before ranking, the same
+    hot-key-cap pattern as textops.max_gram_df.
+    """
+    from pyspark.sql.window import Window
+
+    from netrunner_spark.operators.sketches import md5_hash52
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).dropDuplicates()
+    score = md5_hash52(
+        F.concat(
+            F.col("src").cast("string"), F.lit("#"), F.col("dst").cast("string")
+        ),
+        salt,
+    )
+    w = Window.partitionBy("src").orderBy("score", "dst")
+    return (
+        e.withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst", "rk")
+    )

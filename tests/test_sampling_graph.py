@@ -715,3 +715,75 @@ def test_neighborhood_function_exact_ring(spark):
         2: (150, 750000),
         3: (200, 1000000),
     }
+
+
+def _md5_52_py(salt, s):
+    return int(hashlib.md5(f"{salt}{s}".encode()).hexdigest()[:13], 16)
+
+
+def test_random_walks_match_python_reference(spark, hb_edges):
+    """Differential: the argmin-of-md5 next-hop recurrence re-run in
+    pure Python yields identical walks."""
+    from netrunner_spark.operators.graph import random_walks
+
+    e = spark.createDataFrame(hb_edges, "src long, dst long")
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in random_walks(e, walk_len=4, walks_per_node=2).collect()
+    }
+    out_nbrs = {}
+    nodes = set()
+    for s, d in hb_edges:
+        out_nbrs.setdefault(s, set()).add(d)
+        nodes.update((s, d))
+    want = {}
+    for v in nodes:
+        for w in (0, 1):
+            wid = v * 2 + w
+            want[(wid, 0)] = v
+            cur = v
+            for i in range(1, 5):
+                nbrs = out_nbrs.get(cur)
+                if not nbrs:
+                    break
+                cur = min(
+                    nbrs, key=lambda d: (_md5_52_py("rw", f"{wid}#{i}#{d}"), d)
+                )
+                want[(wid, i)] = cur
+    assert got == want
+
+
+def test_random_walks_follow_edges_and_cover_starts(spark, hb_edges):
+    from netrunner_spark.operators.graph import random_walks
+
+    e = spark.createDataFrame(hb_edges, "src long, dst long")
+    rows = random_walks(e, walk_len=3, walks_per_node=1).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    edge_set = set(hb_edges)
+    nodes = {v for ed in hb_edges for v in ed}
+    assert len(walks) == len(nodes)  # one walk per node
+    for wid, steps in walks.items():
+        assert steps[0] == wid  # walks_per_node=1 → walk_id == start
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in edge_set
+
+
+def test_neighbor_sample_caps_fanout_and_is_subset(spark):
+    from netrunner_spark.operators.graph import neighbor_sample
+
+    # star: hub 0 → 1..10, plus 1 → 2 (outdeg < k keeps all)
+    edges = [(0, d) for d in range(1, 11)] + [(1, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = neighbor_sample(e, k=3).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append((r["rk"], r["dst"]))
+        assert (r["src"], r["dst"]) in set(edges)
+    assert len(by_src[0]) == 3
+    assert sorted(rk for rk, _ in by_src[0]) == [1, 2, 3]
+    assert by_src[1] == [(1, 2)]
+    # deterministic re-run
+    again = {(r["src"], r["dst"], r["rk"]) for r in neighbor_sample(e, k=3).collect()}
+    assert again == {(r["src"], r["dst"], r["rk"]) for r in rows}
