@@ -177,6 +177,9 @@ HEADLINE = [
     "batch_novelty",
     "soft_dedup_weights",
     "image_canonical_pairs",
+    "graph_hyperball",
+    "graph_random_walks",
+    "graph_neighbor_sample",
 ]
 
 

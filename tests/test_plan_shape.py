@@ -361,3 +361,73 @@ def test_scrub_family_plan_shapes(spark):
     plan = _explain(source_drift(a, b), "formatted")
     assert "BroadcastHashJoin" in plan     # totals join back
     assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_graph_family_plan_shapes(spark):
+    """Scale pins for the round-5 graph family: every HyperBall /
+    random-walk step is an EQUI-join (never cartesian / nested-loop —
+    at 10^10 edges a nested loop is fatal); neighbor_sample is one
+    window over the edge table; the hyperball register merge is a hash
+    aggregate, not a sort-based one, so map-side partial aggregation
+    applies."""
+    from netrunner_spark.operators.graph import (
+        _hyperball_r0,
+        _hyperball_step,
+        neighbor_sample,
+        random_walks,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)] + [(0, 5), (3, 9)],
+        "src long, dst long",
+    )
+
+    e, _, r0, _, _ = _hyperball_r0(edges, p=4, salt="hb")
+    step = (
+        e.join(r0, r0.id == e.dst)
+        .select(e.src.alias("id"), r0.bucket, r0.rho)
+        .unionByName(r0.select("id", "bucket", "rho"))
+        .groupBy("id", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    plan = _explain(step, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # register merge is hash, not sort
+    # the checkpointed result matches the plan we pinned
+    assert _hyperball_step(e, r0).columns == ["id", "bucket", "rho"]
+
+    plan = _explain(neighbor_sample(edges, k=2), "formatted")
+    assert "CartesianProduct" not in plan
+    import re
+
+    # exactly one rank window node…
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    # …and Spark pushed the rk<=k filter into WindowGroupLimit, so a
+    # hot hub's edge list is cut to k per partition BEFORE the sort —
+    # the plan-level reason the fan-out cap survives 10^6-edge hubs
+    assert "WindowGroupLimit" in plan
+
+    out = random_walks(edges, walk_len=2, walks_per_node=1)
+    assert out.columns == ["walk_id", "step", "node"]
+    # each materialized step stayed equi-join shaped: re-derive one
+    # step's plan the way random_walks builds it
+    from netrunner_spark.operators.sketches import md5_hash52
+
+    cur = out.filter(F.col("step") == 0).select("walk_id", "node")
+    cand = (
+        cur.join(e, cur.node == e.src)
+        .select("walk_id", e.dst.alias("dst"))
+        .withColumn("score", md5_hash52(F.col("dst").cast("string"), "rw"))
+        .groupBy("walk_id")
+        .agg(F.min(F.struct("score", "dst")).alias("m"))
+    )
+    plan = _explain(cand, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # struct-min lands on SortAggregate (struct buffers aren't hash-
+    # aggregable) — what matters at scale is the PARTIAL map-side
+    # combine cutting candidates to one row per walk per partition
+    # before the shuffle, which both aggregate impls provide
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert "partial" in plan.lower()
