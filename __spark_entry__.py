@@ -622,13 +622,13 @@ def _md5_52(expr: str, salt: str) -> str:
     )
 
 
-def _random_walks_sql(
+def _walk_parts(
     walk_len: int = 4, walks_per_node: int = 2, salt: str = "rw"
-) -> str:
-    """DuckDB twin of graph.random_walks over the ring-20 + chord
-    topology → (walk_id, step, node): per step, the identical
-    argmin-of-md5 next-hop pick (ROW_NUMBER ordered by score, dst =
-    the struct-min the Spark side takes)."""
+) -> list[str]:
+    """CTE prefix shared by the walk twins: the ring-20 + chord edges
+    plus one CTE per step — each the identical argmin-of-md5 next-hop
+    pick (ROW_NUMBER ordered by score, dst = the struct-min the Spark
+    side takes) — ending with a `walks` CTE of (walk_id, step, node)."""
     ws = ", ".join(f"({w})" for w in range(walks_per_node))
     parts = list(_RICH_EDGE_PARTS) + [
         f", c0 AS (SELECT id * {walks_per_node} + w AS walk_id,"
@@ -651,7 +651,36 @@ def _random_walks_sql(
         f"SELECT walk_id, CAST({i} AS INT) AS step, node FROM c{i}"
         for i in range(walk_len + 1)
     )
-    parts.append(levels)
+    parts.append(f", walks AS ({levels})")
+    return parts
+
+
+def _random_walks_sql(
+    walk_len: int = 4, walks_per_node: int = 2, salt: str = "rw"
+) -> str:
+    """DuckDB twin of graph.random_walks over the ring-20 + chord
+    topology → (walk_id, step, node)."""
+    parts = _walk_parts(walk_len, walks_per_node, salt)
+    parts.append("SELECT walk_id, step, node FROM walks")
+    return "\n".join(parts)
+
+
+def _skipgram_sql(
+    window: int = 2,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    salt: str = "rw",
+) -> str:
+    """DuckDB twin of graph.skipgram_pairs over the same walk corpus →
+    (center, context, n_pairs)."""
+    parts = _walk_parts(walk_len, walks_per_node, salt)
+    parts.append(
+        "SELECT a.node AS center, b.node AS context,"
+        " CAST(count(*) AS BIGINT) AS n_pairs"
+        " FROM walks a JOIN walks b ON a.walk_id = b.walk_id"
+        f" AND a.step <> b.step AND abs(a.step - b.step) <= {window}"
+        " GROUP BY a.node, b.node"
+    )
     return "\n".join(parts)
 
 
@@ -3698,6 +3727,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rich_edges(spark, sf), walk_len=4, walks_per_node=2
         )
 
+    def graph_skipgram_pairs(spark, sf):
+        # word2vec training pairs from the DeepWalk corpus (Perozzi et
+        # al. 2014 §4.2): one self-equi-join on walk_id with a bounded
+        # step band (≤2·window rows per position) + one hash agg
+        from netrunner_spark.operators.graph import (
+            random_walks,
+            skipgram_pairs,
+        )
+
+        walks = random_walks(
+            _rich_edges(spark, sf), walk_len=4, walks_per_node=2
+        )
+        return skipgram_pairs(walks, window=2)
+
     def graph_neighbor_sample(spark, sf):
         # GraphSAGE fan-out capping: keep 3 deterministic-uniform out-
         # neighbors per node, the minibatch prep for GNN training on a
@@ -4705,6 +4748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic_centrality": graph_harmonic_centrality,
         "graph_neighborhood_function": graph_neighborhood_function,
         "graph_random_walks": graph_random_walks,
+        "graph_skipgram_pairs": graph_skipgram_pairs,
         "graph_neighbor_sample": graph_neighbor_sample,
         "robots_refetch_plan": robots_refetch_plan,
         "drain_eta_report": drain_eta_report,
@@ -7732,6 +7776,7 @@ GROUP BY doc_id, tf.grp
     oracles["graph_harmonic_centrality"] = _harmonic_sql(3)
     oracles["graph_neighborhood_function"] = _nf_exact_sql(3)
     oracles["graph_random_walks"] = _random_walks_sql(4, 2, "rw")
+    oracles["graph_skipgram_pairs"] = _skipgram_sql(2, 4, 2, "rw")
     oracles["graph_neighbor_sample"] = _neighbor_sample_sql(3, "ns")
     oracles["link_kcore"] = _kcore_sql(4, 2)
     oracles["warc_cdx_index"] = """

@@ -1163,3 +1163,33 @@ def neighbor_sample(edges: DataFrame, k: int = 3, salt: str = "ns") -> DataFrame
         .filter(F.col("rk") <= k)
         .select("src", "dst", "rk")
     )
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus →
+    ``(center, context, n_pairs)``: for every walk, all ordered pairs
+    of nodes within ``window`` steps of each other (word2vec over
+    DeepWalk sentences — Perozzi et al. 2014 §4.2 feeds exactly these
+    pairs to the embedding trainer).
+
+    ONE self-equi-join on walk_id with a bounded step-band predicate —
+    per-walk row count is walk_len+1, so the join fans out ≤ 2·window
+    rows per position regardless of graph size — then one hash
+    aggregate for multiplicities (deterministic output; the trainer
+    can re-expand or weight by n_pairs).
+    """
+    a = walks.select(
+        F.col("walk_id"), F.col("step").alias("s1"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"), F.col("step").alias("s2"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("s1") != F.col("s2"))
+            & (F.abs(F.col("s1") - F.col("s2")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

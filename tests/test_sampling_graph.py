@@ -787,3 +787,29 @@ def test_neighbor_sample_caps_fanout_and_is_subset(spark):
     # deterministic re-run
     again = {(r["src"], r["dst"], r["rk"]) for r in neighbor_sample(e, k=3).collect()}
     assert again == {(r["src"], r["dst"], r["rk"]) for r in rows}
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    from netrunner_spark.operators.graph import skipgram_pairs
+
+    # one hand-built walk: 7 → 8 → 9 → 8
+    walks = spark.createDataFrame(
+        [(0, 0, 7), (0, 1, 8), (0, 2, 9), (0, 3, 8)],
+        "walk_id long, step int, node long",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window=1).collect()
+    }
+    # window=1: adjacent pairs only, both directions, multiplicity kept
+    # ((8, 9) arises twice: steps (1,2) and (3,2))
+    assert got == {(7, 8): 1, (8, 7): 1, (8, 9): 2, (9, 8): 2}
+    # window=2 adds the step-distance-2 pairs
+    got2 = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    assert got2 == {
+        (7, 8): 1, (8, 7): 1, (8, 9): 2, (9, 8): 2,
+        (7, 9): 1, (9, 7): 1, (8, 8): 2,  # steps (1,3) and (3,1)
+    }
