@@ -813,3 +813,113 @@ def test_skipgram_pairs_window_semantics(spark):
         (7, 8): 1, (8, 7): 1, (8, 9): 2, (9, 8): 2,
         (7, 9): 1, (9, 7): 1, (8, 8): 2,  # steps (1,3) and (3,1)
     }
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_hyperball_differential_on_random_digraphs(spark, seed):
+    """Seeded random digraphs: hyperball registers must equal the
+    pure-Python HLL of the exact closure (same md5-52 hash, same
+    bucket split, same bitlen) — and the nf table must equal the
+    Python aggregate of those registers."""
+    import random
+
+    from netrunner_spark.operators.graph import (
+        hyperball_nf,
+        hyperball_registers,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(12, 28)
+    edges = sorted(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(n, 3 * n))
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    if not edges:
+        edges = [(0, 1)]
+    p, iters = 4, 3
+    m, rest_bits = 1 << p, 52 - p
+    rmax = rest_bits + 1
+
+    balls = _exact_ball_pairs(edges, iters)
+    want = {}
+    for v, ball in balls.items():
+        regs = {}
+        for mem in ball:
+            h = _md5_52_py("hb", mem)
+            bucket, rest = h % m, h // m
+            rho = rmax - rest.bit_length()
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        for b, rho in regs.items():
+            want[(v, b)] = rho
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["id"], r["bucket"]): r["rho"]
+        for r in hyperball_registers(e, iters=iters, p=p, salt="hb").collect()
+    }
+    assert got == want
+
+    # nf at t=iters: occupancy + integer harmonic denominator
+    per_node = {}
+    for (v, _b), rho in want.items():
+        per_node.setdefault(v, []).append(rho)
+    nf_want = {
+        v: (
+            len(rhos),
+            sum(1 << (rmax - r) for r in rhos) + (m - len(rhos)) * (1 << rmax),
+        )
+        for v, rhos in per_node.items()
+    }
+    nf_got = {
+        r["id"]: (r["nonzero_buckets"], r["denom"])
+        for r in hyperball_nf(e, iters=iters, p=p).collect()
+        if r["t"] == iters
+    }
+    assert nf_got == nf_want
+
+
+@pytest.mark.parametrize("seed", [5, 42])
+def test_random_walks_differential_on_random_digraphs(spark, seed):
+    import random
+
+    from netrunner_spark.operators.graph import random_walks
+
+    rng = random.Random(seed)
+    n = rng.randint(8, 16)
+    edges = sorted(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(n, 2 * n))
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d] or [(0, 1)]
+    out_nbrs = {}
+    nodes = set()
+    for s, d in edges:
+        out_nbrs.setdefault(s, set()).add(d)
+        nodes.update((s, d))
+    wpn, wl = 2, 3
+    want = {}
+    for v in nodes:
+        for w in range(wpn):
+            wid = v * wpn + w
+            want[(wid, 0)] = v
+            cur = v
+            for i in range(1, wl + 1):
+                nbrs = out_nbrs.get(cur)
+                if not nbrs:
+                    break
+                cur = min(
+                    nbrs,
+                    key=lambda d: (_md5_52_py("rw", f"{wid}#{i}#{d}"), d),
+                )
+                want[(wid, i)] = cur
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in random_walks(e, walk_len=wl, walks_per_node=wpn).collect()
+    }
+    assert got == want
