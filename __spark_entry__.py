@@ -447,6 +447,32 @@ def _bfs_sql(max_hops: int = 6) -> str:
     return "\n".join(parts)
 
 
+_RING50_EDGE_PARTS = [
+    "WITH e AS (SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS src,"
+    " CAST((event_id % 50 + 1) % 50 AS BIGINT) AS dst FROM events)",
+    ", nodes AS (SELECT DISTINCT src AS id FROM e"
+    " UNION SELECT DISTINCT dst AS id FROM e)",
+]
+
+
+def _pair_closure_parts(edge_parts: list, iters: int) -> list:
+    """Append the unrolled exact-ball pair closure p0..p{iters} to an
+    edge/nodes CTE prefix — ONE generator for every closure twin, so
+    the 'identical expressions' guarantee can't drift between
+    copies."""
+    parts = list(edge_parts) + [
+        ", p0 AS (SELECT id, id AS member FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f", p{t} AS (SELECT DISTINCT id, member FROM ("
+            f"SELECT e.src AS id, p.member FROM e"
+            f" JOIN p{t - 1} p ON p.id = e.dst"
+            f" UNION ALL SELECT id, member FROM p{t - 1}))"
+        )
+    return parts
+
+
 def _hyperball_parts(iters: int, p: int, salt: str) -> list[str]:
     """Shared CTE prefix for the HyperBall twins over the 50-node
     directed ring (the bfs_hops topology): the identical md5-52 hash,
@@ -460,13 +486,9 @@ def _hyperball_parts(iters: int, p: int, salt: str) -> list[str]:
     m, rest_bits = 1 << p, 52 - p
     rmax = rest_bits + 1
     case = _bitlen_case("rest", rest_bits)
-    parts = [
-        "WITH e AS (SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS src,"
-        " CAST((event_id % 50 + 1) % 50 AS BIGINT) AS dst FROM events)",
-        ", nodes AS (SELECT DISTINCT src AS id FROM e"
-        " UNION SELECT DISTINCT dst AS id FROM e)",
-        f", hh AS (SELECT id, CAST('0x' || substr(md5('{salt}' ||"
-        " CAST(id AS VARCHAR)), 1, 13) AS BIGINT) AS h FROM nodes)",
+    h = _md5_52("CAST(id AS VARCHAR)", salt)
+    parts = list(_RING50_EDGE_PARTS) + [
+        f", hh AS (SELECT id, {h} AS h FROM nodes)",
         f", sp AS (SELECT id, h % {m} AS bucket, h // {m} AS rest FROM hh)",
         f", r0 AS (SELECT id, bucket, CAST({rmax} - {case} AS INT) AS rho"
         " FROM sp)",
@@ -515,20 +537,7 @@ def _ball_sizes_sql(iters: int = 3) -> str:
     (id, t, ball): the exact pair closure unrolled per level, the
     diagnostic HyperBall exists to replace (kept small-scale for
     accuracy evaluation)."""
-    parts = [
-        "WITH e AS (SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS src,"
-        " CAST((event_id % 50 + 1) % 50 AS BIGINT) AS dst FROM events)",
-        ", nodes AS (SELECT DISTINCT src AS id FROM e"
-        " UNION SELECT DISTINCT dst AS id FROM e)",
-        ", p0 AS (SELECT id, id AS member FROM nodes)",
-    ]
-    for t in range(1, iters + 1):
-        parts.append(
-            f", p{t} AS (SELECT DISTINCT id, member FROM ("
-            f"SELECT e.src AS id, p.member FROM e"
-            f" JOIN p{t - 1} p ON p.id = e.dst"
-            f" UNION ALL SELECT id, member FROM p{t - 1}))"
-        )
+    parts = _pair_closure_parts(_RING50_EDGE_PARTS, iters)
     levels = [
         f"SELECT id, CAST({t} AS INT) AS t, CAST(count(*) AS BIGINT) AS ball"
         f" FROM p{t} GROUP BY id"
@@ -556,16 +565,7 @@ def _rich_closure_parts(iters: int) -> list[str]:
     topology (ring edges for every event, +7 chords for event_id%4==0
     nodes) — multi-hop variety so harmonic centrality genuinely
     differs across nodes. Identical expressions to the Spark query."""
-    parts = list(_RICH_EDGE_PARTS) + [
-        ", p0 AS (SELECT id, id AS member FROM nodes)",
-    ]
-    for t in range(1, iters + 1):
-        parts.append(
-            f", p{t} AS (SELECT DISTINCT id, member FROM ("
-            f"SELECT e.src AS id, p.member FROM e"
-            f" JOIN p{t - 1} p ON p.id = e.dst"
-            f" UNION ALL SELECT id, member FROM p{t - 1}))"
-        )
+    parts = _pair_closure_parts(_RICH_EDGE_PARTS, iters)
     for t in range(iters + 1):
         parts.append(
             f", b{t} AS (SELECT id, CAST(count(*) AS BIGINT) AS ball"

@@ -841,7 +841,6 @@ def _hyperball_r0(edges: DataFrame, p: int, salt: str):
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
     )
     bitlen = F.expr(_bitlen_case("rest", rest_bits))
     r0 = (
@@ -1065,8 +1064,11 @@ def random_walks(
     uniform draw per (walk, step) that both engines reproduce exactly
     (same trick as sampling.hash_split; ties broken by (score, dst)
     struct-min, so even a hash collision is order-stable). Each step
-    is ONE equi-join current-frontier⋈edges plus ONE hash aggregate
-    over candidate rows — state is |walks| rows, never materializing
+    is ONE equi-join current-frontier⋈edges plus ONE map-side-
+    combinable aggregate over candidate rows (struct-min plans as
+    SortAggregate — the partial combine is the scale property, cutting
+    candidates to one row per walk per partition before the shuffle)
+    — state is |walks| rows, never materializing
     multi-hop paths, so a 10^10-edge graph costs walk_len scans of the
     (bucketable) edge table. walk_id = node·walks_per_node + w keeps
     ids collision-free in int64 for node ids < 2^58.
