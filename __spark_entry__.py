@@ -473,7 +473,9 @@ def _pair_closure_parts(edge_parts: list, iters: int) -> list:
     return parts
 
 
-def _hyperball_parts(iters: int, p: int, salt: str) -> list[str]:
+def _hyperball_parts(
+    iters: int, p: int, salt: str, edge_parts: list | None = None
+) -> list[str]:
     """Shared CTE prefix for the HyperBall twins over the 50-node
     directed ring (the bfs_hops topology): the identical md5-52 hash,
     bucket split, and generated bit-length CASE as
@@ -487,7 +489,7 @@ def _hyperball_parts(iters: int, p: int, salt: str) -> list[str]:
     rmax = rest_bits + 1
     case = _bitlen_case("rest", rest_bits)
     h = _md5_52("CAST(id AS VARCHAR)", salt)
-    parts = list(_RING50_EDGE_PARTS) + [
+    parts = list(edge_parts or _RING50_EDGE_PARTS) + [
         f", hh AS (SELECT id, {h} AS h FROM nodes)",
         f", sp AS (SELECT id, h % {m} AS bucket, h // {m} AS rest FROM hh)",
         f", r0 AS (SELECT id, bucket, CAST({rmax} - {case} AS INT) AS rho"
@@ -680,6 +682,47 @@ def _skipgram_sql(
         " FROM walks a JOIN walks b ON a.walk_id = b.walk_id"
         f" AND a.step <> b.step AND abs(a.step - b.step) <= {window}"
         " GROUP BY a.node, b.node"
+    )
+    return "\n".join(parts)
+
+
+def _reach_budget_sql(total: int = 997, p: int = 4, iters: int = 2) -> str:
+    """DuckDB twin of the reach_budget_alloc loop: HyperBall nf at
+    t=iters over the ring-20 + chord host graph → integer reach weight
+    (m·2^rmax − denom, shifted 30 bits so total·weight stays deep
+    inside int64) → the same largest-remainder apportionment as
+    crawl_budget_alloc."""
+    m = 1 << p
+    rmax = 52 - p + 1
+    cap = m * (1 << rmax)
+    parts = _hyperball_parts(iters, p, "hb", edge_parts=_RICH_EDGE_PARTS)
+    parts.append(
+        f", nf AS (SELECT id,"
+        f" CAST(sum(CAST(1 AS BIGINT) << ({rmax} - rho))"
+        f" + ({m} - count(*)) * (CAST(1 AS BIGINT) << {rmax}) AS BIGINT)"
+        f" AS denom FROM r{iters} GROUP BY id)"
+    )
+    parts.append(
+        ", nv AS (SELECT 'h' || CAST(id AS VARCHAR) AS host,"
+        f" CAST(({cap} - denom) // {1 << 30} AS BIGINT) AS reach_w FROM nf)"
+    )
+    parts.append(
+        f""", sh AS (
+  SELECT host, reach_w AS weight,
+         sum(reach_w) OVER () AS s_tot,
+         CAST(CASE WHEN sum(reach_w) OVER () = 0 THEN 0
+              ELSE {total} * reach_w // sum(reach_w) OVER () END AS BIGINT) AS fl,
+         CAST(CASE WHEN sum(reach_w) OVER () = 0 THEN 0
+              ELSE {total} * reach_w % sum(reach_w) OVER () END AS BIGINT) AS rem
+  FROM nv
+), r AS (
+  SELECT *, CASE WHEN s_tot = 0 THEN 0 ELSE {total} - sum(fl) OVER () END AS leftover,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+  FROM sh
+)
+SELECT host, weight,
+       CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r"""
     )
     return "\n".join(parts)
 
@@ -3749,6 +3792,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return neighbor_sample(_rich_edges(spark, sf), k=3)
 
+    def reach_budget_alloc(spark, sf):
+        # the HyperBall loop closed into the fetch budget: hosts whose
+        # 2-hop out-ball is larger open more of the frontier, so they
+        # earn proportionally more Hamilton-apportioned slots — the
+        # reach analog of opic_budget_alloc. Weight stays exact int64:
+        # m·2^rmax − denom is monotone in the HLL ball estimate
+        # (estimate = α·m²·2^rmax / denom), and the 30-bit shift keeps
+        # total·weight far from overflow for budgets ≤ 10^6.
+        from netrunner_spark.operators import crawlintel
+        from netrunner_spark.operators.graph import hyperball_nf
+
+        p = 4
+        m, rmax = 1 << p, 52 - p + 1
+        nf = hyperball_nf(_rich_edges(spark, sf), iters=2, p=p)
+        stats = nf.filter(F.col("t") == 2).select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+            F.expr(
+                f"CAST(({m * (1 << rmax)} - denom) DIV {1 << 30} AS BIGINT)"
+            ).alias("reach_w"),
+        )
+        return crawlintel.budget_alloc(stats, "reach_w", total=997)
+
     def image_curation_pipeline(spark, sf):
         # the image-axis curation decision (text curation_pipeline's
         # sibling): LAION metadata gate ∧ near-dup keeper (highest
@@ -4750,6 +4815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": graph_random_walks,
         "graph_skipgram_pairs": graph_skipgram_pairs,
         "graph_neighbor_sample": graph_neighbor_sample,
+        "reach_budget_alloc": reach_budget_alloc,
         "robots_refetch_plan": robots_refetch_plan,
         "drain_eta_report": drain_eta_report,
         "warc_cdx_index": warc_cdx_index,
@@ -7778,6 +7844,7 @@ GROUP BY doc_id, tf.grp
     oracles["graph_random_walks"] = _random_walks_sql(4, 2, "rw")
     oracles["graph_skipgram_pairs"] = _skipgram_sql(2, 4, 2, "rw")
     oracles["graph_neighbor_sample"] = _neighbor_sample_sql(3, "ns")
+    oracles["reach_budget_alloc"] = _reach_budget_sql(997, 4, 2)
     oracles["link_kcore"] = _kcore_sql(4, 2)
     oracles["warc_cdx_index"] = """
 WITH rec AS (

@@ -923,3 +923,36 @@ def test_random_walks_differential_on_random_digraphs(spark, seed):
         for r in random_walks(e, walk_len=wl, walks_per_node=wpn).collect()
     }
     assert got == want
+
+
+def test_reach_budget_weights_monotone_in_ball_estimate(spark):
+    """The loop's invariant: a strictly larger exact 2-ball must never
+    earn a strictly smaller integer reach weight than a smaller ball
+    UNLESS the HLL sketch collides (p=4 is coarse) — verify weight is
+    a deterministic function of the register multiset and the Hamilton
+    sum is exact."""
+    from netrunner_spark.operators import crawlintel
+    from netrunner_spark.operators.graph import hyperball_nf
+
+    edges = [(i, (i + 1) % 10) for i in range(10)] + [(0, 3), (0, 5), (0, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    p = 4
+    m, rmax = 1 << p, 52 - p + 1
+    nf = hyperball_nf(e, iters=2, p=p)
+    stats = nf.filter(F.col("t") == 2).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.expr(
+            f"CAST(({m * (1 << rmax)} - denom) DIV {1 << 30} AS BIGINT)"
+        ).alias("reach_w"),
+    )
+    rows = crawlintel.budget_alloc(stats, "reach_w", total=997).collect()
+    assert sum(r["alloc"] for r in rows) == 997
+    w = {r["host"]: r["weight"] for r in rows}
+    a = {r["host"]: r["alloc"] for r in rows}
+    # node 0 reaches {0,1,2,3,4,5,6,7,8} within 2 hops vs a plain ring
+    # node's 3 — the hub must out-earn a plain ring node on both
+    # weight and allocation
+    assert w["h0"] > w["h2"]
+    assert a["h0"] > a["h2"]
+    # every weight positive (every node has a nonempty ball)
+    assert all(v > 0 for v in w.values())
