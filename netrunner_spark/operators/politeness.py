@@ -32,20 +32,13 @@ DEFAULT_RPS = 2.0  # reference hard-codes 2 req/s/domain (mod.rs:133,150)
 def robots_match_expr(url_col, pattern_col):
     """True iff robots path_pattern matches the URL's path.
 
-    Supports '*' wildcards and '$' end-anchor per REP. Compiled to ONE
-    regexp per row pair via regexp_like on a rewritten pattern — stays
-    JVM-side (no Python).
-    """
+    Supports '*' wildcards and '$' end-anchor per REP, JVM-side.
+    Delegates the escape/anchor rewrite to :func:`_pattern_matches`
+    (the copy `robots_allowed` uses) so the REP rewrite chain exists
+    exactly once (r5 review: the two copies could silently drift)."""
     path = F.regexp_replace(url_col, r"^[a-z]+://[^/]+", "")
     path = F.when(path == "", "/").otherwise(path)
-    # escape ALL regex metachars (incl. mid-pattern '$', which is a
-    # literal in REP paths); then * -> .*; then re-enable only a
-    # TRAILING '$' as the REP end-anchor by unescaping it.
-    esc = F.regexp_replace(pattern_col, r"([.^$+?(){}\[\]\\|])", r"\\$1")
-    esc = F.regexp_replace(esc, r"\*", ".*")
-    # replacement-side '$' is a group ref in Java regex — escape it
-    rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\\\$$", "\\$"))
-    return F.regexp_like(path, rx) | (pattern_col == "")
+    return _pattern_matches(path, pattern_col)
 
 
 def robots_allowed(frontier: DataFrame, robots: DataFrame) -> DataFrame:
@@ -93,8 +86,12 @@ def robots_allowed(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 
 
 def _pattern_matches(path, pattern_col):
-    """robots_match_expr's core for a PRE-EXTRACTED path column and a
-    per-element pattern (usable inside higher-order lambdas)."""
+    """REP pattern match for a PRE-EXTRACTED path column and a
+    per-element pattern (usable inside higher-order lambdas) — the ONE
+    copy of the escape/anchor rewrite chain: escape ALL regex
+    metachars (incl. mid-pattern '$', a literal in REP paths), then
+    * -> .*, then re-enable only a TRAILING '$' as the REP end-anchor
+    (replacement-side '$' is a group ref in Java regex — escaped)."""
     esc = F.regexp_replace(pattern_col, r"([.^$+?(){}\[\]\\|])", r"\\$1")
     esc = F.regexp_replace(esc, r"\*", ".*")
     rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\\\$$", "\\$"))
@@ -102,20 +99,29 @@ def _pattern_matches(path, pattern_col):
 
 
 def host_budgets(robots: DataFrame, round_seconds: float, rps: float = DEFAULT_RPS) -> DataFrame:
-    """host → fetch slots this round. crawl_delay overrides the default
-    politeness rate when larger (slots = round_seconds / delay)."""
+    """host → (budget, stride): fetch slots per SCHEDULED round, and the
+    round spacing. crawl_delay overrides the default politeness rate
+    when larger (slots = round_seconds / delay).
+
+    ``stride`` closes the r5-review gap: a Crawl-delay LARGER than the
+    round window used to clamp to budget=1 — one fetch per round, i.e.
+    round_seconds between requests instead of the delay the host asked
+    for. Now such hosts get stride = ceil(delay / round_seconds): one
+    slot every stride-th round, so with wall-clock pacing the inter-
+    request gap is ≥ delay. Hosts with delay ≤ round_seconds keep
+    stride 1 — bit-identical schedules to before."""
     delays = robots.groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
+    eff_delay = F.greatest(
+        F.coalesce(F.col("crawl_delay"), F.lit(0.0)), F.lit(1.0 / rps)
+    )
     return delays.select(
         "host",
-        F.greatest(
-            F.lit(1),
-            F.floor(
-                F.lit(round_seconds)
-                / F.greatest(F.coalesce(F.col("crawl_delay"), F.lit(0.0)), F.lit(1.0 / rps))
-            ),
-        )
+        F.greatest(F.lit(1), F.floor(F.lit(round_seconds) / eff_delay))
         .cast("int")
         .alias("budget"),
+        F.greatest(F.lit(1), F.ceil(eff_delay / F.lit(round_seconds)))
+        .cast("int")
+        .alias("stride"),
     )
 
 
@@ -142,6 +148,11 @@ def budgets_from_delays(
         )
         .cast("int")
         .alias("budget"),
+        F.greatest(
+            F.lit(1), F.ceil(F.col(delay_col) / F.lit(round_ms))
+        )
+        .cast("int")
+        .alias("stride"),
     )
 
 
@@ -214,6 +225,17 @@ def schedule_rounds(
         )
     else:
         based = frontier.withColumn("budget", F.lit(default_budget))
+    # ``stride`` (optional budgets column, default 1): hosts whose
+    # crawl_delay exceeds the round window get one budget-batch every
+    # stride-th round — with wall-clock pacing the inter-request gap is
+    # ≥ stride·round_seconds ≥ delay. stride=1 → identical schedule to
+    # the pre-stride formula.
+    if "stride" in based.columns:
+        based = based.withColumn(
+            "stride", F.coalesce(F.col("stride"), F.lit(1))
+        )
+    else:
+        based = based.withColumn("stride", F.lit(1))
     if n_salts <= 1:
         w = Window.partitionBy("host").orderBy(F.col("priority"), F.col("url_hash"))
         ranked = based.withColumn("_rk", F.row_number().over(w))
@@ -228,10 +250,11 @@ def schedule_rounds(
         per_round = F.floor(F.col("budget") / s_eff)
     return ranked.withColumn(
         "sched_round",
-        (F.floor((F.col("_rk") - F.lit(1)) / per_round) + F.lit(round_offset)).cast(
-            "int"
-        ),
-    ).drop("_rk", "budget", "_salt")
+        (
+            F.floor((F.col("_rk") - F.lit(1)) / per_round) * F.col("stride")
+            + F.lit(round_offset)
+        ).cast("int"),
+    ).drop("_rk", "budget", "stride", "_salt")
 
 
 def with_priority(

@@ -219,6 +219,17 @@ def bloom_partition(candidates: DataFrame, shards: DataFrame, n_shards: int) -> 
             out = cand[cols].copy()
             out["maybe_seen"] = False
             return out
+        # guard: a shard table built under a different shard count
+        # routes keys to the wrong bitset — a silent source of bloom
+        # false NEGATIVES (upsert_shards already raises on this; the
+        # probe is where the mismatch corrupts results, so it must too)
+        if "n_shards" in shard.columns:
+            persisted = {int(x) for x in shard["n_shards"]}
+            if persisted != {n_shards}:
+                raise ValueError(
+                    f"bloom shards persisted with n_shards={persisted}, "
+                    f"probed with n_shards={n_shards}"
+                )
         # OR *all* rows for this shard id — a multi-row shards table
         # (e.g. un-merged round snapshots) must not silently drop bits,
         # which would yield bloom false NEGATIVES.

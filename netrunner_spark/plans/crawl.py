@@ -238,11 +238,33 @@ class CrawlJob:
         if self.cat.exists("schedule") or (
             self._colocated() and self.cat.table_meta("schedule") is not None
         ):
+            # heal the init crash window: schedule committed but the
+            # bloom write never ran. Without this the seen guard
+            # degrades to the full exact anti-join for the lifetime of
+            # the crawl (enqueue_frontier only FOLDS into an existing
+            # shards table, never creates one). Rebuild from schedule
+            # PLUS any schedule_ext appends that ran bloom-less.
+            if not self.cat.exists("bloom_shards"):
+                keys = (
+                    self._schedule_df()
+                    .filter(F.col("sched_round") >= 0)
+                    .select("url_hash")
+                )
+                ext = self.cat.read_slices("schedule_ext")
+                if ext is not None:
+                    keys = keys.unionByName(ext.select("url_hash"))
+                self.cat.write(
+                    upsert_shards(None, keys, self.cfg.n_bloom_shards),
+                    "bloom_shards",
+                )
             return
         base = urls.select("url", "url_hash", "host", F.lit(0).alias("depth"))
         ok = robots_allowed(base, self.robots)
         sched = schedule_rounds(
-            with_priority(ok), self.budgets(), n_salts=self.cfg.schedule_salts
+            with_priority(ok),
+            self.budgets(),
+            default_budget=self._default_budget(),
+            n_salts=self.cfg.schedule_salts,
         ).select(*SCHEDULE_COLS)
         blocked = base.join(ok.select("url_hash"), "url_hash", "left_anti").select(
             "url",
@@ -289,6 +311,13 @@ class CrawlJob:
         m = max(vals, default=-1)
         ext = self.cat.max_slice("schedule_ext", "sched_round")
         return max(m, ext if ext is not None else -1)
+
+    def _default_budget(self) -> int:
+        """Slots/round for hosts with no robots row — derived from the
+        CONFIGURED politeness rate (r5 review: the previous hardcoded
+        20 matched rps=2.0 x round_seconds=10 only by coincidence and
+        overshot any stricter configuration 4x+)."""
+        return max(1, int(self.cfg.round_seconds * self.cfg.rps))
 
     def budgets(self) -> DataFrame:
         if self._budgets is None:
@@ -383,31 +412,25 @@ class CrawlJob:
         #    validation is fused into the fetch stage). Otherwise the
         #    fetch join broadcasts the batch only while it is genuinely
         #    small (driver-side stat of the schedule partition, no job).
+        # colocated layout enables the exchange-free merge join; batch
+        # size still picks merge vs broadcast-over-the-bucketed-scan
+        # (both exchange-free; BHJ skips the merge-sort startup, which
+        # dominates at small rounds). Non-colocated: broadcast only
+        # while the batch is genuinely small. Inline-image fetchers
+        # stamp (image_ok, image_phash) during fetch — dropping the
+        # stamp would silently pay the decode and discard the verdict.
         inline_images = getattr(self.fetcher, "images_by_url", None) is not None
-        if self._colocated():
-            # layout enables the exchange-free merge join; batch size
-            # still picks merge vs broadcast-over-the-bucketed-scan
-            # (both exchange-free; BHJ skips the merge-sort startup,
-            # which dominates at small rounds)
-            small = (
-                self._batch_bytes(round_no) < self.cfg.colocated_broadcast_bytes
-            )
-            fetched = self.fetcher.fetch(batch, prefer_broadcast=small)
-            fetched = fetched.select(
-                *(CACHE_COLS + ["image_ok", "image_phash"])
-                if inline_images
-                else CACHE_COLS
-            )
-        else:
-            small = self._batch_bytes(round_no) < self.cfg.broadcast_batch_bytes
-            # inline-image fetchers stamp (image_ok, image_phash) during
-            # fetch regardless of the colocated flag — dropping them
-            # here would silently pay the decode and discard the verdict
-            fetched = self.fetcher.fetch(batch, prefer_broadcast=small).select(
-                *(CACHE_COLS + ["image_ok", "image_phash"])
-                if inline_images
-                else CACHE_COLS
-            )
+        threshold = (
+            self.cfg.colocated_broadcast_bytes
+            if self._colocated()
+            else self.cfg.broadcast_batch_bytes
+        )
+        small = self._batch_bytes(round_no) < threshold
+        fetched = self.fetcher.fetch(batch, prefer_broadcast=small).select(
+            *(CACHE_COLS + ["image_ok", "image_phash"])
+            if inline_images
+            else CACHE_COLS
+        )
         if self.images is not None and not inline_images:
             small = (
                 True
@@ -517,21 +540,34 @@ class CrawlJob:
         fresh = unseen_only(links, seen_keys, shards, n_sh)
 
         base_round = self.max_round() + 1
-        newly = schedule_rounds(
-            with_priority(fresh),
-            self.budgets(),
-            round_offset=base_round,
-            n_salts=self.cfg.schedule_salts,
-        ).select(*SCHEDULE_COLS)
-        self.cat.append_partitions(newly, "schedule_ext", "sched_round")
-
-        appended = self.cat.read_slices("schedule_ext")
-        if appended is not None and shards is not None:
-            new_keys = appended.filter(
-                F.col("sched_round") >= base_round
-            ).select("url_hash")
-            self.cat.write(upsert_shards(shards, new_keys, n_sh), "bloom_shards")
+        newly = (
+            schedule_rounds(
+                with_priority(fresh),
+                self.budgets(),
+                default_budget=self._default_budget(),
+                round_offset=base_round,
+                n_salts=self.cfg.schedule_salts,
+            )
+            .select(*SCHEDULE_COLS)
+            .localCheckpoint(eager=True)
+        )
+        if not newly.take(1):
+            return
+        # fold the bloom BEFORE appending the schedule partitions: a
+        # crash between the two then leaves keys in the bloom that are
+        # not yet scheduled — a bloom false POSITIVE, healed by the
+        # exact anti-join on replay (the key isn't in seen_keys, so it
+        # re-enters and both writes re-run idempotently). The reverse
+        # order had the fatal window: keys in schedule_ext but not in
+        # the bloom probe as definitely-unseen and are scheduled AGAIN
+        # on replay — a false NEGATIVE no backstop can catch.
+        if shards is not None:
+            self.cat.write(
+                upsert_shards(shards, newly.select("url_hash"), n_sh),
+                "bloom_shards",
+            )
             self.cat.vacuum("bloom_shards")
+        self.cat.append_partitions(newly, "schedule_ext", "sched_round")
 
     # ------------------------------------------------------- frontier state
     def materialize_frontier(self) -> None:
@@ -639,21 +675,41 @@ class CrawlJob:
         elif images is not None:
             from netrunner_spark.images import decode_check_udf
 
+            # match attach_image_checks' stamped policy exactly (r5
+            # review): a ref whose image is MISSING from the store is a
+            # failure — the old inner join silently dropped it from
+            # both tallies. Decode each DISTINCT image once, then count
+            # per ref row (the stamped path's per-row multiplicity).
             refs = ok.filter(F.col("image_id").isNotNull()).select("image_id")
-            joined = refs.join(images, "image_id")
-            checked = joined.withColumn("chk", decode_check_udf(F.col("bytes")))
-            verdicts = checked.select(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.when(
-                        ~F.col("chk.decode_ok")
-                        | (F.col("chk.w_actual") != F.col("w"))
-                        | (F.col("chk.h_actual") != F.col("h"))
-                        | (F.col("chk.phash_actual") != F.col("phash")),
-                        1,
-                    ).otherwise(0)
-                ).alias("bad"),
-            ).collect()[0]
+            per_image = (
+                refs.dropDuplicates()
+                .join(
+                    images.select("image_id", "bytes", "w", "h", "phash"),
+                    "image_id",
+                    "left",
+                )
+                .withColumn("chk", decode_check_udf(F.col("bytes")))
+                .select(
+                    "image_id",
+                    (
+                        ~F.coalesce(
+                            F.col("chk.decode_ok")
+                            & (F.col("chk.w_actual") == F.col("w"))
+                            & (F.col("chk.h_actual") == F.col("h"))
+                            & (F.col("chk.phash_actual") == F.col("phash")),
+                            F.lit(False),
+                        )
+                    ).alias("bad"),
+                )
+            )
+            verdicts = (
+                refs.join(per_image, "image_id", "left")
+                .select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("bad"), 1).otherwise(0)).alias("bad"),
+                )
+                .collect()[0]
+            )
             images_checked, image_failures = verdicts["n"], verdicts["bad"] or 0
 
         return {

@@ -319,3 +319,18 @@ class TestWarc:
         back = warc_read(spark, out).collect()
         assert len(back) == 1
         assert back[0]["content"] == tricky
+
+
+def test_bloom_probe_rejects_mismatched_shard_count(spark):
+    """r5 review: upsert_shards raises on an n_shards mismatch but the
+    probe — where a mismatch silently mis-routes keys and yields false
+    negatives — did not. It must now fail loudly."""
+    import pytest as _pytest
+
+    from netrunner_spark.operators.seen import bloom_partition, upsert_shards
+
+    keys = spark.range(0, 500).select(F.col("id").alias("url_hash"))
+    shards = upsert_shards(None, keys, 8)
+    cands = spark.range(0, 50).select(F.col("id").alias("url_hash"))
+    with _pytest.raises(Exception, match="n_shards"):
+        bloom_partition(cands, shards, 4).collect()

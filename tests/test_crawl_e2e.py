@@ -346,3 +346,147 @@ def test_sharded_drain_equals_unsharded(spark, world, discovered, crawled, tmp_p
         )
     assert shard_sets[0] | shard_sets[1] == whole
     assert not (shard_sets[0] & shard_sets[1])
+
+
+def test_enqueue_crash_between_bloom_and_append_is_safe(
+    spark, world, tmp_path_factory, monkeypatch
+):
+    """The enqueue_frontier crash window (r5 review): the bloom folds
+    BEFORE the schedule_ext append, so dying between the two leaves a
+    bloom false POSITIVE (healed by the exact anti-join on replay) —
+    never a false negative that would double-schedule the links. After
+    the replay every URL is scheduled exactly once and every scheduled
+    key probes maybe_seen."""
+    from netrunner_spark.operators.seen import bloom_partition
+
+    cfg = CrawlConfig(
+        round_seconds=10.0, max_rounds=30, n_bloom_shards=8,
+        follow_links=True, max_depth=2,
+    )
+    seeds_df = world["web"].filter(F.col("url").endswith("/docs/0")).select(
+        "url", "host", F.xxhash64("url").alias("url_hash")
+    )
+    root = str(tmp_path_factory.mktemp("lake_enq_crash"))
+    cat = LakeCatalog(spark, root)
+    job = CrawlJob(
+        spark, cat, MockFetcher(world["web"]), world["robots"], cfg,
+        lens=world["lens"],
+    )
+    job.init_frontier(seeds_df)
+
+    real_append = LakeCatalog.append_partitions
+    calls = {"n": 0}
+
+    def crashing_append(self, df, table, part_col):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after bloom fold")
+        return real_append(self, df, table, part_col)
+
+    monkeypatch.setattr(LakeCatalog, "append_partitions", crashing_append)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        job.run_round(0)
+    # crash landed between fold and append: bloom grew, ext did not
+    assert cat.read_slices("schedule_ext") is None
+
+    # resume: a fresh job replays the expansion (no marker was set)
+    job2 = CrawlJob(
+        spark, cat, MockFetcher(world["web"]), world["robots"], cfg,
+        lens=world["lens"],
+    )
+    job2.run()
+    ext = cat.read_slices("schedule_ext")
+    assert ext is not None
+    rows = ext.select("url_hash").collect()
+    keys = [r["url_hash"] for r in rows]
+    assert len(keys) == len(set(keys))  # exactly-once despite the crash
+    assert len(keys) > 0
+    # no-false-negative invariant: every scheduled ext key probes seen
+    shards = cat.read("bloom_shards")
+    n_sh = int(shards.agg(F.max("n_shards")).first()[0])
+    tagged = bloom_partition(
+        ext.select("url_hash"), shards, n_sh
+    )
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_init_crash_before_bloom_write_heals_on_resume(
+    spark, world, tmp_path_factory
+):
+    """The init_frontier crash window (r5 review): schedule committed,
+    bloom write never ran. Resume must rebuild the bloom (previously it
+    silently degraded to full anti-joins for the crawl's lifetime)."""
+    import shutil
+
+    from netrunner_spark.operators.seen import bloom_partition
+
+    cfg = CrawlConfig(round_seconds=10.0, max_rounds=30, n_bloom_shards=8)
+    seeds_df = world["web"].filter(F.col("url").endswith("/docs/0")).select(
+        "url", "host", F.xxhash64("url").alias("url_hash")
+    )
+    root = str(tmp_path_factory.mktemp("lake_init_crash"))
+    cat = LakeCatalog(spark, root)
+    job = CrawlJob(
+        spark, cat, MockFetcher(world["web"]), world["robots"], cfg,
+        lens=world["lens"],
+    )
+    job.init_frontier(seeds_df)
+    # simulate the crash: bloom vanishes, schedule stays
+    shutil.rmtree(cat._tdir("bloom_shards"))
+    assert not cat.exists("bloom_shards")
+
+    job2 = CrawlJob(
+        spark, cat, MockFetcher(world["web"]), world["robots"], cfg,
+        lens=world["lens"],
+    )
+    job2.init_frontier(seeds_df)
+    assert cat.exists("bloom_shards")
+    shards = cat.read("bloom_shards")
+    sched_keys = (
+        job2._schedule_df().filter(F.col("sched_round") >= 0).select("url_hash")
+    )
+    tagged = bloom_partition(sched_keys, shards, cfg.n_bloom_shards)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_archive_fallback_counts_missing_images_as_failures(
+    spark, world, tmp_path_factory
+):
+    """r5 review: the un-stamped fallback image path inner-joined refs
+    to the image store, silently dropping refs whose image is missing
+    — contradicting attach_image_checks' 'missing image is a failure'
+    policy. It must now count them, with per-ref multiplicity."""
+    from netrunner_spark.images import encode_image, phash64
+    import numpy as np
+
+    cfg = CrawlConfig(round_seconds=10.0, max_rounds=5, n_bloom_shards=4)
+    root = str(tmp_path_factory.mktemp("lake_fb_img"))
+    cat = LakeCatalog(spark, root)
+    job = CrawlJob(
+        spark, cat, MockFetcher(world["web"]), world["robots"], cfg,
+        lens=world["lens"],
+    )
+    # hand-build a cache slice WITHOUT the image_ok stamp: 3 rows, two
+    # sharing image 1 (present + valid), one referencing image 99
+    # (missing from the store)
+    arr = np.full((8, 8, 3), 128, dtype=np.uint8)
+    blob = encode_image(arr, "png")
+    ph = phash64(arr)
+    cache = spark.createDataFrame(
+        [
+            (1, "https://h.test/a", "h.test", 0, 200, "", "<html>a</html>", 1, 1, "origin"),
+            (2, "https://h.test/b", "h.test", 0, 200, "", "<html>b</html>", 1, 1, "origin"),
+            (3, "https://h.test/c", "h.test", 0, 200, "", "<html>c</html>", 99, 1, "origin"),
+        ],
+        "url_hash long, url string, host string, depth int, status int,"
+        " headers string, content string, image_id long, attempts int,"
+        " source string",
+    ).withColumn("fetched_round", F.lit(0))
+    cat.append_partitions(cache, "cache", "fetched_round")
+    images = spark.createDataFrame(
+        [(1, blob, 8, 8, ph)],
+        "image_id long, bytes binary, w int, h int, phash long",
+    )
+    stats = job.archive_stage(images=images)
+    assert stats["images_checked"] == 3   # every ref row counted
+    assert stats["image_failures"] == 1   # the missing image
