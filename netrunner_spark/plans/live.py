@@ -48,11 +48,6 @@ CDX_PAGE_LIMIT = 1000  # bootstrap.rs:204
 CDX_RETRIES = 3  # cdx.rs:84-94 (expo 1 s × 3)
 
 
-def _origin(url: str) -> str:
-    p = urllib.parse.urlsplit(url)
-    return f"{p.scheme}://{p.netloc}"
-
-
 def _origins_df(spark: SparkSession, seed_urls: DataFrame) -> DataFrame:
     """seed urls → distinct (origin, host) rows."""
     from netrunner_spark.urlnorm import host_udf
@@ -475,14 +470,13 @@ def check_urls_live(
     # roots land, which is what known_sitemaps encodes downstream)
     from netrunner_spark.sources.robots import parse_robots
 
+    parsed_robots = parse_robots(robots_texts)
     declared = (
-        parse_robots(robots_texts)
-        .select(F.explode("sitemaps").alias("sitemap_url"))
+        parsed_robots.select(F.explode("sitemaps").alias("sitemap_url"))
         .dropDuplicates()
     )
     root_probe = origins.join(
-        parse_robots(robots_texts)
-        .filter(F.size("sitemaps") > 0)
+        parsed_robots.filter(F.size("sitemaps") > 0)
         .select("host")
         .dropDuplicates(),
         "host",
@@ -513,8 +507,14 @@ def check_urls_live(
         seed_pref = seeds.filter(F.col("kind") == "prefix").select(
             F.col("seed").alias("prefix"), F.col("seed").alias("query")
         )
+        # rate-gate the CDX chains (r5 review: without rps the shared
+        # _RateGate is a no-op and 8 concurrent chains hit the one CDX
+        # host unthrottled — the exact violation the gate exists for)
         cdx = land_cdx_live(
-            spark, cdx_base, pref.unionByName(seed_pref).dropDuplicates()
+            spark,
+            cdx_base,
+            pref.unionByName(seed_pref).dropDuplicates(),
+            rps=10.0,
         )
     else:
         cdx = spark.createDataFrame(

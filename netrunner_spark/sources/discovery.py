@@ -29,7 +29,16 @@ def sitemap_bfs(
     table; `url` rows accumulate, `sitemap` rows become the next todo.
     Cycle-safe via seen-set accumulation. max_depth bounds the loop.
     """
-    todo = roots.select("sitemap_url").dropDuplicates()
+    # todo/seen are eagerly checkpointed per level: todo = anti-join of
+    # children vs seen references seen, and seen = seen ∪ todo — without
+    # the checkpoint the logical plan DOUBLES every level (2^depth
+    # subtree copies by level 8) and each isEmpty() re-executes it all
+    # (r5 review; land_sitemaps_live cuts the same BFS lineage the same
+    # way). The sets are sitemap-index-sized (tiny) — the checkpoint is
+    # one small job per level.
+    todo = (
+        roots.select("sitemap_url").dropDuplicates().localCheckpoint(eager=True)
+    )
     seen = todo
     urls: DataFrame | None = None
     for _ in range(max_depth):
@@ -45,8 +54,10 @@ def sitemap_bfs(
             .select(F.col("loc").alias("sitemap_url"))
             .dropDuplicates()
         )
-        todo = children.join(seen, "sitemap_url", "left_anti")
-        seen = seen.unionByName(todo)
+        todo = children.join(seen, "sitemap_url", "left_anti").localCheckpoint(
+            eager=True
+        )
+        seen = seen.unionByName(todo).localCheckpoint(eager=True)
     if urls is None:
         return roots.sparkSession.createDataFrame([], "url string")
     return urls.dropDuplicates()

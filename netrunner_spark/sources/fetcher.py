@@ -468,6 +468,7 @@ class HttpFetcher:
         binary = self.content_binary
         ua = self.USER_AGENT
         total_timeout = self.TOTAL_TIMEOUT
+        connect_timeout = self.CONNECT_TIMEOUT
         max_retry_after = self.MAX_RETRY_AFTER
         # salted: K tasks per host, each paced at rps/K → aggregate ≤ rps
         min_interval = self.salt / self.rps if self.rps > 0 else 0.0
@@ -480,6 +481,7 @@ class HttpFetcher:
             import threading
             import time
             from concurrent.futures import ThreadPoolExecutor
+            from urllib.parse import quote as urlquote
             from urllib.parse import urljoin, urlsplit
 
             # per-host slot reservation shared across the pool: each
@@ -512,7 +514,12 @@ class HttpFetcher:
                         if scheme == "https"
                         else http.client.HTTPConnection
                     )
-                    conns[key] = cls(netloc, timeout=total_timeout)
+                    # connect under the short CONNECT_TIMEOUT (r5
+                    # review: it was defined but never used — dead
+                    # hosts burned the full 10 s per attempt); the
+                    # request path widens the socket timeout to
+                    # TOTAL_TIMEOUT once connected
+                    conns[key] = cls(netloc, timeout=connect_timeout)
                 return conns[key]
 
             def drop_conn(scheme: str, netloc: str) -> None:
@@ -546,9 +553,22 @@ class HttpFetcher:
                         reserve_slot(host)
                         try:
                             conn = get_conn(parts.scheme, parts.netloc)
+                            if conn.sock is None:
+                                conn.connect()  # CONNECT_TIMEOUT bound
+                            if conn.sock is not None:
+                                conn.sock.settimeout(total_timeout)
                             path = parts.path or "/"
                             if parts.query:
                                 path += "?" + parts.query
+                            # percent-encode non-ASCII (IRI paths are
+                            # common in sitemaps; http.client encodes
+                            # the request line as ASCII and would raise
+                            # before any I/O — the reference's reqwest
+                            # encodes these transparently). safe set
+                            # keeps already-encoded URLs unchanged.
+                            path = urlquote(
+                                path, safe="%/:=&?~#+!$,;'@()*[]"
+                            )
                             conn.request(
                                 "GET",
                                 path,
@@ -559,7 +579,22 @@ class HttpFetcher:
                             headers = [
                                 {"name": k, "value": v} for k, v in r.getheaders()
                             ]
-                            body = r.read()
+                            # chunked read under a TOTAL deadline: the
+                            # per-op socket timeout alone lets a slow-
+                            # drip host (1 byte / 9 s) hold a politeness
+                            # slot and pool thread indefinitely
+                            _deadline = time.monotonic() + total_timeout
+                            _chunks = []
+                            while True:
+                                if time.monotonic() > _deadline:
+                                    raise TimeoutError(
+                                        "total fetch deadline exceeded"
+                                    )
+                                _c = r.read(65536)
+                                if not _c:
+                                    break
+                                _chunks.append(_c)
+                            body = b"".join(_chunks)
                         except Exception:
                             drop_conn(parts.scheme, parts.netloc)
                             time.sleep(min(0.1 * (2**attempt), 5.0))

@@ -3,7 +3,7 @@
 with a watermark, and appended to the frontier staging area.
 
 readStream → normalize pandas UDF → admission rlike → watermark +
-dropDuplicates(url_hash) → writeStream (append). State is bounded by
+dropDuplicatesWithinWatermark(url_hash) → writeStream (append). State is bounded by
 the watermark: a URL seen twice within the horizon dedups in-stream;
 cross-horizon dedup is the batch seen-set's job (operators.seen).
 
@@ -55,7 +55,15 @@ def ingest_stream(
         df.withColumn("host", host_udf(F.col("url")))
         .withColumn("url_hash", F.xxhash64("url"))
         .withWatermark("discovered_at", watermark)
-        .dropDuplicates(["url_hash"])
+        # dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
+        # dropDuplicates only evicts state when the event-time column
+        # is part of the keys, so keying on url_hash alone would grow
+        # state with every distinct URL forever — the watermark would
+        # be a no-op for cleanup (r5 review). The WithinWatermark
+        # variant is exactly the documented contract: a URL seen twice
+        # within the horizon dedups in-stream, state ages out with the
+        # watermark, cross-horizon dedup stays the batch seen-set's job.
+        .dropDuplicatesWithinWatermark(["url_hash"])
     )
     return df.select("url", "url_hash", "host", "depth", "discovered_at")
 
@@ -130,6 +138,14 @@ def stateful_host_quota(
         chunks = list(pdfs)
         whole = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(whole):
+            # a null discovered_at arrives as pandas NaT, whose
+            # .timestamp() raises and would poison the whole streaming
+            # query (r5 review). Policy: timeless candidates replenish
+            # nothing and sort first (epoch 0) — they still consume a
+            # token, so the quota stays an upper bound.
+            whole["discovered_at"] = whole["discovered_at"].fillna(
+                pd.Timestamp(0)
+            )
             whole = whole.sort_values(
                 "discovered_at", kind="mergesort"
             )  # stable: ties keep arrival order deterministically
@@ -211,6 +227,37 @@ def _list_quota_files(quota_out_dir: str, state_path: str | None):
         )
     except FileNotFoundError:
         return [], set()
+    # honor the file-sink's _spark_metadata commit log when present
+    # (r5 review): a failed/retried micro-batch task can leave an
+    # orphan part file next to the committed one — the whole-dir batch
+    # read honors the log automatically, but this explicit listing
+    # must filter to COMMITTED files itself or orphans double-count
+    # admitted/deferred stats and re-queue duplicate deferred rows.
+    meta_dir = os.path.join(quota_out_dir, "_spark_metadata")
+    if os.path.isdir(meta_dir):
+        committed: set[str] = set()
+        for entry in sorted(os.scandir(meta_dir), key=lambda e: e.name):
+            # batch log files are named "<n>" or "<n>.compact"; skip
+            # checksums (".crc") and anything else non-log
+            stem = entry.name.removesuffix(".compact")
+            if not entry.is_file() or not stem.isdigit():
+                continue
+            try:
+                with open(entry.path, encoding="utf-8", errors="ignore") as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line.startswith("{"):
+                            continue  # the "v1" version header
+                        try:
+                            rec = json.loads(line)
+                        except ValueError:
+                            continue
+                        p = rec.get("path")
+                        if p:
+                            committed.add(os.path.basename(p))
+            except OSError:
+                continue
+        files = [n for n in files if n in committed]
     done: set[str] = set()
     if state_path and os.path.isfile(state_path):
         try:
@@ -303,7 +350,11 @@ def handoff_admitted(
             .withColumn(
                 "discovered_at",
                 F.timestamp_seconds(
-                    F.unix_timestamp("_mx")
+                    # cast, not unix_timestamp: truncating _mx to whole
+                    # seconds could restamp rows BEFORE the host's
+                    # sub-second last_ts in quota state, so no tokens
+                    # accrue and the row churns extra cycles (r5 review)
+                    F.col("_mx").cast("double")
                     + F.row_number().over(w) / F.lit(float(rps))
                 ),
             )

@@ -27,7 +27,13 @@ class _Handler(BaseHTTPRequestHandler):
         cls = type(self)
         n = cls.hits[self.path] = cls.hits.get(self.path, 0) + 1
         cls.times.setdefault(self.path, []).append(time.monotonic())
-        if self.path.partition("?")[0] == "/ok":
+        if self.path.startswith("/iri-"):
+            body = ("echo:" + self.path).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path.partition("?")[0] == "/ok":
             body = b"hello world"
             self.send_response(200)
             self.send_header("Content-Length", str(len(body)))
@@ -392,3 +398,23 @@ def test_non_utf8_warc_records_dropped_by_default():
         "https://a.test/ok", "https://a.test/latin", "https://a.test/ok2"
     ]
     assert kept[1]["content"] == "caf� page"
+
+
+def test_non_ascii_path_is_percent_encoded(spark, server):
+    """r5 review: an IRI path (non-ASCII, common in real sitemaps) used
+    to raise UnicodeEncodeError inside http.client BEFORE any I/O — 3
+    burned retries and a bogus 'connection failure'. The fetcher must
+    percent-encode and fetch it; already-encoded URLs stay unchanged."""
+    iri = f"{server}/iri-café"
+    pre = f"{server}/iri-caf%C3%A9"
+    batch = spark.createDataFrame(
+        [(iri, "127.0.0.1", 1), (pre, "127.0.0.1", 2)],
+        "url string, host string, url_hash long",
+    ).coalesce(1)
+    out = {r["url"]: r for r in HttpFetcher(rps=100.0).fetch(batch).collect()}
+    assert out[iri]["status"] == 200
+    assert out[iri]["attempts"] == 1
+    assert out[iri]["content"] == "echo:/iri-caf%C3%A9"
+    # pre-encoded twin: NOT double-encoded (same server-side path)
+    assert out[pre]["status"] == 200
+    assert out[pre]["content"] == "echo:/iri-caf%C3%A9"

@@ -269,3 +269,39 @@ def test_continuous_frontend_three_waves_with_restart(spark, tmp_path):
     assert set(w3) <= cached
     assert cache.count() == n_seeds + 10
     assert cache.select("url").distinct().count() == cache.count()
+
+
+def test_quota_survives_null_discovered_at(spark, tmp_path):
+    """r5 review: a null discovered_at arrived as pandas NaT and
+    NaT.timestamp() poisoned the whole streaming query. Policy now:
+    timeless candidates replenish nothing, sort first, still consume a
+    token — the quota stays an upper bound."""
+    import os
+
+    from netrunner_spark.streaming.ingest import run_quota_once
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(in_dir)
+    rows = [
+        ("https://h0.test/a", None, 0),
+        ("https://h0.test/b", "2026-01-01 00:00:01.000", 0),
+        ("https://h0.test/c", "2026-01-01 00:00:01.100", 0),
+    ]
+    spark.createDataFrame(
+        rows, "url string, discovered_at string, depth int"
+    ).withColumn(
+        "discovered_at", F.col("discovered_at").cast("timestamp")
+    ).write.parquet(in_dir, mode="overwrite")
+    run_quota_once(spark, in_dir, out_dir, ckpt, rps=2.0, burst=1.0)
+    got = {r["url"]: r["admitted"] for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 3  # no poison, no dropped rows
+    # burst=1: the timeless row consumed the only token at epoch 0; b
+    # replenishes across the gap and is admitted; c (0.1 s later at
+    # rps=2 → +0.2 tokens) is deferred — the quota stayed an upper bound
+    assert got["https://h0.test/a"] is True
+    assert got["https://h0.test/b"] is True
+    assert got["https://h0.test/c"] is False
