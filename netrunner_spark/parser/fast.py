@@ -198,7 +198,10 @@ def _cdata(doc: str, pos: int, tag: str, sink) -> int:
         # (parser.py:389-391), then CDATA continues
         gm = _GT.search(doc, cm.start() + 1)
         if gm is None:
-            sink.handle_data(doc[cm.start() :])
-            return n
+            # truncated '</script…' at EOF: stdlib's recovery is
+            # position-dependent (it emits '<' alone and drops the
+            # tail) — outside the replicated set, so take the exact
+            # stdlib path instead of approximating it (r5 review)
+            raise FallbackNeeded
         sink.handle_data(doc[cm.start() : gm.end()])
         pos = gm.end()

@@ -86,6 +86,12 @@ class _TreeBuilder(HTMLParser):
         # reference TreeSink collapses each whitespace-only chunk into a
         # single space before concatenating (html_node.rs:286-305). We
         # reproduce that chunking so golden text/descriptions match.
+        # KNOWN LIMIT (r5 review, deliberately unchanged): only \r\n is
+        # normalized below; a lone \r (old-Mac line endings, vanishingly
+        # rare in live HTML) is kept verbatim, whereas html5ever's
+        # preprocessor maps every \r to \n. Changing it would shift the
+        # pinned parse goldens + x2 oracle; revisit only with reference
+        # output for such a page in hand.
         if not data:
             return
         if "\n" not in data and "\r" not in data:

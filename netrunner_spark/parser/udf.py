@@ -45,7 +45,24 @@ def _parse_batch(urls: pd.Series, docs: pd.Series) -> pd.DataFrame:
                 }
             )
             continue
-        rows.append(html_to_text(url, doc).as_row())
+        try:
+            rows.append(html_to_text(url, doc).as_row())
+        except RecursionError:
+            # a pathologically nested page (1000+ levels) blows the
+            # recursive DOM walk (r5 review); one wild page must not
+            # fail the task — degrade to an empty parse for THAT row
+            # (hash of empty content, no links) and keep the batch
+            rows.append(
+                {
+                    "canonical_url": url,
+                    "content": "",
+                    "content_hash": None,
+                    "description": "",
+                    "links": [],
+                    "meta": {},
+                    "title": None,
+                }
+            )
     return pd.DataFrame(rows)
 
 

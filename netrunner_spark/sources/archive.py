@@ -60,7 +60,20 @@ def parsed_read(spark: SparkSession, path: str, fmt: str = "auto") -> DataFrame:
     'auto' (the reference's filename sniff, parser/mod.rs:41-45:
     ``.jsonl`` in the name → JSON, otherwise RON)."""
     if fmt == "auto":
+        import os
+
         name = path.rstrip("/").rsplit("/", 1)[-1]
+        if os.path.isdir(path):
+            # a DIRECTORY (e.g. parsed_export_ron output) carries no
+            # format hint in its own name - sniff the part files, or a
+            # RON dir is misread as JSON into all-corrupt rows (r5
+            # review)
+            parts = [
+                e.name
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            ]
+            name = parts[0] if parts else name
         fmt = "json" if ".jsonl" in name or not name.endswith(".gz") else "ron"
     if fmt == "json":
         return spark.read.json(path)

@@ -91,7 +91,12 @@ def parse_robots(
         "host", "group_id", F.lower(F.col("value")).alias("agent")
     )
     spec = (
-        F.when(F.col("agent") == "*", 0)
+        # an empty 'User-agent:' value is invalid per REP and must NOT
+        # match (startswith('') is vacuously true with spec 0, which
+        # would tie '*' and e.g. apply a blank-UA 'Disallow: /' to the
+        # whole host — r5 review; texting_robots drops such groups)
+        F.when(F.col("agent") == "", F.lit(None).cast("int"))
+        .when(F.col("agent") == "*", 0)
         .when(F.lit(ua).startswith(F.col("agent")), F.length("agent"))
         .otherwise(F.lit(None).cast("int"))
     )

@@ -81,8 +81,6 @@ def warc_export(records: DataFrame, out_dir: str, single_file: bool = False) -> 
         records = records.coalesce(1)
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import socket
-        import threading
 
         buf = io.BytesIO()
         gz = gzip.GzipFile(fileobj=buf, mode="wb", mtime=0)
@@ -108,13 +106,21 @@ def warc_export(records: DataFrame, out_dir: str, single_file: bool = False) -> 
         if n == 0:
             yield pd.DataFrame(columns=[f.name for f in MANIFEST_SCHEMA.fields])
             return
-        # deterministic per-partition name from first record's url hash
-        tag = uuid.uuid5(uuid.NAMESPACE_URL, f"{first_url}|{n}").hex[:12]
+        # deterministic per-partition name: first record's url + count
+        # + PARTITION ID — without the id two partitions opening with
+        # the same duplicate URL and equal counts collide and silently
+        # overwrite each other's file (r5 review)
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        tag = uuid.uuid5(
+            uuid.NAMESPACE_URL, f"{first_url}|{n}|{pid}"
+        ).hex[:12]
         path = os.path.join(out_dir, f"part-{tag}.warc.gz")
         data = buf.getvalue()
         with open(path, "wb") as f:
             f.write(data)
-        _ = (socket, threading)  # keep linters honest about unused safety imports
         yield pd.DataFrame(
             [
                 {

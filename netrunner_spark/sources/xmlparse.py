@@ -119,7 +119,10 @@ def parse_sitemap_hints(
             elif tag == "priority":
                 try:
                     prio = int(round(float(val) * 100))
-                except ValueError:
+                except (ValueError, OverflowError):
+                    # OverflowError: <priority>1e999</priority> parses
+                    # to inf and int(inf) raises (r5 review) — one
+                    # adversarial sitemap must not fail the job
                     prio = None
         if loc:
             out.append((loc, lastmod, changefreq, prio))

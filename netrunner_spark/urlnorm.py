@@ -90,7 +90,10 @@ def rfc3986_normalize(url: str | None, strip_fragment: bool = True) -> str | Non
         return None
     if any(c in host for c in " \t\n"):
         return None
-    netloc = host
+    # parts.hostname strips IPv6 brackets — re-wrap, or the rebuilt
+    # URL is unparsable ('http://2001:db8::1:8080/' — r5 review) and
+    # every downstream key/politeness group for the host breaks
+    netloc = f"[{host}]" if ":" in host else host
     if parts.username:
         cred = parts.username + (f":{parts.password}" if parts.password else "")
         netloc = f"{cred}@{netloc}"
@@ -115,9 +118,14 @@ def normalize_href(base_url: str, href: str) -> str | None:
     if href is None or base_url is None:
         return None
     href = href.strip()
+    # scheme matching is case-insensitive (RFC 3986 §3.1; the
+    # reference's Url::parse lowercases schemes) — a 'HTTP://' href
+    # must take the same upgrade branch as 'http://' or the same
+    # target splits into two frontier keys (r5 review)
+    low = href.lower()
     if href.startswith("//"):
         return rfc3986_normalize("https:" + href, strip_fragment=False)
-    if href.startswith(("http://", "https://")):
+    if low.startswith(("http://", "https://")):
         n = rfc3986_normalize(href, strip_fragment=False)
         if n is not None and n.startswith("http://"):
             n = "https://" + n[len("http://") :]

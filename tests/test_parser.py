@@ -108,3 +108,21 @@ def test_htdig_noindex_skips_rest_of_level():
     doc = html_to_text("https://s.test/", html)
     assert "kept" in doc.content
     assert "dropped" not in doc.content
+
+
+def test_deeply_nested_page_degrades_instead_of_crashing(spark):
+    """r5 review: 1500 nested divs blow the recursive DOM walk with
+    RecursionError; one wild page must degrade to an empty parse for
+    that row, never fail the batch."""
+    from netrunner_spark.parser.udf import parse_pages
+
+    deep = "<div>" * 1500 + "x" + "</div>" * 1500
+    df = spark.createDataFrame(
+        [("https://ok.test/", "<html><body><p>fine</p></body></html>"),
+         ("https://deep.test/", deep)],
+        "url string, content string",
+    )
+    rows = {r["url"]: r for r in parse_pages(df).collect()}
+    assert rows["https://ok.test/"]["content"] == "fine"
+    assert rows["https://deep.test/"]["content"] == ""
+    assert rows["https://deep.test/"]["links"] == []

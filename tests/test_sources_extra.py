@@ -122,3 +122,82 @@ def test_sitemap_hints_spark_roundtrip_and_period(spark):
         for r in hints_with_period(sitemap_hints(sm), default_h=99).collect()
     }
     assert got == {"u1": 1, "u2": 100 * 8760, "u3": 99}
+
+
+def test_sitemap_priority_overflow_is_null(spark):
+    """r5 review: <priority>1e999</priority> floats to inf and
+    int(round(inf)) raised OverflowError, killing the task."""
+    from netrunner_spark.sources.xmlparse import parse_sitemap_hints
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://h.test/a</loc><priority>1e999</priority></url>"
+        "<url><loc>https://h.test/b</loc><priority>0.8</priority></url>"
+        "</urlset>"
+    )
+    got = {loc: prio for loc, _lm, _cf, prio in parse_sitemap_hints(xml)}
+    assert got == {"https://h.test/a": None, "https://h.test/b": 80}
+
+
+def test_blank_user_agent_group_never_matches(spark):
+    """r5 review: an empty 'User-agent:' value is invalid per REP; it
+    used to tie the '*' group (startswith('') is vacuously true) and
+    could blanket-block a host."""
+    from netrunner_spark.operators.politeness import robots_allowed
+    from netrunner_spark.sources.robots import parse_robots
+
+    text = "User-agent:\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h.test", text)], "host string, robots_txt string"
+        )
+    )
+    frontier = spark.createDataFrame(
+        [("https://h.test/page", "h.test")], "url string, host string"
+    )
+    assert robots_allowed(frontier, rules).count() == 1  # not blocked
+
+
+def test_parsed_read_auto_sniffs_ron_directory(spark, tmp_path):
+    """r5 review: fmt='auto' classified any non-.gz PATH as JSON, so a
+    directory written by parsed_export_ron was misread as JSON into
+    corrupt rows. It must sniff the part files."""
+    from netrunner_spark.sources.archive import parsed_export_ron, parsed_read
+
+    df = spark.createDataFrame(
+        [("https://h.test/a", "t", "d", "alpha", "hh", {}, [])],
+        "canonical_url string, title string, description string,"
+        " content string, content_hash string, meta map<string,string>,"
+        " links array<string>",
+    )
+    out = str(tmp_path / "parsed_ron")
+    parsed_export_ron(df, out)
+    back = parsed_read(spark, out)  # fmt defaults to auto
+    rows = back.collect()
+    assert len(rows) == 1
+    assert rows[0]["canonical_url"] == "https://h.test/a"
+
+
+def test_warc_partition_names_do_not_collide(spark, tmp_path):
+    """r5 review: the per-partition WARC name derived from (first url,
+    count) alone — two partitions opening with the same duplicate URL
+    and equal counts overwrote each other's file. The partition id is
+    now part of the name."""
+    from netrunner_spark.sources.warc import warc_export
+
+    schema = "url string, status int, headers string, content string"
+    rdd = spark.sparkContext.parallelize(
+        [("https://h.test/dup", 200, "", "a"),
+         ("https://h.test/dup", 200, "", "b")],
+        2,  # exactly two partitions, same first url + count
+    )
+    df = spark.createDataFrame(rdd, schema)
+    out = str(tmp_path / "warc")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    manifest = warc_export(df, out).collect()
+    paths = [r["path"] for r in manifest]
+    assert len(paths) == 2
+    assert len(set(paths)) == 2  # distinct files, nothing overwritten
+    assert sum(r["n_records"] for r in manifest) == 2
