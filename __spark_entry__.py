@@ -3631,7 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         plan = recrawl_schedule(spark, sf)
         due = plan.filter(F.col("next_interval_s") <= 86400).select(
-            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+            F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host")
         )
         counts = due.groupBy("host").agg(F.count(F.lit(1)).alias("n_due"))
         return crawlintel.budget_alloc(counts, "n_due", total=500)
@@ -4037,7 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rules = crawlintel.dust_params(pages)
         rw = crawlintel.apply_dust_rules(pages, rules)
         return rw.groupBy(
-            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+            F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host")
         ).agg(
             F.countDistinct("url").alias("n_urls"),
             F.countDistinct("rewritten").alias("n_collapsed"),
@@ -5489,13 +5489,13 @@ WITH edges AS (
             )
             SELECT doc_id,
               CAST(len(regexp_extract_all(text,
-                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
               CAST(len(regexp_extract_all(text,
                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
               CAST(len(regexp_extract_all(text,
                 '\+?[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones,
               md5(regexp_replace(regexp_replace(regexp_replace(text,
-                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
                   '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
             FROM t ORDER BY doc_id
@@ -7165,7 +7165,7 @@ JOIN tot tb ON tb.host = pr.host_b
   WHERE url LIKE '%?%' GROUP BY url
 ), pp AS (
   SELECT url, chash,
-         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
          split_part(url, '?', 1) AS base,
          split_part(kv, '=', 1) AS param,
          split_part(kv, '=', 2) AS pval,
@@ -7271,11 +7271,12 @@ WITH u AS (
   FROM u WHERE event_id % 5 <> 0 GROUP BY url
 )
 SELECT COALESCE(o.url, n.url) AS url, old_lastmod, new_lastmod,
-       CASE WHEN old_lastmod IS NULL THEN 'added'
-            WHEN new_lastmod IS NULL THEN 'removed'
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
             ELSE 'changed' END AS change
 FROM o FULL OUTER JOIN n ON o.url = n.url
-WHERE old_lastmod IS NULL OR new_lastmod IS NULL OR old_lastmod <> new_lastmod
+WHERE o.url IS NULL OR n.url IS NULL
+   OR old_lastmod IS DISTINCT FROM new_lastmod
 """
     oracles["link_communities"] = _lpa_sql(3)
     # host_crawl_report: harvest + mirror twins nested verbatim (the
@@ -7365,7 +7366,7 @@ FROM b
 , u AS (SELECT DISTINCT url FROM pages),
 kv AS (
   SELECT url,
-         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
          split_part(url, '?', 1) AS base,
          unnest(string_split(split_part(url, '?', 2), '&')) AS kv
   FROM u WHERE url LIKE '%?%'
@@ -7385,7 +7386,7 @@ kv AS (
   SELECT url, url AS rewritten FROM u WHERE url NOT LIKE '%?%'
   UNION ALL SELECT url, rewritten FROM rw
 )
-SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
        CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT rewritten) AS BIGINT) AS n_collapsed,
        CAST(count(DISTINCT rewritten) * 1000 // count(DISTINCT url) AS BIGINT)
@@ -7930,7 +7931,7 @@ FROM j
     oracles["recrawl_budget"] = f"""
 WITH plan AS ({oracles["recrawl_schedule"]}),
 cnt AS (
-  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
          CAST(count(*) AS BIGINT) AS w
   FROM plan WHERE next_interval_s <= 86400 GROUP BY 1
 ), sh AS (
@@ -8525,8 +8526,8 @@ FROM j GROUP BY host
 WITH sg AS ({oracles["simhash"]}),
 ks AS (SELECT * FROM (VALUES {_pw}) AS t(bit, p))
 SELECT bit,
-       CAST(sum((simhash // p) % 2) * 1000 // count(*) AS BIGINT) AS ones_permille,
-       abs(sum((simhash // p) % 2) * 1000 // count(*) - 500) > 300 AS skewed
+       CAST(sum((simhash >> bit) & 1) * 1000 // count(*) AS BIGINT) AS ones_permille,
+       abs(sum((simhash >> bit) & 1) * 1000 // count(*) - 500) > 300 AS skewed
 FROM sg, ks GROUP BY bit
 """
     # caption_lang_mix: lang_id twin nested verbatim over the captions
@@ -8759,7 +8760,7 @@ WITH pages AS (
   WHERE url LIKE '%?%' GROUP BY url
 ), pp AS (
   SELECT url, chash,
-         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
          split_part(url, '?', 1) AS base,
          split_part(kv, '=', 1) AS param,
          split_part(kv, '=', 2) AS pval,
@@ -8817,7 +8818,7 @@ noq AS (
   FROM pages2 WHERE NOT contains(url, '?')
 ),
 kv AS (
-  SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+  SELECT url, regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
          split_part(kvp, '=', 1) AS param, split_part(kvp, '=', 2) AS pval
   FROM (SELECT url, unnest(string_split(split_part(url, '?', 2), '&')) AS kvp
         FROM pages2 WHERE contains(url, '?'))

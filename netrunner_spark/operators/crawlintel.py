@@ -161,7 +161,7 @@ def dust_params(
     kv = base_urls.select(
         "url",
         "chash",
-        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host"),
         F.substring_index("url", "?", 1).alias("base"),
         F.split(F.substring_index("url", "?", -1), "&").alias("kvs"),
     )
@@ -241,7 +241,7 @@ def apply_dust_rules(
         u.filter(F.col("url").contains("?"))
         .select(
             "url",
-            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host"),
             F.substring_index("url", "?", 1).alias("base"),
             F.explode(F.split(F.substring_index("url", "?", -1), "&")).alias("kv"),
         )
@@ -453,9 +453,19 @@ def revisit_plan(
     10^10-URL recrawls this replaces re-storing the ~60-90 % of the web
     that did not change between visits.
     """
-    o = old.select(
-        F.col(url_col).alias("url"), F.col(hash_col).alias("prior_hash")
-    ).dropDuplicates(["url"])
+    # deterministic collapse when the prior cache holds several rows
+    # per URL (append slices across rounds do): max(hash), NOT
+    # dropDuplicates — an arbitrary keeper made kind/bytes_to_write
+    # flip between runs/partitionings (r5 review). For true latest-
+    # visit semantics pre-dedupe the frame upstream (e.g. max_by on
+    # fetched_round) before passing it in.
+    o = (
+        old.select(
+            F.col(url_col).alias("url"), F.col(hash_col).alias("prior_hash")
+        )
+        .groupBy("url")
+        .agg(F.max("prior_hash").alias("prior_hash"))
+    )
     cols = [F.col(url_col).alias("url"), F.col(hash_col).alias("_h")]
     if bytes_col is not None:
         cols.append(F.col(bytes_col).cast("long").alias("_b"))
@@ -647,22 +657,37 @@ def sitemap_diff(
     hosts. Input frames must carry one row per URL (sitemap parse
     already dedupes; enforce with max(lastmod) upstream otherwise).
     """
-    o = old.select(F.col(url_col).alias("url"), F.col(mod_col).alias("old_lastmod"))
-    n = new.select(F.col(url_col).alias("url"), F.col(mod_col).alias("new_lastmod"))
+    # presence markers, NOT lastmod nullity (r5 review): lastmod is
+    # OPTIONAL in the sitemaps protocol, so a URL present with a NULL
+    # lastmod must not read as absent — that misfiled added/removed and
+    # silently dropped NULL-vs-value changes through the != filter
+    o = old.select(
+        F.col(url_col).alias("url"),
+        F.col(mod_col).alias("old_lastmod"),
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(url_col).alias("url"),
+        F.col(mod_col).alias("new_lastmod"),
+        F.lit(1).alias("_in_new"),
+    )
     joined = o.join(n, "url", "full_outer")
     return joined.select(
         "url",
         "old_lastmod",
         "new_lastmod",
-        F.when(F.col("old_lastmod").isNull(), "added")
-        .when(F.col("new_lastmod").isNull(), "removed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
         .otherwise("changed")
         .alias("change"),
+        "_in_old",
+        "_in_new",
     ).filter(
-        F.col("old_lastmod").isNull()
-        | F.col("new_lastmod").isNull()
-        | (F.col("old_lastmod") != F.col("new_lastmod"))
-    )
+        F.col("_in_old").isNull()
+        | F.col("_in_new").isNull()
+        # null-safe inequality: both-NULL lastmods are UNCHANGED
+        | ~F.col("old_lastmod").eqNullSafe(F.col("new_lastmod"))
+    ).drop("_in_old", "_in_new")
 
 
 # ------------------------------------------------------------- freshness
@@ -735,6 +760,28 @@ def change_rate_plan(
 
 
 # --------------------------------------------------------- path templates
+def _url_template(url_col: str):
+    """THE url→path-template column: numeric segments → <n>, long-hex
+    segments → <h>. One definition shared by the miner
+    (:func:`url_path_templates`) and the applier
+    (:func:`apply_template_caps`) — r5 review: the expression was
+    duplicated verbatim, and any one-sided tweak would make mined
+    verdicts never match apply-side templates (caps silently stop
+    applying, keep=true for everything)."""
+    path = F.regexp_extract(F.col(url_col), r"^https?://[^/?#]+(/[^?#]*)?", 1)
+    seg = lambda s: (
+        F.when(s.rlike("^[0-9]+$"), F.lit("<n>"))
+        .when(s.rlike("^[0-9a-f]{8,}$"), F.lit("<h>"))
+        .otherwise(s)
+    )
+    return F.array_join(
+        F.transform(
+            F.split(F.when(path == "", F.lit("/")).otherwise(path), "/"), seg
+        ),
+        "/",
+    )
+
+
 def url_path_templates(
     pages: DataFrame,
     url_col: str = "url",
@@ -761,16 +808,7 @@ def url_path_templates(
     Scale: a projection (split + transform + join) and ONE hash
     aggregate on (host, template); no joins, no explode.
     """
-    path = F.regexp_extract(F.col(url_col), r"^https?://[^/?#]+(/[^?#]*)?", 1)
-    seg = lambda s: (
-        F.when(s.rlike("^[0-9]+$"), F.lit("<n>"))
-        .when(s.rlike("^[0-9a-f]{8,}$"), F.lit("<h>"))
-        .otherwise(s)
-    )
-    tmpl = F.array_join(
-        F.transform(F.split(F.when(path == "", F.lit("/")).otherwise(path), "/"), seg),
-        "/",
-    )
+    tmpl = _url_template(url_col)
     return (
         pages.select(
             F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1).alias("host"),
@@ -889,16 +927,7 @@ def apply_template_caps(
     threshold keeps exactly min(cap, n) rows). No window, no skewed
     shuffle; plan pinned window-free in tests.
     """
-    path = F.regexp_extract(F.col(url_col), r"^https?://[^/?#]+(/[^?#]*)?", 1)
-    seg = lambda s: (
-        F.when(s.rlike("^[0-9]+$"), F.lit("<n>"))
-        .when(s.rlike("^[0-9a-f]{8,}$"), F.lit("<h>"))
-        .otherwise(s)
-    )
-    tmpl = F.array_join(
-        F.transform(F.split(F.when(path == "", F.lit("/")).otherwise(path), "/"), seg),
-        "/",
-    )
+    tmpl = _url_template(url_col)
     u = pages.select(F.col(url_col).alias("url")).dropDuplicates().select(
         "url",
         F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host"),
@@ -1412,7 +1441,7 @@ def pagination_params(
         .filter(F.col("url").contains("?"))
     )
     kv = base.select(
-        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host"),
         F.explode(F.split(F.substring_index("url", "?", -1), "&")).alias("kvp"),
     ).select(
         "host",
@@ -1478,7 +1507,7 @@ def apply_pagination_caps(
         u.filter(F.col("url").contains("?"))
         .select(
             "url",
-            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host"),
             F.explode(F.split(F.substring_index("url", "?", -1), "&")).alias("kvp"),
         )
         .select(

@@ -493,7 +493,17 @@ def hist_bins(df: DataFrame, col: str, bin_width: int = 100) -> DataFrame:
     regardless of corpus size, and two sketches merge by summing
     counts (same contract as ``cms_cells``)."""
     return (
-        df.select(F.expr(f"CAST({col} AS BIGINT) div {bin_width}").alias("bin"))
+        # FLOOR division via pmod (r5 review): plain `div` truncates
+        # toward zero, so negatives -99..-1 shared bin 0 with 0..99 — a
+        # double-width bin whose reported lower bound broke the
+        # bin-width error contract. pmod's non-negative remainder makes
+        # this exact floor in both engines.
+        df.select(
+            F.expr(
+                f"(CAST({col} AS BIGINT) - pmod(CAST({col} AS BIGINT),"
+                f" {bin_width})) div {bin_width}"
+            ).alias("bin")
+        )
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -545,7 +555,9 @@ def hist_quantiles_sql(
     vals = ", ".join(f"({q})" for q in qs_permille)
     return f"""
         WITH bins AS (
-          SELECT CAST({col} AS BIGINT) // {bin_width} AS bin,
+          SELECT (CAST({col} AS BIGINT)
+                  - ((CAST({col} AS BIGINT) % {bin_width}) + {bin_width})
+                    % {bin_width}) // {bin_width} AS bin,
                  CAST(count(*) AS BIGINT) AS cnt
           FROM {table} GROUP BY bin
         ), cum AS (
@@ -799,7 +811,10 @@ def grouped_hist_quantiles(
     bins = (
         df.select(
             F.col(group_col).alias("grp"),
-            F.expr(f"CAST({value_col} AS BIGINT) div {bin_width}").alias("bin"),
+            F.expr(
+                f"(CAST({value_col} AS BIGINT) - pmod(CAST({value_col}"
+                f" AS BIGINT), {bin_width})) div {bin_width}"
+            ).alias("bin"),
         )
         .groupBy("grp", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -835,7 +850,10 @@ def grouped_hist_quantiles_sql(
     qvals = ", ".join(f"({q})" for q in qs_permille)
     return f"""
 WITH bins AS (
-  SELECT {group_col} AS grp, CAST({value_col} AS BIGINT) // {bin_width} AS bin,
+  SELECT {group_col} AS grp,
+         (CAST({value_col} AS BIGINT)
+          - ((CAST({value_col} AS BIGINT) % {bin_width}) + {bin_width})
+            % {bin_width}) // {bin_width} AS bin,
          CAST(count(*) AS BIGINT) AS cnt
   FROM {src} GROUP BY 1, 2
 ), cum AS (

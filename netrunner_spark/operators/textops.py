@@ -354,7 +354,7 @@ def hamming_near_dups(
     sigs: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "simhash",
-    bits: int = 64,
+    bits: int = 16,
     bands: int = 4,
     max_hamming: int = 3,
     max_band_df: int | None = None,
@@ -372,6 +372,12 @@ def hamming_near_dups(
     ``bit_count(a XOR b) <= max_hamming`` — exact precision in every
     mode. Both stages are pure JVM (shift/mask/bit_count, codegen); the
     only shuffle is the band-key equi-join.
+
+    ``bits`` defaults to 16 to COMPOSE with :func:`simhash`'s default
+    width (r5 review: the old 64-bit default over 16-bit signatures
+    made bands 1-3 all-zero — every doc in one bucket, the quadratic
+    blowup banding exists to avoid). Pass ``bits=64`` explicitly for
+    the image phash.
 
     ``max_band_df`` mirrors :func:`minhash_lsh_pairs`: a band bucket of
     m ids emits C(m,2) candidate pairs, and a corpus of 10^8 images
@@ -1363,7 +1369,19 @@ def winnow_fingerprints(
         F.conv(F.substring(F.md5("gram"), 1, 13), 16, 10).cast("bigint")
         % F.lit(2**40)
     )
-    combo = h40 * F.lit(2**20) + (F.lit(2**20 - 1) - F.col("pos"))
+    # enforce the documented pos < 2^20 contract LOUDLY (r5 review:
+    # the docstring claimed an assert that didn't exist — an oversize
+    # doc would borrow into the hash bits and silently corrupt every
+    # fingerprint in it)
+    pos_ok = F.when(
+        F.col("pos") < F.lit(2**20),
+        F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("winnow_fingerprints: doc exceeds 2^20 token positions")
+        )
+    )
+    combo = h40 * F.lit(2**20) + (F.lit(2**20 - 1) - pos_ok)
     w = (
         Window.partitionBy(id_col)
         .orderBy("pos")
@@ -1801,8 +1819,14 @@ def bit_balance(
             *[
                 F.struct(
                     F.lit(i).alias("bit"),
+                    # shiftright & 1, not DIV/% — for a NEGATIVE
+                    # signature (sign bit set: half of all phash64
+                    # values) DIV-then-mod yields -1/0 and the ones
+                    # count goes wrong (r5 review); arithmetic shift +
+                    # mask extracts the two's-complement bit exactly,
+                    # same as hamming_near_dups
                     F.expr(
-                        f"CAST({sig_col} AS BIGINT) DIV {1 << i} % 2"
+                        f"shiftright(CAST({sig_col} AS BIGINT), {i}) & 1"
                     ).alias("v"),
                 )
                 for i in range(bits)
@@ -2029,7 +2053,10 @@ def dup_spans(
 # the contract (emails first, then IPs, then phone-ish runs, so digit
 # runs inside an already-redacted token are never double-scrubbed).
 PII_PATTERNS = (
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    # mixed-case class matches the pattern_scan router (r5 review: a
+    # lowercase-only scrub let 'John.Doe@Example.COM' through while the
+    # router counted it — a PII leak in the written archive)
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
     ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     ("phone", r"\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
 )

@@ -597,6 +597,49 @@ def pq_encode(
     )
 
 
+def _adc_dtab(qrows, cb, sub: int, qid_col: str = "query_id"):
+    """Per-query ADC distance table → (query_id, mp): ONE flat map
+    keyed subspace·1000 + cid (structs holding maps aren't
+    array_sort-able in Spark; a single flat map is, and the composite
+    key stays collision-free for any ks < 1000). ONE shared builder for
+    pq_topk / PQIndex.topk / ivfpq_topk (r5 review: the ~25-line block
+    was triplicated; a one-sided change to the key packing would
+    silently return wrong distances elsewhere)."""
+    return (
+        qrows.crossJoin(F.broadcast(cb))
+        .select(
+            F.col(qid_col).alias("query_id"),
+            (F.col("subspace").cast("long") * 1000 + F.col("cid")).alias(
+                "skey"
+            ),
+            _sq_l2(
+                F.expr(f"slice(qfull, subspace * {sub} + 1, {sub})"),
+                F.col("cq"),
+            ).alias("d"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("skey", "d"))).alias(
+                "mp"
+            )
+        )
+    )
+
+
+def _adc_dist(m: int):
+    """The ADC lookup-sum column over `codes` against the `mp` table
+    from :func:`_adc_dtab` — the other half of the shared triple."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)).cast("array<long>"),
+            lambda code, j: F.element_at(F.col("mp"), j * 1000 + code),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     m: int = 4,
@@ -630,37 +673,11 @@ def pq_topk(
     # flat map is, and the composite key stays collision-free for any
     # ks < 1000)
     qrows = base.filter(F.col("vec_id") < n_queries)
-    dtab = (
-        qrows.crossJoin(F.broadcast(cb))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            (F.col("subspace").cast("long") * 1000 + F.col("cid")).alias(
-                "skey"
-            ),
-            _sq_l2(
-                F.expr(f"slice(qfull, subspace * {sub} + 1, {sub})"),
-                F.col("cq"),
-            ).alias("d"),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("skey", "d"))).alias(
-                "mp"
-            )
-        )
-    )
+    dtab = _adc_dtab(qrows, cb, sub, qid_col="vec_id")
     scored = codes.crossJoin(F.broadcast(dtab)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)).cast("array<long>"),
-            lambda code, j: F.element_at(F.col("mp"), j * 1000 + code),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    adist = _adc_dist(m)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist_q").asc(), F.col("neighbor_id").asc()
     )
@@ -766,38 +783,12 @@ class PQIndex:
         qrows = queries.select(
             "query_id", _quantized(F.col("embedding")).alias("qfull")
         )
-        dtab = (
-            qrows.crossJoin(F.broadcast(cb))
-            .select(
-                "query_id",
-                (F.col("subspace").cast("long") * 1000 + F.col("cid")).alias(
-                    "skey"
-                ),
-                _sq_l2(
-                    F.expr(f"slice(qfull, subspace * {sub} + 1, {sub})"),
-                    F.col("cq"),
-                ).alias("d"),
-            )
-            .groupBy("query_id")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("skey", "d"))
-                ).alias("mp")
-            )
-        )
+        dtab = _adc_dtab(qrows, cb, sub)
         codes = self._codes_union(sorted(r["slice"] for r in rows))
         scored = codes.crossJoin(F.broadcast(dtab)).filter(
             F.col("vec_id") != F.col("query_id")
         )
-        adist = F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.sequence(F.lit(0), F.lit(m - 1)).cast("array<long>"),
-                lambda code, j: F.element_at(F.col("mp"), j * 1000 + code),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+        adist = _adc_dist(m)
         w = Window.partitionBy("query_id").orderBy(
             F.col("adist_q").asc(), F.col("neighbor_id").asc()
         )
@@ -880,38 +871,12 @@ def ivfpq_topk(
 
     dims = _emb_dims(embeddings)
     sub = dims // m
-    dtab = (
-        qrows.crossJoin(F.broadcast(cb))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            (F.col("subspace").cast("long") * 1000 + F.col("cid")).alias(
-                "skey"
-            ),
-            _sq_l2(
-                F.expr(f"slice(qfull, subspace * {sub} + 1, {sub})"),
-                F.col("cq"),
-            ).alias("d"),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("skey", "d"))).alias(
-                "mp"
-            )
-        )
-    )
+    dtab = _adc_dtab(qrows, cb, sub, qid_col="vec_id")
     cands = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cands.join(F.broadcast(dtab), "query_id")
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)).cast("array<long>"),
-            lambda code, j: F.element_at(F.col("mp"), j * 1000 + code),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    adist = _adc_dist(m)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist_q").asc(), F.col("neighbor_id").asc()
     )

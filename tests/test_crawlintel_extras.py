@@ -696,3 +696,28 @@ def test_pagination_caps_differential_vs_python_reference(spark):
     assert got_verdict == want_verdict
     assert got_admit == want_admit
     assert any(not a for a, _ in want_admit.values())
+
+
+def test_sitemap_diff_null_lastmod_presence(spark):
+    """r5 review: lastmod is optional; presence must come from the join
+    side, not lastmod nullity. NULL-lastmod rows previously misfiled as
+    added/removed and NULL-vs-value changes were silently dropped."""
+    from netrunner_spark.operators.crawlintel import sitemap_diff
+
+    old = spark.createDataFrame(
+        [("u/in-both-null", None), ("u/only-old-null", None),
+         ("u/was-null", None), ("u/same", 5)],
+        "url string, lastmod int",
+    )
+    new = spark.createDataFrame(
+        [("u/in-both-null", None), ("u/was-null", 7),
+         ("u/only-new-null", None), ("u/same", 5)],
+        "url string, lastmod int",
+    )
+    got = {r["url"]: r["change"] for r in sitemap_diff(old, new).collect()}
+    assert got == {
+        "u/only-old-null": "removed",   # was 'added' before the fix
+        "u/only-new-null": "added",
+        "u/was-null": "changed",        # was silently dropped before
+        # u/in-both-null: unchanged -> absent; u/same: unchanged
+    }

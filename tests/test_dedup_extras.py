@@ -421,3 +421,14 @@ def test_dup_source_matrix_attributes_dups_to_keeper_source(spark):
     r = out[0]
     assert (r["keeper_source"], r["dup_source"]) == ("A", "B")
     assert r["n_dups"] == 2 and r["dup_chars"] == 2 * len(body)
+
+
+def test_bit_balance_handles_negative_signatures(spark):
+    """r5 review: DIV/%2 bit extraction yielded -1 for negative
+    signatures (sign bit set — half of all phash64 values), corrupting
+    ones_permille. shiftright&1 extracts the two's-complement bit."""
+    from netrunner_spark.operators.textops import bit_balance
+
+    sigs = spark.createDataFrame([(-1,), (-1,)], "simhash long")
+    rows = {r["bit"]: r["ones_permille"] for r in bit_balance(sigs, bits=4).collect()}
+    assert rows == {0: 1000, 1: 1000, 2: 1000, 3: 1000}  # -1 = all ones

@@ -431,3 +431,21 @@ def test_dup_spans_differential_vs_python(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_pii_scrub_handles_mixed_case_email(spark):
+    """r5 review: the scrub chain was lowercase-only while the
+    pattern_scan router matched mixed case — flagged docs kept their
+    PII. Both must agree."""
+    import hashlib
+
+    from netrunner_spark.operators.textops import pii_scrub, scrubbed_text
+
+    docs = spark.createDataFrame(
+        [(1, "reach John.Doe@Example.COM today")], "doc_id long, text string"
+    )
+    row = pii_scrub(docs).collect()[0]
+    assert row["n_emails"] == 1
+    scrubbed = docs.select(scrubbed_text().alias("s")).collect()[0]["s"]
+    assert scrubbed == "reach <EMAIL> today"
+    assert row["scrubbed_md5"] == hashlib.md5(scrubbed.encode()).hexdigest()

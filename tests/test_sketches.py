@@ -338,3 +338,14 @@ def test_kmv_set_ops_differential_vs_python_reference(spark):
         b = spark.createDataFrame([(v,) for v in B], "k long")
         got = sketches.kmv_set_ops(a, b, key="k", k=32).collect()[0].asDict()
         assert got == ref(A, B, 32), (len(A), len(B))
+
+
+def test_hist_bins_floor_division_for_negatives(spark):
+    """r5 review: truncate-toward-zero binning put -99..-1 and 0..99
+    into one double-width bin 0. Floor binning keeps the bin-width
+    error bound for signed columns."""
+    from netrunner_spark.operators.sketches import hist_bins
+
+    df = spark.createDataFrame([(-99,), (-1,), (0,), (99,)], "v long")
+    got = {r["bin"]: r["cnt"] for r in hist_bins(df, "v", 100).collect()}
+    assert got == {-1: 2, 0: 2}
