@@ -6597,10 +6597,10 @@ FROM r
                    reject_reason IS NULL AS admitted, reject_reason
             FROM (
               SELECT *,
-                CASE WHEN fmt NOT IN ('png', 'jpeg') THEN 'format'
-                     WHEN NOT (w >= 64 AND h >= 64) THEN 'too_small'
-                     WHEN n_bytes < 256 THEN 'too_few_bytes'
-                     WHEN NOT (w * 4 >= h * 1 AND w * 1 <= h * 4) THEN 'aspect'
+                CASE WHEN NOT COALESCE(fmt IN ('png', 'jpeg'), FALSE) THEN 'format'
+                     WHEN NOT COALESCE(w >= 64 AND h >= 64, FALSE) THEN 'too_small'
+                     WHEN NOT COALESCE(n_bytes >= 256, FALSE) THEN 'too_few_bytes'
+                     WHEN NOT COALESCE(w * 4 >= h * 1 AND w * 1 <= h * 4, FALSE) THEN 'aspect'
                      WHEN NOT (caption IS NOT NULL AND length(caption) >= 5
                                AND length(caption) <= 2048) THEN 'caption'
                      ELSE NULL END AS reject_reason

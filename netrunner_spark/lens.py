@@ -70,9 +70,15 @@ class LensConfig:
             if r.kind == "skip":
                 skipped.append(r.to_regex())
             elif r.kind == "limit_depth" and r.max_depth is not None:
+                # {0,N} segments, matching spyglass-lens LimitURLDepth:
+                # EVERY depth up to the limit is admitted (r5 review:
+                # the old single optional group of N segments matched
+                # only depth 0 or exactly N, silently dropping every
+                # intermediate depth from the frontier)
                 base = re.escape(r.pattern).replace(r"\*", ".*")
-                seg = "/[^/]+" * r.max_depth
-                allowed.append(f"^{base}(({seg})?/?)$")
+                allowed.append(
+                    f"^{base}((/[^/]+){{0,{r.max_depth}}}/?)$"
+                )
         return allowed, skipped
 
     def alternations(self) -> tuple[str, str]:
@@ -265,13 +271,17 @@ def load(path: str) -> LensConfig:
 
 def dumps(cfg: LensConfig) -> str:
     """Serialize a lens back to RON (K6, main.rs:203-212: the folder
-    crawler synthesizes a lens of sorted $-exact URLs)."""
-    urls = ",\n        ".join(f'"{u}"' for u in cfg.urls)
-    domains = ", ".join(f'"{d}"' for d in cfg.domains)
+    crawler synthesizes a lens of sorted $-exact URLs). Strings are
+    json.dumps-escaped — the tokenizer's string rule and _RonParser's
+    json.loads already speak exactly that dialect, and an unescaped
+    embedded quote previously terminated the token early (r5 review:
+    the synthesized lens was unparseable)."""
+    urls = ",\n        ".join(json.dumps(u) for u in cfg.urls)
+    domains = ", ".join(json.dumps(d) for d in cfg.domains)
     return (
         "(\n"
         '    version: "1",\n'
-        f'    name: "{cfg.name}",\n'
+        f"    name: {json.dumps(cfg.name)},\n"
         '    author: "netrunner_spark",\n'
         f"    domains: [{domains}],\n"
         f"    urls: [\n        {urls}\n    ]\n"

@@ -66,12 +66,19 @@ def quality_gate(
     """
     ar_min_n, ar_min_d = _as_ratio(ar_min)
     ar_max_n, ar_max_d = _as_ratio(ar_max)
-    fmt_ok = F.col("fmt").isin(*formats)
-    size_ok = (F.col("w") >= min_w) & (F.col("h") >= min_h)
-    bytes_ok = F.col("n_bytes") >= min_bytes
+    # every gate coalesces NULL → False (r5 review): a NULL fmt/w/h/
+    # n_bytes made ~ok NULL, the when-branch skipped, and the row
+    # PASSED the whitelist — unknown metadata must reject, not admit
+    fmt_ok = F.coalesce(F.col("fmt").isin(*formats), F.lit(False))
+    size_ok = F.coalesce(
+        (F.col("w") >= min_w) & (F.col("h") >= min_h), F.lit(False)
+    )
+    bytes_ok = F.coalesce(F.col("n_bytes") >= min_bytes, F.lit(False))
     # ar = w/h;  ar >= ar_min  ⟺  w * ar_min_d >= h * ar_min_n
-    ar_ok = (F.col("w") * ar_min_d >= F.col("h") * ar_min_n) & (
-        F.col("w") * ar_max_d <= F.col("h") * ar_max_n
+    ar_ok = F.coalesce(
+        (F.col("w") * ar_min_d >= F.col("h") * ar_min_n)
+        & (F.col("w") * ar_max_d <= F.col("h") * ar_max_n),
+        F.lit(False),
     )
     cap_len = F.length(F.col("caption"))
     cap_ok = (
@@ -186,7 +193,14 @@ def boilerplate_captions(images: DataFrame, max_caption_df: int = 100) -> DataFr
     partitioning (same key) — one shuffle total, and the join side is
     the tiny over-threshold set, broadcast.
     """
-    digest = F.xxhash64(F.col("caption")).alias("cap_key")
+    # coalesce NULL captions to one sentinel key (r5 review):
+    # xxhash64(NULL) is NULL and the equi-join back never matches, so
+    # a million caption-less images each reported caption_df=1 — the
+    # rows with the LEAST supervision signal are exactly the ones the
+    # hygiene filter must see as one hot group
+    digest = F.xxhash64(F.coalesce(F.col("caption"), F.lit(""))).alias(
+        "cap_key"
+    )
     hot = (
         images.select(digest)
         .groupBy("cap_key")
@@ -194,7 +208,9 @@ def boilerplate_captions(images: DataFrame, max_caption_df: int = 100) -> DataFr
         .filter(F.col("caption_df") > max_caption_df)
     )
     return (
-        images.withColumn("cap_key", F.xxhash64(F.col("caption")))
+        images.withColumn(
+            "cap_key", F.xxhash64(F.coalesce(F.col("caption"), F.lit("")))
+        )
         .join(F.broadcast(hot), "cap_key", "left")
         .withColumn("boilerplate", F.col("caption_df").isNotNull())
         .withColumn("caption_df", F.coalesce(F.col("caption_df"), F.lit(1)))
@@ -437,14 +453,20 @@ def caption_consensus(
     on the group key reusing the aggregate's partitioning. No
     image-bytes column is ever touched.
     """
-    from pyspark.sql import Window
 
     votes = (
         images.groupBy(F.col(group_col).alias("grp"), F.col(caption_col).alias("cap"))
         .agg(F.count(F.lit(1)).alias("votes"))
     )
+    # nulls LAST explicitly (r5 review): Spark ASC defaults nulls
+    # first, DuckDB defaults nulls last — a vote tie involving a NULL
+    # caption elected different winners per engine, breaking the
+    # bit-identical-twin contract. A NULL caption should never beat a
+    # real one anyway. length(NULL) is NULL too, so both keys pin it.
     w = Window.partitionBy("grp").orderBy(
-        F.col("votes").desc(), F.length("cap").asc(), F.col("cap").asc()
+        F.col("votes").desc(),
+        F.length("cap").asc_nulls_last(),
+        F.col("cap").asc_nulls_last(),
     )
     grp_w = Window.partitionBy("grp")
     winners = (

@@ -227,11 +227,22 @@ class SearchIndex:
     def _write_slice(
         self, docs, i, n_buckets, id_col, text_col, pattern, positions
     ):
+        from pyspark import StorageLevel
+
         words = F.filter(
             F.split(F.lower(F.col(text_col)), pattern), lambda t: t != F.lit("")
         )
-        toks = docs.select(id_col, F.posexplode(words).alias("pos", "token"))
-        tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+        # persist the exploded tokens + tf across the 4-5 artifact
+        # writes below (r5 review: each write re-ran split+posexplode
+        # over the whole corpus — ~4x the indexing cost for nothing)
+        toks = docs.select(
+            id_col, F.posexplode(words).alias("pos", "token")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        tf = (
+            toks.groupBy("token", id_col)
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
         self.cat.write_table_bucketed(
             tf, f"{self.name}_postings_{i}", "token", n_buckets
@@ -250,7 +261,7 @@ class SearchIndex:
             self.cat.write_table_bucketed(
                 pos, f"{self.name}_pos_{i}", "token", n_buckets
             )
-        return dl.agg(
+        stats = dl.agg(
             F.lit(i).alias("slice"),
             F.sum("dl").alias("tt"),
             F.count(F.lit(1)).alias("nd"),
@@ -258,7 +269,10 @@ class SearchIndex:
             F.lit(id_col).alias("id_col"),
             F.lit(pattern).alias("pattern"),
             F.lit(positions).alias("positions"),
-        )
+        ).localCheckpoint(eager=True)
+        toks.unpersist()
+        tf.unpersist()
+        return stats
 
     def build(
         self,
@@ -269,6 +283,10 @@ class SearchIndex:
         pattern: str = TOKEN_PATTERN,
         positions: bool = False,
     ) -> None:
+        # a rebuild invalidates any prior delete() markers (r5 review:
+        # stale tombstones silently excluded freshly indexed docs with
+        # recycled ids AND corrupted the dead-stats subtraction)
+        self.cat.drop(f"{self.name}_tombstones")
         stats = self._write_slice(
             docs, 0, n_buckets, id_col, text_col, pattern, positions
         )

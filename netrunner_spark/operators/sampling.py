@@ -118,7 +118,6 @@ def stratified_sample(
     skew-split handles the imbalance. Adds `rk` (1-based rank within
     stratum) so callers can post-filter to smaller quotas for free.
     """
-    from pyspark.sql import Window
 
     w = Window.partitionBy(stratum_col).orderBy(
         _pos_hex(key_col, salt).asc(), F.col(key_col).asc()
@@ -152,7 +151,6 @@ def stratified_sample_skewsafe(
     never drops a survivor, and phase 2 recomputes the same total
     order (hash position, then key). Same oracle SQL applies.
     """
-    from pyspark.sql import Window
 
     pos = _pos_hex(key_col, salt)
     bucket = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
@@ -195,7 +193,6 @@ def budget_cap(
     stratum). Monotone in `budget`: raising it only ADDS rows, so
     nested mixes for scaling-law ladders reuse the same pass.
     """
-    from pyspark.sql import Window
 
     w = Window.partitionBy(stratum_col).orderBy(
         _pos_hex(key_col, salt).asc(), F.col(key_col).asc()

@@ -262,7 +262,6 @@ def transition_counts(
     the crawl reading: per-host fetch-status transition rates feed the
     same host_health tiers.
     """
-    from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     pairs = events.select(

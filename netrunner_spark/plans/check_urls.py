@@ -127,12 +127,25 @@ def check_urls_from_probe(
         ua,
         known_sitemaps=sitemaps.select("sitemap_url"),
     )
-    robots = (
-        rules.drop("sitemaps")
-        .join(info.select("host", "sitemaps"), "host", "left")
-        .withColumn(
-            "sitemaps", F.coalesce("sitemaps", F.array().cast("array<string>"))
-        )
+    # base the robots table on ALL probed hosts, not only hosts whose
+    # robots.txt answered (r5 review): a host with a 200 homepage but a
+    # 404 robots.txt has no rules row, and the old left join FROM rules
+    # dropped its site_info root-sitemap fallback — combined with the
+    # live path's "sitemap answered → skip CDX" exclusion, such a host
+    # got zero discovery. Rule-less hosts get the same allow-everything
+    # placeholder parse_robots emits for rule-less robots bodies.
+    base = rules.drop("sitemaps").join(
+        info.select("host", "sitemaps"), "host", "full_outer"
+    )
+    robots = base.select(
+        "host",
+        F.coalesce("user_agent", F.lit(ua)).alias("user_agent"),
+        F.coalesce("directive", F.lit("allow")).alias("directive"),
+        F.coalesce("path_pattern", F.lit("")).alias("path_pattern"),
+        "crawl_delay",
+        F.coalesce("sitemaps", F.array().cast("array<string>")).alias(
+            "sitemaps"
+        ),
     )
     # ``feed_items``: live mode passes REAL parsed article links per host
     # (live.land_feed_items); the table-backed fallback treats detected
@@ -143,14 +156,10 @@ def check_urls_from_probe(
         feeds = info.select("host", F.col("feeds").alias("items")).filter(
             F.size("items") > 0
         )
-    return check_urls(
-        spark,
-        lens,
-        robots,
-        sitemaps,
-        cdx,
-        feeds=None if feeds.isEmpty() else feeds,
-    )
+    # pass feeds unconditionally: check_urls handles an EMPTY frame via
+    # an empty union, and the old isEmpty() probe re-executed the whole
+    # site_info/parse_robots lineage once per invocation (r5 review)
+    return check_urls(spark, lens, robots, sitemaps, cdx, feeds=feeds)
 
 
 def write_urls_txt(frontier: DataFrame, path: str) -> None:

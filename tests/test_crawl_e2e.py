@@ -490,3 +490,29 @@ def test_archive_fallback_counts_missing_images_as_failures(
     stats = job.archive_stage(images=images)
     assert stats["images_checked"] == 3   # every ref row counted
     assert stats["image_failures"] == 1   # the missing image
+
+
+def test_limit_depth_admits_every_intermediate_depth():
+    """r5 review: the depth-limit regex matched only depth 0 or exactly
+    max_depth (spyglass-lens LimitURLDepth is {0,N}) — every
+    intermediate depth silently vanished from the frontier."""
+    import re
+
+    lens = LensConfig(
+        name="t",
+        domains=[],
+        urls=[],
+        rules=[
+            LensRule(
+                kind="limit_depth",
+                pattern="https://a.test/docs",
+                max_depth=2,
+            )
+        ],
+    )
+    allow, _ = lens.alternations()
+    assert re.match(allow, "https://a.test/docs")
+    assert re.match(allow, "https://a.test/docs/a")       # was dropped
+    assert re.match(allow, "https://a.test/docs/a/")      # trailing slash
+    assert re.match(allow, "https://a.test/docs/a/b")
+    assert not re.match(allow, "https://a.test/docs/a/b/c")

@@ -249,3 +249,26 @@ def test_sniff_mime_is_pure_projection(spark):
     df = spark.createDataFrame([(bytearray(b"x"),)], "bytes binary")
     plan = imageops.sniff_mime(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quality_gate_rejects_null_metadata(spark):
+    """r5 review: NULL fmt/w/h/n_bytes null-propagated through ~ok and
+    PASSED the gate; unknown metadata must reject at its gate."""
+    from netrunner_spark.operators.imageops import quality_gate
+
+    rows = [
+        (1, None, 512, 512, 1024, "a dog photo"),       # null fmt
+        (2, "png", None, 512, 1024, "a dog photo"),     # null w
+        (3, "png", 512, 512, None, "a dog photo"),      # null bytes
+        (4, "png", 512, 512, 1024, "a dog photo"),      # clean
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id long, fmt string, w int, h int, n_bytes long, caption string",
+    )
+    got = {r["image_id"]: (r["pass"], r["reject_reason"])
+           for r in quality_gate(df).collect()}
+    assert got[1] == (False, "format")
+    assert got[2] == (False, "too_small")
+    assert got[3] == (False, "too_few_bytes")
+    assert got[4] == (True, None)

@@ -97,3 +97,23 @@ def test_double_delete_and_append_overlap_vs_live(spark, tmp_path):
     # appending a LIVE doc id still raises
     with pytest.raises(ValueError):
         idx.append(_docs(spark, [(2, "dup")]))
+
+
+def test_rebuild_clears_stale_tombstones(spark, tmp_path):
+    """r5 review: build() after delete() left the old tombstones in
+    place, silently excluding freshly indexed docs with recycled ids."""
+    from netrunner_spark.operators.retrieval import SearchIndex
+    from netrunner_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    idx = SearchIndex(cat, "rb")
+    idx.build(docs, n_buckets=4)
+    idx.delete(spark.createDataFrame([(1,)], "doc_id long"))
+    q = spark.createDataFrame([(0, "alpha")], "query_id long, query string")
+    assert {r["doc_id"] for r in idx.topk(q, k=5).collect()} == set()
+    idx.build(docs, n_buckets=4)  # compact-and-rebuild
+    hits = {r["doc_id"] for r in idx.topk(q, k=5).collect()}
+    assert hits == {1}  # doc 1 is BACK — no stale tombstone

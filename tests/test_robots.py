@@ -264,3 +264,41 @@ def test_robots_block_report_semantics(spark):
         for r in robots_block_report(frontier, robots).collect()
     }
     assert got == {"a.test": (4, 2, 500), "b.test": (1, 1, 0)}
+
+
+def test_probe_host_without_robots_keeps_root_sitemap_fallback(spark):
+    """r5 review: a host whose homepage answered but whose robots.txt
+    404'd (absent from robots_texts) lost its site_info root-sitemap
+    fallback, because the robots table was based on parse_robots output
+    only — combined with the live path's sitemap-answered→skip-CDX
+    rule, such a host got ZERO discovery."""
+    from netrunner_spark.lens import LensConfig
+    from netrunner_spark.plans.check_urls import check_urls_from_probe
+    from netrunner_spark.synth import (
+        gen_cdx,
+        gen_robots_txt,
+        gen_sitemaps,
+        gen_web,
+    )
+
+    n, pages = 4, 8
+    web = gen_web(spark, n, pages)
+    homepages = web.filter(F.col("url").endswith("/docs/0")).select(
+        "host", "url", "content"
+    )
+    # host2's robots.txt "404s": drop its row from the probe table
+    robots_texts = gen_robots_txt(spark, n).filter(
+        F.col("host") != "host2.test"
+    )
+    lens = LensConfig(name="probe", domains=[f"host{h}.test" for h in range(n)])
+    out = check_urls_from_probe(
+        spark,
+        lens,
+        homepages,
+        robots_texts,
+        gen_sitemaps(spark, n, pages),
+        gen_cdx(spark, n, pages),
+    )
+    urls = {r["url"] for r in out.collect()}
+    # host2 must still be discovered through its root sitemap
+    assert any(u.startswith("https://host2.test/") for u in urls)
