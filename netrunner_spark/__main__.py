@@ -126,7 +126,11 @@ def main(argv: list[str] | None = None) -> int:
             gen_cdx(spark, args.synth_hosts, args.synth_pages),
         )
         write_urls_txt(urls, args.out)
-        print(f"wrote {urls.count()} urls to {args.out}")
+        # count the WRITTEN artifact, not the source DataFrame — urls is
+        # unpersisted, so urls.count() re-executed the entire discovery
+        # DAG (sitemap BFS + CDX + admission) a second time (r5 review)
+        n = spark.read.text(args.out).count()
+        print(f"wrote {n} urls to {args.out}")
 
     elif args.cmd == "crawl":
         from netrunner_spark import lens as lens_mod
@@ -187,7 +191,10 @@ def main(argv: list[str] | None = None) -> int:
 
         df = crawl_folder(spark, args.dir, args.base_url)
         df.write.mode("overwrite").parquet(args.out)
-        print(f"wrote {df.count()} records to {args.out}")
+        # count the written parquet — df.count() would re-crawl the
+        # folder a second time (r5 review)
+        n = spark.read.parquet(args.out).count()
+        print(f"wrote {n} records to {args.out}")
 
     return 0
 

@@ -88,6 +88,16 @@ def phash64(arr: np.ndarray) -> int:
     """
     gray = arr.astype(np.float64).mean(axis=2)
     h, w = gray.shape
+    if h < 8 or w < 8:
+        # edge-pad tiny frames to the 8x8 block grid (r5 review: the
+        # reshape raised for <8px inputs, crashing the whole Spark
+        # task from media.sample_frames and misreporting a validly
+        # decoded small image as decode_ok=False). Padding only
+        # activates below 8px, so every pinned >=8px hash is unchanged.
+        gray = np.pad(
+            gray, ((0, max(0, 8 - h)), (0, max(0, 8 - w))), mode="edge"
+        )
+        h, w = gray.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     g = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
     bits = (g > g.mean()).flatten()

@@ -23,7 +23,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -133,9 +132,15 @@ def sample_frames(videos: DataFrame, every: int = 2) -> DataFrame:
                 except Exception:
                     continue
                 for i in range(0, len(frames), every):
+                    # per-frame guard: one malformed frame must skip
+                    # that frame, never abort the task (r5 review)
+                    try:
+                        ph = phash64(frames[i])
+                    except Exception:
+                        continue
                     ids.append(int(vid))
                     idxs.append(i)
-                    hashes.append(phash64(frames[i]))
+                    hashes.append(ph)
             yield pd.DataFrame(
                 {
                     "video_id": pd.array(ids, dtype="Int64"),

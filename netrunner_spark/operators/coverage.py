@@ -27,14 +27,27 @@ def coverage_counts(frontier: DataFrame, prefixes: DataFrame) -> DataFrame:
     (host equi-join) + startswith residual — shuffle-free on the
     frontier side when prefixes are broadcast.
     """
+    # broadcast INNER join for the hits, then left-join the tiny
+    # per-prefix counts back to preserve zero-hit prefixes (r5 review:
+    # Spark cannot build-side-broadcast the PRESERVED side of an outer
+    # join — the old right-outer silently ignored the hint and sort-
+    # merge-shuffled the whole frontier; fetcher.fetch documents the
+    # identical pitfall and uses this same shape)
     p = prefixes.withColumn("p_host", host_udf(F.col("prefix")))
-    joined = frontier.join(
-        F.broadcast(p),
-        (F.col("host") == F.col("p_host")) & F.col("url").startswith(F.col("prefix")),
-        "right",
+    hits = (
+        frontier.join(
+            F.broadcast(p),
+            (F.col("host") == F.col("p_host"))
+            & F.col("url").startswith(F.col("prefix")),
+            "inner",
+        )
+        .groupBy("prefix")
+        .agg(F.count(F.col("url")).alias("n_hits"))
     )
-    return joined.groupBy("prefix").agg(
-        F.count(F.col("url")).alias("n_hits")
+    # hits is the BUILD (non-preserved) side here, so this broadcast is
+    # honored — both sides are O(#prefixes), never frontier-sized
+    return p.select("prefix").join(F.broadcast(hits), "prefix", "left").select(
+        "prefix", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
     )
 
 

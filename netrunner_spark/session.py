@@ -36,7 +36,15 @@ def get_spark(
             n = master[6:-1] if master.startswith("local[") else str(cpus)
             shuffle_partitions = cpus if n == "*" else int(n)
 
-    n_cores = shuffle_partitions if master.startswith("local[") else cpus
+    # GC threads follow the ACTUAL task slots (the local[N] bracket),
+    # never shuffle_partitions (r5 review: local[2] with 32 shuffle
+    # partitions produced 32 GC threads on 2 pinned cores — exactly
+    # the oversubscription the note below says was fixed)
+    if master.startswith("local["):
+        bracket = master[6:-1]
+        n_cores = cpus if bracket == "*" else int(bracket)
+    else:
+        n_cores = cpus
     # G1 (the JDK default) collapses under this workload's string-churn
     # allocation rate — measured 185 s vs 17 s on an identical pure-JVM
     # regex job at 8 cores. ParallelGC with thread count matched to the

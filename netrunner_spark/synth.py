@@ -23,7 +23,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from netrunner_spark.images import decode_image, encode_image, phash64
@@ -79,8 +78,12 @@ def _page_html(
         hrefs[1] = page_url(h, ((i * 7 + 3) + 1) % p)
     body_links = "".join(f'<a href="{u}">link</a> ' for u in hrefs)
     canonical = ""
-    if i % 10 == 8 and i >= 2:  # canonical duplicate of page i-2 (F9);
-        # even-indexed so both ends are sitemap-discoverable
+    if i % 10 == 8 and i >= 2 and (i - 2) % 11 != 5:
+        # canonical duplicate of page i-2 (F9); even-indexed so both
+        # ends are sitemap-discoverable. Skip when i-2 is a robots-
+        # disallowed /private page (i ≡ 18 mod 110) — the pair could
+        # never form, so the declared duplicate was a lie in the
+        # fixture's own ground truth (r5 review).
         canonical = f'<link rel="canonical" href="{page_url(h, i - 2)}">'
     meta_desc = (
         f'<meta name="description" content="desc {h}-{i} {_sentence(rng, 6)}">'
@@ -229,7 +232,6 @@ def gen_pair_web(
                 status = page_status(i)
                 ia = ia_status(i)
                 iid = f"img-{h}-{i}"
-                rng = _rng(seed, "img", iid)
                 ok_somewhere = status == 200 or ia == 200
                 rows.append(
                     {
@@ -242,7 +244,7 @@ def gen_pair_web(
                         ]
                         if status != 500
                         else [],
-                        "content": f"caption {iid}: {_sentence(rng, 8)}"
+                        "content": f"caption {iid}: {_sentence(_rng(seed, 'cap', iid), 8)}"
                         if ok_somewhere
                         else "",
                         "links": [],
@@ -291,6 +293,13 @@ def gen_images(
                 iid = f"img-{h}-{i}" if dense else image_id_for(h, i)
                 if iid is None:
                     continue
+                # caption text comes from a DEDICATED (seed,'cap',iid)
+                # stream in BOTH gen_images and gen_pair_web — a shared
+                # stream consumed at different positions made
+                # web.content diverge from images.caption for every
+                # image_id, silently breaking the pair invariant the
+                # input_hint promises (r5 review). Pixels keep the
+                # original 'img' stream so pinned phashes are unchanged.
                 rng = _rng(seed, "img", iid)
                 arr = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
                 fmt = "png" if i % 2 == 0 else "jpeg"
@@ -304,7 +313,7 @@ def gen_images(
                         "w": size,
                         "h": size,
                         "fmt": fmt,
-                        "caption": f"caption {iid}: {_sentence(rng, 8)}",
+                        "caption": f"caption {iid}: {_sentence(_rng(seed, 'cap', iid), 8)}",
                         "phash": phash64(decode_image(blob)),
                     }
                 )
