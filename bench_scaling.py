@@ -106,7 +106,10 @@ def leg(cores: int) -> dict:
     try:
         images = spark.read.parquet(WEB_PATH + "_images")
     except Exception:  # pre-materialization input dir: regenerate inline
-        images = gen_images(spark, N_HOSTS, PAGES)
+        # dense must MATCH prep's (line ~68): pairs mode pairs an image
+        # with EVERY url — the sparse default would drop 4/5 of the
+        # decode/validate work the north-star drain measures (r5 review)
+        images = gen_images(spark, N_HOSTS, PAGES, dense=(MODE == "pairs"))
     frontier0 = web.select("url", "host", url_hash_col("url").alias("url_hash"))
 
     best = None
@@ -448,7 +451,7 @@ def prep() -> None:
     print(f"template ready at {tpl} (buckets={n_buckets})")
 
 
-def cpu_leg(cores: int, base_cpu: int) -> dict:
+def cpu_leg(cores: int) -> dict:
     """CPU-bound engine control leg (bus-insensitive): the X2 parse
     stage — the Arrow-batched pandas-UDF hot path of the archive tail —
     over a CACHED ~12 KB-page corpus. No lake writes, no image bytes,
@@ -526,7 +529,7 @@ def cpu_pair(n_small: int, base_cpu: int = 24) -> dict:
             subprocess.run(
                 [
                     "taskset", "-c", cpus, sys.executable, __file__,
-                    "cpu_leg", str(cores), str(base_cpu),
+                    "cpu_leg", str(cores),
                 ],
                 check=True,
                 env=env,
@@ -586,10 +589,10 @@ def main() -> None:
     elif cmd == "prep":
         prep()
     elif cmd == "cpu_leg":
-        cpu_leg(
-            int(sys.argv[2]),
-            int(sys.argv[3]) if len(sys.argv) > 3 else 24,
-        )
+        # pinning is the CALLER's job (cpu_pair wraps this in taskset);
+        # a bare `cpu_leg N` run is NOT pinned — the old base_cpu
+        # parameter suggested otherwise and was never used (r5 review)
+        cpu_leg(int(sys.argv[2]))
     elif cmd == "cpu_pair":
         cpu_pair(
             int(sys.argv[2]) if len(sys.argv) > 2 else 2,

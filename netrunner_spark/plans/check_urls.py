@@ -134,7 +134,13 @@ def check_urls_from_probe(
     # live path's "sitemap answered → skip CDX" exclusion, such a host
     # got zero discovery. Rule-less hosts get the same allow-everything
     # placeholder parse_robots emits for rule-less robots bodies.
-    base = rules.drop("sitemaps").join(
+    # keep rules' OWN declared sitemaps as a fallback: site_info covers
+    # only hosts with a homepage row, so a host whose homepage fetch
+    # failed but whose robots.txt declared 'Sitemap:' lines would get a
+    # NULL from info and lose its whole declared sitemap tree to the
+    # CDX-only path (r5 review). info wins when present (it adds the
+    # root fallback + answering filter); rules fill the info-less hosts.
+    base = rules.withColumnRenamed("sitemaps", "_declared").join(
         info.select("host", "sitemaps"), "host", "full_outer"
     )
     robots = base.select(
@@ -143,9 +149,9 @@ def check_urls_from_probe(
         F.coalesce("directive", F.lit("allow")).alias("directive"),
         F.coalesce("path_pattern", F.lit("")).alias("path_pattern"),
         "crawl_delay",
-        F.coalesce("sitemaps", F.array().cast("array<string>")).alias(
-            "sitemaps"
-        ),
+        F.coalesce(
+            "sitemaps", "_declared", F.array().cast("array<string>")
+        ).alias("sitemaps"),
     )
     # ``feed_items``: live mode passes REAL parsed article links per host
     # (live.land_feed_items); the table-backed fallback treats detected

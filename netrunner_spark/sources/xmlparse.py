@@ -17,13 +17,21 @@ from __future__ import annotations
 
 import gzip
 import xml.etree.ElementTree as ET
+import zlib
 
 
 def _clean(payload: bytes | str) -> str:
     """Gunzip if needed, strip UTF-8 BOM (X10)."""
     if isinstance(payload, bytes):
         if payload[:2] == b"\x1f\x8b":
-            payload = gzip.decompress(payload)
+            try:
+                payload = gzip.decompress(payload)
+            except (OSError, EOFError, zlib.error):
+                # truncated/garbage body with a gzip magic — one
+                # adversarial sitemap must not fail the whole fetch
+                # task (r5 review); fall through to the text decode,
+                # which then fails ET parse and returns empty lists
+                pass
         text = payload.decode("utf-8", errors="replace")
     else:
         text = payload
@@ -74,6 +82,14 @@ def parse_rss(payload: bytes | str) -> list[str]:
         if _local(node.tag) in ("item", "entry"):
             for field in node:
                 if _local(field.tag) == "link":
+                    # Atom entries carry one <link> per relation; only
+                    # rel="alternate" (or no rel — RFC 4287 §4.2.7.2
+                    # default) is the article URL. rel=self/replies/
+                    # enclosure/edit are comment feeds, media blobs and
+                    # edit endpoints — junk frontier entries (r5 review)
+                    rel = field.attrib.get("rel", "alternate")
+                    if rel != "alternate":
+                        continue
                     href = (field.text or "").strip() or field.attrib.get("href", "")
                     if href:
                         links.append(href)

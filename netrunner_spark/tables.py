@@ -337,13 +337,17 @@ class LakeCatalog:
         name = self.table_name(table)
         if not self.spark.catalog.tableExists(name):
             path = os.path.join(self._tdir(table), "bucketed")
-            parts = set(meta["partition_by"])
+            # keep the PERSISTED column order — partition dirs nest in
+            # write order, so sorting here would make recoverPartitions
+            # walk a tree that doesn't exist for any multi-column spec
+            # (r5 review; latent — all current callers pass one column)
+            parts = list(meta["partition_by"])
             cols = ", ".join(
                 f"`{c['name']}` {c['type']}" for c in meta["columns"]
             )
             stmt = f"CREATE TABLE {name} ({cols}) USING parquet "
             if parts:
-                stmt += f"PARTITIONED BY ({', '.join(sorted(parts))}) "
+                stmt += f"PARTITIONED BY ({', '.join(parts)}) "
             stmt += (
                 f"CLUSTERED BY ({meta['key']}) SORTED BY ({meta['key']}) "
                 f"INTO {meta['n_buckets']} BUCKETS LOCATION '{path}'"
@@ -489,6 +493,14 @@ class LakeCatalog:
         old_snap = self.snapshot_path(table, cur)
         new = cur + 1
         new_snap = os.path.join(self._tdir(table), f"snap-{new}")
+        if os.path.isdir(new_snap):
+            # uncommitted leftover (crashed merge, or a rollback left a
+            # higher snap dir behind): the pointer still references cur,
+            # so the dir is garbage. It MUST be cleared here — the
+            # empty-``affected`` path below runs no overwrite job, and
+            # the hardlink loop would otherwise commit the stale files
+            # alongside the old buckets' (silent duplicate keys).
+            shutil.rmtree(new_snap)
         os.makedirs(new_snap, exist_ok=True)
 
         if affected:
