@@ -52,9 +52,31 @@ def main() -> None:
     if os.path.isdir(WEB_PATH):
         web = spark.read.parquet(WEB_PATH)
         images = spark.read.parquet(WEB_PATH + "_images")
+        corpus_source = WEB_PATH
     else:
         web = gen_pair_web(spark, N_HOSTS, PAGES)
         images = gen_images(spark, N_HOSTS, PAGES, dense=True)
+        corpus_source = f"inline pair-store {N_HOSTS}x{PAGES}"
+    # provenance sniff: a reused $SCALE_WEB may hold bench_scaling's
+    # default html-mode corpus (~12 KB pages, sparse images), not the
+    # dense pair store this bench describes — record the shape so the
+    # JSON can't silently claim the wrong workload (r5 review)
+    shape = web.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.avg(F.length("content")).alias("avg_len"),
+        F.avg(F.col("image_id").isNotNull().cast("int")).alias("img_frac"),
+    ).collect()[0]
+    corpus = {
+        "source": corpus_source,
+        "rows": int(shape["rows"]),
+        "avg_content_bytes": round(float(shape["avg_len"] or 0), 1),
+        "image_coverage_permille": int(round(1000 * float(shape["img_frac"] or 0))),
+    }
+    corpus["looks_like_pair_store"] = (
+        corpus["avg_content_bytes"] < 1000
+        and corpus["image_coverage_permille"] == 1000
+    )
+    print(json.dumps({"corpus": corpus}))
     robots = gen_robots(spark, N_HOSTS).withColumn(
         "crawl_delay", F.lit(None).cast("double")
     )
@@ -124,6 +146,7 @@ def main() -> None:
         out = {
             "cores": CORES,
             "buckets": N_BUCKETS,
+            "corpus": corpus,
             "input_urls": int(sum(x["urls"] for x in rounds)),
             "init_schedule_s": round(t_init, 3),
             "rounds": rounds,

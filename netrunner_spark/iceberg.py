@@ -101,13 +101,26 @@ def drop_sql(fqn: str) -> str:
     return f"DROP TABLE IF EXISTS {fqn}"
 
 
+def _sql_lit(v) -> str:
+    """SQL literal for a partition value: strings quoted+escaped, ints
+    bare (an unquoted string slice value emitted invalid SQL, r5
+    review)."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
 def insert_overwrite_slice_sql(fqn: str, view: str, slice_col: str, slice_val) -> str:
     """``write_slice`` twin (K2 per-round append): one round's rows land
     as a static partition overwrite, so a crashed-and-replayed round
     commits exactly-once — replaying overwrites the same partition
-    instead of duplicating it (the schedule_ext / cache slice path)."""
+    instead of duplicating it (the schedule_ext / cache slice path).
+
+    The view must NOT contain ``slice_col`` — a static-partition insert
+    expects exactly the non-partition columns (append_slice drops it,
+    mirroring ``write_slice``)."""
     return (
-        f"INSERT OVERWRITE {fqn} PARTITION ({slice_col} = {slice_val}) "
+        f"INSERT OVERWRITE {fqn} PARTITION ({slice_col} = {_sql_lit(slice_val)}) "
         f"SELECT * FROM {view}"
     )
 
@@ -173,14 +186,22 @@ class IcebergCatalog:
         bucket_hint: str | None = None,
     ) -> int:
         writer = df.writeTo(self._fqn(table)).using("iceberg")
+        # partition_by and bucket_hint COMPOSE (hybrid partition spec),
+        # matching LakeCatalog.write which honors both — the old elif
+        # silently dropped the bucket layout whenever partition_by was
+        # given, degrading downstream keyed merges to full shuffles on
+        # this backend only (r5 review)
+        transforms = []
         if partition_by:
             from pyspark.sql import functions as F
 
-            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-        elif bucket_hint is not None:
+            transforms.extend(F.col(c) for c in partition_by)
+        if bucket_hint is not None:
             from pyspark.sql.functions import bucket, col
 
-            writer = writer.partitionedBy(bucket(64, col(bucket_hint)))
+            transforms.append(bucket(64, col(bucket_hint)))
+        if transforms:
+            writer = writer.partitionedBy(*transforms)
         writer.createOrReplace()
         return self.version(table) or 0
 
@@ -220,7 +241,12 @@ class IcebergCatalog:
         The table must exist partitioned by ``slice_col`` (create it via
         ``write(..., partition_by=[slice_col])`` on round 0)."""
         view = f"_nr_slice_src_{table}"
-        df.createOrReplaceTempView(view)
+        # drop the slice column like write_slice does: a static-partition
+        # INSERT's select list must exclude the partition column, so a
+        # df written against the write_slice contract (slice col present)
+        # failed with 'too many data columns' on a real cluster
+        # (r5 review)
+        df.drop(slice_col).createOrReplaceTempView(view)
         self.spark.sql(
             insert_overwrite_slice_sql(self._fqn(table), view, slice_col, slice_val)
         )

@@ -17,8 +17,14 @@ from pyspark.sql import functions as F
 
 
 def canonical_dedup(parsed: DataFrame, tiebreak: list[str] = ("url",)) -> DataFrame:
-    """Keep one row per canonical_url (F9)."""
-    w = Window.partitionBy("canonical_url").orderBy(*[F.col(c) for c in tiebreak])
+    """Keep one row per canonical_url (F9).
+
+    A NULL canonical (possible only via the archive RON source — the
+    parser always falls back to the page URL) means "no canonical
+    declared": the row groups by its OWN url, so NULL pages are never
+    collapsed into one arbitrary survivor (r5 review)."""
+    key = F.coalesce(F.col("canonical_url"), F.col("url"))
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in tiebreak])
     return (
         parsed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -27,9 +33,15 @@ def canonical_dedup(parsed: DataFrame, tiebreak: list[str] = ("url",)) -> DataFr
 
 
 def duplicate_count(parsed: DataFrame) -> int:
-    """A2: pages dropped by canonical dedup."""
+    """A2: pages dropped by canonical dedup — the SAME grouping key as
+    ``canonical_dedup`` (countDistinct skips NULLs, so the raw column
+    under-counted groups by the NULL slot and the tally disagreed with
+    what the dedup actually drops)."""
     row = parsed.agg(
-        (F.count(F.lit(1)) - F.countDistinct("canonical_url")).alias("dupes")
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.coalesce(F.col("canonical_url"), F.col("url")))
+        ).alias("dupes")
     ).collect()[0]
     return row["dupes"]
 

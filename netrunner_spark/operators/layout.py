@@ -158,7 +158,11 @@ def hilbert_df(
             .when((rx == 1) & (ry == 1), 2)
             .otherwise(3)
         )
-        res = res.withColumn(out, F.col(out) + F.lit(s) * F.lit(s) * quad)
+        # s*s computed in PYTHON and emitted as one long literal: two
+        # IntegerType lits multiply in 32-bit, so bits >= 17 overflowed
+        # (ANSI raise / silent wrap) while the DuckDB twin's ::BIGINT
+        # product was exact (r5 review, reproduced at bits=17)
+        res = res.withColumn(out, F.col(out) + F.lit(s * s).cast("long") * quad)
         nx = (
             F.when(ry == 1, F.col("_hx"))
             .when(rx == 1, F.lit(s) - 1 - F.col("_hy"))

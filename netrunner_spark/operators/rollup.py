@@ -56,9 +56,14 @@ class RollupTable:
             F.max(vq).alias("max_q"),
         )
         self.cat.write(part, f"{self.name}_part_{i}")
-        return events.agg(
+        # derive n_events from the WRITTEN partial (sum of cnt): the old
+        # events.agg(count) re-scanned the full delta a second time per
+        # build/append — a second Spark job over the raw events that the
+        # module's own O(delta) contract forbids (r5 review)
+        written = self.cat.read(f"{self.name}_part_{i}")
+        return written.agg(
             F.lit(i).alias("slice"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_events"),
             F.lit(bucket_hours).alias("bucket_hours"),
             F.lit(",".join(key_cols)).alias("key_cols"),
             F.lit(ts_col).alias("ts_col"),
@@ -100,9 +105,14 @@ class RollupTable:
         are additive over whatever they are fed. ``tag`` (e.g. a
         streaming batch id) is recorded with the slice so retried
         deliveries can be detected via :meth:`applied_tags`."""
-        self._tag = tag
         prior = self.cat.read(f"{self.name}_stats")
         rows = prior.collect()  # bounded: one row per slice
+        self._append_rows(delta, tag, prior, rows)
+
+    def _append_rows(
+        self, delta: DataFrame, tag: str | None, prior: DataFrame, rows
+    ) -> None:
+        self._tag = tag
         cfg = rows[0]
         i = 1 + max(r["slice"] for r in rows)
         stats = self._partial(
@@ -114,6 +124,36 @@ class RollupTable:
             cfg["val_col"],
         )
         self.cat.write(prior.unionByName(stats), f"{self.name}_stats")
+
+    def fold_batch(
+        self,
+        delta: DataFrame,
+        tag: str,
+        bucket_hours: int = 1,
+        key_cols: tuple[str, ...] = ("event_type",),
+        ts_col: str = "ts",
+        val_col: str = "value",
+    ) -> str:
+        """Idempotent streaming fold with ONE stats read per call →
+        'built' | 'skipped' | 'appended'. The old _sink path read and
+        collected the stats table twice per micro-batch (applied_tags,
+        then append's own read) — r5 review."""
+        if not self.exists():
+            self.build(
+                delta,
+                bucket_hours=bucket_hours,
+                key_cols=key_cols,
+                ts_col=ts_col,
+                val_col=val_col,
+                tag=tag,
+            )
+            return "built"
+        prior = self.cat.read(f"{self.name}_stats")
+        rows = prior.collect()  # bounded: one row per slice
+        if tag and any(r["tag"] == tag for r in rows):
+            return "skipped"
+        self._append_rows(delta, tag, prior, rows)
+        return "appended"
 
     # ------------------------------------------------------------- read
     def read(
@@ -164,18 +204,14 @@ def rollup_stream(
     """
 
     def _sink(batch_df, batch_id: int) -> None:
-        tag = f"batch_{batch_id}"
-        if not rollup.exists():
-            rollup.build(
-                batch_df,
-                bucket_hours=bucket_hours,
-                key_cols=key_cols,
-                ts_col=ts_col,
-                val_col=val_col,
-                tag=tag,
-            )
-        elif tag not in rollup.applied_tags():
-            rollup.append(batch_df, tag=tag)
+        rollup.fold_batch(
+            batch_df,
+            f"batch_{batch_id}",
+            bucket_hours=bucket_hours,
+            key_cols=key_cols,
+            ts_col=ts_col,
+            val_col=val_col,
+        )
 
     return (
         events_stream.writeStream.foreachBatch(_sink)

@@ -116,6 +116,9 @@ class _StubDF:
     def dropDuplicates(self, keys):
         return self
 
+    def drop(self, *cols):
+        return self
+
     def createOrReplaceTempView(self, name):
         pass
 
@@ -171,3 +174,16 @@ def test_restore_after_partial_commit_wiring():
         rollback_sql("nrlake", "nr", "cache", 17),
         rollback_sql("nrlake", "nr", "metrics", 11),
     ]
+
+
+def test_slice_overwrite_quotes_string_values():
+    """r5 review: an unquoted string slice value emitted invalid SQL
+    (and a quote in the value could break out of the literal)."""
+    got = insert_overwrite_slice_sql("nrlake.nr.t", "v", "day", "2026-08-20")
+    assert "PARTITION (day = '2026-08-20')" in got
+    got = insert_overwrite_slice_sql("nrlake.nr.t", "v", "day", "o'clock")
+    assert "PARTITION (day = 'o''clock')" in got
+    # ints stay bare (pinned by the golden above)
+    assert "PARTITION (sched_round = 7)" in insert_overwrite_slice_sql(
+        "nrlake.nr.schedule_ext", "_v", "sched_round", 7
+    )

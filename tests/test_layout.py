@@ -114,3 +114,23 @@ def test_hilbert_is_bijective_and_adjacent(spark):
     for d in range(255):
         (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_wide_bits_no_overflow(spark):
+    """r5 review: F.lit(s)*F.lit(s) multiplied two 32-bit literals, so
+    bits >= 17 overflowed (ANSI raise, or silent wrong hvals) while the
+    DuckDB twin's ::BIGINT product stayed exact. The full documented
+    range (bits <= 26) must match the reference walk."""
+    import random
+
+    rng = random.Random(72)
+    n = 1 << 26
+    pts = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+    pts += [(n - 1, n - 1), (0, n - 1)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.hval
+        for r in layout.hilbert_df(df, "x", "y", bits=26).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d_ref(26, x, y)
