@@ -297,7 +297,9 @@ def hits_int(
         )
 
     hub = ids.withColumn("hub", F.lit(scale).cast("long"))
-    auth = None
+    # iters=0 returns the uniform initial state like pagerank_int/
+    # opic_int do, instead of crashing on hub.join(None) (r5 review)
+    auth = ids.withColumn("auth", F.lit(scale).cast("long"))
     for _ in range(iters):
         a_raw = (
             e.join(hub.withColumnRenamed("id", "src"), "src")
@@ -554,7 +556,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     self-join on src + one closing equi-join against the canonical
     edge set; no windows.
     """
-    und = (
+    und = _undirected(edges).localCheckpoint(eager=True)
+    return _triangles_from(und, _und_degrees(und))
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Canonical u<v undirected edge set (shared by triangle_count and
+    clustering_coefficient so the coefficient doesn't scan/canonicalize
+    the edge table twice — r5 review)."""
+    return (
         edges.select(
             F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("u"),
             F.greatest(F.col("src").cast("long"), F.col("dst").cast("long")).alias(
@@ -563,14 +573,19 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
     )
-    deg = (
+
+
+def _und_degrees(und: DataFrame) -> DataFrame:
+    return (
         und.select(F.col("u").alias("id"))
         .unionByName(und.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _triangles_from(und: DataFrame, deg: DataFrame) -> DataFrame:
     du = deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("deg_v"))
     oriented = (
@@ -614,23 +629,9 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     bit-for-bit; deg < 2 nodes report 0 (no possible wedge). One
     degree aggregate + :func:`triangle_count` + a left join.
     """
-    und = (
-        edges.select(
-            F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("u"),
-            F.greatest(F.col("src").cast("long"), F.col("dst").cast("long")).alias(
-                "v"
-            ),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates()
-    )
-    deg = (
-        und.select(F.col("u").alias("id"))
-        .unionByName(und.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    tris = triangle_count(edges)
+    und = _undirected(edges).localCheckpoint(eager=True)
+    deg = _und_degrees(und)
+    tris = _triangles_from(und, deg)
     return (
         deg.join(tris, "id", "left")
         .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
@@ -1039,9 +1040,23 @@ def neighborhood_function_exact(edges: DataFrame, iters: int = 3) -> DataFrame:
         .select(
             "t",
             "nf_pairs",
-            F.expr("CAST(1000000 * nf_pairs DIV nf_total AS BIGINT)").alias(
-                "frac_e6"
-            ),
+            # guard the 10^6 scale-up: NF > ~9.2e12 would silently wrap
+            # int64 under non-ANSI Spark and corrupt the effective-
+            # diameter read-off (r5 review). This op is exact-closure
+            # diagnostic only, so fail loudly at the operating bound.
+            F.when(
+                F.col("nf_pairs") > F.lit((1 << 63) // 1_000_000 - 1),
+                F.raise_error(
+                    F.lit(
+                        "neighborhood_function_exact: NF exceeds int64/1e6"
+                        " — use hyperball_nf at this scale"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(
+                F.expr("CAST(1000000 * nf_pairs DIV nf_total AS BIGINT)")
+            )
+            .alias("frac_e6"),
         )
     )
 

@@ -142,15 +142,21 @@ def stateful_host_quota(
             # .timestamp() raises and would poison the whole streaming
             # query (r5 review). Policy: timeless candidates replenish
             # nothing and sort first (epoch 0) — they still consume a
-            # token, so the quota stays an upper bound.
-            whole["discovered_at"] = whole["discovered_at"].fillna(
-                pd.Timestamp(0)
-            )
+            # token, so the quota stays an upper bound. The fill feeds
+            # ONLY the bucket arithmetic (a separate column): the
+            # OUTPUT keeps the original null — persisting 1970-01-01
+            # fabricated timestamps for every downstream consumer and
+            # let the requeue path stamp rows into an epoch-0 livelock
+            # (r5 review, second pass). NOTE the whole bucket assumes
+            # the UTC session timezone get_spark pins (session.py) —
+            # naive timestamps localized to a DST zone would mint or
+            # stall an hour of tokens at each transition.
+            whole["tsfill"] = whole["discovered_at"].fillna(pd.Timestamp(0))
             whole = whole.sort_values(
-                "discovered_at", kind="mergesort"
+                "tsfill", kind="mergesort"
             )  # stable: ties keep arrival order deterministically
             for r in whole.itertuples(index=False):
-                ts = r.discovered_at.timestamp()
+                ts = r.tsfill.timestamp()
                 if last_ts is not None and ts > last_ts:
                     tokens = min(float(burst), tokens + (ts - last_ts) * rps)
                 last_ts = ts if last_ts is None else max(last_ts, ts)
@@ -158,7 +164,14 @@ def stateful_host_quota(
                 if ok:
                     tokens -= 1.0
                 out.append(
-                    (r.url, r.url_hash, r.host, r.depth, r.discovered_at, ok)
+                    (
+                        r.url,
+                        r.url_hash,
+                        r.host,
+                        r.depth,
+                        None if pd.isna(r.discovered_at) else r.discovered_at,
+                        ok,
+                    )
                 )
         state.update((last_ts, tokens))
         yield pd.DataFrame(
@@ -182,10 +195,16 @@ def run_quota_once(
     checkpoint_dir: str,
     rps: float = 2.0,
     burst: float = 4.0,
+    lens: LensConfig | None = None,
 ) -> None:
     """AvailableNow deployment of the stateful quota: state persists in
     the streaming checkpoint, so a later invocation CONTINUES each
-    host's bucket where the previous one left off."""
+    host's bucket where the previous one left off.
+
+    ``lens``: admission filter applied BEFORE the token bucket (a
+    stateless rlike is legal ahead of applyInPandasWithState) — filtering
+    only at handoff let out-of-scope URLs drain a host's tokens and
+    defer its in-scope ones (r5 review)."""
     # NOTE: normalize/admit only — no dropDuplicates here; chaining a
     # second stateful operator behind applyInPandasWithState is not
     # supported, and cross-batch dedup is the batch seen-set's job.
@@ -197,6 +216,9 @@ def run_quota_once(
         .withColumn("url_hash", F.xxhash64("url"))
         .select("url", "url_hash", "host", "depth", "discovered_at")
     )
+    if lens is not None:
+        allow, skip = lens.alternations()
+        df = df.filter(F.col("url").rlike(allow) & ~F.col("url").rlike(skip))
     out = stateful_host_quota(df, rps=rps, burst=burst)
     q = (
         out.writeStream.format("parquet")
@@ -341,12 +363,26 @@ def handoff_admitted(
         "deferred": int(counts.get(False, 0)),
         "files": len(new_files),
     }
+    if lens is not None:
+        # quota-admitted ≠ enqueued when a lens filters here: report
+        # the post-filter count too so the drain accounting can't read
+        # lens-dropped rows as scheduled work (r5 review). One extra
+        # job bounded by the batch size.
+        stats["enqueued"] = links.count()
     if requeue_input_dir is not None and stats["deferred"]:
         w = Window.partitionBy("host").orderBy("discovered_at", "url_hash")
         base = Window.partitionBy("host")
         deferred = (
-            df.filter(~F.col("admitted"))
-            .withColumn("_mx", F.max("discovered_at").over(base))
+            # _mx over ALL the host's rows this batch (admitted ones
+            # included): the quota's last_ts advanced to the batch max,
+            # so stamping deferred rows from the DEFERRED max alone
+            # could restamp them behind last_ts — no tokens accrue and
+            # the rows churn (r5 review). coalesce(0): a host whose
+            # rows are all timeless still gets a strictly-increasing
+            # stamp, so the next cycle replenishes instead of
+            # livelocking on NaT→epoch-0.
+            df.withColumn("_mx", F.max("discovered_at").over(base))
+            .filter(~F.col("admitted"))
             .withColumn(
                 "discovered_at",
                 F.timestamp_seconds(
@@ -354,7 +390,7 @@ def handoff_admitted(
                     # seconds could restamp rows BEFORE the host's
                     # sub-second last_ts in quota state, so no tokens
                     # accrue and the row churns extra cycles (r5 review)
-                    F.col("_mx").cast("double")
+                    F.coalesce(F.col("_mx").cast("double"), F.lit(0.0))
                     + F.row_number().over(w) / F.lit(float(rps))
                 ),
             )
@@ -395,7 +431,8 @@ def micro_batch_cycle(
     import os
 
     run_quota_once(
-        spark, input_dir, output_dir, checkpoint_dir, rps=rps, burst=burst
+        spark, input_dir, output_dir, checkpoint_dir, rps=rps, burst=burst,
+        lens=lens,
     )
     stats = handoff_admitted(
         spark,
