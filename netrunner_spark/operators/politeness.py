@@ -160,9 +160,18 @@ def rank_round(
     frontier: DataFrame,
     budgets: DataFrame | None = None,
     default_budget: int = 20,
+    round_no: int = 0,
 ) -> DataFrame:
     """Pick this round's batch: window-rank within host by
     (priority, url_hash), keep rank ≤ budget (W1).
+
+    Budgets carrying a ``stride`` column (host_budgets /
+    budgets_from_delays for Crawl-delays larger than the round window)
+    gate the host to every stride-th round given ``round_no`` — the
+    iterated equivalent of schedule_rounds' stride (r5 review: the
+    stride never reached this path, so a 60 s-delay host was picked
+    EVERY round at 6× its declared rate; the raw stride column also
+    leaked into the output schema).
 
     Skew note: the window shuffles by host — a hot host with 10^8 queued
     URLs would skew one partition. Mitigation at scale: pre-filter with a
@@ -177,6 +186,12 @@ def rank_round(
         ranked = ranked.join(F.broadcast(budgets), "host", "left").withColumn(
             "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
         )
+        if "stride" in budgets.columns:
+            ranked = ranked.filter(
+                F.lit(int(round_no))
+                % F.coalesce(F.col("stride"), F.lit(1))
+                == 0
+            ).drop("stride")
     else:
         ranked = ranked.withColumn("budget", F.lit(default_budget))
     return ranked.filter(F.col("rank_in_host") <= F.col("budget")).drop(

@@ -36,6 +36,11 @@ SHARD_SCHEMA = T.StructType(
         T.StructField("shard_id", T.IntegerType(), False),
         T.StructField("bits", T.BinaryType(), False),
         T.StructField("n_items", T.LongType(), False),
+        # replay-STABLE occupancy: n_items is the raw fold count and
+        # inflates when an upsert is replayed (re-ORing bits is a no-op
+        # but the counter adds again, r5 review) — size/FP judgments
+        # should read bits_set (bitset popcount) instead
+        T.StructField("bits_set", T.LongType(), False),
         # sharding config is PERSISTED with the shards: a resume with a
         # different configured n_bloom_shards must not silently re-key
         # pmod(url_hash, n) — probes/upserts validate against this.
@@ -107,6 +112,7 @@ def build_shards(fetched: DataFrame, n_shards: int) -> DataFrame:
                 "shard_id": [int(pdf["shard_id"].iloc[0])],
                 "bits": [bits.tobytes()],
                 "n_items": [len(pdf)],
+                "bits_set": [int(np.unpackbits(bits).sum())],
                 "n_shards": [n_shards],
             }
         )
@@ -172,6 +178,7 @@ def upsert_shards(
                 "shard_id": [int(pdf["shard_id"].iloc[0])],
                 "bits": [acc.tobytes()],
                 "n_items": [n],
+                "bits_set": [int(np.unpackbits(acc).sum())],
                 "n_shards": [n_shards],
             }
         )
@@ -194,6 +201,7 @@ def merge_shards(old: DataFrame | None, new: DataFrame) -> DataFrame:
                 "shard_id": [int(pdf["shard_id"].iloc[0])],
                 "bits": [acc.tobytes()],
                 "n_items": [int(pdf["n_items"].sum())],
+                "bits_set": [int(np.unpackbits(acc).sum())],
                 "n_shards": [int(pdf["n_shards"].iloc[0])],
             }
         )

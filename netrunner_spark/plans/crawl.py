@@ -129,7 +129,13 @@ def attach_image_checks(
         ).alias("image_ok"),
         F.col("chk.phash_actual").alias("image_phash"),
     )
-    verdicts = F.broadcast(verdicts) if prefer_broadcast else verdicts
+    # shuffle_hash on the non-broadcast path too: an un-hinted left join
+    # sort-merge-joined — shuffling AND sorting the content-heavy
+    # fetched side by image_id at exactly the scale where broadcast is
+    # off (r5 review)
+    verdicts = (
+        F.broadcast(verdicts) if prefer_broadcast else verdicts.hint("shuffle_hash")
+    )
     joined = fetched.join(verdicts, "image_id", "left")
     # a ref whose image is MISSING from the store is a failure, not a
     # no-image page: image_ok false, never null, when image_id is set
@@ -215,11 +221,22 @@ class CrawlJob:
         return bool(self.cfg.colocated_buckets)
 
     def _schedule_df(self) -> DataFrame:
-        return (
-            self.cat.read_table("schedule")
-            if self._colocated()
-            else self.cat.read("schedule")
-        )
+        # empty-schema fallback: a purely streaming-fed crawl calls
+        # enqueue_frontier before any init_frontier, so no ``schedule``
+        # snapshot exists yet — the documented handoff entry point must
+        # not raise (r5 review). All rounds then live in schedule_ext.
+        try:
+            return (
+                self.cat.read_table("schedule")
+                if self._colocated()
+                else self.cat.read("schedule")
+            )
+        except FileNotFoundError:
+            return self.spark.createDataFrame(
+                [],
+                "url string, url_hash long, host string, depth int,"
+                " priority double, sched_round int",
+            )
 
     def _sched_rounds(self) -> list[int]:
         return (
@@ -382,9 +399,7 @@ class CrawlJob:
             ).alias("n_failed"),
             F.sum("attempts").alias("attempts"),
         )
-        self.cat.write_slice(
-            metrics.withColumn("round", F.lit(round_no)), "metrics", "round", round_no
-        )
+        self.cat.write_slice(metrics, "metrics", "round", round_no)
 
     def _backfill_metrics(self) -> None:
         """Heal a crash between the cache and metrics writes: recompute
@@ -432,27 +447,32 @@ class CrawlJob:
             else CACHE_COLS
         )
         if self.images is not None and not inline_images:
-            small = (
-                True
-                if self._colocated()
-                else self._batch_bytes(round_no) < self.cfg.broadcast_batch_bytes
-            )
+            # reuse the SAME size verdict as the fetch join (line above):
+            # the old colocated arm hardcoded small=True, broadcasting
+            # O(round)-sized refs/verdicts regardless of batch size —
+            # exactly the driver-kill the thresholds exist to prevent
+            # (r5 review; also removes a duplicate directory stat)
             refs = (
                 self.fetcher.image_refs(batch, prefer_broadcast=small)
                 if hasattr(self.fetcher, "image_refs")
                 else None
             )
+            if refs is None:
+                # generic fallback derives refs FROM the fetch output and
+                # materializes it for the verdict broadcast; checkpoint
+                # so the cache write below reuses the same materialized
+                # rows — with a network fetcher the recompute was a
+                # second full HTTP pass per round, doubling the per-host
+                # request rate past the politeness budget (r5 review)
+                fetched = fetched.localCheckpoint(eager=True)
             fetched = attach_image_checks(
                 fetched, self.images, prefer_broadcast=small, refs=refs
             )
         obs = Observation()
         fetched = fetched.observe(obs, F.count(F.lit(1)).alias("n"))
-        self.cat.write_slice(
-            fetched.withColumn("fetched_round", F.lit(round_no)),
-            "cache",
-            "fetched_round",
-            round_no,
-        )
+        # no fetched_round literal: write_slice drops the slice column
+        # anyway — it exists only as the partition directory name
+        self.cat.write_slice(fetched, "cache", "fetched_round", round_no)
         n_batch = int(obs.get["n"])
 
         # 2. per-host lineage/metrics slice — tiny column-pruned job
@@ -564,6 +584,15 @@ class CrawlJob:
         if shards is not None:
             self.cat.write(
                 upsert_shards(shards, newly.select("url_hash"), n_sh),
+                "bloom_shards",
+            )
+        elif not self.cat.exists("bloom_shards"):
+            # streaming-only mode (no init_frontier ever ran): build the
+            # bloom from the first enqueue so later cycles get the
+            # probe pre-filter instead of exact-anti-join-only forever
+            # (r5 review); same fold-before-append ordering as above
+            self.cat.write(
+                upsert_shards(None, newly.select("url_hash"), n_sh),
                 "bloom_shards",
             )
             self.cat.vacuum("bloom_shards")

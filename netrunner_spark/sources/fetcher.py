@@ -596,6 +596,14 @@ class HttpFetcher:
                                 _chunks.append(_c)
                             body = b"".join(_chunks)
                         except Exception:
+                            # the op FAILED: discard any status/headers
+                            # assigned mid-op (r.status lands before the
+                            # body read — a deadline trip on the final
+                            # attempt otherwise returned a stale 2xx
+                            # with NULL content, recording a transient
+                            # network failure as a successful empty
+                            # page, r5 review)
+                            status, headers = None, []
                             drop_conn(parts.scheme, parts.netloc)
                             time.sleep(min(0.1 * (2**attempt), 5.0))
                             break  # consume a retry attempt

@@ -151,8 +151,15 @@ class LakeCatalog:
 
     def partition_bytes(self, table: str, part_col: str, val) -> int:
         """On-disk bytes of one snapshot partition (driver stat, no job)
-        — used to pick broadcast vs shuffle join for the round batch."""
-        d = os.path.join(self.snapshot_path(table), f"{part_col}={val}")
+        — used to pick broadcast vs shuffle join for the round batch.
+        0 when the table has no snapshot (streaming-only crawls have no
+        ``schedule`` table at all — partition_values already returns []
+        for that case, r5 review)."""
+        try:
+            snap = self.snapshot_path(table)
+        except FileNotFoundError:
+            return 0
+        d = os.path.join(snap, f"{part_col}={val}")
         if not os.path.isdir(d):
             return 0
         return sum(

@@ -125,6 +125,21 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/slowdrip":
+            # 200 headers + partial body, then stall past the client's
+            # total deadline → the body read fails AFTER r.status was
+            # recorded (stale-2xx regression, r5 review)
+            self.send_response(200)
+            self.send_header("Content-Length", "10")
+            self.end_headers()
+            self.wfile.write(b"abc")
+            self.wfile.flush()
+            time.sleep(2.0)
+            try:
+                self.wfile.write(b"defghij")
+            except Exception:
+                pass
+            self.close_connection = True
         else:
             self.send_response(500)
             self.send_header("Content-Length", "0")
@@ -418,3 +433,22 @@ def test_non_ascii_path_is_percent_encoded(spark, server):
     # pre-encoded twin: NOT double-encoded (same server-side path)
     assert out[pre]["status"] == 200
     assert out[pre]["content"] == "echo:/iri-caf%C3%A9"
+
+
+def test_null_status_when_body_read_fails(spark, server):
+    """r5 review: r.status lands BEFORE the body read, so a read
+    failure (deadline trip on a slow-drip body) on the final attempt
+    used to return a stale 2xx with NULL content — recording a
+    transient network failure as a successful empty page (never
+    refetched). The failed op must report status NULL (W5
+    connection-failure semantics)."""
+    f = HttpFetcher(rps=1000.0)
+    f.TOTAL_TIMEOUT = 0.5  # instance override, captured at fetch()
+    batch = spark.createDataFrame(
+        [(f"{server}/slowdrip", "127.0.0.1", 0)],
+        "url string, host string, url_hash long",
+    )
+    row = f.fetch(batch).collect()[0]
+    assert row["status"] is None
+    assert row["content"] is None
+    assert row["attempts"] == 3  # full retry budget consumed
