@@ -6701,7 +6701,7 @@ FROM r
               SELECT caption, count(*) AS c FROM img
               GROUP BY caption HAVING count(*) > 2
             )
-            SELECT image_id, coalesce(c, 1) AS caption_df, c IS NOT NULL AS boilerplate
+            SELECT image_id, c AS caption_df, c IS NOT NULL AS boilerplate
             FROM img LEFT JOIN hot USING (caption)
         """,
         "image_pair_alignment": """
@@ -6727,7 +6727,7 @@ FROM r
               FROM pr
             )
             SELECT pair_id, dot_q, img_norm2, cap_norm2,
-                   (dot_q >= 0 AND
+                   (img_norm2 > 0 AND cap_norm2 > 0 AND dot_q >= 0 AND
                     dot_q * dot_q * 10000 >= 900 * img_norm2 * cap_norm2) AS aligned
             FROM dots
         """,

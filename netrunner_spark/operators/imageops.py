@@ -140,7 +140,18 @@ def aspect_bucket(images: DataFrame, buckets: list[tuple[int, int]] | None = Non
     row, whole-stage-codegen'd, no shuffle.
     """
     bks = buckets or AR_BUCKETS
-    w_col, h_col = F.col("w").cast("bigint"), F.col("h").cast("bigint")
+    # clamp dims to [1, 2^20]: the cross-ratio comparison multiplies two
+    # (dim × bucket-dim) products, so garbage metadata beyond ~2^20 px
+    # overflowed int64 — silent wrap in non-ANSI Spark, an error in the
+    # DuckDB twin (r5 review). Within the clamp the products stay
+    # ≤ 2^62; both engines clamp identically so sane inputs are
+    # bit-identical to before.
+    w_col = F.least(
+        F.greatest(F.col("w").cast("bigint"), F.lit(1)), F.lit(1 << 20)
+    )
+    h_col = F.least(
+        F.greatest(F.col("h").cast("bigint"), F.lit(1)), F.lit(1 << 20)
+    )
     best_w, best_h = F.lit(bks[0][0]), F.lit(bks[0][1])
     best_max, best_min = _bucket_cost_sq(w_col, h_col, *bks[0])
     for bw, bh in bks[1:]:
@@ -165,9 +176,12 @@ def aspect_bucket_sql_case(buckets: list[tuple[int, int]] | None = None) -> str:
     ``w`` and ``h``; select ``(...).bw, (...).bh`` from it.
     """
     bks = buckets or AR_BUCKETS
+    # identical clamp to the Spark ladder (overflow guard, r5 review)
+    cw = "least(greatest(CAST(w AS BIGINT), 1), 1048576)"
+    ch = "least(greatest(CAST(h AS BIGINT), 1), 1048576)"
     rows = ", ".join(
-        "{bmax: greatest(w * %d, h * %d), bmin: least(w * %d, h * %d), "
-        "bw: %d, bh: %d, i: %d}" % (bh, bw, bh, bw, bw, bh, i)
+        "{bmax: greatest(%s * %d, %s * %d), bmin: least(%s * %d, %s * %d), "
+        "bw: %d, bh: %d, i: %d}" % (cw, bh, ch, bw, cw, bh, ch, bw, bw, bh, i)
         for i, (bw, bh) in enumerate(bks)
     )
     # exact rational comparison via cross-multiplied sort key is not a
@@ -213,7 +227,10 @@ def boilerplate_captions(images: DataFrame, max_caption_df: int = 100) -> DataFr
         )
         .join(F.broadcast(hot), "cap_key", "left")
         .withColumn("boilerplate", F.col("caption_df").isNotNull())
-        .withColumn("caption_df", F.coalesce(F.col("caption_df"), F.lit(1)))
+        # caption_df is tracked only ABOVE the threshold (the hot set is
+        # what keeps the join broadcastable); below it the df is NULL =
+        # unknown. The old coalesce-to-1 stamped a confidently WRONG
+        # df=1 on every sub-threshold caption (r5 review).
         .drop("cap_key")
     )
 
@@ -261,7 +278,15 @@ def shard_pack(
     keyed = df.withColumn("_pos", pos).withColumn(
         "_bucket",
         F.substring(
-            F.md5(F.concat(F.lit(salt + ".b"), F.col(key_col).cast("string"))),
+            F.md5(
+                F.concat(
+                    F.lit(salt + ".b"),
+                    # NULL key → '' (same policy as _pos_hex): a NULL
+                    # bucket never equi-joined the offsets table and
+                    # the row vanished from the packed output
+                    F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+                )
+            ),
             1,
             hex_width,
         ),
@@ -326,7 +351,13 @@ def pair_alignment(
         .withColumn("cap_norm2", dot(F.col("_qb"), F.col("_qb")))
         .withColumn(
             "aligned",
-            (F.col("dot_q") >= 0)
+            # zero-norm guard: an all-zero quantized vector (encoder
+            # failure sentinel / sub-quantum magnitudes) made 0 ≥ 0
+            # pass at ANY threshold — exactly the pairs with no
+            # alignment signal sailed through the gate (r5 review)
+            (F.col("img_norm2") > 0)
+            & (F.col("cap_norm2") > 0)
+            & (F.col("dot_q") >= 0)
             & (
                 F.col("dot_q") * F.col("dot_q") * (100 * 100)
                 >= F.lit(threshold_pct * threshold_pct) * F.col("img_norm2") * F.col("cap_norm2")

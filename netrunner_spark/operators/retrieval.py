@@ -291,6 +291,21 @@ class SearchIndex:
             docs, 0, n_buckets, id_col, text_col, pattern, positions
         )
         self.cat.write(stats, f"{self.name}_stats")
+        self._fold_idbloom(docs, id_col, fresh=True)
+
+    _IDBLOOM_SHARDS = 8
+
+    def _fold_idbloom(self, docs: DataFrame, id_col: str, fresh: bool = False) -> None:
+        """Fold the slice's doc ids into the index's id-membership bloom
+        — the O(delta) pre-filter for append's disjointness guard."""
+        from netrunner_spark.operators.seen import upsert_shards
+
+        t = f"{self.name}_idbloom"
+        keys = docs.select(
+            F.xxhash64(F.col(id_col).cast("string")).alias("url_hash")
+        )
+        old = None if fresh else (self.cat.read(t) if self.cat.exists(t) else None)
+        self.cat.write(upsert_shards(old, keys, self._IDBLOOM_SHARDS), t)
 
     def append(self, docs_delta: DataFrame, text_col: str = "text") -> None:
         """Index a crawl round's NEW docs as one more slice — O(delta)
@@ -304,20 +319,44 @@ class SearchIndex:
         i = 1 + max(r["slice"] for r in rows)
         id_col = cfg["id_col"]
         # overlap is judged against LIVE docs: a tombstoned id may be
-        # re-indexed (that is exactly what update() does)
-        dl_old = self._dl_union(
-            [r["slice"] for r in rows], self._tombstones(), id_col
+        # re-indexed (that is exactly what update() does).
+        # Bloom pre-filter keeps the guard O(delta) (r5 review: the
+        # unconditional anti-join scanned EVERY slice's dl table per
+        # append — O(total indexed docs), the quadratic-resume shape
+        # this module's slicing exists to avoid). Only ids the bloom
+        # flags maybe-present pay the exact cross-slice check; a bloom
+        # false positive merely costs that scan, never a wrong verdict.
+        check = docs_delta.select(id_col)
+        bloom = (
+            self.cat.read(f"{self.name}_idbloom")
+            if self.cat.exists(f"{self.name}_idbloom")
+            else None
         )
-        overlap = (
-            docs_delta.select(id_col)
-            .join(dl_old.select(id_col), id_col, "left_semi")
-            .count()
-        )
-        if overlap:
-            raise ValueError(
-                f"append delta shares {overlap} doc ids with the index; "
-                "slices must be disjoint — compact and rebuild instead"
+        if bloom is not None:
+            from netrunner_spark.operators.seen import bloom_partition
+
+            tagged = bloom_partition(
+                check.withColumn(
+                    "url_hash", F.xxhash64(F.col(id_col).cast("string"))
+                ),
+                bloom,
+                self._IDBLOOM_SHARDS,
             )
+            check = tagged.filter(F.col("maybe_seen")).select(id_col)
+            if not check.take(1):
+                check = None
+        if check is not None:
+            dl_old = self._dl_union(
+                [r["slice"] for r in rows], self._tombstones(), id_col
+            )
+            overlap = check.join(
+                dl_old.select(id_col), id_col, "left_semi"
+            ).count()
+            if overlap:
+                raise ValueError(
+                    f"append delta shares {overlap} doc ids with the index; "
+                    "slices must be disjoint — compact and rebuild instead"
+                )
         stats = self._write_slice(
             docs_delta,
             i,
@@ -328,6 +367,7 @@ class SearchIndex:
             cfg["positions"],
         )
         self.cat.write(prior.unionByName(stats), f"{self.name}_stats")
+        self._fold_idbloom(docs_delta, id_col)
 
     # ----------------------------------------------------------- delete
     def _tombstones(self):

@@ -32,9 +32,18 @@ _HEX_SPACE = 16**_HEX_WIDTH
 
 def _pos_hex(key_col: str, salt: str):
     """First 12 hex chars of md5(salt || key) — the row's deterministic
-    position in [0, 1) as a fixed-width lowercase-hex string."""
+    position in [0, 1) as a fixed-width lowercase-hex string. NULL keys
+    coalesce to '' so the row still gets a position: concat(salt, NULL)
+    is NULL → NULL pos/bucket, and shard_pack's inner offset join then
+    silently DROPPED the row from the packed output (r5 review)."""
     return F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, _HEX_WIDTH
+        F.md5(
+            F.concat(
+                F.lit(salt), F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+            )
+        ),
+        1,
+        _HEX_WIDTH,
     )
 
 
@@ -336,7 +345,11 @@ def apply_mixture(
     """
     p = plan.select(
         F.col(source_col),
-        (F.col("repeat_permille") / 1000).cast("long").alias("_full"),
+        # integer DIV, not float `/`-then-cast: the module's exact-
+        # integer contract (mixture_plan uses DIV 1000 for the same
+        # quantity; float rounding near int64 range could mint an
+        # extra epoch, r5 review)
+        F.expr("repeat_permille DIV 1000").alias("_full"),
         (F.col("repeat_permille") % 1000).cast("long").alias("_frac"),
     )
     lottery = (

@@ -524,7 +524,13 @@ def hist_quantiles(
     total = bins.agg(F.sum("cnt").alias("n"))
     from pyspark.sql import Window
 
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # NULLS LAST to match DuckDB's ASC default: Spark's nulls-first put
+    # a NULL bin (NULL values in the source column) at the START of the
+    # cumsum, biasing every quantile low vs the twin (r5 review — the
+    # same nulls-ordering class caption_consensus already pins)
+    w = Window.orderBy(F.col("bin").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     cum = bins.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
         F.broadcast(total)
     )
@@ -723,6 +729,10 @@ def bloom_probe(
     rate, and the EXACT same false positives in both engines since the
     bits are deterministic). One explode + one equi-join on (j, bit)
     + a full-house count, the `boolean_search` counting pattern."""
+    # dedup the probe keys: a key probed twice yielded n_hits == 2k and
+    # failed the == k full-house test — a FALSE NEGATIVE for a present
+    # key (r5 review; the SQL twin dedups identically)
+    probes = probes.select(key).dropDuplicates()
     prows = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)),
@@ -773,7 +783,7 @@ bits AS (
   SELECT DISTINCT j,
          CAST('0x' || substr(md5('{salt}' || CAST(j AS VARCHAR) || '#' || CAST({key} AS VARCHAR)), 1, 13) AS BIGINT) % {m} AS bit
   FROM {table}, ks
-), p AS ({probes_sql}),
+), p AS (SELECT DISTINCT {key} FROM ({probes_sql}) _probes_dedup),
 pb AS (
   SELECT p.{key}, j,
          CAST('0x' || substr(md5('{salt}' || CAST(j AS VARCHAR) || '#' || CAST(p.{key} AS VARCHAR)), 1, 13) AS BIGINT) % {m} AS bit
@@ -819,7 +829,8 @@ def grouped_hist_quantiles(
         .groupBy("grp", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("grp").orderBy("bin")
+    # NULLS LAST: see hist_quantiles (cross-engine nulls ordering)
+    w = Window.partitionBy("grp").orderBy(F.col("bin").asc_nulls_last())
     cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
         "total", F.sum("cnt").over(Window.partitionBy("grp"))
     )

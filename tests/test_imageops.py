@@ -97,8 +97,11 @@ def test_boilerplate_captions(spark):
     }
     for i in range(5):
         assert got[i] == (True, 5)
-    assert got[10] == (False, 1)
-    assert got[11] == (False, 1)
+    # caption_df is tracked only ABOVE the threshold; below it the df
+    # is NULL = unknown (r5 review: the old coalesce-to-1 stamped a
+    # confidently wrong df=1 on every sub-threshold caption)
+    assert got[10] == (False, None)
+    assert got[11] == (False, None)
 
 
 def test_shard_pack_invariants(spark):
