@@ -383,11 +383,8 @@ class CrawlJob:
         )
         return base + self.cat.slice_bytes("schedule_ext", "sched_round", round_no)
 
-    def _write_metrics(self, round_no: int) -> None:
-        """Per-host lineage/metrics for one committed round (north_rule).
-        Column-pruned scan of the written slice — content never read."""
-        slice_df = self.cat.read_slice("cache", "fetched_round", round_no)
-        metrics = slice_df.groupBy("host").agg(
+    _METRIC_AGGS = (
+        lambda: [
             F.count(F.lit(1)).alias("n_urls"),
             F.sum(F.when(F.col("status").between(200, 299), 1).otherwise(0)).alias(
                 "n_ok"
@@ -398,21 +395,54 @@ class CrawlJob:
                 ).otherwise(0)
             ).alias("n_failed"),
             F.sum("attempts").alias("attempts"),
-        )
+        ]
+    )
+
+    def _write_metrics(self, round_no: int) -> None:
+        """Per-host lineage/metrics for one committed round (north_rule).
+        Column-pruned scan of the written slice — content never read."""
+        slice_df = self.cat.read_slice("cache", "fetched_round", round_no)
+        metrics = slice_df.groupBy("host").agg(*CrawlJob._METRIC_AGGS())
         self.cat.write_slice(metrics, "metrics", "round", round_no)
 
+    def _write_metrics_bulk(self, rounds: list[int]) -> None:
+        """Metrics for MANY committed cache rounds in ONE pass (r6
+        optimization): the per-round read-back + slice write was two
+        jobs per round (~0.5 s/round of fixed job latency at bench
+        scale, O(rounds) jobs on a long crawl); one partition-pruned
+        scan + one dynamic-partition write produces byte-identical
+        per-round slice dirs. Each round dir then gets the same
+        per-slice ``_SUCCESS`` marker ``write_slice``'s committer
+        emits, written AFTER the data commit — the crash window
+        (data committed, marker missing ⇒ slice replayed) is unchanged.
+        Column-pruned: content is never read."""
+        cache = self.cat.read_slices("cache")
+        agg = (
+            cache.filter(F.col("fetched_round").isin(rounds))
+            .groupBy("host", "fetched_round")
+            .agg(*CrawlJob._METRIC_AGGS())
+            .withColumnRenamed("fetched_round", "round")
+        )
+        self.cat.append_partitions(agg, "metrics", "round")
+        self.cat.mark_slices_committed("metrics", "round", rounds)
+
     def _backfill_metrics(self) -> None:
-        """Heal a crash between the cache and metrics writes: recompute
-        the (tiny) metrics slice for any committed cache round missing
-        one. Normally a no-op (driver-side listdir)."""
+        """Write the metrics slice for every committed cache round
+        missing one — the round loop defers metrics to one bulk pass
+        at the end of ``run()`` (r6 optimization), and this same call
+        heals a crash that lost them. Normally driver-side listdir +
+        one Spark job; a no-op when nothing is missing."""
         done = self.cat.max_committed_slice("cache", "fetched_round")
         if done is None:
             return
-        for r in range(done + 1):
-            if self.cat.slice_exists(
-                "cache", "fetched_round", r
-            ) and not self.cat.slice_committed("metrics", "round", r):
-                self._write_metrics(r)
+        missing = [
+            r
+            for r in range(done + 1)
+            if self.cat.slice_exists("cache", "fetched_round", r)
+            and not self.cat.slice_committed("metrics", "round", r)
+        ]
+        if missing:
+            self._write_metrics_bulk(missing)
 
     def run_round(self, round_no: int) -> int:
         """→ number of URLs attempted this round (from ``observe`` on the
@@ -475,8 +505,11 @@ class CrawlJob:
         self.cat.write_slice(fetched, "cache", "fetched_round", round_no)
         n_batch = int(obs.get["n"])
 
-        # 2. per-host lineage/metrics slice — tiny column-pruned job
-        self._write_metrics(round_no)
+        # 2. per-host lineage/metrics: deferred to ONE bulk pass at the
+        #    end of run() (r6 optimization — the per-round read-back +
+        #    write cost two jobs/round); a crash before that pass is
+        #    healed by the same _backfill_metrics that healed the old
+        #    per-round crash window
 
         # 3. link expansion (our scalability extension; the reference
         #    drains a fixed queue) appends NEW schedule partitions and
@@ -797,6 +830,10 @@ class CrawlJob:
                     _time.sleep(remaining)
             rounds += 1
             r += 1
+        # bulk per-host lineage/metrics for every round this run
+        # committed (plus any a previous crash lost) — one scan + one
+        # partitioned write instead of two jobs per round
+        self._backfill_metrics()
         t_loop = _time.time() - t0
         self.materialize_frontier()
         return {

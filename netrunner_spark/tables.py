@@ -179,6 +179,21 @@ class LakeCatalog:
             .parquet(base)
         )
 
+    def mark_slices_committed(self, table: str, slice_col: str, vals) -> None:
+        """Stamp the per-slice ``_SUCCESS`` markers after a BATCHED
+        multi-partition write (``append_partitions``): Spark's
+        committer emits one marker at the table root for such a write,
+        but the slice protocol (``slice_committed``) is per-dir.
+        Written after the data commit, so the crash window matches
+        ``write_slice`` exactly: data present + marker missing ⇒ the
+        slice is replayed."""
+        base = os.path.join(self._tdir(table), "data")
+        for v in vals:
+            d = os.path.join(base, f"{slice_col}={v}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "_SUCCESS"), "w"):
+                pass
+
     def read_slices(self, table: str) -> DataFrame | None:
         """All rows of a slice-tree table: the compacted base snapshot
         (if ``compact_slices`` has run) plus every slice ABOVE the
