@@ -76,63 +76,88 @@ def pagerank_int(
     if n == 0:
         return ids.withColumn("rank_e12", F.lit(0).cast("long"))
 
+    # r6 optimization (measured identical output, uniform AND
+    # personalized): the iteration state carries (is_seed, outdeg,
+    # rank) in ONE frame, so each round is a single corpus join —
+    # e ⋈ broadcast share → groupBy dst — plus the state update; the
+    # old shape additionally re-joined outdeg twice per round and ran
+    # a separate anti-join + 1-row broadcast job for the dangling
+    # mass. The dangling sum now rides the PREVIOUS round's checkpoint
+    # job via observe() (it is a function of the previous ranks) and
+    # is inlined as an exact int literal; the seed count rides the
+    # state-init checkpoint the same way.
+    from pyspark.sql import Observation
+
     if seeds is None:
         marked = ids.withColumn("is_seed", F.lit(True))
-        s = n
     else:
         sd = (
             seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
             .dropDuplicates()
             .join(ids, "id", "left_semi")
         )
-        marked = (
-            ids.join(sd.withColumn("is_seed", F.lit(True)), "id", "left")
-            .select("id", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
-            .localCheckpoint(eager=True)
+        marked = ids.join(sd.withColumn("is_seed", F.lit(True)), "id", "left").select(
+            "id", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
         )
-        s = marked.filter("is_seed").count()  # bounded scalar
-        if s == 0:
-            raise ValueError("personalized pagerank needs ≥1 seed inside the graph")
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ob0 = Observation()
+    state = (
+        marked.join(outdeg, marked.id == outdeg.src, "left")
+        .select("id", "is_seed", "outdeg")
+        .observe(ob0, F.sum(F.col("is_seed").cast("long")).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    s = int(ob0.get["s"] or 0)  # bounded scalar (seed count)
+    if s == 0:
+        raise ValueError("personalized pagerank needs ≥1 seed inside the graph")
     base = ((100 - damping_pct) * scale) // (100 * s)
 
-    ranks = marked.withColumn(
-        "rank_e12",
-        F.when(F.col("is_seed"), F.lit(scale // s)).otherwise(0).cast("long"),
+    dang_agg = F.sum(
+        F.when(F.col("outdeg").isNull(), F.col("rank_e12")).otherwise(0)
+    ).alias("d")
+
+    ob = Observation()
+    ranks = (
+        state.withColumn(
+            "rank_e12",
+            F.when(F.col("is_seed"), F.lit(scale // s)).otherwise(0).cast("long"),
+        )
+        .observe(ob, dang_agg)
+        .localCheckpoint(eager=True)
     )
+    dang = int(ob.get["d"] or 0)
     for _ in range(iters):
-        # per-source share once (not per-edge): rank div outdeg
-        src_share = ranks.join(outdeg, ranks.id == outdeg.src).select(
-            F.col("src"), F.expr("rank_e12 div outdeg").alias("share")
+        # per-source share once (not per-edge): rank div outdeg —
+        # map-only over the checkpointed state, no join
+        src_share = ranks.filter(F.col("outdeg").isNotNull()).select(
+            F.col("id").alias("src"), F.expr("rank_e12 div outdeg").alias("share")
         )
         contrib = (
             e.join(src_share, "src")
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        # dangling mass: ranks of nodes with no out-edges, one row
-        dang = (
-            ranks.join(outdeg, ranks.id == outdeg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank_e12"), F.lit(0)).alias("dang"))
-        )
+        ob = Observation()
         ranks = (
-            marked.join(contrib, marked.id == contrib.dst, "left")
-            .crossJoin(F.broadcast(dang))
+            ranks.join(contrib, ranks.id == contrib.dst, "left")
             .select(
                 "id",
                 "is_seed",
+                "outdeg",
                 (
                     F.when(F.col("is_seed"), F.lit(base)).otherwise(0)
                     + F.expr(
                         f"({damping_pct} * (coalesce(contrib, 0L)"
-                        f" + (case when is_seed then dang div {s} else 0 end)))"
+                        f" + (case when is_seed then {dang} div {s} else 0 end)))"
                         " div 100"
                     )
                 ).alias("rank_e12"),
             )
+            .observe(ob, dang_agg)
             .localCheckpoint(eager=True)
         )
+        dang = int(ob.get["d"] or 0)
     return ranks.select("id", "rank_e12")
 
 
@@ -188,48 +213,65 @@ def opic_int(
             F.lit(0).cast("long").alias("hist_e12"),
         )
 
+    # r6 optimization (same restructure as pagerank_int, verified
+    # bit-identical): the state carries outdeg, so each round's corpus
+    # work is ONE e ⋈ share join + hash aggregate; the virtual-page pot
+    # (dangling cash + truncation remainders — a function of the
+    # PREVIOUS round's state) rides the previous checkpoint job via
+    # observe() and is inlined as an exact int literal.
+    from pyspark.sql import Observation
+
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    state = ids.select(
-        "id",
-        F.lit(scale // n).cast("long").alias("cash"),
-        F.lit(0).cast("long").alias("hist"),
-    )
-    for _ in range(iters):
-        withdeg = state.join(outdeg, state.id == outdeg.src, "left")
-        # virtual-page pot: dangling cash + per-node share remainders,
-        # ONE row out of one aggregate
-        pot = withdeg.agg(
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "case when src is null then cash"
-                        " else cash - (cash div outdeg) * outdeg end"
-                    )
-                ),
-                F.lit(0),
-            ).alias("pot")
+    pot_agg = F.coalesce(
+        F.sum(
+            F.expr(
+                "case when outdeg is null then cash"
+                " else cash - (cash div outdeg) * outdeg end"
+            )
+        ),
+        F.lit(0),
+    ).alias("pot")
+    ob = Observation()
+    state = (
+        ids.join(outdeg, ids.id == outdeg.src, "left")
+        .select(
+            "id",
+            "outdeg",
+            F.lit(scale // n).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
         )
+        .observe(ob, pot_agg)
+        .localCheckpoint(eager=True)
+    )
+    pot = int(ob.get["pot"] or 0)
+    for _ in range(iters):
         contrib = (
             e.join(
-                state.select(F.col("id").alias("src"), "cash"), "src"
+                state.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("id").alias("src"),
+                    F.expr("cash div outdeg").alias("share"),
+                ),
+                "src",
             )
-            .join(outdeg, "src")
             .groupBy("dst")
-            .agg(F.sum(F.expr("cash div outdeg")).alias("contrib"))
+            .agg(F.sum("share").alias("contrib"))
         )
+        ob = Observation()
         state = (
             state.join(contrib, state.id == contrib.dst, "left")
-            .crossJoin(F.broadcast(pot))
             .select(
                 "id",
+                "outdeg",
                 (
                     F.coalesce(F.col("contrib"), F.lit(0))
-                    + F.expr(f"pot div {n}")
+                    + F.expr(f"{pot} div {n}")
                 ).cast("long").alias("cash"),
                 (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
             )
+            .observe(ob, pot_agg)
             .localCheckpoint(eager=True)
         )
+        pot = int(ob.get["pot"] or 0)
     return state.select(
         "id",
         F.col("cash").alias("cash_e12"),
@@ -373,37 +415,55 @@ def pagerank_weighted_int(
     if n == 0:
         return ids.withColumn("rank_e12", F.lit(0).cast("long"))
 
+    # r6 optimization (same restructure as pagerank_int, verified
+    # bit-identical): state carries out_w; the per-round corpus work
+    # is ONE e ⋈ rank-state join + hash aggregate; dangling mass rides
+    # the previous checkpoint via observe() as an exact int literal.
+    from pyspark.sql import Observation
+
     outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     base = ((100 - damping_pct) * scale) // (100 * n)
-    ranks = ids.withColumn("rank_e12", F.lit(scale // n).cast("long"))
+    dang_agg = F.sum(
+        F.when(F.col("out_w").isNull(), F.col("rank_e12")).otherwise(0)
+    ).alias("d")
+    ob = Observation()
+    ranks = (
+        ids.join(outw, ids.id == outw.src, "left")
+        .select("id", "out_w", F.lit(scale // n).cast("long").alias("rank_e12"))
+        .observe(ob, dang_agg)
+        .localCheckpoint(eager=True)
+    )
+    dang = int(ob.get["d"] or 0)
     for _ in range(iters):
         contrib = (
-            e.join(ranks, e.src == ranks.id)
-            .join(outw, "src")
-            .select(
-                "dst", F.expr("rank_e12 * w div out_w").alias("c")
+            e.join(
+                ranks.filter(F.col("out_w").isNotNull()).select(
+                    F.col("id").alias("src"), "rank_e12", "out_w"
+                ),
+                "src",
             )
+            .select("dst", F.expr("rank_e12 * w div out_w").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        dang = ranks.join(outw, ranks.id == outw.src, "left_anti").agg(
-            F.coalesce(F.sum("rank_e12"), F.lit(0)).alias("dang")
-        )
+        ob = Observation()
         ranks = (
-            ids.join(contrib, ids.id == contrib.dst, "left")
-            .crossJoin(F.broadcast(dang))
+            ranks.join(contrib, ranks.id == contrib.dst, "left")
             .select(
                 "id",
+                "out_w",
                 (
                     F.lit(base)
                     + F.expr(
                         f"({damping_pct} * (coalesce(contrib, 0L)"
-                        f" + dang div {n})) div 100"
+                        f" + {dang} div {n})) div 100"
                     )
                 ).alias("rank_e12"),
             )
+            .observe(ob, dang_agg)
             .localCheckpoint(eager=True)
         )
+        dang = int(ob.get["d"] or 0)
     return ranks.select("id", "rank_e12")
 
 

@@ -603,7 +603,13 @@ def pq_train(
             F.lit(j).alias("subspace"), "cid", "cq"
         )
         out = cj if out is None else out.unionByName(cj)
-    return out
+    # materialize the trained codebooks once (r6 optimization): the
+    # result is m·ks rows of broadcast METADATA, but the lazy plan was
+    # re-run by every consumer — pq_topk alone references it from both
+    # pq_encode and the ADC distance table, paying the whole m-subspace
+    # Lloyd's training twice. The checkpoint runs all m subspace chains
+    # in ONE job; values are unchanged (training is deterministic).
+    return out.localCheckpoint(eager=True)
 
 
 def pq_encode(
@@ -879,8 +885,12 @@ def ivfpq_topk(
     base = embeddings.select(
         "vec_id", _quantized(F.col("embedding")).alias("qfull")
     )
+    # n_cells rows of metadata, referenced by BOTH the cell assignment
+    # and the query probes — checkpoint so the coarse training runs
+    # once (r6 optimization, same reasoning as pq_train)
     coarse = _lloyd(
-        base.select("vec_id", F.col("qfull").alias("q")), n_cells, iters
+        base.select("vec_id", F.col("qfull").alias("q")), n_cells, iters,
+        checkpoint=True,
     )
     cells = _kmeans_assign(
         base.select("vec_id", F.col("qfull").alias("q")), coarse
