@@ -579,20 +579,27 @@ def bfs_hops(
         .withColumn("hops", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
+    # r6 optimization: per level ONE job instead of three — the level's
+    # row count rides the checkpoint via observe() (no isEmpty job) and
+    # the settled set is a LAZY union of the per-level checkpointed
+    # frontiers (≤ max_hops unions of O(1)-lineage RDD scans) instead
+    # of a re-materialized snapshot per level. Identical results.
+    from pyspark.sql import Observation
+
     frontier = dist.select("id")
     for h in range(1, max_hops + 1):
+        ob = Observation()
         nxt = (
             frontier.join(e, frontier.id == e.src)
             .select(F.col("dst").alias("id"))
             .dropDuplicates()
             .join(dist, "id", "left_anti")
+            .observe(ob, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if int(ob.get["n"] or 0) == 0:
             break
-        dist = dist.unionByName(
-            nxt.withColumn("hops", F.lit(h).cast("long"))
-        ).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt.withColumn("hops", F.lit(h).cast("long")))
         frontier = nxt
     return dist
 
@@ -737,16 +744,21 @@ def k_core(edges: DataFrame, k: int = 2, max_iters: int = 50) -> DataFrame:
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    # r6 optimization: the fixpoint test (any node under k?) rides the
+    # degree checkpoint via observe() instead of a separate isEmpty job
+    from pyspark.sql import Observation
+
     for _ in range(max_iters):
+        ob = Observation()
         deg = (
             cur.select(F.col("u").alias("id"))
             .unionByName(cur.select(F.col("v").alias("id")))
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("deg"))
+            .observe(ob, F.sum((F.col("deg") < k).cast("long")).alias("n_drop"))
             .localCheckpoint(eager=True)
         )
-        drop = deg.filter(F.col("deg") < k)
-        if drop.isEmpty():
+        if int(ob.get["n_drop"] or 0) == 0:
             return deg
         keep = deg.filter(F.col("deg") >= k).select("id")
         cur = (
@@ -788,18 +800,26 @@ def reach_closure(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    # r6 optimization: one job per level — level count via observe()
+    # on the checkpoint (no isEmpty job), settled as a lazy union of
+    # the checkpointed levels (same trim as bfs_hops; identical
+    # results).
+    from pyspark.sql import Observation
+
     frontier = settled
     for _ in range(max_iters):
+        ob = Observation()
         nxt = (
             frontier.join(e, frontier["id"] == e["a"])
             .select(F.col("b").alias("id"))
             .dropDuplicates()
             .join(settled, "id", "left_anti")
+            .observe(ob, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if int(ob.get["n"] or 0) == 0:
             break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        settled = settled.unionByName(nxt)
         frontier = nxt
     return settled
 

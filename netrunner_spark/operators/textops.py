@@ -314,21 +314,53 @@ def minhash_lsh_pairs(
     complete pair set (downstream exact verification sees every pair).
     Mirrors ``max_gram_df`` on the Jaccard path.
     """
-    sig = minhash_signatures(docs, k, n, max_doc_id)
-    r = k // bands
-    band_keys = (
-        sig.withColumn("band", (F.col("j") / r).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
+    # r6 optimization: all k minhashes in ONE per-doc aggregate (k min
+    # columns with the permutation constants inlined as literals —
+    # identical arithmetic: a_j = (2j+1)·104729 < 2^31 so the inline
+    # `% MOD` is exact), band keys assembled map-side from the columns
+    # in j order. The old path materialized (doc_id, j, minhash) rows —
+    # an explode(k) + groupBy(doc_id, j) shuffle of k× the gram rows,
+    # then a second groupBy(doc_id, band) collect_list shuffle — for an
+    # identical band_key set (pinned in tests/test_r06_optimizations).
+    base = docs if max_doc_id is None else docs.filter(F.col("doc_id") < max_doc_id)
+    grams = (
+        exploded_grams(base, n)
+        .select("doc_id", gram_hash(F.col("gram"), fixed_len=n).alias("g"))
+        .dropDuplicates()
     )
+    r = k // bands
+    mins = grams.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (
+                    F.lit((2 * j + 1) * 104729 % MOD) * F.col("g")
+                    + F.lit(j * 7919 + 1)
+                )
+                % F.lit(MOD)
+            ).alias(f"_m{j}")
+            for j in range(k)
+        ]
+    )
+    band_keys = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"_m{bd * r + i}").cast("string")
+                                for i in range(r)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for bd in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     if max_band_df is None:
         a = band_keys.alias("a")
         b = band_keys.alias("b")

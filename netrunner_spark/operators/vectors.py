@@ -603,13 +603,14 @@ def pq_train(
             F.lit(j).alias("subspace"), "cid", "cq"
         )
         out = cj if out is None else out.unionByName(cj)
-    # materialize the trained codebooks once (r6 optimization): the
-    # result is m·ks rows of broadcast METADATA, but the lazy plan was
-    # re-run by every consumer — pq_topk alone references it from both
-    # pq_encode and the ADC distance table, paying the whole m-subspace
-    # Lloyd's training twice. The checkpoint runs all m subspace chains
-    # in ONE job; values are unchanged (training is deterministic).
-    return out.localCheckpoint(eager=True)
+    # NOTE (r6): an eager localCheckpoint of the codebooks here was
+    # tried and REVERTED on measurement — it made pq_topk alone ~8%
+    # faster (codebooks are referenced by both pq_encode and the ADC
+    # table) but pq_recall ~40% SLOWER: with one lazy action, AQE runs
+    # the independent stages (brute-force arm + the m subspace
+    # trainings) concurrently, which an upfront checkpoint job
+    # serializes. Net across the timed pair the lazy form wins.
+    return out
 
 
 def pq_encode(
@@ -885,12 +886,8 @@ def ivfpq_topk(
     base = embeddings.select(
         "vec_id", _quantized(F.col("embedding")).alias("qfull")
     )
-    # n_cells rows of metadata, referenced by BOTH the cell assignment
-    # and the query probes — checkpoint so the coarse training runs
-    # once (r6 optimization, same reasoning as pq_train)
     coarse = _lloyd(
-        base.select("vec_id", F.col("qfull").alias("q")), n_cells, iters,
-        checkpoint=True,
+        base.select("vec_id", F.col("qfull").alias("q")), n_cells, iters
     )
     cells = _kmeans_assign(
         base.select("vec_id", F.col("qfull").alias("q")), coarse

@@ -137,6 +137,74 @@ def test_semdedup_matches_join_formulation(spark):
     assert got == want
 
 
+@pytest.mark.parametrize("max_band_df", [None, 2])
+def test_lsh_pairs_match_row_form_signatures(spark, max_band_df):
+    # r6 rewrote minhash_lsh_pairs to build band keys from ONE wide
+    # per-doc aggregate; this pins it against band keys derived from
+    # the row-form minhash_signatures (which kept the old formulation)
+    docs = spark.createDataFrame(
+        [
+            (i, ("the quick brown fox " * 3) + (f"tail {i % 4} " * 2))
+            for i in range(24)
+        ]
+        + [(100, "x"), (101, "")],
+        "doc_id long, text string",
+    )
+    k, bands, n = 16, 4, 3
+    sig = textops.minhash_signatures(docs, k, n)
+    r = k // bands
+    band_keys = (
+        sig.withColumn("band", (F.col("j") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    if max_band_df is None:
+        a = band_keys.alias("a")
+        b = band_keys.alias("b")
+        want = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .dropDuplicates()
+        )
+    else:
+        stats = band_keys.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("bdf"), F.min("doc_id").alias("hub")
+        )
+        keyed = band_keys.join(stats, ["band", "band_key"])
+        small = keyed.filter(F.col("bdf") <= max_band_df)
+        a = small.alias("a")
+        b = small.alias("b")
+        sp = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
+        bp = keyed.filter(
+            (F.col("bdf") > max_band_df) & (F.col("doc_id") != F.col("hub"))
+        ).select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        want = sp.unionByName(bp).dropDuplicates()
+    got = sorted(
+        map(
+            tuple,
+            textops.minhash_lsh_pairs(docs, k, bands, n, max_band_df=max_band_df).collect(),
+        )
+    )
+    assert got == sorted(map(tuple, want.collect()))
+
+
 def test_connected_components_with_heavy_multiplicity(spark):
     # chains + a star + duplicate/reversed edges: the r6 trims removed
     # intermediate dedups on multiplicity-INSENSITIVE aggregates; this
