@@ -497,10 +497,14 @@ def hamming_near_dups(
     return _verify(small_pairs.unionByName(big_pairs))
 
 
+CC_LOCAL_MAX_EDGES = 200_000  # small-graph cutover, see connected_components
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 25,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph →
     ``(doc_id, cluster_id)`` with cluster_id = the component's MIN doc_id
@@ -514,6 +518,21 @@ def connected_components(
     singleton clusters labeled by themselves. Each iteration
     localCheckpoints the edge list so the lineage (and the DAG the
     scheduler must walk) stays O(1) per round, not O(rounds).
+
+    Small graphs (r6 optimization): when the DISTINCT edge set fits
+    the driver comfortably (``local_max_edges``, default
+    ``CC_LOCAL_MAX_EDGES`` = 200 k edges ≈ a few MB of int64 pairs —
+    the same "one side fits → don't shuffle" logic as a broadcast
+    join), the star-contraction loop is replaced by a driver-side
+    union-find over the already-materialized edge checkpoint. The
+    labels are identical by definition (component minima don't depend
+    on the algorithm; pinned against the distributed path in tests);
+    dedup pair graphs are capped far below the corpus by construction
+    (max_band_df / max_gram_df hub-star caps), so at 100 TB this path
+    triggers exactly when the per-round fixed cost would dominate, and
+    the distributed loop still handles genuinely large graphs. The
+    edge count is read from the SAME observe() that materializes the
+    checkpoint — no extra job decides the branch.
     """
     from pyspark.sql import Observation
 
@@ -534,6 +553,43 @@ def connected_components(
         .observe(ob0, *_SIG_AGGS)
         .localCheckpoint(eager=True)
     )
+
+    cutover = CC_LOCAL_MAX_EDGES if local_max_edges is None else local_max_edges
+    if int(ob0.get["n"] or 0) <= cutover:
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            u, v = row["u"], row["v"]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN root so the final label is the component min
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        members_rows = [(x, find(x)) for x in parent]
+        members = spark.createDataFrame(
+            members_rows, "doc_id long, cluster_id long"
+        )
+        if nodes is not None:
+            singletons = (
+                nodes.select("doc_id")
+                .join(members.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", F.col("doc_id").alias("cluster_id"))
+            )
+            members = members.unionByName(singletons)
+        return members
 
     def _large_star(e: DataFrame) -> DataFrame:
         # for each node u: connect every strictly-larger neighbor to

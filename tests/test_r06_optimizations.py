@@ -227,6 +227,32 @@ def test_connected_components_with_heavy_multiplicity(spark):
         assert got[isolated] == isolated
 
 
+def test_cc_local_unionfind_matches_distributed(spark):
+    # r6 added a driver-side union-find path for edge sets under the
+    # small-graph cutover; labels must be identical to the distributed
+    # large-star/small-star loop on a gnarly random multigraph
+    import random
+
+    rng = random.Random(13)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(150)
+    ] + [(i, i + 1) for i in range(70, 90)]  # a 21-node chain
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    local = sorted(
+        map(tuple, textops.connected_components(pairs, nodes=nodes).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            textops.connected_components(
+                pairs, nodes=nodes, local_max_edges=0
+            ).collect(),
+        )
+    )
+    assert local == dist and len(local) == 100
+
+
 def test_bulk_metrics_match_per_round_recompute(spark, tmp_path):
     from netrunner_spark.plans.crawl import CrawlConfig, CrawlJob
     from netrunner_spark.sources.fetcher import MockFetcher
